@@ -1,0 +1,102 @@
+"""Generalized ESD and Seasonal ESD (S-ESD / S-H-ESD), from scratch.
+
+The reference delegates to the ``sesd`` package (catch.py:1608-1624 uses
+``sesd.generalized_esd``; catch.py:1655-1678 uses ``sesd.seasonal_esd``),
+which implements the NIST Generalized Extreme Studentized Deviate test
+(https://www.itl.nist.gov/div898/handbook/eda/section3/eda35h3.htm) and
+the Twitter S-ESD/S-H-ESD procedure (Hochenbaum, Vallis & Kejariwal,
+arXiv:1704.07706, cited at catch.py:1645).  Neither sesd nor scipy exists
+in this environment, so both are implemented from the published
+algorithms:
+
+- ``generalized_esd``: iteratively remove the max studentized deviate
+  (mean/std, or median/MAD when ``hybrid``) and compare against the
+  critical value λ_i = (m-1)·t / sqrt(m·(m-2+t²)) with
+  t = t_ppf(1 - α/(2m), m-2) for current masked size m.
+- ``seasonal_esd``: residual R = ts - STL.seasonal - median(ts), then
+  ``generalized_esd`` on R.
+
+Returns positional indices into the input array, like sesd.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .special import t_ppf
+from .stl import stl
+
+__all__ = ["generalized_esd", "seasonal_esd", "esd_critical_value"]
+
+
+def esd_critical_value(size: int, alpha: float) -> float:
+    """NIST critical value for the current (masked) sample size."""
+    if size <= 2:
+        return math.inf
+    t = t_ppf(1.0 - alpha / (2.0 * size), size - 2)
+    return (size - 1) * t / math.sqrt(size * (size - 2.0 + t * t))
+
+
+def _test_statistic(values: np.ndarray, mask: np.ndarray, hybrid: bool
+                    ) -> tuple[int, float]:
+    """(index, score) of the largest studentized deviate among unmasked."""
+    active = values[~mask]
+    if hybrid:
+        center = np.median(active)
+        spread = np.median(np.abs(active - center))
+    else:
+        center = active.mean()
+        spread = active.std()  # ddof=0, as numpy/sesd default
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scores = np.abs(values - center) / spread
+    scores[mask] = -np.inf
+    idx = int(np.argmax(scores))
+    return idx, float(scores[idx])
+
+
+def generalized_esd(
+    ts: np.ndarray,
+    max_anomalies: int,
+    alpha: float = 0.05,
+    hybrid: bool = False,
+) -> list[int]:
+    """Positional indices of detected anomalies (NIST Generalized ESD)."""
+    values = np.asarray(ts, dtype=np.float64).ravel()
+    n = values.size
+    max_anomalies = int(min(max_anomalies, n - 3)) if n > 3 else 0
+    if max_anomalies <= 0:
+        return []
+    mask = np.zeros(n, dtype=bool)
+    candidates: list[int] = []
+    num_outliers = 0
+    for curr in range(max_anomalies):
+        size = n - curr
+        idx, score = _test_statistic(values, mask, hybrid)
+        if not np.isfinite(score):
+            break
+        lam = esd_critical_value(size, alpha)
+        candidates.append(idx)
+        mask[idx] = True
+        if score > lam:
+            num_outliers = curr + 1
+    return candidates[:num_outliers]
+
+
+def seasonal_esd(
+    ts: np.ndarray,
+    periodicity: int | None = None,
+    max_anomalies: int = 10,
+    alpha: float = 0.05,
+    hybrid: bool = False,
+    seasonal: int = 7,
+) -> list[int]:
+    """S-ESD / S-H-ESD: STL seasonal removal + median adjustment + ESD."""
+    values = np.asarray(ts, dtype=np.float64).ravel()
+    n = values.size
+    period = int(periodicity) if periodicity else max(int(0.2 * n), 2)
+    result = stl(values, period=period, seasonal=seasonal)
+    residual = values - result.seasonal - np.median(values)
+    return generalized_esd(residual, max_anomalies=max_anomalies,
+                           alpha=alpha, hybrid=hybrid)

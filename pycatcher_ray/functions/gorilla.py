@@ -1,0 +1,197 @@
+"""Gorilla time-series chunk compression (XOR floats + delta-of-delta).
+
+Implements the compression scheme of the Gorilla paper (Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database", VLDB 2015)
+required by the north rule: per-(source, window) chunks with
+delta-of-delta-encoded int64 timestamps and XOR-encoded float64 values,
+stored as a single binary blob per chunk plus (n_points, t0, t1)
+metadata columns.
+
+Encoding details (per paper §4.1):
+
+- timestamps: t0 as raw 64 bits, first delta as 64 bits, then
+  delta-of-delta D with prefix codes
+  ``0`` (D=0), ``10``+7b (-63..64), ``110``+9b (-255..256),
+  ``1110``+12b (-2047..2048), ``1111``+64b (divergence from the paper's
+  32-bit fallback: our timestamps are arbitrary int64, e.g. epoch
+  seconds/micros, so the fallback is widened — documented here).
+- values: v0 as raw 64 bits, then per value XOR with the previous:
+  ``0`` when identical; ``10`` + meaningful bits reusing the previous
+  (leading, length) window; ``11`` + 5b leading-zero count + 6b length
+  + meaningful bits otherwise.  Length 64 is stored as 0 in 6 bits.
+
+NaN / ±0.0 round-trip exactly (bit patterns are preserved).  Pure-Python
+bit I/O: chunks are bounded (a tier window, e.g. <= 43 200 points), and
+encoding runs inside the distributed compress stage, so per-chunk Python
+cost is amortized across the actor pool.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_chunk", "decode_chunk"]
+
+_MAGIC = b"GOR1"
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        pos = self.pos
+        data = self.data
+        remaining = bits
+        while remaining > 0:
+            byte_idx, bit_off = divmod(pos, 8)
+            take = min(8 - bit_off, remaining)
+            chunk = (data[byte_idx] >> (8 - bit_off - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            pos += take
+            remaining -= take
+        self.pos = pos
+        return out
+
+
+_DOD_RANGES = (
+    (7, -63, 64, 0b10, 2),
+    (9, -255, 256, 0b110, 3),
+    (12, -2047, 2048, 0b1110, 4),
+)
+
+
+def encode_chunk(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode parallel (int64 timestamps, float64 values) into one blob."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    if ts.shape != vals.shape or ts.ndim != 1:
+        raise ValueError("timestamps and values must be equal-length 1-D arrays")
+    n = ts.size
+    w = _BitWriter()
+    header = _MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return header
+    vb = vals.view(np.uint64)
+
+    w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    w.write(int(vb[0]), 64)
+    prev_delta = 0
+    prev_lead, prev_trail, prev_len = -1, -1, -1
+    deltas = np.diff(ts)
+    for i in range(1, n):
+        # --- timestamp: delta of delta
+        delta = int(deltas[i - 1])
+        dod = delta - prev_delta
+        prev_delta = delta
+        if dod == 0:
+            w.write(0, 1)
+        else:
+            for bits, lo, hi, prefix, plen in _DOD_RANGES:
+                if lo <= dod <= hi:
+                    w.write(prefix, plen)
+                    w.write(dod & ((1 << bits) - 1), bits)
+                    break
+            else:
+                w.write(0b1111, 4)
+                w.write(dod & 0xFFFFFFFFFFFFFFFF, 64)
+        # --- value: XOR
+        x = int(vb[i - 1] ^ vb[i])
+        if x == 0:
+            w.write(0, 1)
+        else:
+            lead = 64 - x.bit_length()
+            trail = (x & -x).bit_length() - 1
+            if lead > 31:
+                lead = 31  # 5-bit field cap, as in the paper
+            if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
+                w.write(0b10, 2)
+                w.write(x >> prev_trail, prev_len)
+            else:
+                mlen = 64 - lead - trail
+                w.write(0b11, 2)
+                w.write(lead, 5)
+                w.write(mlen & 0x3F, 6)  # 64 encodes as 0
+                w.write(x >> trail, mlen)
+                prev_lead, prev_trail, prev_len = lead, trail, mlen
+    return header + w.getvalue()
+
+
+def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``encode_chunk`` → (int64 timestamps, float64 values)."""
+    if blob[:4] != _MAGIC:
+        raise ValueError("not a gorilla chunk (bad magic)")
+    (n,) = struct.unpack("<I", blob[4:8])
+    ts = np.empty(n, dtype=np.int64)
+    vb = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return ts, vb.view(np.float64)
+    r = _BitReader(blob[8:])
+
+    def _signed(v: int, bits: int) -> int:
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    t = _signed(r.read(64), 64)
+    ts[0] = t
+    vb[0] = r.read(64)
+    prev_delta = 0
+    prev_lead = prev_trail = prev_len = 0
+    for i in range(1, n):
+        # timestamp
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            if r.read(1) == 0:
+                dod = _signed(r.read(7), 7)
+            elif r.read(1) == 0:
+                dod = _signed(r.read(9), 9)
+            elif r.read(1) == 0:
+                dod = _signed(r.read(12), 12)
+            else:
+                dod = _signed(r.read(64), 64)
+        prev_delta += dod
+        t += prev_delta
+        ts[i] = t
+        # value
+        if r.read(1) == 0:
+            vb[i] = vb[i - 1]
+        else:
+            if r.read(1) == 0:
+                x = r.read(prev_len) << prev_trail
+            else:
+                prev_lead = r.read(5)
+                mlen = r.read(6) or 64
+                prev_trail = 64 - prev_lead - mlen
+                prev_len = mlen
+                x = r.read(mlen) << prev_trail
+            vb[i] = vb[i - 1] ^ np.uint64(x)
+    return ts, vb.view(np.float64)

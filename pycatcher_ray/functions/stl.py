@@ -1,0 +1,270 @@
+"""STL / MSTL (Seasonal-Trend decomposition by LOESS), from scratch.
+
+Implements the Cleveland et al. (1990) STL procedure in numpy — the
+algorithm behind ``statsmodels.tsa.STL`` used by the reference at
+catch.py:1076-1081 / 1117-1142 (STL) and catch.py:1300-1314 / 1340-1385
+(MSTL).  statsmodels is not available in this environment; conformance is
+at the assertion level of the ported reference tests (planted outliers
+flagged, add-vs-mul selection direction), per SURVEY.md §5.
+
+Defaults mirror the original R ``stl``: seasonal LOESS degree 0
+(``s.degree=0`` — a degree-1 seasonal fit on the reference's 2-point
+cycle-subseries, e.g. 730 daily points at period 365, interpolates
+exactly and absorbs planted spikes into the seasonal, defeating
+detection), trend/low-pass degree 1, trend window = smallest odd >=
+1.5*period/(1 - 1.5/seasonal), low-pass window = smallest odd > period,
+2 inner iterations, 0 robustness iterations (robust=False), and MSTL
+seasonal windows 7 + 4*(1..K) with 2 outer iterations (1 when a single
+period).
+
+Performance: for the non-robust case every interior LOESS fit on a
+uniform grid with a symmetric window reduces to a fixed-kernel weighted
+moving average (the degree-1 slope term cancels by symmetry), so the hot
+smooths are a single ``np.convolve`` plus explicit boundary fits —
+O(n·q) work only at the q edge points.  This is what makes per-series
+STL cheap enough to run in a Ray actor pool over millions of series.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..errors import TimeSeriesError
+
+__all__ = ["STLResult", "stl", "mstl", "MSTLResult"]
+
+
+@dataclass
+class STLResult:
+    observed: np.ndarray
+    trend: np.ndarray
+    seasonal: np.ndarray
+    resid: np.ndarray
+
+
+@dataclass
+class MSTLResult:
+    observed: np.ndarray
+    trend: np.ndarray
+    seasonal: dict[int, np.ndarray]  # period -> seasonal component
+    resid: np.ndarray
+
+    @property
+    def seasonal_sum(self) -> np.ndarray:
+        out = np.zeros_like(self.observed)
+        for s in self.seasonal.values():
+            out += s
+        return out
+
+
+def _next_odd(x: float) -> int:
+    v = int(np.ceil(x))
+    return v if v % 2 == 1 else v + 1
+
+
+def _tricube(u: np.ndarray) -> np.ndarray:
+    w = np.clip(1.0 - np.abs(u) ** 3, 0.0, None) ** 3
+    return w
+
+
+def _wls_fit_at(xw: np.ndarray, yw: np.ndarray, w: np.ndarray, x0: float,
+                degree: int) -> float:
+    """Weighted least-squares polynomial fit evaluated at x0."""
+    sw = w.sum()
+    if sw <= 0:
+        return float(np.mean(yw))
+    if degree == 0:
+        return float(np.dot(w, yw) / sw)
+    xc = xw - x0
+    swx = np.dot(w, xc)
+    swx2 = np.dot(w, xc * xc)
+    swy = np.dot(w, yw)
+    swxy = np.dot(w, xc * yw)
+    det = sw * swx2 - swx * swx
+    if abs(det) < 1e-12 * max(sw * swx2, 1e-300):
+        return float(swy / sw)
+    # intercept at x0 of the local line
+    return float((swx2 * swy - swx * swxy) / det)
+
+
+def _loess_point(y: np.ndarray, i: float, q: int, degree: int,
+                 rho: np.ndarray | None) -> float:
+    """LOESS fit at (possibly exterior) position ``i`` on the uniform grid
+    0..n-1 using the q nearest observations."""
+    n = y.size
+    qq = min(q, n)
+    # nearest qq points to i on an integer grid: a contiguous window
+    left = int(np.clip(np.round(i) - (qq - 1) // 2, 0, n - qq))
+    # slide window so it truly contains the qq nearest points
+    while left > 0 and (i - (left - 1)) < ((left + qq - 1) - i):
+        left -= 1
+    while left + qq < n and ((left + qq) - i) < (i - left):
+        left += 1
+    idx = np.arange(left, left + qq)
+    dist = np.abs(idx - i)
+    lam = dist.max()
+    if q > n:
+        lam *= q / n
+    if lam <= 0:
+        lam = 1.0
+    w = _tricube(dist / lam)
+    if rho is not None:
+        w = w * rho[idx]
+    return _wls_fit_at(idx.astype(np.float64), y[idx], w, float(i), degree)
+
+
+def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
+                 rho: np.ndarray | None = None,
+                 ext: int = 0) -> np.ndarray:
+    """LOESS-smooth a uniformly spaced series at every position, plus
+    ``ext`` extrapolated positions before and after (for STL's
+    cycle-subseries extension).  Returns length n + 2*ext.
+
+    Fast path (no robustness weights, window inside the series): the
+    symmetric tricube degree-1 fit equals a fixed-kernel average →
+    one convolution for all interior points.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if q % 2 == 0:
+        q += 1
+    out = np.empty(n + 2 * ext)
+    h = (q - 1) // 2
+
+    if rho is None and q <= n and n > q:
+        # interior kernel: offsets -h..h, lambda = h (weight 0 at edges)
+        d = np.arange(-h, h + 1, dtype=np.float64)
+        lam = max(h, 1)
+        kern = _tricube(d / lam)
+        kern /= kern.sum()
+        interior = np.convolve(y, kern[::-1], mode="valid")  # positions h..n-1-h
+        out[ext + h : ext + n - h] = interior
+        boundary = list(range(0, min(h, n))) + list(range(max(n - h, 0), n))
+    else:
+        boundary = list(range(n))
+
+    for i in boundary:
+        out[ext + i] = _loess_point(y, float(i), q, degree, rho)
+    for e in range(1, ext + 1):
+        out[ext - e] = _loess_point(y, float(-e), q, degree, rho)
+        out[n - 1 + ext + e] = _loess_point(y, float(n - 1 + e), q, degree, rho)
+    return out
+
+
+def _ma(x: np.ndarray, w: int) -> np.ndarray:
+    """Simple moving average, length len(x) - w + 1."""
+    c = np.cumsum(np.concatenate(([0.0], x)))
+    return (c[w:] - c[:-w]) / w
+
+
+def stl(
+    y: np.ndarray,
+    period: int,
+    seasonal: int = 7,
+    trend: int | None = None,
+    low_pass: int | None = None,
+    seasonal_deg: int = 0,
+    trend_deg: int = 1,
+    low_pass_deg: int = 1,
+    robust: bool = False,
+    inner_iter: int | None = None,
+    outer_iter: int | None = None,
+) -> STLResult:
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.size
+    if period < 2:
+        raise TimeSeriesError("period must be >= 2")
+    if n < 2 * period:
+        raise TimeSeriesError(
+            f"series has {n} observations; STL needs >= 2 full periods ({2 * period})"
+        )
+    if np.isnan(y).any():
+        raise TimeSeriesError("STL input must not contain NaN")
+    if seasonal % 2 == 0:
+        seasonal += 1
+    if trend is None:
+        trend = _next_odd(1.5 * period / (1.0 - 1.5 / seasonal))
+    if low_pass is None:
+        low_pass = _next_odd(period + 1e-9)
+        if low_pass <= period:
+            low_pass += 2
+    ni = inner_iter if inner_iter is not None else (1 if robust else 2)
+    no = outer_iter if outer_iter is not None else (15 if robust else 0)
+
+    T = np.zeros(n)
+    S = np.zeros(n)
+    rho: np.ndarray | None = None
+
+    for _outer in range(no + 1):
+        for _inner in range(ni):
+            # 1. detrend
+            D = y - T
+            # 2. cycle-subseries smoothing with 1-step extension each side
+            C = np.empty(n + 2 * period)
+            for k in range(period):
+                sub = D[k::period]
+                sub_rho = rho[k::period] if rho is not None else None
+                sm = loess_smooth(sub, seasonal, seasonal_deg, sub_rho, ext=1)
+                m = sub.size
+                # place at positions k, k+period, ... in the extended grid
+                C[k::period][: m + 2] = sm
+            # 3. low-pass filter of C: MA(p) ∘ MA(p) ∘ MA(3) ∘ loess(nl)
+            L = _ma(_ma(_ma(C, period), period), 3)
+            L = loess_smooth(L, low_pass, low_pass_deg, None)
+            # 4. seasonal
+            S = C[period : period + n] - L
+            # 5. trend from deseasonalized
+            T = loess_smooth(y - S, trend, trend_deg, rho)
+        R = y - T - S
+        if _outer < no:
+            # robustness weights: bisquare of |R| / (6 * median|R|)
+            s = 6.0 * np.median(np.abs(R))
+            if s <= 0:
+                rho = np.ones(n)
+            else:
+                u = np.clip(np.abs(R) / s, 0.0, 1.0)
+                rho = (1.0 - u * u) ** 2
+    return STLResult(observed=y, trend=T, seasonal=S, resid=y - T - S)
+
+
+def mstl(
+    y: np.ndarray,
+    periods: int | tuple[int, ...] | list[int],
+    windows: tuple[int, ...] | None = None,
+    iterate: int = 2,
+    stl_kwargs: dict | None = None,
+) -> MSTLResult:
+    """MSTL (Bandara, Hyndman & Bergmeir 2021): iterated per-period STL.
+
+    Periods are deduplicated/sorted ascending and periods >= n/2 dropped,
+    as statsmodels does; default seasonal windows are 7 + 4*(1..K).
+    """
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n = y.size
+    if isinstance(periods, int):
+        periods = (periods,)
+    ps = sorted({int(p) for p in periods})
+    ps = [p for p in ps if p >= 2 and n >= 2 * p]
+    if not ps:
+        raise TimeSeriesError("no usable period (all periods too long for series)")
+    k = len(ps)
+    if windows is None:
+        windows = tuple(7 + 4 * np.arange(1, k + 1))
+    if k == 1:
+        iterate = 1
+    stl_kwargs = stl_kwargs or {}
+
+    seasonals = {p: np.zeros(n) for p in ps}
+    deseas = y.copy()
+    last = None
+    for _ in range(iterate):
+        for i, p in enumerate(ps):
+            deseas = deseas + seasonals[p]
+            last = stl(deseas, period=p, seasonal=int(windows[i]), **stl_kwargs)
+            seasonals[p] = last.seasonal
+            deseas = deseas - seasonals[p]
+    trend = last.trend
+    resid = deseas - trend
+    return MSTLResult(observed=y, trend=trend, seasonal=seasonals, resid=resid)

@@ -1,0 +1,403 @@
+"""Conformance suite: assertions ported from the reference's pytest suite
+(/root/reference/tests/test_catch.py, test_api_catch.py) run against the
+pycatcher-compatible API in ``pycatcher_ray.compat``.  The reference's own
+suite cannot execute in this sandbox (statsmodels/scipy/sesd/pyod/sklearn
+are absent), so its *assertions* are ported per SURVEY.md §5."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pycatcher_ray import compat
+from pycatcher_ray.errors import DataValidationError
+
+
+class TestCheckAndConvertDate:
+    def test_basic_conversion(self):
+        # reference test_catch.py:13-19: 5 daily dates -> DatetimeIndex
+        df = pd.DataFrame(
+            {"date": ["2022-01-01", "2022-01-02", "2022-01-03"], "value": [10, 20, 30]}
+        )
+        out = compat.check_and_convert_date(df)
+        assert isinstance(out.index, pd.DatetimeIndex)
+        assert len(out) == 3
+
+    def test_invalid_dates_raise(self):
+        # reference test_catch.py:37-44
+        df = pd.DataFrame({"date": ["invalid", "dates"], "value": [1, 2]})
+        with pytest.raises(DataValidationError):
+            compat.check_and_convert_date(df)
+
+    def test_none_raises(self):
+        with pytest.raises(DataValidationError):
+            compat.check_and_convert_date(None)
+
+
+class TestFindOutliersIqr:
+    def test_exact_golden(self, iqr_known_outlier):
+        # reference test_catch.py:67-75
+        out = compat.find_outliers_iqr(iqr_known_outlier)
+        assert len(out) == 1
+        assert out.iloc[0]["value"] == 100
+
+    def test_statistical_rate(self):
+        # reference test_catch.py:54-65
+        np.random.seed(42)
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=1000),
+                "value": np.random.normal(0, 1, 1000),
+            }
+        )
+        rate = len(compat.find_outliers_iqr(df)) / 1000
+        assert 0.001 <= rate <= 0.02
+
+    def test_non_numeric_raises(self):
+        # reference test_catch.py:77-84
+        df = pd.DataFrame(
+            {"date": pd.date_range("2020-01-01", periods=3), "value": ["a", "b", "c"]}
+        )
+        with pytest.raises(DataValidationError):
+            compat.find_outliers_iqr(df)
+
+
+class TestAnomalyScores:
+    def test_mad_golden(self):
+        # reference test_catch.py:102-106
+        mask = compat.anomaly_mad(np.array([1.0, 2, 3, 100, 4]))
+        assert list(np.nonzero(mask)[0]) == [3]
+
+    def test_zscore_series(self):
+        z = compat.anomaly_zscore(pd.Series([1.0, 2.0, 3.0]))
+        assert z.mean() == pytest.approx(0.0)
+
+    def test_empty_raises(self):
+        # reference test_catch.py:108-116
+        with pytest.raises(DataValidationError):
+            compat.anomaly_mad(np.array([]))
+        with pytest.raises(DataValidationError):
+            compat.anomaly_zscore(None)
+
+    def test_get_residuals_strips_nan(self):
+        # reference test_catch.py:122-130
+        class Model:
+            resid = np.array([1.0, np.nan, 2.0, np.nan, 3.0])
+
+        out = compat.get_residuals(Model())
+        np.testing.assert_array_equal(out.to_numpy(), [1.0, 2.0, 3.0])
+
+    def test_sum_of_squares_golden(self):
+        # reference test_catch.py:158-168
+        assert compat.sum_of_squares(np.array([1, 2, 3, 4])) == 30.0
+
+
+class TestDetectOutliersIqrWrapper:
+    def test_no_outliers_message(self):
+        # reference: identical values -> "No outliers found."
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=5),
+                "value": [10, 10, 10, 10, 10],
+            }
+        )
+        assert compat.detect_outliers_iqr(df) == "No outliers found."
+
+    def test_nan_values_dropped(self):
+        # reference test_catch.py:611-623
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=5),
+                "value": [10, np.nan, 1000, np.nan, 40],
+            }
+        )
+        result = compat.detect_outliers_iqr(df)
+        assert result == "No outliers found."
+
+    def test_outlier_returned(self, iqr_known_outlier):
+        out = compat.detect_outliers_iqr(iqr_known_outlier)
+        assert isinstance(out, pd.DataFrame)
+        assert out.iloc[0]["value"] == 100
+
+
+class TestDetectOutliersClassic:
+    def test_decompose_route_daily_2y(self):
+        # reference test_catch.py:360-396: >=730 daily rows route to
+        # decomposition (returns DataFrame or the no-outliers string)
+        np.random.seed(0)
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", "2022-12-31", freq="D"),
+            }
+        )
+        df["value"] = np.random.normal(100, 10, len(df))
+        out = compat.detect_outliers_classic(df)
+        assert isinstance(out, (pd.DataFrame, str))
+
+    def test_short_series_routes_iqr(self, iqr_known_outlier):
+        # reference test_catch.py:470-490 (borderline -> IQR)
+        out = compat.detect_outliers_classic(iqr_known_outlier)
+        assert isinstance(out, pd.DataFrame)
+        assert out.iloc[0]["value"] == 100
+
+    def test_duplicate_dates_raise(self):
+        # reference test_catch.py:439-447
+        df = pd.DataFrame(
+            {"date": ["2022-01-01"] * 3, "value": [1.0, 2.0, 3.0]}
+        )
+        with pytest.raises(DataValidationError):
+            compat.detect_outliers_classic(df)
+
+    def test_planted_outliers_flagged(self, decompose_100):
+        # reference test_catch.py:496-518 — needs >=104 weekly/730 daily to
+        # route to decomposition; 100 daily rows route to IQR in dispatch,
+        # so call the decomposition core directly like the reference test.
+        df = compat.check_and_convert_date(decompose_100)
+        out = compat.decompose_and_detect(df, period=7)
+        assert isinstance(out, pd.DataFrame)
+        flagged = set(np.round(out["value"].to_numpy()))
+        assert 130.0 in flagged and 70.0 in flagged
+
+    def test_none_raises(self):
+        with pytest.raises(DataValidationError, match="cannot be None"):
+            compat.detect_outliers_classic(None)
+
+    def test_empty_raises(self):
+        with pytest.raises(DataValidationError):
+            compat.detect_outliers_classic(pd.DataFrame())
+
+
+class TestSTLPath:
+    @pytest.fixture
+    def hourly_df(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=17520, freq="h")
+        values = 100 + np.sin(np.linspace(0, 100, 17520)) * 50 + np.random.uniform(
+            0, 10, 17520
+        )
+        values[1000] = 1000.0
+        return pd.DataFrame({"date": dates, "value": values})
+
+    @pytest.fixture
+    def daily_df(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=730, freq="D")
+        values = 100 + np.sin(np.linspace(0, 10, 730)) * 50 + np.random.uniform(
+            0, 10, 730
+        )
+        values[100] = 1000.0
+        return pd.DataFrame({"date": dates, "value": values})
+
+    @pytest.fixture
+    def monthly_df(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=24, freq="ME")
+        values = 100 + np.sin(np.linspace(0, 2, 24)) * 50 + np.random.uniform(0, 10, 24)
+        values[5] = 1000.0
+        return pd.DataFrame({"date": dates, "value": values})
+
+    def test_hourly(self, hourly_df):
+        # reference test_catch.py:887-892
+        result = compat.detect_outliers_stl(hourly_df)
+        assert isinstance(result, pd.DataFrame)
+        assert len(result) > 0
+        assert 1000.0 in result["value"].values
+
+    def test_daily(self, daily_df):
+        # reference test_catch.py:894-899
+        result = compat.detect_outliers_stl(daily_df)
+        assert isinstance(result, pd.DataFrame)
+        assert 1000.0 in result["value"].values
+
+    def test_monthly(self, monthly_df):
+        # reference test_catch.py:901-906
+        result = compat.detect_outliers_stl(monthly_df)
+        assert isinstance(result, pd.DataFrame)
+        assert 1000.0 in result["value"].values
+
+    def test_insufficient_falls_back_to_iqr(self):
+        # reference test_catch.py:908-914
+        np.random.seed(1)
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=10, freq="D"),
+                "value": np.random.uniform(1, 10, 10),
+            }
+        )
+        result = compat.detect_outliers_stl(df)
+        assert isinstance(result, (pd.DataFrame, str))
+
+    def test_none_raises(self):
+        with pytest.raises(DataValidationError, match="cannot be None"):
+            compat.detect_outliers_stl(None)
+
+    def test_invalid_dates(self):
+        df = pd.DataFrame({"date": ["invalid", "dates"], "value": [1, 2]})
+        with pytest.raises(DataValidationError):
+            compat.detect_outliers_stl(df)
+
+
+class TestMSTLPath:
+    def test_monthly_planted(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=36, freq="MS")
+        values = 100 + 10 * np.sin(2 * np.pi * np.arange(36) / 12) + np.random.uniform(
+            0, 5, 36
+        )
+        values[10] = 1000.0
+        df = pd.DataFrame({"date": dates, "value": values})
+        result = compat.detect_outliers_mstl(df)
+        assert isinstance(result, pd.DataFrame)
+        assert 1000.0 in result["value"].values
+
+    def test_short_routes_iqr(self, iqr_known_outlier):
+        out = compat.detect_outliers_mstl(iqr_known_outlier)
+        assert isinstance(out, pd.DataFrame)
+
+
+class TestESDPath:
+    def test_normal_spike_generalized(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=500, freq="D")
+        values = np.random.normal(100, 5, 500)
+        values[250] = 200.0
+        df = pd.DataFrame({"date": dates, "value": values})
+        result = compat.detect_outliers_esd(df)
+        assert result is not None
+        assert 200.0 in result["value"].values
+
+    def test_detect_ts_frequency_daily(self):
+        # reference catch.py:1552-1588: daily >=730 -> 365
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=730, freq="D"),
+                "value": np.arange(730, dtype=float),
+            }
+        )
+        assert compat.detect_ts_frequency(df) == 365
+
+
+class TestMovingAveragePath:
+    def test_planted_outlier_with_mocks(self, monkeypatch):
+        # reference test_catch.py:815-832: window AND z-scores are mocked —
+        # the test pins the flag-and-project plumbing, not the z math.
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2023-01-01", periods=10, freq="D"),
+                "value": [10, 12, 11, 13, 100, 11, 12, 13, 11, 12],
+            }
+        )
+        monkeypatch.setattr(compat, "calculate_optimal_window_size", lambda d: 3)
+        monkeypatch.setattr(
+            compat,
+            "anomaly_zscore",
+            lambda s: pd.Series([0, 0, 0, 0, 5, 0, 0, 0, 0, 0]),
+        )
+        result = compat.detect_outliers_moving_average(df)
+        assert isinstance(result, pd.DataFrame)
+        assert len(result) == 1
+        assert result.iloc[0]["value"] == 100
+
+    def test_real_flagging_long_series(self):
+        # engine-level check without mocks: a sustained spike in a longer
+        # series must be flagged by the MA z-score path
+        from pycatcher_ray.functions import moving_average_outlier_mask
+
+        vals = np.concatenate([np.full(60, 10.0), np.full(3, 300.0), np.full(60, 10.0)])
+        mask = moving_average_outlier_mask(vals, window=3)
+        assert mask[60:65].any()
+
+    def test_optimal_window_range(self):
+        # reference test_catch.py:690-704
+        np.random.seed(0)
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2022-01-01", periods=100),
+                "value": np.linspace(10, 100, 100) + np.random.normal(0, 5, 100),
+            }
+        )
+        w = compat.calculate_optimal_window_size(df)
+        assert isinstance(w, int) and 2 <= w <= 20
+
+    def test_rmse_validations(self):
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2023-01-01", periods=100, freq="D"),
+                "value": np.sin(np.linspace(0, 10, 100)) * 100 + 500,
+            }
+        )
+        with pytest.raises(TypeError, match="integer"):
+            compat.calculate_rmse(df, window_size=5.5)
+        with pytest.raises(ValueError, match="greater than 0"):
+            compat.calculate_rmse(df, window_size=-1)
+        with pytest.raises(DataValidationError, match="cannot be None"):
+            compat.calculate_rmse(None, window_size=5)
+
+    def test_minimum_size_raises(self):
+        # reference: 7 rows -> All RMSE values are NaN
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2022-01-01", periods=7),
+                "value": range(1, 8),
+            }
+        )
+        with pytest.raises(ValueError, match="All RMSE values are NaN"):
+            compat.calculate_optimal_window_size(df)
+
+
+class TestTodayLatest:
+    def test_today_no_outliers_message(self, iqr_known_outlier):
+        # reference test_api_catch.py:89-101: fixture outlier is not today
+        out = compat.detect_outliers_today_classic(iqr_known_outlier)
+        assert out == "No Outliers Today!"
+
+    def test_today_with_matching_now(self, iqr_known_outlier):
+        out = compat.detect_outliers_today_classic(
+            iqr_known_outlier, now="2022-01-04"
+        )
+        assert isinstance(out, pd.DataFrame)
+        assert out.iloc[0]["value"] == 100
+
+    def test_latest_returns_tail(self, iqr_known_outlier):
+        out = compat.detect_outliers_latest_classic(iqr_known_outlier)
+        assert len(out) == 1
+        assert out.iloc[0]["value"] == 100
+
+
+class TestApiGolden:
+    def test_api_5_rows_exact_golden(self):
+        # reference test_api_catch.py:28-44: integer "dates" [1..5],
+        # values [10,12,14,100,15] -> exactly the row (1970-01-01..., 100.0)
+        df = pd.DataFrame({"ID": [1, 2, 3, 4, 5], "Value": [10, 12, 14, 100, 15]})
+        df["ID"] = pd.to_datetime(df["ID"])
+        out = compat.find_outliers_iqr(df)
+        records = out.reset_index(drop=True).to_dict(orient="records")
+        assert len(records) == 1
+        assert records[0]["Value"] == 100.0
+        assert pd.Timestamp(records[0]["ID"]) == pd.Timestamp("1970-01-01 00:00:00.000000003")
+
+
+class TestBuildDecompositionResults:
+    def test_table_shape(self):
+        # diagnostics.py:376-385 column contract
+        np.random.seed(3)
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=800, freq="D"),
+                "value": 100
+                + 10 * np.sin(2 * np.pi * np.arange(800) / 7)
+                + np.random.normal(0, 1, 800),
+            }
+        )
+        out = compat.build_decomposition_results(df)
+        assert list(out.columns) == ["seasonal", "trend", "residuals", "actual_values"]
+        assert len(out) == 800
+
+    def test_requires_two_years(self):
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=100, freq="D"),
+                "value": np.arange(100, dtype=float),
+            }
+        )
+        with pytest.raises(DataValidationError, match="2 years"):
+            compat.build_decomposition_results(df)
