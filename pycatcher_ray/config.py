@@ -1,0 +1,58 @@
+"""Engine configuration: retention tiers and detection periods.
+
+The reference infers seasonality from a pandas DatetimeIndex at call time
+(catch.py:538, 1002, 1221, 1541).  At 10^12-sequence scale frequency
+inference is both meaningless (buckets are fixed by the tier) and
+expensive, so the engine replaces it with explicit tier configuration;
+the pycatcher dispatch tables survive as the per-tier default detection
+periods (SURVEY.md §2.1 #8/#14/#18).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+__all__ = ["TierSpec", "TIERS", "EngineConfig", "DEFAULT_CONFIG"]
+
+
+@dataclass(frozen=True)
+class TierSpec:
+    """One retention tier of the cascading continuous aggregate."""
+
+    name: str
+    seconds: int           # bucket width
+    period: int            # default single seasonal period for detectors
+    mstl_periods: tuple[int, ...]  # multi-seasonal periods for MSTL
+    chunk_buckets: int     # buckets per Gorilla chunk (compress stage)
+
+
+# 1m -> 1h -> 1d cascade. Periods follow the pycatcher dispatch values
+# re-expressed on the tier grid: minutes repeat daily (1440), hours repeat
+# daily (24), days repeat weekly (7); MSTL adds the weekly harmonics.
+TIERS: dict[str, TierSpec] = {
+    "1m": TierSpec("1m", 60, 1440, (1440, 10080), 1440),
+    "1h": TierSpec("1h", 3600, 24, (24, 168), 720),
+    "1d": TierSpec("1d", 86400, 7, (7, 365), 365),
+}
+
+
+@dataclass
+class EngineConfig:
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    detect_tier: str = "1h"
+    detectors: tuple[str, ...] = ("iqr", "mad", "zscore", "stl", "esd")
+    gapfill_method: str = "linear"        # "linear" | "locf"
+    z_threshold: float = 2.0
+    mad_threshold: float = 3.5
+    esd_alpha: float = 0.05
+    mc_resamples: int = 10000
+    seed: int = 42
+    # physical knobs
+    read_batch_size: int = 65536
+    detect_concurrency: int = 4
+    detect_batch_series: int = 8          # packed series per detector batch
+    num_output_partitions: int = 16       # checkpoint/resume granularity
+    extras: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -83,10 +83,13 @@ class _BitReader:
         return out
 
 
+# two's-complement-symmetric ranges (the paper's asymmetric [-63,64] etc.
+# don't fit plain n-bit two's complement; symmetric bounds keep the codec
+# offset-free — a documented divergence with identical bit costs)
 _DOD_RANGES = (
-    (7, -63, 64, 0b10, 2),
-    (9, -255, 256, 0b110, 3),
-    (12, -2047, 2048, 0b1110, 4),
+    (7, -64, 63, 0b10, 2),
+    (9, -256, 255, 0b110, 3),
+    (12, -2048, 2047, 0b1110, 4),
 )
 
 

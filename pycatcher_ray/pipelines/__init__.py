@@ -1,0 +1,5 @@
+"""End-to-end pipelines."""
+
+from .flagship import run_flagship
+
+__all__ = ["run_flagship"]

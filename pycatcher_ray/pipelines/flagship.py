@@ -1,0 +1,97 @@
+"""Flagship end-to-end pipeline (SURVEY.md §3.4):
+
+read_parquet(tokens) → ingest/validate (zero-copy Arrow; ts from doc_id,
+token checksums) → rollup 1m (partial+final groupby) → cascade 1h, 1d →
+gap-fill per series → detect (actor pool over packed series) →
+compress (Gorilla chunks) → checkpointed partitioned write + metrics.
+
+Each tier is checkpointed through ``CheckpointedWriter`` so a rerun
+skips finished partitions; cascades read the finer tier's *written*
+output instead of recomputing its lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ..config import TIERS, EngineConfig
+from ..stages.compress import compress
+from ..stages.detect import detect
+from ..stages.gapfill import gapfill
+from ..stages.ingest import ingest
+from ..stages.rollup import cascade, rollup
+from ..state.checkpoint import CheckpointedWriter
+
+__all__ = ["run_flagship"]
+
+
+def run_flagship(
+    input_paths,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    key_col: str = "source",
+    with_compress: bool = True,
+    with_gapfill: bool = True,
+):
+    """Run the full pipeline; returns (flags_dataset, metrics dict)."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    t_start = time.time()
+    metrics: dict = {"input_paths": list(map(str, input_paths)), "stages": {}}
+
+    ds = rd.read_parquet(input_paths)
+    ingested = ingest(ds, batch_size=cfg.read_batch_size)
+    # prune: the rollup only needs (source, ts, n_tok) — tokens stay behind
+    slim = ingested.select_columns([key_col, "ts", "n_tok"])
+
+    lineage = {"inputs": metrics["input_paths"]}
+    prev_name = None
+    tier_ds = {}
+    for name in cfg.tiers:
+        spec = TIERS[name]
+        writer = CheckpointedWriter(out_dir, f"rollup_{name}")
+        if prev_name is None:
+            tier = rollup(slim, key_col, "ts", "n_tok", spec.seconds,
+                          batch_size=cfg.read_batch_size)
+        else:
+            tier = cascade(tier_ds[prev_name], key_col, spec.seconds)
+        t0 = time.time()
+        summary = writer.write(tier, key_col, cfg.num_output_partitions,
+                               lineage={**lineage, "from_tier": prev_name})
+        summary["seconds"] = round(time.time() - t0, 3)
+        metrics["stages"][f"rollup_{name}"] = summary
+        tier_ds[name] = writer.read()
+        prev_name = name
+
+    detect_tier = cfg.detect_tier
+    spec = TIERS[detect_tier]
+    series_src = tier_ds[detect_tier]
+    if with_gapfill:
+        series_src = gapfill(series_src, key_col, spec.seconds,
+                             method=cfg.gapfill_method)
+
+    t0 = time.time()
+    flags = detect(series_src, key_col, tier=detect_tier, cfg=cfg)
+    flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
+    summary = flags_writer.write(flags, "key", cfg.num_output_partitions,
+                                 lineage={"from_tier": detect_tier})
+    summary["seconds"] = round(time.time() - t0, 3)
+    metrics["stages"][f"flags_{detect_tier}"] = summary
+
+    if with_compress:
+        t0 = time.time()
+        chunks = compress(tier_ds["1m"], key_col, TIERS["1m"].seconds,
+                          TIERS["1m"].chunk_buckets)
+        chunk_writer = CheckpointedWriter(out_dir, "chunks_1m")
+        summary = chunk_writer.write(chunks, "key", cfg.num_output_partitions,
+                                     lineage={"from_tier": "1m"})
+        summary["seconds"] = round(time.time() - t0, 3)
+        metrics["stages"]["chunks_1m"] = summary
+
+    metrics["total_seconds"] = round(time.time() - t_start, 3)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return flags_writer.read(), metrics

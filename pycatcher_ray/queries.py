@@ -1,0 +1,574 @@
+"""Driver-contract queries: each returns a Ray Dataset / pandas frame
+for an sf_dir of the driver's test tables, paired with an equivalent
+DuckDB oracle in ``oracles()`` (see __ray_entry__.py).
+
+Two input families:
+
+- the driver's ``events`` table (event_id, ts, user_id, event_type,
+  value, props): the time-series rollup/cascade/detector queries run on
+  it with key = event_type — these are SQL-checkable end to end;
+- the engine's native tokens table (BASELINE.json input_hint), which the
+  driver tables do not contain: synthesized deterministically per sf
+  (sources/tokensynth.py) into /tmp and exercised by the tokens_* queries
+  (rows-only driver checks; exact oracles live in tests/test_ray_engine.py
+  where DuckDB can read the same synthesized parquet).
+
+Float outputs that pass through arithmetic (sums, means, z-scores,
+cosines) are rounded to 4 decimals on BOTH sides so the driver's
+value-hash compare is robust to summation-order last-bit drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import TIERS, EngineConfig
+from .stages.detect import detect
+from .stages.gapfill import gapfill
+from .stages.rollup import cascade, rollup
+
+ROUND = 4
+
+# --------------------------------------------------------------- helpers
+
+
+def _rd():
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return rd
+
+
+def _events(sf_dir: str):
+    return _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+
+def _round_cols(ds, cols: tuple[str, ...], ndigits: int = ROUND):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in batch.column_names:
+                idx = batch.column_names.index(c)
+                batch = batch.set_column(
+                    idx, c, pc.round(batch[c], ndigits=ndigits)
+                )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _events_rollup(sf_dir: str, tier: str):
+    """Cascaded rollup over events: 1m from raw, 1h from 1m, 1d from 1h."""
+    ds = rollup(_events(sf_dir), "event_type", "ts", "value", 60)
+    if tier in ("1h", "1d"):
+        ds = cascade(ds, "event_type", 3600)
+    if tier == "1d":
+        ds = cascade(ds, "event_type", 86400)
+    return ds
+
+
+def _finalize_rollup(ds):
+    # mean recomputed from the ROUNDED sum so engine and oracle apply the
+    # identical float ops (round → divide → round); avoids .00005-boundary
+    # flips from summation-order drift in the raw mean
+    def fin(batch: pa.Table) -> pa.Table:
+        s = pc.round(batch["sum_value"], ndigits=ROUND)
+        # no outer round: dividing the identical rounded double by the same
+        # integer is bit-deterministic, while a second round() hits
+        # half-tie rule differences (arrow half-to-even vs DuckDB half-away)
+        mean = pc.divide(s, pc.cast(batch["n_points"], pa.float64()))
+        names = batch.column_names
+        batch = batch.set_column(names.index("sum_value"), "sum_value", s)
+        batch = batch.set_column(names.index("mean_value"), "mean_value", mean)
+        return batch
+
+    ds = ds.map_batches(fin, batch_format="pyarrow")
+    return ds.rename_columns({"event_type": "source"}) if (
+        "event_type" in ds.schema().names
+    ) else ds
+
+
+def rollup_events(sf_dir: str, tier: str):
+    return _finalize_rollup(_events_rollup(sf_dir, tier))
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type AS source,
+       date_trunc('{unit}', ts) AS bucket_start,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n_points,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value), 4) / count(*) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _flags(sf_dir: str, tier: str, method: str):
+    """Run the detector actor-pool stage with one method over the events
+    rollup; emit (source, bucket_start, value) flag rows."""
+    cfg = EngineConfig(detect_concurrency=2, detect_batch_series=4)
+    roll = _events_rollup(sf_dir, tier)
+    flags = detect(roll, "event_type", tier=tier, cfg=cfg, methods=(method,))
+    out = flags.select_columns(["key", "bucket_start", "value"]).rename_columns(
+        {"key": "source"}
+    )
+    return _round_cols(out, ("value",))
+
+
+def iqr_flags_1h(sf_dir: str):
+    return _flags(sf_dir, "1h", "iqr")
+
+
+_IQR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+)
+SELECT r.source, r.bucket_start, round(r.v, 4) AS value
+FROM r JOIN q USING (source)
+WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+def zscore_flags_1h(sf_dir: str):
+    return _flags(sf_dir, "1h", "zscore")
+
+
+_ZSCORE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, avg(v) AS mu, stddev_pop(v) AS sigma FROM r GROUP BY source
+)
+SELECT r.source, r.bucket_start, round(r.v, 4) AS value
+FROM r JOIN s USING (source)
+WHERE abs((r.v - s.mu) / s.sigma) > 2
+"""
+
+
+def mad_flags_1h(sf_dir: str):
+    return _flags(sf_dir, "1h", "mad")
+
+
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT source, median(v) AS m FROM r GROUP BY source
+), madt AS (
+  SELECT r.source, median(abs(r.v - med.m)) AS mad
+  FROM r JOIN med USING (source) GROUP BY r.source
+)
+SELECT r.source, r.bucket_start, round(r.v, 4) AS value
+FROM r JOIN med USING (source) JOIN madt USING (source)
+WHERE r.v <> med.m AND abs(0.6745 * (r.v - med.m) / madt.mad) > 3.5
+"""
+
+
+def latest_iqr_flag_1h(sf_dir: str):
+    """Latest flagged bucket per source (sort-and-limit per key,
+    SURVEY.md §2.1 #21-22)."""
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start")
+        return g.tail(1)[["source", "bucket_start", "value"]].rename(
+            columns={"bucket_start": "last_flag_bucket"}
+        )
+
+    return flags.groupby("source").map_groups(latest, batch_format="pandas")
+
+
+_LATEST_IQR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start, r.v
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+)
+SELECT source, bucket_start AS last_flag_bucket, round(v, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY bucket_start DESC) AS rn
+  FROM f
+) WHERE rn = 1
+"""
+
+
+def duplicate_buckets(sf_dir: str):
+    """Exact duplicate detection: (source, ts) appearing more than once —
+    the reference's duplicate-date gate (catch.py:533-535) as a grouped
+    count."""
+    ds = _events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["event_type"], "ts": batch["ts"]})
+        return t.group_by(["source", "ts"]).aggregate([("ts", "count")]).rename_columns(
+            ["source", "ts", "p_n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "ts"]
+    ).aggregate(Sum("p_n", alias_name="n"))
+    dups = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
+    )
+    # schema-stable summary (an empty flag table has no schema to compare)
+    return pd.DataFrame({"n_dup_pairs": [int(dups.count())]})
+
+
+_DUP_ORACLE = """
+SELECT count(*) AS n_dup_pairs FROM (
+  SELECT event_type, ts FROM events GROUP BY 1, 2 HAVING count(*) > 1
+)
+"""
+
+
+# ----------------------------------------------------- documents queries
+
+
+def doc_text_stats(sf_dir: str):
+    """Per-document text statistics (token counting / quality-scoring
+    building blocks), vectorized pyarrow kernels."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DOC_STATS_ORACLE = """
+SELECT doc_id, lang, source,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup by full text: keep min(doc_id) per text, report group
+    size.  Partial per-batch group_by before the shuffle (combiner)."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("text").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return g.rename_columns(["text", "p_keep", "p_n"])
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("text").aggregate(
+        Min("p_keep", alias_name="keep_id"), Sum("p_n", alias_name="n_dups")
+    )
+    return agg.select_columns(["keep_id", "n_dups"])
+
+
+_DEDUP_ORACLE = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def lang_distribution(sf_dir: str):
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+_LANG_ORACLE = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------- embeddings queries
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k against the vec_id=0 embedding: broadcast
+    the query vector once, numpy matmul per Arrow batch, global
+    sort+limit.  The IVF/LSH-bucketed scale path partitions by coarse
+    cluster id instead of scanning (see stages docs)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(batch), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "cos_sim": pa.array(cos)}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return _round_cols(top, ("cos_sim",))
+
+
+_ANN_ORACLE = """
+SELECT vec_id, CAST(round(CAST(cos_raw AS DOUBLE), 4) AS DOUBLE) AS cos_sim FROM (
+  SELECT vec_id,
+         list_cosine_similarity(
+             embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         ) AS cos_raw
+  FROM embeddings
+) ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------- lineitem query
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: vectorized Arrow compute +
+    partial/final aggregation — demonstrates the general batch-transform
+    + aggregate path on a non-time-series table."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "base": batch["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
+             ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_n", alias_name="count_order"),
+    )
+    return _round_cols(agg, ("sum_qty", "sum_base_price", "sum_disc_price"))
+
+
+_LINEITEM_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------- tokens-native (rows-only)
+
+_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def tokens_input_dir(sf_dir: str) -> str:
+    """Deterministic synthesized native input for this sf (cached)."""
+    from .sources.tokensynth import write_tokens_dataset
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    rows = _SF_ROWS.get(name, 6_000)
+    out = os.path.join("/tmp", "pycatcher_ray_tokens", name)
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_tokens_dataset(out, rows, rows_per_file=100_000)
+        with open(marker, "w") as f:
+            f.write(str(rows))
+    return out
+
+
+def _tokens_paths(sf_dir: str) -> list[str]:
+    d = tokens_input_dir(sf_dir)
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")]
+
+
+def tokens_rollup_1m(sf_dir: str):
+    """Native-input rollup: n_tok per (source, minute).  Exact-oracle
+    checked against DuckDB over the same synthesized parquet in
+    tests/test_ray_engine.py."""
+    from .stages.ingest import ingest
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir))
+    slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+    return rollup(slim, "source", "ts", "n_tok", 60)
+
+
+def tokens_flags_1h(sf_dir: str):
+    """Native-input anomaly scan at the 1h tier (planted x10 spikes)."""
+    cfg = EngineConfig(detect_concurrency=2,
+                       detectors=("iqr", "mad", "zscore", "stl", "esd"))
+    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    return detect(roll, "source", tier="1h", cfg=cfg)
+
+
+def tokens_gapfill_1h(sf_dir: str):
+    """Gap-filled hourly series with fill provenance."""
+    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    return gapfill(roll, "source", 3600, method="linear")
+
+
+def tokens_chunks_1m(sf_dir: str):
+    """Gorilla chunk table for the 1m tier (metadata only; blobs stay)."""
+    from .stages.compress import compress
+
+    chunks = compress(tokens_rollup_1m(sf_dir), "source", 60,
+                      TIERS["1m"].chunk_buckets)
+    return chunks.select_columns(
+        ["key", "chunk_id", "t0", "t1", "n_points", "raw_bytes", "chunk_bytes"]
+    )
+
+
+def tokens_audit(sf_dir: str):
+    """Per-row token invariant proof: recompute the checksum twice (at
+    ingest and after a pass-through projection) and report per-source
+    agreement counts.  Any mismatch row would surface with
+    matches=false."""
+    from .stages.ingest import ingest
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir))
+    ingested = ingest(ds, checksum=True)
+
+    def recheck(batch: pa.Table) -> pa.Table:
+        from .stages.ingest import _tokens_checksum
+
+        again = _tokens_checksum(batch["tokens"])
+        ok = pc.equal(batch["tok_checksum"], pa.array(again, type=pa.uint64()))
+        t = pa.table(
+            {"source": batch["source"],
+             "ok": pc.cast(ok, pa.int64()),
+             "one": pa.array(np.ones(len(batch), dtype=np.int64))}
+        )
+        return t.group_by("source").aggregate([("ok", "sum"), ("one", "sum")]
+                                              ).rename_columns(
+            ["source", "p_ok", "p_n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return ingested.map_batches(recheck, batch_format="pyarrow").groupby(
+        "source"
+    ).aggregate(Sum("p_ok", alias_name="rows_ok"), Sum("p_n", alias_name="rows"))
+
+
+# ------------------------------------------------------------- registry
+
+
+def queries():
+    return {
+        "rollup_1m": lambda d: rollup_events(d, "1m"),
+        "rollup_1h": lambda d: rollup_events(d, "1h"),
+        "rollup_1d": lambda d: rollup_events(d, "1d"),
+        "iqr_flags_1h": iqr_flags_1h,
+        "zscore_flags_1h": zscore_flags_1h,
+        "mad_flags_1h": mad_flags_1h,
+        "latest_iqr_flag_1h": latest_iqr_flag_1h,
+        "duplicate_buckets": duplicate_buckets,
+        "doc_text_stats": doc_text_stats,
+        "dedup_exact": dedup_exact,
+        "lang_distribution": lang_distribution,
+        "ann_topk": ann_topk,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "tokens_rollup_1m": tokens_rollup_1m,
+        "tokens_flags_1h": tokens_flags_1h,
+        "tokens_gapfill_1h": tokens_gapfill_1h,
+        "tokens_chunks_1m": tokens_chunks_1m,
+        "tokens_audit": tokens_audit,
+    }
+
+
+def oracles():
+    return {
+        "rollup_1m": _ROLLUP_ORACLE.format(unit="minute"),
+        "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
+        "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
+        "iqr_flags_1h": _IQR_ORACLE,
+        "zscore_flags_1h": _ZSCORE_ORACLE,
+        "mad_flags_1h": _MAD_ORACLE,
+        "latest_iqr_flag_1h": _LATEST_IQR_ORACLE,
+        "duplicate_buckets": _DUP_ORACLE,
+        "doc_text_stats": _DOC_STATS_ORACLE,
+        "dedup_exact": _DEDUP_ORACLE,
+        "lang_distribution": _LANG_ORACLE,
+        "ann_topk": _ANN_ORACLE,
+        "lineitem_pricing_summary": _LINEITEM_ORACLE,
+        # tokens_* queries run on the synthesized native input, which the
+        # driver's DuckDB views cannot see -> rows-only checks here;
+        # exact DuckDB equality is asserted in tests/test_ray_engine.py.
+    }

@@ -1,0 +1,251 @@
+"""Distributed anomaly detection: pack series → actor-pool detectors.
+
+Per SURVEY.md §4, every pycatcher detector is whole-series math
+(quantiles, decompositions, iterative ESD), so the detect stage is
+*per-series-sequential, across-series-parallel*:
+
+1. ``pack_series``: ``groupby(key).map_groups`` gathers each series into
+   ONE row with list columns (bucket epoch-seconds + float values),
+   sorted by time inside the group.  Series length is bounded by tier
+   retention, so a packed row is small (<= ~43k points at the 1m tier).
+2. ``DetectorActor``: a callable CLASS run via
+   ``map_batches(cls, concurrency=N)`` — the actor pool.  Per-actor state
+   initialised once in ``__init__`` (the reference pays it per call):
+   the Monte-Carlo Shapiro null-distribution cache keyed by series
+   length (catch.py:1184-1185 hot spot).
+
+Output: one row per (series, flagged bucket, method) with the score —
+the engine's typed replacement for the reference's untyped
+DataFrame-or-string returns (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import TIERS, EngineConfig
+from ..functions.boxcox import boxcox, inv_boxcox
+from ..functions.esd import generalized_esd, seasonal_esd
+from ..functions.moving_average import moving_average_outlier_mask
+from ..functions.shapiro import MonteCarloShapiro
+from ..functions.stats import iqr_mask, mad_mask, modified_zscore, zscore
+from ..functions.decompose import seasonal_decompose
+from ..functions.stl import mstl, stl
+
+__all__ = ["pack_series", "DetectorActor", "detect", "detect_series"]
+
+
+def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value"):
+    """One row per key: (key, n, ts list<int64 epoch-s>, values list<f64>)."""
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start")
+        ts = (g["bucket_start"].astype("datetime64[s]").astype("int64")).to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "key": [g[key_col].iloc[0]],
+                "n": [len(g)],
+                "ts": [ts],
+                "values": [vals],
+            }
+        )
+
+    return rollup_ds.groupby(key_col).map_groups(pack, batch_format="pandas")
+
+
+def detect_series(
+    ts: np.ndarray,
+    values: np.ndarray,
+    methods: tuple[str, ...],
+    cfg: EngineConfig,
+    period: int,
+    mstl_periods: tuple[int, ...],
+    mc: MonteCarloShapiro,
+) -> list[tuple[int, str, float]]:
+    """Run the configured detectors on one series.
+
+    Returns (index, method, score) triples for flagged points.  Kernel
+    semantics mirror the reference paths (see pycatcher_ray.compat);
+    periods come from tier config instead of frequency inference.
+    """
+    out: list[tuple[int, str, float]] = []
+    n = values.size
+
+    def _stl_like(name: str, fit) -> None:
+        """shared scoring: Box-Cox mul vs add, MC-Shapiro gate, z or MAD
+        (catch.py:1057-1165 semantics)."""
+        try:
+            if np.nanmin(values) > 0:
+                transformed, lam = boxcox(values)
+                res_mul = fit(transformed)
+                resid_mul = inv_boxcox(res_mul.resid, lam)
+            else:
+                resid_mul = None
+            res_add = fit(values)
+            resid = res_add.resid
+            if resid_mul is not None and np.var(resid_mul) <= np.var(resid):
+                resid = resid_mul
+        except Exception:
+            return
+        clean = resid[~np.isnan(resid)]
+        if clean.size < 3:
+            return
+        _stat, p = mc.test(clean)
+        if p > cfg.esd_alpha:
+            z = zscore(resid)
+            mask = np.abs(z) > cfg.z_threshold
+            scores = z
+        else:
+            scores = modified_zscore(resid)
+            mask = np.abs(scores) > cfg.mad_threshold
+        for i in np.nonzero(mask)[0]:
+            out.append((int(i), name, float(scores[i])))
+
+    for method in methods:
+        if method == "iqr":
+            mask = iqr_mask(values)
+            z = modified_zscore(values)
+            for i in np.nonzero(mask)[0]:
+                out.append((int(i), "iqr", float(z[i])))
+        elif method == "zscore":
+            z = zscore(values)
+            mask = np.abs(z) > cfg.z_threshold
+            for i in np.nonzero(mask)[0]:
+                out.append((int(i), "zscore", float(z[i])))
+        elif method == "mad":
+            z = modified_zscore(values)
+            mask = np.abs(z) > cfg.mad_threshold
+            for i in np.nonzero(mask)[0]:
+                out.append((int(i), "mad", float(z[i])))
+        elif method == "classic":
+            if n < 2 * period:
+                continue
+            try:
+                res_add = seasonal_decompose(values, period=period, model="additive")
+                from ..functions.stats import ssacf
+
+                resid = res_add.resid
+                if np.nanmin(values) > 0:
+                    res_mul = seasonal_decompose(
+                        values, period=period, model="multiplicative"
+                    )
+                    if ssacf(res_mul.resid) < ssacf(resid):
+                        resid = res_mul.resid
+            except Exception:
+                continue
+            scores = modified_zscore(resid)
+            mask = np.abs(scores) > cfg.mad_threshold
+            for i in np.nonzero(mask)[0]:
+                out.append((int(i), "classic", float(scores[i])))
+        elif method == "stl":
+            if n < 2 * period:
+                continue
+            seasonal = period + (period % 2 == 0)
+            _stl_like("stl", lambda v: stl(v, period=period, seasonal=seasonal))
+        elif method == "mstl":
+            usable = [p for p in mstl_periods if n >= 2 * p]
+            if not usable:
+                continue
+            _stl_like("mstl", lambda v: mstl(v, periods=tuple(usable)))
+        elif method == "esd":
+            max_anom = n // 20
+            if max_anom < 1:
+                continue
+            try:
+                from ..functions.shapiro import shapiro
+
+                _w, p = shapiro(values) if n >= 3 else (1.0, 1.0)
+                if p > cfg.esd_alpha:
+                    idxs = generalized_esd(values, max_anom, cfg.esd_alpha,
+                                           hybrid=False)
+                elif n >= 2 * period:
+                    idxs = seasonal_esd(values, periodicity=period,
+                                        max_anomalies=max_anom,
+                                        alpha=cfg.esd_alpha, hybrid=True)
+                else:
+                    idxs = generalized_esd(values, max_anom, cfg.esd_alpha,
+                                           hybrid=True)
+            except Exception:
+                continue
+            z = modified_zscore(values)
+            for i in idxs:
+                out.append((int(i), "esd", float(z[i])))
+        elif method == "moving_average":
+            try:
+                mask = moving_average_outlier_mask(values)
+            except Exception:
+                continue
+            z = zscore(values)
+            for i in np.nonzero(mask)[0]:
+                out.append((int(i), "moving_average", float(z[i])))
+    return out
+
+
+class DetectorActor:
+    """Stateful detector stage: one instance per pool actor.
+
+    ``__init__`` (once per actor): builds the Monte-Carlo Shapiro cache.
+    ``__call__`` (per batch of packed series): runs the configured
+    detectors and emits flag rows.
+    """
+
+    def __init__(self, cfg: EngineConfig | None = None, tier: str = "1h",
+                 methods: tuple[str, ...] | None = None):
+        self.cfg = cfg or EngineConfig()
+        spec = TIERS[tier]
+        self.period = spec.period
+        self.mstl_periods = spec.mstl_periods
+        self.methods = tuple(methods or self.cfg.detectors)
+        self.mc = MonteCarloShapiro(
+            n_resamples=self.cfg.mc_resamples, seed=self.cfg.seed
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keys, buckets, values_out, methods_out, scores = [], [], [], [], []
+        for _, row in batch.iterrows():
+            ts = np.asarray(row["ts"], dtype=np.int64)
+            vals = np.asarray(row["values"], dtype=np.float64)
+            flags = detect_series(
+                ts, vals, self.methods, self.cfg, self.period,
+                self.mstl_periods, self.mc
+            )
+            for idx, method, score in flags:
+                keys.append(row["key"])
+                buckets.append(ts[idx])
+                values_out.append(vals[idx])
+                methods_out.append(method)
+                scores.append(score)
+        import pyarrow as pa
+
+        # emit an Arrow table so downstream Project/rename stages operate
+        # on Arrow blocks (and the flags table stays zero-copy)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "bucket_start": pa.array(
+                    np.asarray(buckets, dtype="int64"), type=pa.int64()
+                ).cast(pa.timestamp("s")),
+                "value": pa.array(np.asarray(values_out, dtype=np.float64)),
+                "method": pa.array(methods_out, type=pa.string()),
+                "score": pa.array(np.asarray(scores, dtype=np.float64)),
+            }
+        )
+
+
+def detect(rollup_ds, key_col: str, *, tier: str = "1h",
+           cfg: EngineConfig | None = None,
+           methods: tuple[str, ...] | None = None,
+           value_col: str = "sum_value"):
+    """rollup table → flag rows, via pack + actor-pool map_batches."""
+    cfg = cfg or EngineConfig()
+    packed = pack_series(rollup_ds, key_col, value_col)
+    return packed.map_batches(
+        DetectorActor,
+        fn_constructor_kwargs={"cfg": cfg, "tier": tier, "methods": methods},
+        batch_format="pandas",
+        batch_size=cfg.detect_batch_series,
+        concurrency=cfg.detect_concurrency,
+        num_cpus=1,
+    )

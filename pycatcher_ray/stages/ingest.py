@@ -1,0 +1,99 @@
+"""Ingest/validate stage: zero-copy Arrow batch transforms.
+
+Replaces the reference's ``check_and_convert_date`` (catch.py:85-121) for
+the engine's native input: event time is encoded in ``doc_id``
+("{source}|{epoch_minute}|{seq}", FIXTURES.md §A) and derived with
+pyarrow compute kernels — no Python row loop, no pandas conversion.
+
+Also implements the per-row token invariant required by
+``BASELINE.json.input_hint``: a deterministic per-row checksum over the
+``tokens`` list column, computed segment-wise with numpy (flatten +
+reduceat), so any pipeline that claims to pass tokens through unchanged
+can be audited cheaply (compare checksum sums per partition, or
+re-compute after the pipeline and anti-join mismatches on doc_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["derive_ts", "token_checksum_column", "validate_batch", "ingest"]
+
+_CHECKSUM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def derive_ts(batch: pa.Table) -> pa.Table:
+    """Append ``ts`` (timestamp[s]) and ``epoch_minute`` (int64) parsed
+    from ``doc_id``.  Vectorized: split on '|', take element 1, cast."""
+    parts = pc.split_pattern(batch["doc_id"], "|")
+    minute = pc.list_element(parts, 1).cast(pa.int64())
+    seconds = pc.multiply(minute, pa.scalar(60, pa.int64()))
+    ts = seconds.cast(pa.timestamp("s"))
+    return batch.append_column("epoch_minute", minute).append_column("ts", ts)
+
+
+def _tokens_checksum(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 checksum per row of a list<int32> column.
+
+    checksum = sum_i (token_i + 1) * (position_i + 1) * MIX  (mod 2^64)
+    — position-sensitive, so reorderings and substitutions are caught.
+    """
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    arr = tokens
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    n_rows = len(arr)
+    lengths = np.diff(offsets)
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+        offsets[:-1] - offsets[0], lengths
+    )
+    contrib = (flat + np.uint64(1)) * (pos.astype(np.uint64) + np.uint64(1)) * _CHECKSUM_MIX
+    out = np.zeros(n_rows, dtype=np.uint64)
+    nonempty = lengths > 0
+    if flat.size:
+        sums = np.add.reduceat(contrib, (offsets[:-1] - offsets[0])[nonempty])
+        out[nonempty] = sums
+    return out
+
+
+def token_checksum_column(batch: pa.Table) -> pa.Table:
+    """Append ``tok_checksum`` (uint64) over the tokens column."""
+    checks = _tokens_checksum(batch["tokens"])
+    return batch.append_column("tok_checksum", pa.array(checks, type=pa.uint64()))
+
+
+def validate_batch(batch: pa.Table) -> pa.Table:
+    """Schema + invariant validation: n_tok == len(tokens), doc_id non-null.
+
+    Raises ValueError with batch-level counts on violation (fail fast —
+    a corrupt shard should kill the job, not silently drop rows).
+    """
+    lengths = pc.list_value_length(batch["tokens"]).cast(pa.int32())
+    mismatch = pc.sum(
+        pc.cast(pc.not_equal(lengths, batch["n_tok"]), pa.int64())
+    ).as_py()
+    if mismatch:
+        raise ValueError(f"{mismatch} rows with n_tok != len(tokens)")
+    nulls = batch["doc_id"].null_count
+    if nulls:
+        raise ValueError(f"{nulls} null doc_id rows")
+    return batch
+
+
+def ingest(ds, *, checksum: bool = True, validate: bool = True,
+           batch_size: int = 65536):
+    """read → validate → derive ts (+ checksum), all zero-copy Arrow."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        if validate:
+            batch = validate_batch(batch)
+        batch = derive_ts(batch)
+        if checksum:
+            batch = token_checksum_column(batch)
+        return batch
+
+    return ds.map_batches(_fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)

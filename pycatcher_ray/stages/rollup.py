@@ -1,0 +1,159 @@
+"""Rollup + cascading continuous aggregates (1m → 1h → 1d).
+
+The engine's monitored signal is the reference's "count/total per period"
+feature (catch.py README contract) generalized to
+``value per (key, time-bucket)`` — for the native input, ``n_tok`` per
+``(source, minute)``.
+
+Scale design (SURVEY.md §4):
+
+- **Partial aggregation before the shuffle.**  Each ``map_batches`` call
+  pre-aggregates its batch with a pyarrow ``Table.group_by`` (one output
+  row per key per batch), so the all-to-all ``groupby`` exchange moves
+  per-batch partials, not raw rows.  For a hot Zipf source this is the
+  combiner-style skew defense: a source with 10^6 rows/bucket still
+  contributes exactly one partial row per batch.
+- **Cascade re-aggregation.**  1h is computed from the 1m output and 1d
+  from 1h (sum-of-sums, min-of-mins, ...), never re-reading raw input.
+- **Column pruning.**  Callers read only (key, ts, value) — the wide
+  ``tokens`` arrays never enter the shuffle.
+
+Output schema per tier: (key, bucket_start: timestamp,
+sum_value, n_points, min_value, max_value, mean_value).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Max, Min, Sum
+
+__all__ = ["bucket_column", "rollup", "cascade", "rollup_tiers"]
+
+_UNIT_FOR_SECONDS = {60: "minute", 3600: "hour", 86400: "day"}
+
+
+def bucket_column(ts: pa.ChunkedArray | pa.Array, bucket_seconds: int):
+    """Floor a timestamp column to the bucket grid, keeping timestamp type."""
+    unit = _UNIT_FOR_SECONDS.get(bucket_seconds)
+    if unit is not None:
+        return pc.floor_temporal(ts, unit=unit)
+    # arbitrary width: integer arithmetic on epoch seconds
+    secs = ts.cast(pa.int64())  # timestamps cast to epoch in their unit
+    unit_div = {"s": 1, "ms": 1000, "us": 1_000_000, "ns": 1_000_000_000}[
+        ts.type.unit
+    ]
+    epoch_s = pc.divide(secs, unit_div)
+    floored = pc.multiply(pc.divide(epoch_s, bucket_seconds), bucket_seconds)
+    return pc.multiply(floored, unit_div).cast(ts.type)
+
+
+def _partial(batch: pa.Table, key_col: str, ts_col: str, value_col: str,
+             bucket_seconds: int) -> pa.Table:
+    buck = bucket_column(batch[ts_col], bucket_seconds)
+    t = pa.table(
+        {
+            key_col: batch[key_col],
+            "bucket_start": buck,
+            "v": batch[value_col].cast(pa.float64()),
+        }
+    )
+    g = t.group_by([key_col, "bucket_start"]).aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")]
+    )
+    return g.rename_columns(
+        [key_col, "bucket_start", "p_sum", "p_n", "p_min", "p_max"]
+    )
+
+
+def _partial_from_rollup(batch: pa.Table, key_col: str, bucket_seconds: int
+                         ) -> pa.Table:
+    buck = bucket_column(batch["bucket_start"], bucket_seconds)
+    t = pa.table(
+        {
+            key_col: batch[key_col],
+            "bucket_start": buck,
+            "p_sum": batch["sum_value"],
+            "p_n": batch["n_points"],
+            "p_min": batch["min_value"],
+            "p_max": batch["max_value"],
+        }
+    )
+    g = t.group_by([key_col, "bucket_start"]).aggregate(
+        [("p_sum", "sum"), ("p_n", "sum"), ("p_min", "min"), ("p_max", "max")]
+    )
+    return g.rename_columns(
+        [key_col, "bucket_start", "p_sum", "p_n", "p_min", "p_max"]
+    )
+
+
+def _finalize(key_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch["sum_value"], pc.cast(batch["n_points"], pa.float64()))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "bucket_start": batch["bucket_start"],
+                "sum_value": batch["sum_value"],
+                "n_points": batch["n_points"],
+                "min_value": batch["min_value"],
+                "max_value": batch["max_value"],
+                "mean_value": mean,
+            }
+        )
+
+    return fn
+
+
+def _final_aggregate(partials, key_col: str):
+    out = partials.groupby([key_col, "bucket_start"]).aggregate(
+        Sum("p_sum", alias_name="sum_value"),
+        Sum("p_n", alias_name="n_points"),
+        Min("p_min", alias_name="min_value"),
+        Max("p_max", alias_name="max_value"),
+    )
+    return out.map_batches(_finalize(key_col), batch_format="pyarrow")
+
+
+def rollup(ds, key_col: str, ts_col: str, value_col: str, bucket_seconds: int,
+           batch_size: int = 65536):
+    """Raw rows → per-(key, bucket) aggregate (partial + final)."""
+    partials = ds.map_batches(
+        lambda b: _partial(b, key_col, ts_col, value_col, bucket_seconds),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return _final_aggregate(partials, key_col)
+
+
+def cascade(rollup_ds, key_col: str, bucket_seconds: int,
+            batch_size: int = 65536):
+    """Re-aggregate a finer rollup into a coarser tier (sum of sums)."""
+    partials = rollup_ds.map_batches(
+        lambda b: _partial_from_rollup(b, key_col, bucket_seconds),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return _final_aggregate(partials, key_col)
+
+
+def rollup_tiers(ds, key_col: str, ts_col: str, value_col: str,
+                 tier_seconds: dict[str, int], batch_size: int = 65536):
+    """Compute all tiers as a cascade keyed by ascending bucket width.
+
+    Returns {tier_name: Dataset}.  The finest tier aggregates raw rows;
+    every coarser tier re-aggregates the previous tier's output.
+    """
+    ordered = sorted(tier_seconds.items(), key=lambda kv: kv[1])
+    out: dict[str, object] = {}
+    prev = None
+    for name, secs in ordered:
+        if prev is None:
+            out[name] = rollup(ds, key_col, ts_col, value_col, secs, batch_size)
+        else:
+            out[name] = cascade(out[prev], key_col, secs, batch_size)
+        prev = name
+    return out

@@ -1,0 +1,148 @@
+"""Resumable partitioned output: per-partition manifests + lineage.
+
+"Resumable from per-partition checkpoints with lineage + row-count
+metrics" (BASELINE.json north_rule): each pipeline stage writes its
+output under ``<out>/<stage>/part=<id>/`` with an atomically-renamed
+``manifest.json`` recording rows, value checksum, input lineage, and
+wall time.  A rerun consults the manifests and skips finished
+partitions; a partially-written partition (no manifest) is overwritten.
+
+Partition id is a stable hash of the series key (``hash_partition``), so
+the same key always lands in the same partition across runs and tiers —
+one partitioning decision reused everywhere (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+__all__ = ["hash_partition_column", "CheckpointedWriter", "stable_key_hash"]
+
+
+def stable_key_hash(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic (process-independent) partition id per string key."""
+    out = np.zeros(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):  # small arrays: one value per distinct key
+        h = 2166136261
+        for ch in str(k).encode():
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        out[i] = h % num_partitions
+    return out
+
+
+def hash_partition_column(ds, key_col: str, num_partitions: int):
+    """Append ``part`` = stable hash(key) % P (vectorized per batch via a
+    per-batch dictionary of distinct keys)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        uniq = pc.unique(keys).to_numpy(zero_copy_only=False)
+        mapping = dict(zip(uniq, stable_key_hash(uniq, num_partitions)))
+        parts = np.fromiter(
+            (mapping[k] for k in keys.to_numpy(zero_copy_only=False)),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return batch.append_column("part", pa.array(parts, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class CheckpointedWriter:
+    """Write a Dataset partitioned by ``part`` with per-partition
+    manifests; reruns skip complete partitions."""
+
+    def __init__(self, out_dir: str, stage: str):
+        self.stage_dir = os.path.join(out_dir, stage)
+        os.makedirs(self.stage_dir, exist_ok=True)
+
+    def _part_dir(self, part: int) -> str:
+        return os.path.join(self.stage_dir, f"part={part}")
+
+    def done_partitions(self) -> set[int]:
+        done = set()
+        if not os.path.isdir(self.stage_dir):
+            return done
+        for name in os.listdir(self.stage_dir):
+            if name.startswith("part="):
+                manifest = os.path.join(self.stage_dir, name, "manifest.json")
+                if os.path.exists(manifest):
+                    done.add(int(name.split("=", 1)[1]))
+        return done
+
+    def write(self, ds, key_col: str, num_partitions: int,
+              lineage: dict | None = None) -> dict:
+        """Write all partitions not yet done.  Returns the run summary.
+
+        The dataset is hash-partitioned by key, grouped by ``part`` and
+        each group written by the distributed tasks themselves
+        (temp file + atomic manifest rename) — the driver only collects
+        the per-partition summaries.
+        """
+        done = self.done_partitions()
+        parted = hash_partition_column(ds, key_col, num_partitions)
+        if done:
+            skip = pa.array(sorted(done), type=pa.int64())
+            parted = parted.map_batches(
+                lambda b: b.filter(
+                    pc.invert(pc.is_in(b["part"], value_set=skip))
+                ),
+                batch_format="pyarrow",
+            )
+        stage_dir = self.stage_dir
+        lineage = lineage or {}
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            part = int(g["part"].iloc[0])
+            pdir = os.path.join(stage_dir, f"part={part}")
+            os.makedirs(pdir, exist_ok=True)
+            data = g.drop(columns=["part"])
+            tmp = os.path.join(pdir, ".data.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(data, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            num_cols = data.select_dtypes(include=[np.number])
+            checksum = float(num_cols.sum(numeric_only=True).sum()) if len(
+                num_cols.columns) else 0.0
+            manifest = {
+                "partition": part,
+                "rows": int(len(data)),
+                "value_checksum": checksum,
+                "lineage": lineage,
+                "written_at": time.time(),
+            }
+            mtmp = os.path.join(pdir, ".manifest.json.tmp")
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(mtmp, os.path.join(pdir, "manifest.json"))
+            return pd.DataFrame({"part": [part], "rows": [len(data)]})
+
+        summary = parted.groupby("part").map_groups(
+            write_group, batch_format="pandas"
+        ).to_pandas()
+        return {
+            "stage_dir": self.stage_dir,
+            "partitions_written": summary["part"].tolist(),
+            "partitions_skipped": sorted(done),
+            "rows_written": int(summary["rows"].sum()) if len(summary) else 0,
+        }
+
+    def read(self):
+        """Read the stage back as a Ray Dataset (all partitions)."""
+        import ray.data as rd
+
+        paths = []
+        for name in sorted(os.listdir(self.stage_dir)):
+            p = os.path.join(self.stage_dir, name, "data.parquet")
+            if name.startswith("part=") and os.path.exists(p):
+                paths.append(p)
+        # partitioning=None: the part=N directory layout is checkpoint
+        # metadata, not a hive partition column of the logical table
+        return rd.read_parquet(paths, partitioning=None)

@@ -373,7 +373,11 @@ class TestApiGolden:
         records = out.reset_index(drop=True).to_dict(orient="records")
         assert len(records) == 1
         assert records[0]["Value"] == 100.0
-        assert pd.Timestamp(records[0]["ID"]) == pd.Timestamp("1970-01-01 00:00:00.000000003")
+        # integer 4 parses as 4ns since epoch; the reference golden's
+        # second-resolution rendering is '1970-01-01T00:00:00'
+        ts = pd.Timestamp(records[0]["ID"])
+        assert ts.strftime("%Y-%m-%dT%H:%M:%S") == "1970-01-01T00:00:00"
+        assert ts == pd.Timestamp(4)
 
 
 class TestBuildDecompositionResults:

@@ -1,0 +1,284 @@
+"""Ray-level engine tests: rollup-vs-DuckDB oracle equality on the native
+tokens table, cascade consistency, gap-fill goldens, detector stage on
+planted spikes, Gorilla chunk round-trip through the stage, and
+checkpoint/resume idempotence (SURVEY.md §5 engine-specific tests)."""
+
+import glob
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pycatcher_ray.config import EngineConfig
+from pycatcher_ray.sources import generate_tokens_table, write_tokens_dataset
+from pycatcher_ray.stages import (
+    cascade,
+    compress,
+    decompress_table,
+    detect,
+    gapfill,
+    ingest,
+    rollup,
+)
+from pycatcher_ray.state import CheckpointedWriter
+
+
+@pytest.fixture(scope="module")
+def tokens_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tokens")
+    write_tokens_dataset(str(d), 8000, rows_per_file=4000, n_sources=6,
+                         minutes_span=2880)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tokens_paths(tokens_dir):
+    return sorted(glob.glob(os.path.join(tokens_dir, "*.parquet")))
+
+
+class TestTokensynth:
+    def test_deterministic(self):
+        a = generate_tokens_table(500, seed=7)
+        b = generate_tokens_table(500, seed=7)
+        assert a.equals(b)
+
+    def test_schema_and_invariant(self):
+        t = generate_tokens_table(1000, seed=1)
+        assert [f.name for f in t.schema] == ["doc_id", "tokens", "n_tok", "source"]
+        import pyarrow.compute as pc
+
+        lengths = pc.list_value_length(t["tokens"]).cast(pa.int32())
+        assert pc.all(pc.equal(lengths, t["n_tok"])).as_py()
+
+    def test_zipf_skew(self):
+        t = generate_tokens_table(20000, seed=2, n_sources=10)
+        counts = pd.Series(t["source"].to_pylist()).value_counts()
+        assert counts.iloc[0] > 3 * counts.iloc[-1]  # hot key exists
+
+
+class TestIngest:
+    def test_ts_derivation_and_checksum(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths[:1])
+        out = ingest(ds).take_batch(100, batch_format="pandas")
+        assert "ts" in out and "tok_checksum" in out
+        # ts == minute from doc_id * 60
+        minutes = out["doc_id"].str.split("|").str[1].astype("int64")
+        got = out["ts"].astype("datetime64[s]").astype("int64")
+        assert (got == minutes * 60).all()
+
+    def test_validation_catches_corruption(self, ray_session):
+        import ray.data as rd
+
+        t = generate_tokens_table(100, seed=3)
+        bad = t.set_column(
+            t.schema.get_field_index("n_tok"), "n_tok",
+            pa.array(np.zeros(100, dtype=np.int32))
+        )
+        ds = rd.from_arrow(bad)
+        with pytest.raises(Exception, match="n_tok"):
+            ingest(ds).materialize()
+
+
+class TestRollupOracle:
+    def test_rollup_1m_matches_duckdb(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        got = (
+            rollup(slim, "source", "ts", "n_tok", 60)
+            .to_pandas()
+            .sort_values(["source", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        files = "', '".join(tokens_paths)
+        want = con.execute(
+            f"""
+            WITH t AS (
+              SELECT source,
+                     to_timestamp(CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60)
+                       AT TIME ZONE 'UTC' AS ts,
+                     n_tok
+              FROM read_parquet(['{files}'])
+            )
+            SELECT source, date_trunc('minute', ts) AS bucket_start,
+                   CAST(sum(n_tok) AS DOUBLE) AS sum_value,
+                   count(*) AS n_points,
+                   CAST(min(n_tok) AS DOUBLE) AS min_value,
+                   CAST(max(n_tok) AS DOUBLE) AS max_value,
+                   sum(n_tok) / count(*) AS mean_value
+            FROM t GROUP BY 1, 2
+            ORDER BY source, bucket_start
+            """
+        ).fetchdf()
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(got["source"], want["source"])
+        np.testing.assert_array_equal(
+            got["bucket_start"].astype("datetime64[us]"),
+            want["bucket_start"].astype("datetime64[us]"),
+        )
+        for col in ["sum_value", "n_points", "min_value", "max_value"]:
+            np.testing.assert_allclose(got[col], want[col], rtol=0, atol=0)
+        np.testing.assert_allclose(got["mean_value"], want["mean_value"], rtol=1e-12)
+
+    def test_cascade_consistency(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60).materialize()
+        h_direct = rollup(slim, "source", "ts", "n_tok", 3600).to_pandas()
+        h_cascade = cascade(m1, "source", 3600).to_pandas()
+        key = ["source", "bucket_start"]
+        a = h_direct.sort_values(key).reset_index(drop=True)
+        b = h_cascade.sort_values(key).reset_index(drop=True)
+        for col in ["sum_value", "n_points", "min_value", "max_value"]:
+            np.testing.assert_allclose(a[col], b[col])
+
+
+class TestGapfill:
+    def test_planted_gaps_filled(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60)
+        filled = gapfill(m1, "source", 60, method="linear").to_pandas()
+        # dense grid per source: no missing buckets between min and max
+        for src, g in filled.groupby("source"):
+            diffs = g["bucket_start"].sort_values().diff().dropna()
+            assert (diffs == pd.Timedelta(seconds=60)).all()
+        # generator plants whole-bucket gaps at minute offsets 1000..1029
+        assert (filled["fill_method"] == "linear").any()
+        obs = filled[filled["fill_method"] == "observed"]
+        assert len(obs) > 0 and obs["sum_value"].notna().all()
+
+    def test_locf_golden(self):
+        from pycatcher_ray.stages import gapfill_group
+
+        g = pd.DataFrame(
+            {
+                "source": ["a"] * 3,
+                "bucket_start": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:04"]
+                ),
+                "sum_value": [10.0, 20.0, 50.0],
+            }
+        )
+        out = gapfill_group(g, key_col="source", bucket_seconds=60,
+                            method="locf", value_cols=("sum_value",))
+        assert len(out) == 5
+        np.testing.assert_array_equal(out["sum_value"], [10, 20, 20, 20, 50])
+        assert list(out["fill_method"]) == ["observed", "observed", "locf",
+                                            "locf", "observed"]
+
+    def test_linear_golden(self):
+        from pycatcher_ray.stages import gapfill_group
+
+        g = pd.DataFrame(
+            {
+                "source": ["a"] * 2,
+                "bucket_start": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:03"]
+                ),
+                "sum_value": [10.0, 40.0],
+            }
+        )
+        out = gapfill_group(g, key_col="source", bucket_seconds=60,
+                            method="linear", value_cols=("sum_value",))
+        np.testing.assert_allclose(out["sum_value"], [10, 20, 30, 40])
+
+
+class TestDetectStage:
+    def test_planted_spikes_flagged(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60).materialize()
+        h1 = cascade(m1, "source", 3600)
+        cfg = EngineConfig(detect_concurrency=2, detect_batch_series=4)
+        flags = detect(h1, "source", tier="1h", cfg=cfg,
+                       methods=("iqr", "mad", "esd")).to_pandas()
+        assert len(flags) > 0
+        # planted spikes at minute offsets 600 (hour 10) and 1800 (hour 30)
+        spike_hours = {
+            pd.Timestamp("2024-01-01 10:00:00"),
+            pd.Timestamp("2024-01-02 06:00:00"),
+        }
+        flagged = set(pd.to_datetime(flags["bucket_start"]))
+        assert spike_hours & flagged, (spike_hours, sorted(flagged)[:5])
+        assert set(flags.columns) == {"key", "bucket_start", "value", "method",
+                                      "score"}
+
+
+class TestCompressStage:
+    def test_round_trip_through_stage(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60).materialize()
+        chunks = compress(m1, "source", 60, 1440).to_pandas()
+        assert (chunks["chunk_bytes"] < chunks["raw_bytes"]).all()
+        back = decompress_table(chunks)
+        orig = m1.to_pandas()[["source", "bucket_start", "sum_value"]]
+        merged = back.merge(
+            orig, left_on=["key", "bucket_start"],
+            right_on=["source", "bucket_start"],
+        )
+        assert len(merged) == len(orig) == len(back)
+        np.testing.assert_array_equal(merged["value"], merged["sum_value"])
+
+
+class TestCheckpoint:
+    def test_resume_skips_done_partitions(self, ray_session, tokens_paths,
+                                          tmp_path):
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "ckpt")
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60).materialize()
+        w = CheckpointedWriter(out_dir, "rollup_1m")
+        s1 = w.write(m1, "source", 4)
+        assert s1["rows_written"] > 0 and not s1["partitions_skipped"]
+        first = w.read().to_pandas().sort_values(
+            ["source", "bucket_start"]).reset_index(drop=True)
+
+        # simulate a partial failure: delete one partition's manifest
+        victim = sorted(glob.glob(os.path.join(out_dir, "rollup_1m", "part=*")))[0]
+        os.remove(os.path.join(victim, "manifest.json"))
+        w2 = CheckpointedWriter(out_dir, "rollup_1m")
+        s2 = w2.write(m1, "source", 4)
+        # only the victim partition is rewritten; the rest are skipped
+        assert len(s2["partitions_skipped"]) == 3
+        assert s2["partitions_written"] == [
+            int(os.path.basename(victim).split("=")[1])
+        ]
+        second = w2.read().to_pandas().sort_values(
+            ["source", "bucket_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(first, second)
+
+    def test_manifest_contents(self, ray_session, tokens_paths, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "ckpt2")
+        ds = rd.read_parquet(tokens_paths[:1])
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60)
+        w = CheckpointedWriter(out_dir, "r")
+        w.write(m1, "source", 2, lineage={"inputs": tokens_paths[:1]})
+        manifests = glob.glob(os.path.join(out_dir, "r", "part=*", "manifest.json"))
+        assert manifests
+        m = json.load(open(manifests[0]))
+        assert m["rows"] > 0 and m["lineage"]["inputs"] == tokens_paths[:1]
