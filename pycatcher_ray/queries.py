@@ -444,7 +444,8 @@ def tokens_input_dir(sf_dir: str) -> str:
 
     name = os.path.basename(os.path.normpath(sf_dir))
     rows = _SF_ROWS.get(name, 6_000)
-    out = os.path.join("/tmp", "pycatcher_ray_tokens", name)
+    gen_version = "v2"  # bump when the generator recipe changes
+    out = os.path.join("/tmp", "pycatcher_ray_tokens", f"{name}-{gen_version}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         write_tokens_dataset(out, rows, rows_per_file=100_000)

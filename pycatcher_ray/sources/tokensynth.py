@@ -9,7 +9,7 @@ Produces Parquet with the exact ``BASELINE.json.input_hint`` schema:
 
 Recipe follows FIXTURES.md §A (seed 42, numpy default_rng): event minutes
 uniform over a window with planted whole-bucket gaps (gap-fill tests) and
-planted token-count spikes x10 at known minutes (detector tests).
+planted token-count spikes x10 over known whole hours (detector tests).
 Everything is a pure function of (seed, n_rows, n_sources, ...) so tests,
 the correctness oracle, and the bench harness can regenerate bit-identical
 inputs anywhere.
@@ -69,7 +69,7 @@ def generate_tokens_table(
     minutes_span: int = 2880,       # 2 days of minutes by default
     start_minute: int = EPOCH_START_MINUTE,
     seed: int = 42,
-    spike_minutes: tuple[int, ...] = (600, 1800),   # offsets with x10 spikes
+    spike_hours: tuple[int, ...] = (10, 30),        # hour offsets with x10 spikes
     gap_minutes: tuple[int, ...] = tuple(range(1000, 1030)),  # planted gaps
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
@@ -89,10 +89,11 @@ def generate_tokens_table(
     n_tok = np.clip(
         np.round(rng.lognormal(mean=4.0, sigma=0.6, size=n_rows)), 1, 2048
     ).astype(np.int32)
-    # planted anomalies: x10 token counts at the spike minutes
-    spike_set = np.asarray(sorted(spike_minutes), dtype=np.int64)
+    # planted anomalies: x10 token counts for every row in the spike
+    # hours (whole-hour spikes survive the 1h/1d rollup tiers)
+    spike_set = np.asarray(sorted(spike_hours), dtype=np.int64)
     if spike_set.size:
-        spiked = np.isin(minute_off, spike_set)
+        spiked = np.isin(minute_off // 60, spike_set)
         n_tok = np.where(spiked, np.minimum(n_tok * SPIKE_FACTOR, 20480), n_tok
                          ).astype(np.int32)
 
