@@ -90,9 +90,9 @@ def _finalize_rollup(ds):
         return batch
 
     ds = ds.map_batches(fin, batch_format="pyarrow")
-    return ds.rename_columns({"event_type": "source"}) if (
-        "event_type" in ds.schema().names
-    ) else ds
+    # (ds.schema() here would trigger a full extra execution of the lazy
+    # aggregation — the rollup key is always event_type for these queries)
+    return ds.rename_columns({"event_type": "source"})
 
 
 def rollup_events(sf_dir: str, tier: str):
@@ -363,7 +363,8 @@ _ANN_ORACLE = """
 SELECT vec_id, CAST(round(CAST(cos_raw AS DOUBLE), 4) AS DOUBLE) AS cos_sim FROM (
   SELECT vec_id,
          list_cosine_similarity(
-             embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
          ) AS cos_raw
   FROM embeddings
 ) ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
@@ -528,6 +529,194 @@ def tokens_audit(sf_dir: str):
     ).aggregate(Sum("p_ok", alias_name="rows_ok"), Sum("p_n", alias_name="rows"))
 
 
+# ------------------------------------- training-data ops (dedup / text)
+
+
+def _documents(sf_dir: str, columns=("doc_id", "text")):
+    return _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def text_quality(sf_dir: str):
+    """Quality-scoring features per document (actor-pool TextStats)."""
+    from .stages.textops import text_stats
+
+    return text_stats(_documents(sf_dir, ("doc_id", "source", "lang", "text")))
+
+
+def lang_id_pred(sf_dir: str):
+    """Heuristic language ID with confidence (actor-pool LangId)."""
+    from .stages.textops import lang_id
+
+    return lang_id(_documents(sf_dir, ("doc_id", "lang", "text")))
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (Karp-Rabin / winnowing-style)."""
+    from .stages.textops import fingerprint
+
+    return fingerprint(_documents(sf_dir))
+
+
+def minhash_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clusters over documents (may be empty on a
+    corpus without near-dups — schema-stable summary row appended)."""
+    from .stages.dedup import minhash_dedup
+
+    clusters = minhash_dedup(_documents(sf_dir), threshold=0.7)
+    return pd.DataFrame(
+        {
+            "n_docs_in_clusters": [int(len(clusters))],
+            "n_clusters": [int(clusters["cluster_id"].nunique())
+                           if len(clusters) else 0],
+        }
+    )
+
+
+def simhash_near_pairs(sf_dir: str):
+    """SimHash Hamming<=3 candidate pair count (schema-stable summary)."""
+    from .stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_documents(sf_dir))
+    return pd.DataFrame({"n_pairs": [int(pairs.count())]})
+
+
+def embedding_neardup_exact(sf_dir: str, threshold: float = 0.3):
+    """Exact cosine>=threshold similar pairs over embeddings (broadcast
+    normalized matrix + per-batch matmul).  The threshold is parametric;
+    the driver query uses 0.3 so the check exercises non-empty output on
+    random embeddings (an all-empty Ray dataset has no schema to
+    compare).  The corpus-scale LSH variant is embedding_neardup_lsh."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = tbl["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bemb = batch["embedding"]
+        if isinstance(bemb, pa.ChunkedArray):
+            bemb = bemb.combine_chunks()
+        bm = bemb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(batch), -1)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0] = 1.0
+        cos = (bm / bn[:, None]) @ unit.T
+        bids = batch["vec_id"].to_numpy()
+        ii, jj = np.nonzero(cos >= threshold)
+        keep = bids[ii] < ids[jj]
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[ii][keep], type=pa.int64()),
+                "vec_b": pa.array(ids[jj][keep], type=pa.int64()),
+                "cos_sim": pa.array(np.round(cos[ii, jj][keep], 4)),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_NEARDUP_ORACLE = """
+SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DOUBLE) AS cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos_raw
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos_raw >= 0.3
+"""
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """Scale-path near-dup: hyperplane LSH buckets + in-bucket exact
+    verification (recall < 1 by design; rows-only check)."""
+    from .stages.dedup import embedding_neardup
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_neardup(ds, threshold=0.95)
+
+
+def stationarity_by_source(sf_dir: str):
+    """Per-source ADF/KPSS stationarity verdicts over the hourly series
+    (diagnostics.py:262-319 as a distributed map_groups stage)."""
+    from .functions.stationarity import stationarity_verdict
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def per_series(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start")
+        v = stationarity_verdict(g["sum_value"].to_numpy())
+        return pd.DataFrame([
+            {
+                "source": g["event_type"].iloc[0],
+                "adf_stat": round(v["adf_stat"], 6),
+                "adf_p": round(v["adf_p"], 6),
+                "kpss_stat": round(v["kpss_stat"], 6),
+                "kpss_p": round(v["kpss_p"], 6),
+                "stationary": bool(v["stationary"]),
+            }
+        ])
+
+    return roll.groupby("event_type").map_groups(per_series,
+                                                 batch_format="pandas")
+
+
+def stl_flags_1h(sf_dir: str):
+    """STL residual flags over hourly events series (Box-Cox model
+    selection + Shapiro-MC gate; not SQL-expressible)."""
+    return _flags(sf_dir, "1h", "stl")
+
+
+def esd_flags_1h(sf_dir: str):
+    """Generalized/Seasonal-ESD flags (Shapiro-gated dispatch)."""
+    return _flags(sf_dir, "1h", "esd")
+
+
+def moving_average_flags_1d(sf_dir: str):
+    """Moving-average z-score flags on the daily tier."""
+    return _flags(sf_dir, "1d", "moving_average")
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: synth binary media table → actor-pool decode
+    (stubbed codec) → per-mime feature aggregation."""
+    from .stages.multimodal import decode_features, synth_media_table
+
+    media = _rd().from_arrow(synth_media_table(512, seed=42))
+    feats = decode_features(media)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "mime": batch["mime"],
+                "n_bytes": batch["n_bytes"],
+            }
+        )
+        return t.group_by("mime").aggregate(
+            [("n_bytes", "sum"), ("n_bytes", "count")]
+        ).rename_columns(["mime", "p_bytes", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    return feats.map_batches(summarize, batch_format="pyarrow").groupby(
+        "mime"
+    ).aggregate(Sum("p_bytes", alias_name="total_bytes"),
+                Sum("p_n", alias_name="n_media"))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -551,6 +740,18 @@ def queries():
         "tokens_gapfill_1h": tokens_gapfill_1h,
         "tokens_chunks_1m": tokens_chunks_1m,
         "tokens_audit": tokens_audit,
+        "text_quality": text_quality,
+        "lang_id_pred": lang_id_pred,
+        "doc_fingerprints": doc_fingerprints,
+        "minhash_clusters": minhash_clusters,
+        "simhash_near_pairs": simhash_near_pairs,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
+        "stationarity_by_source": stationarity_by_source,
+        "stl_flags_1h": stl_flags_1h,
+        "esd_flags_1h": esd_flags_1h,
+        "moving_average_flags_1d": moving_average_flags_1d,
+        "media_features": media_features,
     }
 
 
@@ -569,6 +770,7 @@ def oracles():
         "lang_distribution": _LANG_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
+        "embedding_neardup_exact": _NEARDUP_ORACLE,
         # tokens_* queries run on the synthesized native input, which the
         # driver's DuckDB views cannot see -> rows-only checks here;
         # exact DuckDB equality is asserted in tests/test_ray_engine.py.

@@ -24,10 +24,9 @@ sum_value, n_points, min_value, max_value, mean_value).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from ray.data.aggregate import Max, Min, Sum
 
 __all__ = ["bucket_column", "rollup", "cascade", "rollup_tiers"]
 
@@ -106,14 +105,56 @@ def _finalize(key_col: str):
     return fn
 
 
-def _final_aggregate(partials, key_col: str):
-    out = partials.groupby([key_col, "bucket_start"]).aggregate(
-        Sum("p_sum", alias_name="sum_value"),
-        Sum("p_n", alias_name="n_points"),
-        Min("p_min", alias_name="min_value"),
-        Max("p_max", alias_name="max_value"),
+def _combine_partials(t: pa.Table, key_col: str) -> pa.Table:
+    g = t.select([key_col, "bucket_start", "p_sum", "p_n", "p_min", "p_max"]
+                 ).group_by([key_col, "bucket_start"]).aggregate(
+        [("p_sum", "sum"), ("p_n", "sum"), ("p_min", "min"), ("p_max", "max")]
     )
-    return out.map_batches(_finalize(key_col), batch_format="pyarrow")
+    return g.rename_columns(
+        [key_col, "bucket_start", "p_sum", "p_n", "p_min", "p_max"]
+    )
+
+
+def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
+    """Bucketed final combine.
+
+    Ray's ``groupby().aggregate()`` runs a Python loop per output group
+    (~0.3 ms/group — 80k groups cost ~25 s), so the exchange here groups
+    by ``bucket = hash(key, bucket_start) % B`` instead: the shuffle has
+    only B groups, and each group's combine is ONE vectorized pyarrow
+    ``group_by`` (C++).  B bounds parallelism and skew: buckets are
+    hash-uniform, and the per-batch partial combine has already collapsed
+    duplicate keys, so bucket sizes are ~|output|/B regardless of hot
+    keys — this is the salted two-stage aggregation of SURVEY.md §4.
+    """
+    mask = np.int64((1 << 62) - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        uniq = pc.unique(keys).to_pylist()
+        import zlib
+
+        lut = {k: np.int64(zlib.crc32(str(k).encode())) for k in uniq}
+        kh = np.fromiter(
+            (lut[k] for k in keys.to_pylist()), dtype=np.int64, count=len(batch)
+        )
+        ts = batch["bucket_start"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mixed = (kh * np.int64(1_000_003) + ts * np.int64(2_654_435_761)) & mask
+        return batch.append_column(
+            "bucket", pa.array(mixed % num_buckets, type=pa.int64())
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        out = _combine_partials(group, key_col).rename_columns(
+            [key_col, "bucket_start", "sum_value", "n_points", "min_value",
+             "max_value"]
+        )
+        return _finalize(key_col)(out)
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(combine,
+                                                 batch_format="pyarrow")
 
 
 def rollup(ds, key_col: str, ts_col: str, value_col: str, bucket_seconds: int,

@@ -1,0 +1,194 @@
+"""Tests for the training-data operators: text stats, language-ID,
+fingerprints, MinHash/SimHash/embedding near-dup, multimodal plumbing,
+and stationarity diagnostics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pycatcher_ray.functions.stationarity import adf_test, kpss_test, stationarity_verdict
+from pycatcher_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    cluster_pairs,
+    shingle_set,
+    word_hashes,
+)
+from pycatcher_ray.stages.textops import Fingerprint, LangId, TextStats
+
+
+def _jaccard(a, b):
+    sa, sb = shingle_set(a), shingle_set(b)
+    inter = np.intersect1d(sa, sb).size
+    return inter / (sa.size + sb.size - inter)
+
+
+NEAR_DUP_A = ("the quick brown fox jumps over the lazy dog and runs far "
+              "away into the deep green forest before sunset tonight")
+NEAR_DUP_B = ("the quick brown fox jumps over the lazy dog and runs far "
+              "away into the deep green forest before sunrise tonight")
+DISTINCT = ("completely different sentence about database systems and "
+            "distributed query execution engines running on clusters")
+
+
+class TestHashing:
+    def test_word_hashes_deterministic(self):
+        a = word_hashes(["hello", "world"])
+        b = word_hashes(["hello", "world"])
+        np.testing.assert_array_equal(a, b)
+        assert a[0] != a[1]
+
+    def test_shingles(self):
+        s = shingle_set("a b c d", k=3)
+        assert s.size == 2  # (a,b,c), (b,c,d)
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(num_perm=256)
+        sa, sb = shingle_set(NEAR_DUP_A), shingle_set(NEAR_DUP_B)
+        est = (mh.signature(sa) == mh.signature(sb)).mean()
+        true = _jaccard(NEAR_DUP_A, NEAR_DUP_B)
+        assert abs(est - true) < 0.15
+        assert true > 0.7
+
+    def test_simhash_near_for_neardups(self):
+        sh = SimHasher()
+        d_near = bin(sh.signature(NEAR_DUP_A) ^ sh.signature(NEAR_DUP_B)).count("1")
+        d_far = bin(sh.signature(NEAR_DUP_A) ^ sh.signature(DISTINCT)).count("1")
+        assert d_near < d_far
+        assert d_near <= 10
+
+    def test_cluster_pairs_transitive(self):
+        pairs = pd.DataFrame(
+            {"doc_a": [1, 2, 10], "doc_b": [2, 3, 11], "jaccard": [0.9] * 3}
+        )
+        out = cluster_pairs(pairs).set_index("doc_id")["cluster_id"]
+        assert out[1] == out[2] == out[3]
+        assert out[10] == out[11] != out[1]
+
+
+class TestTextOps:
+    def test_text_stats_features(self):
+        ts = TextStats()
+        batch = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["The quick brown fox, it jumps! 123", ""],
+            }
+        )
+        out = ts(batch)
+        assert out.loc[0, "n_words"] == 7
+        assert out.loc[0, "n_chars"] == 34
+        assert out.loc[0, "punct_ratio"] > 0
+        assert out.loc[0, "stopword_ratio"] > 0
+        assert out.loc[1, "n_words"] == 0
+        assert 0 <= out["quality_score"].iloc[0] <= 1
+
+    def test_lang_id_heuristic(self):
+        li = LangId()
+        assert li.classify("the cat is in the house and it is happy")[0] == "en"
+        assert li.classify("el gato es muy bonito y la casa es grande")[0] == "es"
+        assert li.classify("le chat est dans la maison et il est content")[0] == "fr"
+        assert li.classify("der Hund ist in dem Haus und die Katze auf dem Dach")[0] == "de"
+        assert li.classify("这是一个中文句子测试内容")[0] == "zh"
+        assert li.classify("")[0] == "und"
+
+    def test_fingerprint_stability_and_sensitivity(self):
+        fp = Fingerprint()
+        a1 = fp._fingerprint(NEAR_DUP_A)
+        a2 = fp._fingerprint(NEAR_DUP_A)
+        b = fp._fingerprint(DISTINCT)
+        assert a1 == a2
+        assert a1[0] != b[0]
+
+
+class TestDistributedDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, ray_session):
+        import ray.data as rd
+
+        rows = [{"doc_id": f"d{i}", "text": DISTINCT + f" filler {i} " * 3}
+                for i in range(20)]
+        rows.append({"doc_id": "dupA", "text": NEAR_DUP_A})
+        rows.append({"doc_id": "dupB", "text": NEAR_DUP_B})
+        return rd.from_items(rows)
+
+    def test_minhash_dedup_finds_planted_pair(self, docs):
+        from pycatcher_ray.stages.dedup import minhash_dedup
+
+        clusters = minhash_dedup(docs, threshold=0.6)
+        by_doc = clusters.set_index("doc_id")["cluster_id"].to_dict()
+        assert by_doc.get("dupA") == by_doc.get("dupB")
+
+    def test_simhash_pairs_find_planted_pair(self, docs):
+        from pycatcher_ray.stages.dedup import simhash_pairs
+
+        pairs = simhash_pairs(docs, max_hamming=10).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert ("dupA", "dupB") in found
+
+    def test_embedding_neardup(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal(32)
+        rows = []
+        for i in range(50):
+            rows.append({"vec_id": i, "embedding": rng.standard_normal(32)})
+        rows.append({"vec_id": 100, "embedding": base})
+        rows.append({"vec_id": 101, "embedding": base + rng.standard_normal(32) * 0.01})
+        ds = rd.from_items(rows)
+        from pycatcher_ray.stages.dedup import embedding_neardup
+
+        pairs = embedding_neardup(ds, threshold=0.98).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+        assert (100, 101) in found or (101, 100) in found
+
+
+class TestMultimodal:
+    def test_decode_stage_runs(self, ray_session):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.multimodal import (
+            MediaDecoder,
+            decode_features,
+            synth_media_table,
+        )
+
+        media = rd.from_arrow(synth_media_table(64, seed=1))
+        out = decode_features(media).to_pandas()
+        assert len(out) == 64
+        assert len(out["features"].iloc[0]) == 8
+        # deterministic features
+        out2 = decode_features(rd.from_arrow(synth_media_table(64, seed=1))).to_pandas()
+        a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+        b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+        np.testing.assert_array_equal(a, b)
+
+    def test_real_decoder_not_implemented(self):
+        from pycatcher_ray.stages.multimodal import MediaDecoder
+
+        with pytest.raises(NotImplementedError):
+            MediaDecoder(decoder="pil")
+
+
+class TestStationarity:
+    def test_white_noise_stationary(self):
+        rng = np.random.default_rng(0)
+        v = stationarity_verdict(rng.standard_normal(400))
+        assert v["stationary"]
+
+    def test_random_walk_not_stationary(self):
+        rng = np.random.default_rng(0)
+        v = stationarity_verdict(np.cumsum(rng.standard_normal(400)))
+        assert not v["stationary"]
+        assert v["adf_p"] > 0.05 and v["kpss_p"] < 0.05
+
+    def test_adf_reports(self):
+        rng = np.random.default_rng(1)
+        r = adf_test(rng.standard_normal(300))
+        assert r["statistic"] < r["critical_values"]["5%"]
+        assert r["pvalue"] < 0.05
+
+    def test_kpss_trending_rejects(self):
+        r = kpss_test(np.linspace(0, 10, 300) + np.random.default_rng(2).standard_normal(300) * 0.1)
+        assert r["pvalue"] < 0.05
