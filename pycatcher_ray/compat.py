@@ -83,6 +83,7 @@ __all__ = [
     "detect_outliers_today_esd",
     "detect_outliers_latest_esd",
     "build_decomposition_results",
+    "conduct_stationarity_check",
 ]
 
 # Shared Monte-Carlo Shapiro gate with per-length null cache (the
@@ -685,6 +686,27 @@ def detect_outliers_latest_esd(df):
 
 
 # ---------------------------------------------------------- diagnostics
+
+
+def conduct_stationarity_check(series) -> dict:
+    """ADF + KPSS stationarity check (diagnostics.py:262-319).
+
+    The reference prints verdicts and returns None; the engine returns
+    the typed verdict dict (stats, p-values, booleans) — same decisions
+    at the 5% level, usable output.
+    """
+    import numpy as np
+
+    from .functions.stationarity import stationarity_verdict
+
+    if series is None:
+        raise DataValidationError("Input series cannot be None")
+    if isinstance(series, pd.DataFrame):
+        series = series.iloc[:, -1]
+    arr = np.asarray(pd.to_numeric(pd.Series(series)), dtype=float)
+    if arr.size == 0:
+        raise DataValidationError("Input series cannot be empty")
+    return stationarity_verdict(arr)
 
 
 def build_decomposition_results(df) -> pd.DataFrame:

@@ -34,28 +34,60 @@ def derive_ts(batch: pa.Table) -> pa.Table:
     return batch.append_column("epoch_minute", minute).append_column("ts", ts)
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+_GIDX_FILLED = 0
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    """Grow-only per-process scratch buffer: on this class of VM
+    (lazy-mapped memory) first-touch page faults dominate fresh large
+    allocations, so workers reuse buffers across batches."""
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+        buf = np.empty(int(size * 1.25) + 16, dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:size]
+
+
 def _tokens_checksum(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic uint64 checksum per row of a list<int32> column.
 
-    checksum = sum_i (token_i + 1) * (position_i + 1) * MIX  (mod 2^64)
-    — position-sensitive, so reorderings and substitutions are caught.
+    checksum = [sum_i (tok_i+1)·(pos_i+1)] · MIX   (mod 2^64),
+    position-sensitive so reorderings and substitutions are caught.
+
+    Computed WITHOUT per-element position arrays via the identity
+      Σ (t_i+1)(pos_i+1) = Σ (t_i+1)(g_i+1) − start_row · Σ (t_i+1)
+    (g = global flat index, start_row = row's start offset): two
+    ``np.add.reduceat`` passes over reused scratch buffers — no
+    ``np.repeat`` temporaries, minimal fresh pages.
     """
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
     arr = tokens
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    starts = offsets[:-1] - offsets[0]
+    flat32 = arr.flatten().to_numpy(zero_copy_only=False)
     n_rows = len(arr)
     lengths = np.diff(offsets)
-    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
-        offsets[:-1] - offsets[0], lengths
-    )
-    contrib = (flat + np.uint64(1)) * (pos.astype(np.uint64) + np.uint64(1)) * _CHECKSUM_MIX
     out = np.zeros(n_rows, dtype=np.uint64)
+    n = flat32.size
+    if n == 0:
+        return out
+    tmp = _scratch("cs_tmp", n, np.uint64)
+    np.add(flat32, 1, out=tmp, casting="unsafe")
     nonempty = lengths > 0
-    if flat.size:
-        sums = np.add.reduceat(contrib, (offsets[:-1] - offsets[0])[nonempty])
-        out[nonempty] = sums
+    red_starts = starts[nonempty]
+    b_sums = np.add.reduceat(tmp, red_starts)
+    gidx = _scratch("cs_gidx", n, np.uint64)
+    full = _SCRATCH["cs_gidx"]
+    global _GIDX_FILLED
+    if _GIDX_FILLED < full.size:  # (re)fill the cached 1..n ramp on growth
+        full[:] = np.arange(1, full.size + 1, dtype=np.uint64)
+        _GIDX_FILLED = full.size
+    np.multiply(tmp, gidx, out=tmp)
+    a_sums = np.add.reduceat(tmp, red_starts)
+    res = (a_sums - red_starts.astype(np.uint64) * b_sums) * _CHECKSUM_MIX
+    out[nonempty] = res
     return out
 
 
