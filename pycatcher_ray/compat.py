@@ -112,9 +112,16 @@ def _normalized_freq(freq: str | None) -> str | None:
 
 
 def _to_pandas(df):
-    """Spark duck-typing: any object with .toPandas() (catch.py:510-518)."""
-    if df is not None and not isinstance(df, pd.DataFrame) and hasattr(df, "toPandas"):
+    """Container duck-typing, extending the reference's Spark support
+    (catch.py:510-518 accepts anything with .toPandas()): also accepts a
+    Ray Dataset (.to_pandas()) or a pyarrow Table, so single-series
+    results of engine pipelines drop straight into the compat API."""
+    if df is None or isinstance(df, pd.DataFrame):
+        return df
+    if hasattr(df, "toPandas"):
         return df.toPandas()
+    if hasattr(df, "to_pandas"):
+        return df.to_pandas()
     return df
 
 

@@ -31,8 +31,16 @@ from .stl import stl
 __all__ = ["generalized_esd", "seasonal_esd", "esd_critical_value"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def esd_critical_value(size: int, alpha: float) -> float:
-    """NIST critical value for the current (masked) sample size."""
+    """NIST critical value for the current (masked) sample size.
+
+    Cached: the inverse-t (via inverse incomplete beta) costs ~ms and the
+    iterative ESD asks for sizes n, n-1, ..., n-k — identical across the
+    many same-length series a detector actor processes."""
     if size <= 2:
         return math.inf
     t = t_ppf(1.0 - alpha / (2.0 * size), size - 2)

@@ -19,7 +19,6 @@ import time
 from ..config import TIERS, EngineConfig
 from ..stages.compress import compress
 from ..stages.detect import detect
-from ..stages.gapfill import gapfill
 from ..stages.ingest import ingest
 from ..stages.rollup import cascade, rollup
 from ..state.checkpoint import CheckpointedWriter
@@ -34,8 +33,15 @@ def run_flagship(
     key_col: str = "source",
     with_compress: bool = True,
     with_gapfill: bool = True,
+    checkpoint_intermediate: bool = True,
 ):
-    """Run the full pipeline; returns (flags_dataset, metrics dict)."""
+    """Run the full pipeline; returns (flags_dataset, metrics dict).
+
+    ``checkpoint_intermediate=False`` keeps the rollup tiers in the
+    object store (``materialize``) instead of the write→read round trip
+    per tier — the throughput configuration (final flags/chunks are
+    still checkpoint-written); ``True`` is the durable/resumable mode.
+    """
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
@@ -52,29 +58,34 @@ def run_flagship(
     tier_ds = {}
     for name in cfg.tiers:
         spec = TIERS[name]
-        writer = CheckpointedWriter(out_dir, f"rollup_{name}")
         if prev_name is None:
             tier = rollup(slim, key_col, "ts", "n_tok", spec.seconds,
                           batch_size=cfg.read_batch_size)
         else:
             tier = cascade(tier_ds[prev_name], key_col, spec.seconds)
         t0 = time.time()
-        summary = writer.write(tier, key_col, cfg.num_output_partitions,
-                               lineage={**lineage, "from_tier": prev_name})
+        if checkpoint_intermediate:
+            writer = CheckpointedWriter(out_dir, f"rollup_{name}")
+            summary = writer.write(tier, key_col, cfg.num_output_partitions,
+                                   lineage={**lineage, "from_tier": prev_name})
+            tier_ds[name] = writer.read()
+        else:
+            tier_ds[name] = tier.materialize()
+            summary = {"rows_written": tier_ds[name].count(),
+                       "checkpointed": False}
         summary["seconds"] = round(time.time() - t0, 3)
         metrics["stages"][f"rollup_{name}"] = summary
-        tier_ds[name] = writer.read()
         prev_name = name
 
     detect_tier = cfg.detect_tier
-    spec = TIERS[detect_tier]
     series_src = tier_ds[detect_tier]
-    if with_gapfill:
-        series_src = gapfill(series_src, key_col, spec.seconds,
-                             method=cfg.gapfill_method)
 
     t0 = time.time()
-    flags = detect(series_src, key_col, tier=detect_tier, cfg=cfg)
+    # gap-fill is fused into the series-pack pass (one groupby shuffle
+    # instead of two); the standalone gapfill stage is still exported
+    # for pipelines that persist filled series.
+    flags = detect(series_src, key_col, tier=detect_tier, cfg=cfg,
+                   gapfill_method=cfg.gapfill_method if with_gapfill else None)
     flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
     summary = flags_writer.write(flags, "key", cfg.num_output_partitions,
                                  lineage={"from_tier": detect_tier})

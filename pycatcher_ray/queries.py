@@ -112,6 +112,16 @@ GROUP BY 1, 2
 """
 
 
+def rollup_monthly(sf_dir: str):
+    """Calendar-month rollup (diagnostics.py:255 monthwise bucketing as a
+    distributed aggregate; calendar units have no fixed width)."""
+    ds = rollup(_events(sf_dir), "event_type", "ts", "value", "month")
+    return _finalize_rollup(ds)
+
+
+_ROLLUP_MONTH_ORACLE = _ROLLUP_ORACLE.format(unit="month")
+
+
 def _flags(sf_dir: str, tier: str, method: str):
     """Run the detector actor-pool stage with one method over the events
     rollup; emit (source, bucket_start, value) flag rows."""
@@ -725,6 +735,7 @@ def queries():
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
+        "rollup_monthly": rollup_monthly,
         "iqr_flags_1h": iqr_flags_1h,
         "zscore_flags_1h": zscore_flags_1h,
         "mad_flags_1h": mad_flags_1h,
@@ -760,6 +771,7 @@ def oracles():
         "rollup_1m": _ROLLUP_ORACLE.format(unit="minute"),
         "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
         "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
+        "rollup_monthly": _ROLLUP_MONTH_ORACLE,
         "iqr_flags_1h": _IQR_ORACLE,
         "zscore_flags_1h": _ZSCORE_ORACLE,
         "mad_flags_1h": _MAD_ORACLE,

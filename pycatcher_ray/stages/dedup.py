@@ -122,28 +122,44 @@ def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                           concurrency=2, num_cpus=1)
 
 
-def lsh_candidate_pairs(band_rows):
-    """groupby(band) → unordered candidate pairs (doc_a < doc_b)."""
+def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64):
+    """LSH buckets → unordered candidate pairs (doc_a < doc_b).
+
+    The exchange groups by ``hash(band) % B`` (B small) rather than one
+    Ray group per LSH bucket — Ray pays Python overhead per group, so
+    millions of tiny buckets are processed as B vectorized pandas
+    groupbys instead (same bucketed-combine pattern as the rollup)."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["shard"] = (
+            batch["band_id"].to_numpy() * 1_000_003 + batch["band_hash"].to_numpy()
+        ) % num_shuffle_buckets
+        return batch
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        out_a, out_b = [], []
+        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(set(grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        # in-shard dedup of pairs surfaced by multiple bands
+        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
+            columns={"size": "n_bands"}
+        )
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # dedup pairs found by multiple bands
-    from ray.data.aggregate import Count
+    cand = band_rows.map_batches(add_shard, batch_format="pandas").groupby(
+        "shard"
+    ).map_groups(pairs, batch_format="pandas")
+    # cross-shard dedup: a (band_id, band_hash) bucket lives in exactly one
+    # shard, but the same PAIR can appear in buckets of different shards
+    from ray.data.aggregate import Sum
 
     return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")
+        Sum("n_bands", alias_name="n_bands")
     )
 
 
@@ -272,22 +288,31 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     bands = docs_ds.map_batches(Emitter, batch_format="pandas",
                                 batch_size=2048, concurrency=2, num_cpus=1)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        uniq = g.drop_duplicates("doc_id")
-        ids = uniq["doc_id"].tolist()
-        sigs = uniq["sig"].tolist()
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                if ham <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out.append((a, b, ham))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["shard"] = (
+            batch["band_id"].to_numpy() * 1_000_003 + batch["band_val"].to_numpy()
+        ) % 64
+        return batch
 
-    cand = bands.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_bid, _bv), grp in g.groupby(["band_id", "band_val"]):
+            uniq = grp.drop_duplicates("doc_id")
+            ids = uniq["doc_id"].tolist()
+            sigs = uniq["sig"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                    if ham <= max_hamming:
+                        a, b = sorted((ids[i], ids[j]))
+                        out.append((a, b, ham))
+        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+
+    cand = bands.map_batches(add_shard, batch_format="pandas").groupby(
+        "shard"
+    ).map_groups(pairs, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return cand.groupby(["doc_a", "doc_b"]).aggregate(

@@ -36,17 +36,39 @@ from ..functions.stl import mstl, stl
 __all__ = ["pack_series", "DetectorActor", "detect", "detect_series"]
 
 
-def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value"):
-    """One row per key: (key, n, ts list<int64 epoch-s>, values list<f64>)."""
+def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value",
+                gapfill_method: str | None = None,
+                bucket_seconds: int | None = None):
+    """One row per key: (key, n, ts list<int64 epoch-s>, values list<f64>).
+
+    With ``gapfill_method`` set ('linear' | 'locf'), missing buckets are
+    filled INSIDE the same group pass — the detectors need a dense
+    regular grid, and fusing the fill here avoids a second full
+    groupby shuffle of the tier table (the standalone gapfill stage
+    remains for pipelines that persist the filled series)."""
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket_start")
         ts = (g["bucket_start"].astype("datetime64[s]").astype("int64")).to_numpy()
         vals = g[value_col].to_numpy(dtype=np.float64)
+        if gapfill_method and bucket_seconds and len(ts) > 1:
+            grid = np.arange(ts[0], ts[-1] + bucket_seconds, bucket_seconds)
+            if grid.size != ts.size:
+                dense = np.full(grid.size, np.nan)
+                dense[(ts - ts[0]) // bucket_seconds] = vals
+                if gapfill_method == "locf":
+                    idx = np.maximum.accumulate(
+                        np.where(~np.isnan(dense), np.arange(grid.size), 0)
+                    )
+                    dense = dense[idx]
+                else:  # linear
+                    nans = np.isnan(dense)
+                    dense[nans] = np.interp(grid[nans], grid[~nans], dense[~nans])
+                ts, vals = grid, dense
         return pd.DataFrame(
             {
                 "key": [g[key_col].iloc[0]],
-                "n": [len(g)],
+                "n": [len(ts)],
                 "ts": [ts],
                 "values": [vals],
             }
@@ -237,10 +259,13 @@ class DetectorActor:
 def detect(rollup_ds, key_col: str, *, tier: str = "1h",
            cfg: EngineConfig | None = None,
            methods: tuple[str, ...] | None = None,
-           value_col: str = "sum_value"):
-    """rollup table → flag rows, via pack + actor-pool map_batches."""
+           value_col: str = "sum_value",
+           gapfill_method: str | None = None):
+    """rollup table → flag rows, via pack (+fused gap-fill) + actor pool."""
     cfg = cfg or EngineConfig()
-    packed = pack_series(rollup_ds, key_col, value_col)
+    packed = pack_series(rollup_ds, key_col, value_col,
+                         gapfill_method=gapfill_method,
+                         bucket_seconds=TIERS[tier].seconds)
     return packed.map_batches(
         DetectorActor,
         fn_constructor_kwargs={"cfg": cfg, "tier": tier, "methods": methods},

@@ -32,9 +32,20 @@ __all__ = ["bucket_column", "rollup", "cascade", "rollup_tiers"]
 
 _UNIT_FOR_SECONDS = {60: "minute", 3600: "hour", 86400: "day"}
 
+# calendar units (month/quarter/year) have no fixed width; pass the unit
+# string instead of seconds for those (diagnostics.py:255 monthwise parity)
+_CALENDAR_UNITS = {"month", "quarter", "year", "week"}
 
-def bucket_column(ts: pa.ChunkedArray | pa.Array, bucket_seconds: int):
-    """Floor a timestamp column to the bucket grid, keeping timestamp type."""
+
+def bucket_column(ts: pa.ChunkedArray | pa.Array, bucket_seconds):
+    """Floor a timestamp column to the bucket grid, keeping timestamp type.
+
+    ``bucket_seconds`` is either a fixed width in seconds or a calendar
+    unit name ('month', 'quarter', 'year', 'week')."""
+    if isinstance(bucket_seconds, str):
+        if bucket_seconds not in _CALENDAR_UNITS:
+            raise ValueError(f"unknown calendar unit {bucket_seconds!r}")
+        return pc.floor_temporal(ts, unit=bucket_seconds)
     unit = _UNIT_FOR_SECONDS.get(bucket_seconds)
     if unit is not None:
         return pc.floor_temporal(ts, unit=unit)
@@ -130,14 +141,19 @@ def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
     mask = np.int64((1 << 62) - 1)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        uniq = pc.unique(keys).to_pylist()
         import zlib
 
-        lut = {k: np.int64(zlib.crc32(str(k).encode())) for k in uniq}
-        kh = np.fromiter(
-            (lut[k] for k in keys.to_pylist()), dtype=np.int64, count=len(batch)
+        # dictionary-encode: hash each DISTINCT key once, then a
+        # vectorized take over int32 indices (no per-row Python)
+        dict_arr = pc.dictionary_encode(batch[key_col])
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        dictionary = dict_arr.dictionary.to_pylist()
+        dict_hashes = np.array(
+            [zlib.crc32(str(k).encode()) for k in dictionary], dtype=np.int64
         )
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        kh = dict_hashes[idx]
         ts = batch["bucket_start"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         mixed = (kh * np.int64(1_000_003) + ts * np.int64(2_654_435_761)) & mask
         return batch.append_column(

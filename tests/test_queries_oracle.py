@@ -1,0 +1,74 @@
+"""Driver-gate replica inside pytest: run a representative subset of
+queries() against their oracle_sql() with DuckDB at sf0.001 (the full
+31-query sweep lives in scripts/check_oracles.py; this keeps the core
+equality guarantees in `python -m pytest -x -q`)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "rollup_1m",
+    "rollup_1h",
+    "rollup_monthly",
+    "iqr_flags_1h",
+    "zscore_flags_1h",
+    "mad_flags_1h",
+    "latest_iqr_flag_1h",
+    "dedup_exact",
+    "doc_text_stats",
+    "ann_topk",
+    "embedding_neardup_exact",
+    "lineitem_pricing_summary",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            coerced = pd.to_numeric(df[c], errors="coerce")
+            if len(df) and coerced.notna().all():
+                df[c] = coerced.astype(float).round(6)
+            else:
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, duck, ray_session):
+    from pycatcher_ray.queries import oracles, queries
+
+    fn = queries()[name]
+    sql = oracles()[name]
+    got = fn(SF_DIR)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = _canon(got)
+    want = _canon(duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
