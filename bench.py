@@ -19,10 +19,11 @@ the page cache so the timed run measures steady-state compute+shuffle.
 Per-operator timings over ``$GRAFT_SF_DIR`` (default /root/testdata/
 sf0.1) are reported in "queries".
 
-``--scaling`` runs the bench twice in fresh processes (num_cpus=8 then
-32) on the SAME input and reports both plus the scaling efficiency
-(T8/T32)/4 — the sandbox stand-in for the north rule's N vs 4N cluster
-criterion (see BASELINE.md).
+``--scaling`` runs the bench twice in fresh processes (num_cpus=4 then
+16 — N vs 4N; this VM's aggregate throughput saturates above ~16
+workers, see BASELINE.md) on the SAME input and reports both plus the
+scaling efficiency (T_lo/T_hi)/4 — the sandbox stand-in for the north
+rule's N vs 4N cluster criterion.
 """
 
 from __future__ import annotations

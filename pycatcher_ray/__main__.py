@@ -1,0 +1,103 @@
+"""CLI entry point — the engine's replacement for the reference's Flask
+webapp / FastAPI surface (SURVEY.md §2.3: upload→analyze becomes
+``python -m pycatcher_ray`` / ``ray job submit -- python -m
+pycatcher_ray ...``).
+
+Subcommands:
+
+  flagship --input <parquet...> --out <dir> [--detect-tier 1h] [--no-checkpoint]
+      run the full rollup+detect+compress pipeline (resumable).
+  detect --input <file.{parquet,csv,json}> [--method stl] [--key-col col]
+         [--ts-col col] [--value-col col] [--tier 1h]
+      rollup + single-method anomaly scan over any supported input file;
+      prints flag rows as CSV to stdout.
+  synth --out <dir> --rows N [--sources K]
+      write the deterministic native-input fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pycatcher_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship")
+    f.add_argument("--input", nargs="+", required=True)
+    f.add_argument("--out", required=True)
+    f.add_argument("--detect-tier", default="1h", choices=["1m", "1h", "1d"])
+    f.add_argument("--no-checkpoint", action="store_true")
+
+    d = sub.add_parser("detect")
+    d.add_argument("--input", required=True)
+    d.add_argument("--method", default="stl",
+                   choices=["iqr", "zscore", "mad", "classic", "stl", "mstl",
+                            "esd", "moving_average"])
+    d.add_argument("--key-col", default="source")
+    d.add_argument("--ts-col", default="ts")
+    d.add_argument("--value-col", default="value")
+    d.add_argument("--tier", default="1h", choices=["1m", "1h", "1d"])
+
+    s = sub.add_parser("synth")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--sources", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources import write_tokens_dataset
+
+        paths = write_tokens_dataset(args.out, args.rows,
+                                     n_sources=args.sources)
+        print(json.dumps({"files": len(paths), "dir": args.out}))
+        return 0
+
+    _init_ray()
+    if args.cmd == "flagship":
+        from .config import EngineConfig
+        from .pipelines import run_flagship
+
+        cfg = EngineConfig(detect_tier=args.detect_tier)
+        flags, metrics = run_flagship(
+            args.input, args.out, cfg,
+            checkpoint_intermediate=not args.no_checkpoint,
+        )
+        print(json.dumps(metrics, default=str))
+        return 0
+
+    if args.cmd == "detect":
+        from .config import TIERS, EngineConfig
+        from .sources.readers import read_table
+        from .stages.detect import detect
+        from .stages.rollup import rollup
+
+        ds = read_table(args.input)
+        tier_seconds = TIERS[args.tier].seconds
+        roll = rollup(ds, args.key_col, args.ts_col, args.value_col,
+                      tier_seconds)
+        cfg = EngineConfig(detect_concurrency=2)
+        flags = detect(roll, args.key_col, tier=args.tier, cfg=cfg,
+                       methods=(args.method,))
+        flags.to_pandas().to_csv(sys.stdout, index=False)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
