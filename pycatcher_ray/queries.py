@@ -459,9 +459,18 @@ def tokens_input_dir(sf_dir: str) -> str:
     out = os.path.join("/tmp", "pycatcher_ray_tokens", f"{name}-{gen_version}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
-        write_tokens_dataset(out, rows, rows_per_file=100_000)
-        with open(marker, "w") as f:
+        # generate into a unique tmp dir, then atomically rename — safe
+        # against concurrent query invocations racing on the cache
+        tmp = f"{out}.tmp.{os.getpid()}"
+        write_tokens_dataset(tmp, rows, rows_per_file=100_000)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
             f.write(str(rows))
+        try:
+            os.rename(tmp, out)
+        except OSError:  # another process won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

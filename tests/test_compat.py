@@ -363,6 +363,45 @@ class TestTodayLatest:
         assert out.iloc[0]["value"] == 100
 
 
+class TestTodayLatestVariants:
+    """today/latest wrappers for the stl/mstl/esd paths
+    (catch.py:1391-1505, 1755-1811)."""
+
+    @pytest.fixture
+    def esd_df(self):
+        np.random.seed(42)
+        dates = pd.date_range("2020-01-01", periods=500, freq="D")
+        values = np.random.normal(100, 5, 500)
+        values[-1] = 250.0  # latest row is the outlier
+        return pd.DataFrame({"date": dates, "value": values})
+
+    def test_latest_esd(self, esd_df):
+        out = compat.detect_outliers_latest_esd(esd_df)
+        assert len(out) == 1
+        assert out.iloc[0]["value"] == 250.0
+
+    def test_today_esd_matching_now(self, esd_df):
+        last_date = esd_df["date"].iloc[-1]
+        out = compat.detect_outliers_today_esd(esd_df, now=last_date)
+        assert isinstance(out, pd.DataFrame)
+        assert out.iloc[0]["value"] == 250.0
+
+    def test_today_esd_not_today(self, esd_df):
+        assert compat.detect_outliers_today_esd(
+            esd_df, now="1999-01-01"
+        ) == "No Outliers Today!"
+
+    def test_latest_stl_short_series(self, iqr_known_outlier):
+        # short series routes to IQR inside the stl dispatcher
+        out = compat.detect_outliers_latest_stl(iqr_known_outlier)
+        assert len(out) == 1
+        assert out.iloc[0]["value"] == 100
+
+    def test_latest_mstl_short_series(self, iqr_known_outlier):
+        out = compat.detect_outliers_latest_mstl(iqr_known_outlier)
+        assert len(out) == 1
+
+
 class TestApiGolden:
     def test_api_5_rows_exact_golden(self):
         # reference test_api_catch.py:28-44: integer "dates" [1..5],
