@@ -668,6 +668,24 @@ def embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup(ds, threshold=0.95)
 
 
+def ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path): coarse k-means clusters as the
+    partition key, search only the probed clusters.  Approximate —
+    recall vs the brute-force oracle is asserted in tests; rows-only
+    driver check."""
+    import pyarrow.parquet as pq
+
+    from .stages.ann import build_ivf, ivf_search
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+    index = build_ivf(ds, n_clusters=16)
+    return _round_cols(ivf_search(index, q, k=10, n_probe=4), ("cos_sim",))
+
+
 def stationarity_by_source(sf_dir: str):
     """Per-source ADF/KPSS stationarity verdicts over the hourly series
     (diagnostics.py:262-319 as a distributed map_groups stage)."""
@@ -767,6 +785,7 @@ def queries():
         "simhash_near_pairs": simhash_near_pairs,
         "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_neardup_lsh": embedding_neardup_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "stationarity_by_source": stationarity_by_source,
         "stl_flags_1h": stl_flags_1h,
         "esd_flags_1h": esd_flags_1h,

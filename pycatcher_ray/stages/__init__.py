@@ -1,6 +1,7 @@
 """Ray Data stages: ingest, rollup/cascade, gap-fill, detect, compress,
 text ops, dedup, multimodal."""
 
+from .ann import IVFIndex, brute_topk, build_ivf, ivf_search, kmeans_fit
 from .compress import add_chunk_id, compress, decompress_table
 from .dedup import (
     MinHasher,
@@ -23,6 +24,7 @@ from .rollup import bucket_column, cascade, rollup, rollup_tiers
 from .textops import Fingerprint, LangId, TextStats, fingerprint, lang_id, text_stats
 
 __all__ = [
+    "IVFIndex", "brute_topk", "build_ivf", "ivf_search", "kmeans_fit",
     "add_chunk_id", "compress", "decompress_table",
     "MinHasher", "SimHasher", "cluster_pairs", "embedding_neardup",
     "lsh_candidate_pairs", "minhash_bands", "minhash_dedup", "shingle_set",

@@ -192,3 +192,33 @@ class TestStationarity:
     def test_kpss_trending_rejects(self):
         r = kpss_test(np.linspace(0, 10, 300) + np.random.default_rng(2).standard_normal(300) * 0.1)
         assert r["pvalue"] < 0.05
+
+
+class TestANN:
+    def test_ivf_recall_vs_brute(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from pycatcher_ray.stages.ann import brute_topk, build_ivf, ivf_search
+
+        path = "/root/testdata/sf0.001/embeddings.parquet"
+        tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "=", 0)])
+        q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        exact = set(brute_topk(ds, q, k=10).to_pandas()["vec_id"])
+        index = build_ivf(ds, n_clusters=8)
+        approx = set(
+            ivf_search(index, q, k=10, n_probe=4).to_pandas()["vec_id"]
+        )
+        assert 0 in approx  # the query vector itself
+        assert len(exact & approx) >= 5  # recall@10 >= 0.5 at n_probe=4/8
+
+    def test_kmeans_deterministic(self):
+        from pycatcher_ray.stages.ann import kmeans_fit
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((200, 8))
+        c1 = kmeans_fit(x, 4, seed=3)
+        c2 = kmeans_fit(x, 4, seed=3)
+        np.testing.assert_array_equal(c1, c2)
