@@ -117,14 +117,17 @@ def _loess_point(y: np.ndarray, i: float, q: int, degree: int,
 
 def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
                  rho: np.ndarray | None = None,
-                 ext: int = 0) -> np.ndarray:
+                 ext: int = 0, jump: int = 1) -> np.ndarray:
     """LOESS-smooth a uniformly spaced series at every position, plus
     ``ext`` extrapolated positions before and after (for STL's
     cycle-subseries extension).  Returns length n + 2*ext.
 
-    Fast path (no robustness weights, window inside the series): the
-    symmetric tricube degree-1 fit equals a fixed-kernel average →
-    one convolution for all interior points.
+    Fast paths: (a) without robustness weights the symmetric tricube
+    degree-1 fit equals a fixed-kernel average → one convolution for all
+    interior points; (b) ``jump`` > 1 evaluates every jump-th position
+    and linearly interpolates between them — R ``stl``'s
+    s.jump/t.jump/l.jump mechanism (default ceil(window/10) there),
+    which bounds the Python-level boundary fits for huge windows.
     """
     y = np.asarray(y, dtype=np.float64)
     n = y.size
@@ -133,7 +136,12 @@ def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
     out = np.empty(n + 2 * ext)
     h = (q - 1) // 2
 
-    if rho is None and q <= n and n > q:
+    if jump > 1 and n > 2:
+        xs = np.unique(np.r_[np.arange(0, n, jump), n - 1])
+        vals = np.array([_loess_point(y, float(i), q, degree, rho) for i in xs])
+        out[ext : ext + n] = np.interp(np.arange(n), xs, vals)
+        boundary = []
+    elif rho is None and q <= n and n > q:
         # interior kernel: offsets -h..h, lambda = h (weight 0 at edges)
         d = np.arange(-h, h + 1, dtype=np.float64)
         lam = max(h, 1)
@@ -151,6 +159,46 @@ def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
         out[ext - e] = _loess_point(y, float(-e), q, degree, rho)
         out[n - 1 + ext + e] = _loess_point(y, float(n - 1 + e), q, degree, rho)
     return out
+
+
+_SUBSERIES_W_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _subseries_weights(m: int, q: int, degree: int) -> np.ndarray:
+    """(m+2, m) LOESS design matrix for a length-m subseries whose
+    window q covers all points, evaluated at x0 = -1, 0..m-1, m — each
+    row reproduces ``_loess_point`` exactly, so the whole cycle-subseries
+    smoothing collapses to one matmul when every subseries has the same
+    length (the period ~ n/2 reference cases: 730 daily/period 365,
+    24 monthly/period 12, 2880 minutes/period 1440)."""
+    key = (m, q, degree)
+    W = _SUBSERIES_W_CACHE.get(key)
+    if W is not None:
+        return W
+    xs = np.arange(m, dtype=np.float64)
+    W = np.empty((m + 2, m))
+    for row, x0 in enumerate([-1.0, *xs, float(m)]):
+        dist = np.abs(xs - x0)
+        lam = dist.max()
+        if q > m:
+            lam *= q / m
+        if lam <= 0:
+            lam = 1.0
+        w = _tricube(dist / lam)
+        sw = w.sum()
+        if degree == 0 or m < 2:
+            W[row] = w / sw
+        else:
+            xc = xs - x0
+            swx = np.dot(w, xc)
+            swx2 = np.dot(w, xc * xc)
+            det = sw * swx2 - swx * swx
+            if abs(det) < 1e-12 * max(sw * swx2, 1e-300):
+                W[row] = w / sw
+            else:
+                W[row] = w * (swx2 - swx * xc) / det
+    _SUBSERIES_W_CACHE[key] = W
+    return W
 
 
 def _ma(x: np.ndarray, w: int) -> np.ndarray:
@@ -203,20 +251,34 @@ def stl(
             D = y - T
             # 2. cycle-subseries smoothing with 1-step extension each side
             C = np.empty(n + 2 * period)
-            for k in range(period):
-                sub = D[k::period]
-                sub_rho = rho[k::period] if rho is not None else None
-                sm = loess_smooth(sub, seasonal, seasonal_deg, sub_rho, ext=1)
-                m = sub.size
-                # place at positions k, k+period, ... in the extended grid
-                C[k::period][: m + 2] = sm
+            m_all = n // period
+            if rho is None and n % period == 0 and seasonal >= m_all:
+                # uniform subseries fully covered by the window: one
+                # matmul replaces period× per-point LOESS fits
+                D2 = D.reshape(m_all, period).T          # (period, m)
+                W = _subseries_weights(m_all, seasonal, seasonal_deg)
+                sm_all = D2 @ W.T                        # (period, m+2)
+                C.reshape(m_all + 2, period)[:] = sm_all.T
+            else:
+                for k in range(period):
+                    sub = D[k::period]
+                    sub_rho = rho[k::period] if rho is not None else None
+                    sm = loess_smooth(sub, seasonal, seasonal_deg, sub_rho, ext=1)
+                    m = sub.size
+                    # place at positions k, k+period, ... in the extended grid
+                    C[k::period][: m + 2] = sm
             # 3. low-pass filter of C: MA(p) ∘ MA(p) ∘ MA(3) ∘ loess(nl)
+            # jump (R stl's t.jump/l.jump, default ceil(window/10) there)
+            # only when the window is boundary-dominated — the interior
+            # convolution path is exact and faster for small windows
+            l_jump = max(1, low_pass // 10) if low_pass > n // 2 else 1
+            t_jump = max(1, trend // 10) if trend > n // 2 else 1
             L = _ma(_ma(_ma(C, period), period), 3)
-            L = loess_smooth(L, low_pass, low_pass_deg, None)
+            L = loess_smooth(L, low_pass, low_pass_deg, None, jump=l_jump)
             # 4. seasonal
             S = C[period : period + n] - L
             # 5. trend from deseasonalized
-            T = loess_smooth(y - S, trend, trend_deg, rho)
+            T = loess_smooth(y - S, trend, trend_deg, rho, jump=t_jump)
         R = y - T - S
         if _outer < no:
             # robustness weights: bisquare of |R| / (6 * median|R|)

@@ -668,6 +668,37 @@ def embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup(ds, threshold=0.95)
 
 
+def stratified_sample_events(sf_dir: str, n_per_key: int = 5):
+    """Deterministic stratified sample: first n events per event_type in
+    (ts, event_id) order — per-stratum sort+limit inside map_groups
+    (the distributed form of stratified fixed-size sampling; random
+    variants swap the order key for a per-row deterministic hash)."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "event_id", "ts", "value"],
+    )
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(n_per_key)
+        out = g[["event_type", "event_id", "ts"]].rename(
+            columns={"event_type": "source"}
+        )
+        out["value"] = g["value"].round(4)
+        return out
+
+    return ds.groupby("event_type").map_groups(head_n, batch_format="pandas")
+
+
+_STRATIFIED_ORACLE = """
+SELECT event_type AS source, event_id, ts, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
 def ann_topk_ivf(sf_dir: str):
     """IVF-bucketed ANN (scale path): coarse k-means clusters as the
     partition key, search only the probed clusters.  Approximate —
@@ -786,6 +817,7 @@ def queries():
         "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "ann_topk_ivf": ann_topk_ivf,
+        "stratified_sample_events": stratified_sample_events,
         "stationarity_by_source": stationarity_by_source,
         "stl_flags_1h": stl_flags_1h,
         "esd_flags_1h": esd_flags_1h,
@@ -811,6 +843,7 @@ def oracles():
         "ann_topk": _ANN_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
+        "stratified_sample_events": _STRATIFIED_ORACLE,
         # tokens_* queries run on the synthesized native input, which the
         # driver's DuckDB views cannot see -> rows-only checks here;
         # exact DuckDB equality is asserted in tests/test_ray_engine.py.
