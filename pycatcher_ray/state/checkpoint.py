@@ -88,6 +88,14 @@ class CheckpointedWriter:
         the per-partition summaries.
         """
         done = self.done_partitions()
+        if len(done) >= num_partitions:
+            # everything checkpointed: nothing to execute
+            return {
+                "stage_dir": self.stage_dir,
+                "partitions_written": [],
+                "partitions_skipped": sorted(done),
+                "rows_written": 0,
+            }
         parted = hash_partition_column(ds, key_col, num_partitions)
         if done:
             skip = pa.array(sorted(done), type=pa.int64())
@@ -101,6 +109,8 @@ class CheckpointedWriter:
         lineage = lineage or {}
 
         def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            if "part" not in g.columns or not len(g):  # empty residual group
+                return pd.DataFrame({"part": [], "rows": []})
             part = int(g["part"].iloc[0])
             pdir = os.path.join(stage_dir, f"part={part}")
             os.makedirs(pdir, exist_ok=True)

@@ -282,3 +282,31 @@ class TestCheckpoint:
         assert manifests
         m = json.load(open(manifests[0]))
         assert m["rows"] > 0 and m["lineage"]["inputs"] == tokens_paths[:1]
+
+
+class TestFlagshipResume:
+    def test_rerun_skips_completed_tiers(self, ray_session, tokens_paths,
+                                         tmp_path):
+        from pycatcher_ray.config import EngineConfig
+        from pycatcher_ray.pipelines import run_flagship
+
+        out = str(tmp_path / "flag")
+        cfg = EngineConfig(detect_tier="1h", detect_concurrency=2,
+                           num_output_partitions=4)
+        flags1, m1 = run_flagship(tokens_paths, out, cfg)
+        assert all(not s["partitions_skipped"]
+                   for s in m1["stages"].values() if "partitions_skipped" in s)
+        df1 = flags1.to_pandas().sort_values(
+            ["key", "bucket_start", "method"]).reset_index(drop=True)
+
+        # second run: every stage's partitions are already checkpointed
+        flags2, m2 = run_flagship(tokens_paths, out, cfg)
+        for name, s in m2["stages"].items():
+            if "partitions_skipped" in s:
+                assert len(s["partitions_skipped"]) == 4, name
+                assert s["rows_written"] == 0, name
+        df2 = flags2.to_pandas().sort_values(
+            ["key", "bucket_start", "method"]).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(df1, df2)
