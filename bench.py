@@ -166,9 +166,12 @@ def main():
         # (memory bandwidth / host oversubscription), which would cap ANY
         # pipeline's measurable 8->32 efficiency near 0.5 — see BASELINE.md.
         lo, hi = 4, 16
-        r_lo = _run_subprocess(lo)
-        time.sleep(20)  # let host CPU burst quota refill between runs
+        # hi first: the lo run burns sustained-CPU quota for minutes and
+        # measurably throttles whatever runs after it on this VM; the
+        # cooldown lets the burst quota refill before the second run
         r_hi = _run_subprocess(hi)
+        time.sleep(60)
+        r_lo = _run_subprocess(lo)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",

@@ -227,6 +227,59 @@ FROM (
 """
 
 
+def iqr_flags_enriched_1h(sf_dir: str):
+    """Broadcast join: flag rows enriched with per-source hourly stats.
+
+    The small side (per-source mean/stddev over hourly sums — one row
+    per key) is computed, pulled to the driver, broadcast once, and
+    joined inside ``map_batches`` — the broadcast-hash-join pattern for
+    dimension-sized sides (SURVEY.md §2.4 joins/lookups; no shuffle)."""
+    import ray
+
+    roll = _events_rollup(sf_dir, "1h").materialize()
+
+    from ray.data.aggregate import Mean, Std
+
+    stats = roll.groupby("event_type").aggregate(
+        Mean("sum_value", alias_name="src_mean"),
+        Std("sum_value", alias_name="src_std", ddof=0),
+    ).to_pandas().set_index("event_type")
+    stats_ref = ray.put(stats)
+
+    flags = detect(roll, "event_type", tier="1h",
+                   cfg=EngineConfig(detect_concurrency=2),
+                   methods=("iqr",))
+
+    def enrich(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(stats_ref)
+        out = batch[["key", "bucket_start", "value"]].rename(
+            columns={"key": "source"}
+        )
+        out["value"] = out["value"].round(4)
+        out["src_mean"] = out["source"].map(s["src_mean"]).round(4)
+        out["src_std"] = out["source"].map(s["src_std"]).round(4)
+        return out
+
+    return flags.map_batches(enrich, batch_format="pandas")
+
+
+_IQR_ENRICHED_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3,
+         round(avg(v), 4) AS src_mean, round(stddev_pop(v), 4) AS src_std
+  FROM r GROUP BY source
+)
+SELECT r.source, r.bucket_start, round(r.v, 4) AS value,
+       q.src_mean, q.src_std
+FROM r JOIN q USING (source)
+WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
 def duplicate_buckets(sf_dir: str):
     """Exact duplicate detection: (source, ts) appearing more than once —
     the reference's duplicate-date gate (catch.py:533-535) as a grouped
@@ -795,6 +848,7 @@ def queries():
         "rollup_1d": lambda d: rollup_events(d, "1d"),
         "rollup_monthly": rollup_monthly,
         "iqr_flags_1h": iqr_flags_1h,
+        "iqr_flags_enriched_1h": iqr_flags_enriched_1h,
         "zscore_flags_1h": zscore_flags_1h,
         "mad_flags_1h": mad_flags_1h,
         "latest_iqr_flag_1h": latest_iqr_flag_1h,
@@ -833,6 +887,7 @@ def oracles():
         "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
         "rollup_monthly": _ROLLUP_MONTH_ORACLE,
         "iqr_flags_1h": _IQR_ORACLE,
+        "iqr_flags_enriched_1h": _IQR_ENRICHED_ORACLE,
         "zscore_flags_1h": _ZSCORE_ORACLE,
         "mad_flags_1h": _MAD_ORACLE,
         "latest_iqr_flag_1h": _LATEST_IQR_ORACLE,
