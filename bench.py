@@ -166,12 +166,18 @@ def main():
         # (memory bandwidth / host oversubscription), which would cap ANY
         # pipeline's measurable 8->32 efficiency near 0.5 — see BASELINE.md.
         lo, hi = 4, 16
-        # hi first: the lo run burns sustained-CPU quota for minutes and
-        # measurably throttles whatever runs after it on this VM; the
-        # cooldown lets the burst quota refill before the second run
-        r_hi = _run_subprocess(hi)
-        time.sleep(60)
-        r_lo = _run_subprocess(lo)
+        # The host applies a sustained-load CPU quota: identical runs
+        # vary ~2.5x depending on what ran before them.  Take the
+        # minimum of two repetitions per level with cooldowns — min is
+        # the standard noise-robust estimator for benchmark wall time.
+        reps_hi, reps_lo = [], []
+        for _ in range(2):
+            reps_hi.append(_run_subprocess(hi))
+            time.sleep(45)
+            reps_lo.append(_run_subprocess(lo))
+            time.sleep(45)
+        r_hi = min(reps_hi, key=lambda r: r["value"])
+        r_lo = min(reps_lo, key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
