@@ -314,6 +314,98 @@ SELECT count(*) AS n_dup_pairs FROM (
 # ----------------------------------------------------- documents queries
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Session windowing over the per-user event stream (the guide's
+    stream-shaped pattern): partition by user, order by ts inside the
+    group, close a session after a >gap idle period.  Emits one row per
+    session with start/end/count.  SQL oracle via lag + cumulative sum."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = g["ts"].diff() > gap
+        sid = new_session.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        ).reset_index(drop=True)
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact count-distinct per key: per-batch distinct partials (set
+    semantics are mergeable), final distinct + count — the exact-dedup
+    building block; sketch variants (HLL) slot into the same partial/
+    merge shape."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["event_type"], "user_id": batch["user_id"]})
+        g = t.group_by(["source", "user_id"]).aggregate([("user_id", "count")])
+        g = g.drop_columns(["user_id_count"])
+        shard = pc.bit_wise_and(
+            pc.multiply(g["user_id"], pa.scalar(2654435761, pa.int64())),
+            pa.scalar(63, pa.int64()),  # 64 shards (power of two -> mask)
+        )
+        return g.append_column("shard", shard)
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        # a (source, user) pair always lands in one shard -> exact
+        dedup = group.group_by(["source", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        t = pa.table({"source": dedup["source"],
+                      "one": pa.array(np.ones(len(dedup), dtype=np.int64))})
+        return t.group_by("source").aggregate([("one", "sum")]).rename_columns(
+            ["source", "p_n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "shard"
+    ).map_groups(per_shard, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("p_n", alias_name="n_users")
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT event_type AS source, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def doc_text_stats(sf_dir: str):
     """Per-document text statistics (token counting / quality-scoring
     building blocks), vectorized pyarrow kernels."""
@@ -853,6 +945,8 @@ def queries():
         "mad_flags_1h": mad_flags_1h,
         "latest_iqr_flag_1h": latest_iqr_flag_1h,
         "duplicate_buckets": duplicate_buckets,
+        "session_windows": session_windows,
+        "distinct_users_by_type": distinct_users_by_type,
         "doc_text_stats": doc_text_stats,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
@@ -892,6 +986,8 @@ def oracles():
         "mad_flags_1h": _MAD_ORACLE,
         "latest_iqr_flag_1h": _LATEST_IQR_ORACLE,
         "duplicate_buckets": _DUP_ORACLE,
+        "session_windows": _SESSION_ORACLE,
+        "distinct_users_by_type": _DISTINCT_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
