@@ -444,3 +444,70 @@ class TestBuildDecompositionResults:
         )
         with pytest.raises(DataValidationError, match="2 years"):
             compat.build_decomposition_results(df)
+
+
+class TestDispatchRouting:
+    """Dispatch-table conformance (reference test_catch.py:324-407,
+    459-490): 2-year regular series route to decomposition, borderline
+    lengths fall back to IQR."""
+
+    def _series(self, n, freq):
+        np.random.seed(0)
+        return pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-01", periods=n, freq=freq),
+                "value": np.random.normal(100, 10, n),
+            }
+        )
+
+    def test_daily_2y_routes_decompose(self, monkeypatch):
+        called = {}
+        orig = compat.decompose_and_detect
+
+        def spy(df, period=None):
+            called["hit"] = True
+            return orig(df, period)
+
+        monkeypatch.setattr(compat, "decompose_and_detect", spy)
+        compat.detect_outliers_classic(self._series(1096, "D"))
+        assert called.get("hit")
+
+    def test_weekly_2y_routes_decompose(self, monkeypatch):
+        called = {}
+        monkeypatch.setattr(
+            compat, "decompose_and_detect",
+            lambda df, period=None: called.setdefault("hit", True) and pd.DataFrame(),
+        )
+        compat.detect_outliers_classic(self._series(156, "W"))
+        assert called.get("hit")
+
+    def test_monthly_2y_routes_decompose(self, monkeypatch):
+        called = {}
+        monkeypatch.setattr(
+            compat, "decompose_and_detect",
+            lambda df, period=None: called.setdefault("hit", True) and pd.DataFrame(),
+        )
+        compat.detect_outliers_classic(self._series(36, "MS"))
+        assert called.get("hit")
+
+    @pytest.mark.parametrize("n,freq", [(729, "D"), (519, "B"), (23, "MS"),
+                                        (7, "QS"), (103, "W")])
+    def test_borderline_routes_iqr(self, n, freq, monkeypatch):
+        # reference test_catch.py:470-490
+        called = {}
+        monkeypatch.setattr(
+            compat, "detect_outliers_iqr",
+            lambda df: called.setdefault("hit", True) and "No outliers found.",
+        )
+        compat.detect_outliers_classic(self._series(n, freq))
+        assert called.get("hit")
+
+    def test_short_1y_daily_routes_iqr(self, monkeypatch):
+        # reference test_catch.py:351-358, 398-407
+        called = {}
+        monkeypatch.setattr(
+            compat, "detect_outliers_iqr",
+            lambda df: called.setdefault("hit", True) and "No outliers found.",
+        )
+        compat.detect_outliers_classic(self._series(365, "D"))
+        assert called.get("hit")
