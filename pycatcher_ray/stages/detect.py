@@ -85,15 +85,23 @@ def detect_series(
     period: int,
     mstl_periods: tuple[int, ...],
     mc: MonteCarloShapiro,
-) -> list[tuple[int, str, float]]:
+) -> list[tuple[np.ndarray, str, np.ndarray]]:
     """Run the configured detectors on one series.
 
-    Returns (index, method, score) triples for flagged points.  Kernel
-    semantics mirror the reference paths (see pycatcher_ray.compat);
-    periods come from tier config instead of frequency inference.
+    Returns one (flag_indices, method, scores_at_indices) triple per
+    method that flagged anything — arrays, not per-flag tuples, so the
+    caller gathers with one fancy-index.  Kernel semantics mirror the
+    reference paths (see pycatcher_ray.compat); periods come from tier
+    config instead of frequency inference.
     """
-    out: list[tuple[int, str, float]] = []
+    out: list[tuple[np.ndarray, str, np.ndarray]] = []
     n = values.size
+
+    def emit(name: str, mask_or_idx, scores: np.ndarray) -> None:
+        idx = (np.nonzero(mask_or_idx)[0]
+               if mask_or_idx.dtype == bool else mask_or_idx)
+        if idx.size:
+            out.append((idx.astype(np.int64), name, scores[idx]))
 
     def _stl_like(name: str, fit) -> None:
         """shared scoring: Box-Cox mul vs add, MC-Shapiro gate, z or MAD
@@ -122,25 +130,17 @@ def detect_series(
         else:
             scores = modified_zscore(resid)
             mask = np.abs(scores) > cfg.mad_threshold
-        for i in np.nonzero(mask)[0]:
-            out.append((int(i), name, float(scores[i])))
+        emit(name, mask, scores)
 
     for method in methods:
         if method == "iqr":
-            mask = iqr_mask(values)
-            z = modified_zscore(values)
-            for i in np.nonzero(mask)[0]:
-                out.append((int(i), "iqr", float(z[i])))
+            emit("iqr", iqr_mask(values), modified_zscore(values))
         elif method == "zscore":
             z = zscore(values)
-            mask = np.abs(z) > cfg.z_threshold
-            for i in np.nonzero(mask)[0]:
-                out.append((int(i), "zscore", float(z[i])))
+            emit("zscore", np.abs(z) > cfg.z_threshold, z)
         elif method == "mad":
             z = modified_zscore(values)
-            mask = np.abs(z) > cfg.mad_threshold
-            for i in np.nonzero(mask)[0]:
-                out.append((int(i), "mad", float(z[i])))
+            emit("mad", np.abs(z) > cfg.mad_threshold, z)
         elif method == "classic":
             if n < 2 * period:
                 continue
@@ -158,9 +158,7 @@ def detect_series(
             except Exception:
                 continue
             scores = modified_zscore(resid)
-            mask = np.abs(scores) > cfg.mad_threshold
-            for i in np.nonzero(mask)[0]:
-                out.append((int(i), "classic", float(scores[i])))
+            emit("classic", np.abs(scores) > cfg.mad_threshold, scores)
         elif method == "stl":
             if n < 2 * period:
                 continue
@@ -191,17 +189,15 @@ def detect_series(
                                            hybrid=True)
             except Exception:
                 continue
-            z = modified_zscore(values)
-            for i in idxs:
-                out.append((int(i), "esd", float(z[i])))
+            if idxs:
+                emit("esd", np.asarray(idxs, dtype=np.int64),
+                     modified_zscore(values))
         elif method == "moving_average":
             try:
                 mask = moving_average_outlier_mask(values)
             except Exception:
                 continue
-            z = zscore(values)
-            for i in np.nonzero(mask)[0]:
-                out.append((int(i), "moving_average", float(z[i])))
+            emit("moving_average", mask, zscore(values))
     return out
 
 
@@ -224,8 +220,10 @@ class DetectorActor:
             n_resamples=self.cfg.mc_resamples, seed=self.cfg.seed
         )
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        keys, buckets, values_out, methods_out, scores = [], [], [], [], []
+    def __call__(self, batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        per_series = []
         for _, row in batch.iterrows():
             ts = np.asarray(row["ts"], dtype=np.int64)
             vals = np.asarray(row["values"], dtype=np.float64)
@@ -233,13 +231,26 @@ class DetectorActor:
                 ts, vals, self.methods, self.cfg, self.period,
                 self.mstl_periods, self.mc
             )
-            for idx, method, score in flags:
-                keys.append(row["key"])
-                buckets.append(ts[idx])
-                values_out.append(vals[idx])
-                methods_out.append(method)
-                scores.append(score)
-        import pyarrow as pa
+            for idxs, method, scores in flags:
+                per_series.append(
+                    (row["key"], ts[idxs], vals[idxs],
+                     [method] * len(idxs), scores)
+                )
+
+        if per_series:
+            keys = np.concatenate(
+                [np.repeat(k, len(t)) for k, t, _, _, _ in per_series]
+            )
+            buckets = np.concatenate([t for _, t, _, _, _ in per_series])
+            values_out = np.concatenate([v for _, _, v, _, _ in per_series])
+            methods_out = [m for _, _, _, ms, _ in per_series for m in ms]
+            scores_out = np.concatenate([s for _, _, _, _, s in per_series])
+        else:
+            keys = np.array([], dtype=str)
+            buckets = np.array([], dtype=np.int64)
+            values_out = np.array([], dtype=np.float64)
+            methods_out = []
+            scores_out = np.array([], dtype=np.float64)
 
         # emit an Arrow table so downstream Project/rename stages operate
         # on Arrow blocks (and the flags table stays zero-copy)
@@ -247,11 +258,11 @@ class DetectorActor:
             {
                 "key": pa.array(keys, type=pa.string()),
                 "bucket_start": pa.array(
-                    np.asarray(buckets, dtype="int64"), type=pa.int64()
+                    buckets.astype(np.int64), type=pa.int64()
                 ).cast(pa.timestamp("s")),
-                "value": pa.array(np.asarray(values_out, dtype=np.float64)),
+                "value": pa.array(values_out),
                 "method": pa.array(methods_out, type=pa.string()),
-                "score": pa.array(np.asarray(scores, dtype=np.float64)),
+                "score": pa.array(scores_out),
             }
         )
 

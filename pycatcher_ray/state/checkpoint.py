@@ -137,9 +137,24 @@ class CheckpointedWriter:
         summary = parted.groupby("part").map_groups(
             write_group, batch_format="pandas"
         ).to_pandas()
+        written = (
+            [int(p) for p in summary["part"].tolist()] if len(summary) else []
+        )
+        # a hash partition that received no rows is still COMPLETE for
+        # this input — manifest it (rows=0) so a rerun short-circuits
+        # instead of recomputing the pipeline to rediscover emptiness
+        for part in set(range(num_partitions)) - set(written) - done:
+            pdir = self._part_dir(part)
+            os.makedirs(pdir, exist_ok=True)
+            mtmp = os.path.join(pdir, ".manifest.json.tmp")
+            with open(mtmp, "w") as f:
+                json.dump({"partition": part, "rows": 0,
+                           "value_checksum": 0.0, "lineage": lineage,
+                           "written_at": time.time()}, f)
+            os.replace(mtmp, os.path.join(pdir, "manifest.json"))
         return {
             "stage_dir": self.stage_dir,
-            "partitions_written": summary["part"].tolist(),
+            "partitions_written": written,
             "partitions_skipped": sorted(done),
             "rows_written": int(summary["rows"].sum()) if len(summary) else 0,
         }
