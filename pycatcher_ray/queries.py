@@ -862,6 +862,77 @@ def ann_topk_ivf(sf_dir: str):
     return _round_cols(ivf_search(index, q, k=10, n_probe=4), ("cos_sim",))
 
 
+def rollup_1m_retained(sf_dir: str, keep_days: int = 20):
+    """Retention-enforced 1m rollup: buckets older than ``now - keep``
+    dropped (now pinned to the max event ts for determinism) — the
+    retention leg of rollup+downsample+retention.  SQL-checkable."""
+    import pyarrow.parquet as pq
+
+    from .stages.retention import apply_retention
+
+    # deterministic 'now': max ts of the input (driver reruns stay stable)
+    meta = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    now_s = int(pc.max(meta["ts"]).cast(pa.int64()).as_py() // 1_000_000)
+    ds = _events_rollup(sf_dir, "1m")
+    kept = apply_retention(ds, keep_days * 86400, now_s)
+    return _finalize_rollup(kept)
+
+
+_RETENTION_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         date_trunc('minute', ts) AS bucket_start,
+         round(sum(value), 4) AS sum_value,
+         count(*) AS n_points,
+         min(value) AS min_value,
+         max(value) AS max_value,
+         round(sum(value), 4) / count(*) AS mean_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM r
+WHERE epoch(bucket_start) >=
+      (SELECT CAST(epoch(max(ts)) AS BIGINT) - 20 * 86400 FROM events)
+"""
+
+
+def stl_decomposition_1h(sf_dir: str):
+    """Per-source STL decomposition table (source, bucket_start,
+    observed, trend, seasonal, resid) — the engine's first-class
+    decomposition output (SURVEY.md §1.2; diagnostics.py:376-385 made
+    distributed and columnar).  Rows-only check (LOESS isn't SQL)."""
+    from .functions.stl import stl as _stl_fit
+    from .stages.detect import pack_series
+
+    roll = _events_rollup(sf_dir, "1h")
+    packed = pack_series(roll, "event_type", gapfill_method="linear",
+                         bucket_seconds=3600)
+
+    def decompose(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in batch.iterrows():
+            vals = np.asarray(row["values"], dtype=np.float64)
+            ts = np.asarray(row["ts"], dtype=np.int64)
+            if vals.size < 48:
+                continue
+            r = _stl_fit(vals, period=24, seasonal=25)
+            frames.append(pd.DataFrame({
+                "source": row["key"],
+                "bucket_start": ts.view("datetime64[s]"),
+                "observed": np.round(r.observed, 4),
+                "trend": np.round(r.trend, 4),
+                "seasonal": np.round(r.seasonal, 4),
+                "resid": np.round(r.resid, 4),
+            }))
+        if not frames:
+            return pd.DataFrame({c: [] for c in
+                                 ("source", "bucket_start", "observed",
+                                  "trend", "seasonal", "resid")})
+        return pd.concat(frames, ignore_index=True)
+
+    return packed.map_batches(decompose, batch_format="pandas",
+                              batch_size=4, concurrency=2, num_cpus=1)
+
+
 def stationarity_by_source(sf_dir: str):
     """Per-source ADF/KPSS stationarity verdicts over the hourly series
     (diagnostics.py:262-319 as a distributed map_groups stage)."""
@@ -939,6 +1010,8 @@ def queries():
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
         "rollup_monthly": rollup_monthly,
+        "rollup_1m_retained": rollup_1m_retained,
+        "stl_decomposition_1h": stl_decomposition_1h,
         "iqr_flags_1h": iqr_flags_1h,
         "iqr_flags_enriched_1h": iqr_flags_enriched_1h,
         "zscore_flags_1h": zscore_flags_1h,
@@ -980,6 +1053,7 @@ def oracles():
         "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
         "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
         "rollup_monthly": _ROLLUP_MONTH_ORACLE,
+        "rollup_1m_retained": _RETENTION_ORACLE,
         "iqr_flags_1h": _IQR_ORACLE,
         "iqr_flags_enriched_1h": _IQR_ENRICHED_ORACLE,
         "zscore_flags_1h": _ZSCORE_ORACLE,

@@ -20,6 +20,7 @@ from .detect import DetectorActor, detect, detect_series, pack_series
 from .gapfill import gapfill, gapfill_group
 from .ingest import derive_ts, ingest, token_checksum_column, validate_batch
 from .multimodal import MediaDecoder, decode_features, synth_media_table
+from .retention import DEFAULT_RETENTION, apply_retention
 from .rollup import bucket_column, cascade, rollup, rollup_tiers
 from .textops import Fingerprint, LangId, TextStats, fingerprint, lang_id, text_stats
 
@@ -33,6 +34,7 @@ __all__ = [
     "gapfill", "gapfill_group",
     "derive_ts", "ingest", "token_checksum_column", "validate_batch",
     "MediaDecoder", "decode_features", "synth_media_table",
+    "DEFAULT_RETENTION", "apply_retention",
     "bucket_column", "cascade", "rollup", "rollup_tiers",
     "Fingerprint", "LangId", "TextStats", "fingerprint", "lang_id", "text_stats",
 ]

@@ -310,3 +310,23 @@ class TestFlagshipResume:
         import pandas as pd
 
         pd.testing.assert_frame_equal(df1, df2)
+
+
+class TestRetention:
+    def test_apply_retention_drops_old_buckets(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.retention import apply_retention
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
+        m1 = rollup(slim, "source", "ts", "n_tok", 60).materialize()
+        full = m1.to_pandas()
+        now_s = int(full["bucket_start"].max().timestamp())
+        kept = apply_retention(m1, 86400, now_s).to_pandas()  # keep 1 day
+        cutoff = pd.Timestamp(now_s - 86400, unit="s")
+        assert (kept["bucket_start"] >= cutoff).all()
+        assert len(kept) < len(full)
+        # None = keep everything
+        all_kept = apply_retention(m1, None, now_s).to_pandas()
+        assert len(all_kept) == len(full)
