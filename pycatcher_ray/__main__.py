@@ -53,6 +53,12 @@ def main(argv=None):
     d.add_argument("--value-col", default="value")
     d.add_argument("--tier", default="1h", choices=["1m", "1h", "1d"])
 
+    u = sub.add_parser("update")
+    u.add_argument("--input", nargs="+", required=True,
+                   help="NEW shards to fold into existing tiers")
+    u.add_argument("--out", required=True,
+                   help="out dir of a prior checkpointed flagship run")
+
     s = sub.add_parser("synth")
     s.add_argument("--out", required=True)
     s.add_argument("--rows", type=int, required=True)
@@ -78,6 +84,13 @@ def main(argv=None):
             args.input, args.out, cfg,
             checkpoint_intermediate=not args.no_checkpoint,
         )
+        print(json.dumps(metrics, default=str))
+        return 0
+
+    if args.cmd == "update":
+        from .pipelines.incremental import update_tiers
+
+        metrics = update_tiers(args.input, args.out)
         print(json.dumps(metrics, default=str))
         return 0
 

@@ -330,3 +330,47 @@ class TestRetention:
         # None = keep everything
         all_kept = apply_retention(m1, None, now_s).to_pandas()
         assert len(all_kept) == len(full)
+
+
+class TestIncrementalUpdate:
+    def test_update_equals_full_recompute(self, ray_session, tmp_path):
+        """Incremental fold of new shards == full recompute over A ∪ B,
+        and only partitions touched by B's keys are rewritten."""
+        import ray.data as rd
+
+        from pycatcher_ray.config import EngineConfig
+        from pycatcher_ray.pipelines import run_flagship
+        from pycatcher_ray.pipelines.incremental import update_tiers
+
+        d = tmp_path / "in"
+        # shard A: first day; shard B: appended later window
+        write_tokens_dataset(str(d / "a"), 4000, n_sources=6,
+                             minutes_span=1440, seed=10)
+        write_tokens_dataset(str(d / "b"), 4000, n_sources=6,
+                             minutes_span=1440,
+                             start_minute=28_401_120 + 1440, seed=20)
+        a_paths = sorted(glob.glob(str(d / "a" / "*.parquet")))
+        b_paths = sorted(glob.glob(str(d / "b" / "*.parquet")))
+
+        cfg = EngineConfig(detect_tier="1h", detect_concurrency=2,
+                           num_output_partitions=8)
+        out_inc = str(tmp_path / "inc")
+        run_flagship(a_paths, out_inc, cfg)
+        m = update_tiers(b_paths, out_inc, cfg)
+        assert m["tiers"]["1m"]["new_rows"] > 0
+
+        out_full = str(tmp_path / "full")
+        run_flagship(a_paths + b_paths, out_full, cfg)
+
+        for tier in ("1m", "1h", "1d"):
+            inc = pd.concat([
+                pd.read_parquet(p) for p in sorted(
+                    glob.glob(f"{out_inc}/rollup_{tier}/part=*/data.parquet"))
+            ]).sort_values(["source", "bucket_start"]).reset_index(drop=True)
+            full = pd.concat([
+                pd.read_parquet(p) for p in sorted(
+                    glob.glob(f"{out_full}/rollup_{tier}/part=*/data.parquet"))
+            ]).sort_values(["source", "bucket_start"]).reset_index(drop=True)
+            assert len(inc) == len(full), tier
+            for col in ("sum_value", "n_points", "min_value", "max_value"):
+                np.testing.assert_allclose(inc[col], full[col], err_msg=tier)
