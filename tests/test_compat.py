@@ -511,3 +511,20 @@ class TestDispatchRouting:
         )
         compat.detect_outliers_classic(self._series(365, "D"))
         assert called.get("hit")
+
+
+class TestApiStlGolden:
+    def test_detect_outliers_stl_5_rows_golden(self):
+        # reference test_api_catch.py:60-72: the API's detect_outliers_stl
+        # on (ID=[1..5], Value=[10,12,14,100,15]) returns exactly the row
+        # with Value 100 (5 rows -> IQR fallback inside the dispatcher)
+        df = pd.DataFrame({"ID": [1, 2, 3, 4, 5],
+                           "Value": [10, 12, 14, 100, 15]})
+        df["ID"] = pd.to_datetime(df["ID"])
+        out = compat.detect_outliers_stl(df)
+        assert isinstance(out, pd.DataFrame)
+        records = out.reset_index(drop=True).to_dict(orient="records")
+        assert len(records) == 1
+        assert records[0]["Value"] == 100.0
+        ts = pd.Timestamp(records[0]["ID"])
+        assert ts.strftime("%Y-%m-%dT%H:%M:%S") == "1970-01-01T00:00:00"
