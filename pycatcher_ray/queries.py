@@ -311,6 +311,74 @@ SELECT count(*) AS n_dup_pairs FROM (
 """
 
 
+def sliding_avg_3h(sf_dir: str):
+    """Sliding-window aggregate: 3-hour trailing mean over each source's
+    hourly sums (windowed-aggregate operator; per-source pandas rolling
+    inside map_groups, window-function oracle)."""
+    roll = _events_rollup(sf_dir, "1h")
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start")
+        out = pd.DataFrame(
+            {
+                "source": g["event_type"],
+                "bucket_start": g["bucket_start"],
+                "sliding_avg": g["sum_value"].rolling(3, min_periods=1)
+                .mean().round(4),
+            }
+        )
+        return out
+
+    return roll.groupby("event_type").map_groups(slide, batch_format="pandas")
+
+
+_SLIDING_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_start,
+       round(avg(v) OVER (
+           PARTITION BY source ORDER BY bucket_start
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+FROM r
+"""
+
+
+def approx_users_by_type(sf_dir: str):
+    """Approximate distinct users per event_type via mergeable HLL
+    sketches: one serialized sketch per batch, merged in a tiny final
+    stage (the sketch shape for count-distinct at 10^12 scale).
+    Rows-only driver check; ±5%-of-exact asserted in pytest."""
+    from .functions.hll import HLL
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in batch.groupby("event_type"):
+            h = HLL().add_many(g["user_id"].to_numpy())
+            rows.append({"source": src, "sketch": h.to_bytes()})
+        return pd.DataFrame(rows)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        h = HLL.from_bytes(g["sketch"].iloc[0])
+        for blob in g["sketch"].iloc[1:]:
+            h.merge(HLL.from_bytes(blob))
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]],
+             "approx_users": [int(round(h.estimate()))]}
+        )
+
+    return ds.map_batches(sketch_batch, batch_format="pandas").groupby(
+        "source"
+    ).map_groups(merge_group, batch_format="pandas")
+
+
 # ----------------------------------------------------- documents queries
 
 
@@ -1020,6 +1088,8 @@ def queries():
         "duplicate_buckets": duplicate_buckets,
         "session_windows": session_windows,
         "distinct_users_by_type": distinct_users_by_type,
+        "approx_users_by_type": approx_users_by_type,
+        "sliding_avg_3h": sliding_avg_3h,
         "doc_text_stats": doc_text_stats,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
@@ -1062,6 +1132,7 @@ def oracles():
         "duplicate_buckets": _DUP_ORACLE,
         "session_windows": _SESSION_ORACLE,
         "distinct_users_by_type": _DISTINCT_ORACLE,
+        "sliding_avg_3h": _SLIDING_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,

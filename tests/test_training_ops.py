@@ -222,3 +222,39 @@ class TestANN:
         c1 = kmeans_fit(x, 4, seed=3)
         c2 = kmeans_fit(x, 4, seed=3)
         np.testing.assert_array_equal(c1, c2)
+
+
+class TestHLL:
+    def test_estimate_accuracy(self):
+        from pycatcher_ray.functions.hll import HLL
+
+        rng = np.random.default_rng(0)
+        vals = rng.integers(0, 10**12, 50_000)
+        exact = len(set(vals.tolist()))
+        est = HLL().add_many(vals).estimate()
+        assert abs(est - exact) / exact < 0.05
+
+    def test_merge_equals_union(self):
+        from pycatcher_ray.functions.hll import HLL
+
+        a = HLL().add_many(range(0, 30_000))
+        b = HLL().add_many(range(20_000, 60_000))
+        merged = a.merge(b)
+        assert abs(merged.estimate() - 60_000) / 60_000 < 0.05
+
+    def test_round_trip_bytes(self):
+        from pycatcher_ray.functions.hll import HLL
+
+        a = HLL().add_many(range(1000))
+        b = HLL.from_bytes(a.to_bytes())
+        assert a.estimate() == b.estimate()
+
+    def test_query_within_5pct_of_exact(self, ray_session):
+        from pycatcher_ray.queries import approx_users_by_type, distinct_users_by_type
+
+        sf = "/root/testdata/sf0.01"
+        approx = approx_users_by_type(sf).to_pandas().set_index("source")
+        exact = distinct_users_by_type(sf).to_pandas().set_index("source")
+        for src in exact.index:
+            e, a = exact.loc[src, "n_users"], approx.loc[src, "approx_users"]
+            assert abs(a - e) / e < 0.05, (src, e, a)
