@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the invariant-critical kernels:
+Gorilla round-trip over arbitrary series, checksum sensitivity, rolling
+mean vs pandas, quantiles vs numpy, gap-fill grid density, HLL merge
+commutativity."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pycatcher_ray.functions.gorilla import decode_chunk, encode_chunk
+from pycatcher_ray.functions.stats import quantile_linear, rolling_mean
+
+
+def _ts_strategy():
+    return st.lists(
+        st.integers(min_value=-2**40, max_value=2**40), min_size=1, max_size=200
+    )
+
+
+float_vals = st.floats(
+    allow_nan=True, allow_infinity=True, width=64
+)
+
+
+class TestGorillaProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(deltas=_ts_strategy(), vals=st.lists(float_vals, min_size=1,
+                                                max_size=200))
+    def test_round_trip_any_series(self, deltas, vals):
+        n = min(len(deltas), len(vals))
+        ts = np.cumsum(np.asarray(deltas[:n], dtype=np.int64))
+        values = np.asarray(vals[:n], dtype=np.float64)
+        t2, v2 = decode_chunk(encode_chunk(ts, values))
+        np.testing.assert_array_equal(ts, t2)
+        # bit-exact equality incl. NaN payloads and signed zeros
+        np.testing.assert_array_equal(values.view(np.uint64),
+                                      v2.view(np.uint64))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=1, max_value=500))
+    def test_constant_series_compresses(self, n):
+        ts = np.arange(n, dtype=np.int64) * 60
+        vals = np.full(n, 7.25)
+        blob = encode_chunk(ts, vals)
+        assert len(blob) <= 8 + 16 + n // 2 + 2  # ~2 bits/point after first
+
+
+class TestChecksumProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.lists(st.integers(0, 2**31 - 2), min_size=0,
+                             max_size=30), min_size=1, max_size=30))
+    def test_permutation_sensitivity(self, rows):
+        import pyarrow as pa
+
+        from pycatcher_ray.stages.ingest import _tokens_checksum
+
+        arr = pa.array(rows, type=pa.list_(pa.int32()))
+        base = _tokens_checksum(arr)
+        # same data -> same checksum
+        np.testing.assert_array_equal(base, _tokens_checksum(arr))
+        # reversing a row with >=2 distinct tokens changes its checksum
+        for i, r in enumerate(rows):
+            if len(set(r)) >= 2:
+                mutated = list(rows)
+                mutated[i] = list(reversed(r))
+                arr2 = pa.array(mutated, type=pa.list_(pa.int32()))
+                assert _tokens_checksum(arr2)[i] != base[i]
+                break
+
+
+class TestStatsProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2,
+                 max_size=100),
+        st.integers(min_value=1, max_value=10),
+    )
+    def test_rolling_mean_matches_pandas(self, vals, w):
+        x = np.asarray(vals)
+        got = rolling_mean(x, w)
+        want = pd.Series(x).rolling(w).mean().to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True, rtol=1e-9,
+                                   atol=1e-9)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.floats(-1e9, 1e9, allow_nan=False), min_size=1,
+                    max_size=200),
+           st.floats(0.0, 1.0, allow_nan=False))
+    def test_quantile_matches_numpy(self, vals, q):
+        x = np.asarray(vals)
+        assert quantile_linear(x, q) == np.quantile(x, q)
+
+
+class TestHLLProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 10**9), min_size=1, max_size=500),
+           st.lists(st.integers(0, 10**9), min_size=1, max_size=500))
+    def test_merge_commutes(self, a_vals, b_vals):
+        from pycatcher_ray.functions.hll import HLL
+
+        ab = HLL().add_many(a_vals).merge(HLL().add_many(b_vals))
+        ba = HLL().add_many(b_vals).merge(HLL().add_many(a_vals))
+        np.testing.assert_array_equal(ab.registers, ba.registers)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 10**6), min_size=1, max_size=300))
+    def test_small_cardinality_near_exact(self, vals):
+        from pycatcher_ray.functions.hll import HLL
+
+        exact = len(set(vals))
+        est = HLL().add_many(vals).estimate()
+        # linear-counting regime: tight even for tiny sets
+        assert abs(est - exact) <= max(2, 0.05 * exact)
