@@ -3,7 +3,7 @@
 from .boxcox import boxcox, boxcox_mle_lambda, boxcox_transform, inv_boxcox
 from .decompose import DecomposeResult, seasonal_decompose, select_model_ssacf
 from .esd import esd_critical_value, generalized_esd, seasonal_esd
-from .gorilla import decode_chunk, encode_chunk
+from .gorilla import decode_chunk, encode_chunk, encode_chunk_vectorized
 from .moving_average import (
     moving_average_outlier_mask,
     optimal_window_size,
@@ -31,7 +31,7 @@ __all__ = [
     "boxcox", "boxcox_mle_lambda", "boxcox_transform", "inv_boxcox",
     "DecomposeResult", "seasonal_decompose", "select_model_ssacf",
     "esd_critical_value", "generalized_esd", "seasonal_esd",
-    "decode_chunk", "encode_chunk",
+    "decode_chunk", "encode_chunk", "encode_chunk_vectorized",
     "moving_average_outlier_mask", "optimal_window_size",
     "rmse_for_window", "time_series_split",
     "MonteCarloShapiro", "shapiro", "shapiro_w",

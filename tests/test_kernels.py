@@ -294,3 +294,33 @@ class TestGorilla:
         t2, v2 = decode_chunk(encode_chunk(np.array([], dtype=np.int64),
                                            np.array([], dtype=np.float64)))
         assert t2.size == 0 and v2.size == 0
+
+
+class TestGorillaVectorized:
+    def test_round_trip_matches_decoder(self):
+        from pycatcher_ray.functions.gorilla import (
+            decode_chunk,
+            encode_chunk_vectorized,
+        )
+
+        rng = np.random.default_rng(5)
+        ts = np.cumsum(rng.integers(1, 5000, 3000)).astype(np.int64)
+        vals = np.cumsum(rng.standard_normal(3000))
+        vals[10] = np.nan
+        vals[20] = -0.0
+        t2, v2 = decode_chunk(encode_chunk_vectorized(ts, vals))
+        np.testing.assert_array_equal(ts, t2)
+        np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+    def test_size_within_10pct_of_sequential(self):
+        from pycatcher_ray.functions.gorilla import (
+            encode_chunk,
+            encode_chunk_vectorized,
+        )
+
+        rng = np.random.default_rng(6)
+        ts = np.arange(5000, dtype=np.int64) * 60
+        vals = np.cumsum(rng.standard_normal(5000))
+        a = len(encode_chunk(ts, vals))
+        b = len(encode_chunk_vectorized(ts, vals))
+        assert b <= 1.10 * a
