@@ -311,6 +311,54 @@ SELECT count(*) AS n_dup_pairs FROM (
 """
 
 
+def asof_join_features(sf_dir: str):
+    """As-of join: each event is joined to the LATEST hourly rollup
+    bucket with bucket_start <= ts for its key (lag-feature attachment).
+    Small side (the hourly rollup) is broadcast; per-batch
+    ``pd.merge_asof`` sorted by ts — the broadcast as-of-join pattern
+    for a dimension-sized right side; at matched scale both sides
+    bucket by key+time range and merge_asof per bucket.  Oracle uses
+    DuckDB's native ASOF JOIN."""
+    import ray
+
+    roll = _events_rollup(sf_dir, "1h").to_pandas()
+    roll = roll.rename(columns={"event_type": "source"})[
+        ["source", "bucket_start", "sum_value"]
+    ].sort_values("bucket_start")
+    roll["sum_value"] = roll["sum_value"].round(4)
+    roll_ref = ray.put(roll)
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "ts"],
+    )
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(roll_ref)
+        left = batch.rename(columns={"event_type": "source"}).sort_values("ts")
+        out = pd.merge_asof(
+            left, r, left_on="ts", right_on="bucket_start", by="source",
+            direction="backward", allow_exact_matches=True,
+        )
+        return out.rename(columns={"bucket_start": "asof_bucket",
+                                   "sum_value": "asof_hour_sum"})
+
+    return ds.map_batches(join, batch_format="pandas", batch_size=8192)
+
+
+_ASOF_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type AS source, e.ts,
+       r.bucket_start AS asof_bucket, r.sum_value AS asof_hour_sum
+FROM events e ASOF JOIN r
+  ON e.event_type = r.source AND e.ts >= r.bucket_start
+"""
+
+
 def sliding_avg_3h(sf_dir: str):
     """Sliding-window aggregate: 3-hour trailing mean over each source's
     hourly sums (windowed-aggregate operator; per-source pandas rolling
@@ -1090,6 +1138,7 @@ def queries():
         "distinct_users_by_type": distinct_users_by_type,
         "approx_users_by_type": approx_users_by_type,
         "sliding_avg_3h": sliding_avg_3h,
+        "asof_join_features": asof_join_features,
         "doc_text_stats": doc_text_stats,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
@@ -1133,6 +1182,7 @@ def oracles():
         "session_windows": _SESSION_ORACLE,
         "distinct_users_by_type": _DISTINCT_ORACLE,
         "sliding_avg_3h": _SLIDING_ORACLE,
+        "asof_join_features": _ASOF_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
