@@ -528,3 +528,50 @@ class TestApiStlGolden:
         assert records[0]["Value"] == 100.0
         ts = pd.Timestamp(records[0]["ID"])
         assert ts.strftime("%Y-%m-%dT%H:%M:%S") == "1970-01-01T00:00:00"
+
+
+class TestMonteCarloGateSemantics:
+    """Pin the reference's counterintuitive gate (catch.py:1153-1162):
+    monte_carlo_test(..., alternative='greater') yields p ≈ 1 for
+    NON-normal residuals (z-score branch) and small/moderate p for
+    normal ones — the opposite direction of a plain Shapiro p."""
+
+    def test_non_normal_residuals_take_zscore_branch(self):
+        rng = np.random.default_rng(0)
+        data = rng.exponential(size=300)  # clearly non-normal
+        _stat, p = compat.check_normal_distribution_monte_carlo(data)
+        assert p > 0.05  # reference: p>alpha -> z-score branch
+
+    def test_very_normal_residuals_can_take_mad_branch(self):
+        # observed W above the null's 95th percentile => p <= 0.05;
+        # perfectly symmetric quantile-spaced data is "more normal" than
+        # random normal samples
+        from pycatcher_ray.functions.special import norm_ppf
+
+        data = norm_ppf((np.arange(1, 200) / 200.0))
+        _stat, p = compat.check_normal_distribution_monte_carlo(data)
+        assert p <= 0.05
+
+    def test_generate_outliers_stl_flags_spike(self):
+        np.random.seed(42)
+        n = 336  # 2 weeks hourly
+        vals = 100 + 10 * np.sin(2 * np.pi * np.arange(n) / 24) + np.random.uniform(0, 2, n)
+        vals[100] = 500.0
+        df = pd.DataFrame(
+            {"date": pd.date_range("2024-01-01", periods=n, freq="h"),
+             "value": vals}
+        )
+        out = compat.generate_outliers_stl(df, "additive", seasonal=25, period=24)
+        assert 500.0 in out["value"].values
+
+    def test_generate_outliers_mstl_flags_spike(self):
+        np.random.seed(42)
+        n = 720
+        vals = 100 + 10 * np.sin(2 * np.pi * np.arange(n) / 24) + np.random.uniform(0, 2, n)
+        vals[300] = 500.0
+        df = pd.DataFrame(
+            {"date": pd.date_range("2024-01-01", periods=n, freq="h"),
+             "value": vals}
+        )
+        out = compat.generate_outliers_mstl(df, "additive", period=(24, 168))
+        assert 500.0 in out["value"].values
