@@ -50,15 +50,20 @@ def _ols(X: np.ndarray, y: np.ndarray):
     return beta, resid, se, sigma2
 
 
-def _adf_regression(y: np.ndarray, k: int):
+def _adf_regression(y: np.ndarray, k: int, start: int | None = None):
+    """ADF OLS at lag k.  ``start`` fixes the first usable diff index so
+    candidate-lag regressions can share one sample (statsmodels holds the
+    sample at the maxlag-trimmed length during AIC selection — AICs fit
+    on different sample sizes are not comparable)."""
     dy = np.diff(y)
     n = dy.size
-    rows = n - k
-    X_cols = [np.ones(rows), y[k:-1]]
+    s = k if start is None else start
+    rows = n - s
+    X_cols = [np.ones(rows), y[s:-1]]
     for i in range(1, k + 1):
-        X_cols.append(dy[k - i : n - i])
+        X_cols.append(dy[s - i : n - i])
     X = np.column_stack(X_cols)
-    yy = dy[k:]
+    yy = dy[s:]
     beta, resid, se, sigma2 = _ols(X, yy)
     tstat = beta[1] / se[1]
     nobs = rows
@@ -77,9 +82,12 @@ def adf_test(x: np.ndarray, maxlag: int | None = None) -> dict:
         maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
         maxlag = min(maxlag, (n - 1) // 2 - 2)
         maxlag = max(maxlag, 0)
+    # lag selection on a FIXED maxlag-trimmed sample (same rows for every
+    # candidate k, so the AICs are comparable), then refit the winner on
+    # its full usable sample — statsmodels adfuller's procedure
     best = None
     for k in range(maxlag + 1):
-        tstat, aic, _ = _adf_regression(y, k)
+        _t, aic, _ = _adf_regression(y, k, start=maxlag)
         if best is None or aic < best[1]:
             best = (k, aic)
     k = best[0]

@@ -31,8 +31,12 @@ def add_chunk_id(ds, bucket_seconds: int, chunk_buckets: int):
         epoch = batch["bucket_start"].cast(pa.int64())
         unit = batch.schema.field("bucket_start").type.unit
         div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
-        epoch_s = pc.divide(epoch, div)
-        cid = pc.divide(epoch_s, window)
+        # floor (not truncate-toward-zero) so pre-1970 timestamps land in
+        # the chunk window below, matching bucket_column's floor semantics
+        divisor = window * div
+        adj = pc.if_else(pc.less(epoch, 0),
+                         pc.subtract(epoch, divisor - 1), epoch)
+        cid = pc.divide(adj, divisor)
         return batch.append_column("chunk_id", pc.cast(cid, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

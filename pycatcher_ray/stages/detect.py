@@ -110,13 +110,18 @@ def detect_series(
             if np.nanmin(values) > 0:
                 transformed, lam = boxcox(values)
                 res_mul = fit(transformed)
-                resid_mul = inv_boxcox(res_mul.resid, lam)
             else:
-                resid_mul = None
+                res_mul = None
             res_add = fit(values)
-            resid = res_add.resid
-            if resid_mul is not None and np.var(resid_mul) <= np.var(resid):
-                resid = resid_mul
+            # reference quirk (catch.py:1084, mirrored in compat
+            # detect_outliers_stl_extended): the MULTIPLICATIVE model is
+            # chosen when its transformed-scale residual variance is
+            # HIGHER than additive's; its residuals are then
+            # back-transformed for flagging (catch.py:1139)
+            if res_mul is not None and np.var(res_mul.resid) > np.var(res_add.resid):
+                resid = inv_boxcox(res_mul.resid, lam)
+            else:
+                resid = res_add.resid
         except Exception:
             return
         clean = resid[~np.isnan(resid)]

@@ -49,14 +49,20 @@ def bucket_column(ts: pa.ChunkedArray | pa.Array, bucket_seconds):
     unit = _UNIT_FOR_SECONDS.get(bucket_seconds)
     if unit is not None:
         return pc.floor_temporal(ts, unit=unit)
-    # arbitrary width: integer arithmetic on epoch seconds
-    secs = ts.cast(pa.int64())  # timestamps cast to epoch in their unit
+    # arbitrary width: integer arithmetic on the raw epoch value.  Arrow's
+    # integer divide truncates toward zero, which would round pre-1970
+    # (negative-epoch) timestamps UP into the wrong bucket; shifting
+    # negatives down by (divisor-1) first turns truncation into floor
+    # division without leaving int64 (float floor would lose ns precision).
+    raw = ts.cast(pa.int64())  # timestamps cast to epoch in their unit
     unit_div = {"s": 1, "ms": 1000, "us": 1_000_000, "ns": 1_000_000_000}[
         ts.type.unit
     ]
-    epoch_s = pc.divide(secs, unit_div)
-    floored = pc.multiply(pc.divide(epoch_s, bucket_seconds), bucket_seconds)
-    return pc.multiply(floored, unit_div).cast(ts.type)
+    divisor = bucket_seconds * unit_div
+    adj = pc.if_else(
+        pc.less(raw, 0), pc.subtract(raw, divisor - 1), raw
+    )
+    return pc.multiply(pc.divide(adj, divisor), divisor).cast(ts.type)
 
 
 def _partial(batch: pa.Table, key_col: str, ts_col: str, value_col: str,

@@ -575,3 +575,57 @@ class TestMonteCarloGateSemantics:
         )
         out = compat.generate_outliers_mstl(df, "additive", period=(24, 168))
         assert 500.0 in out["value"].values
+
+
+class TestPandasFreqAliasQuirk:
+    """pandas >= 2.2 renamed the month/quarter/year-end freq aliases to
+    'ME'/'QE'/'YE' (SURVEY.md quirks; catch.py:549 predates the rename).
+    The compat layer must collapse the new aliases to the reference's
+    literal tokens so routing and freq_to_period stay identical."""
+
+    @pytest.mark.parametrize("new,old", [
+        ("ME", "M"), ("QE", "Q"), ("YE", "A"), ("Y", "A"), ("h", "H"),
+        ("ME-JAN", "M"), ("QE-DEC", "Q"), ("BME", "M"),
+    ])
+    def test_alias_normalization(self, new, old):
+        assert compat._normalized_freq(new) == old
+
+    @pytest.mark.parametrize("freq", ["ME", "QE"])
+    def test_end_anchored_freq_routes_decompose(self, freq, monkeypatch):
+        # month-end/quarter-end date_range infers 'ME'/'QE' on pandas>=2.2;
+        # >= 2 years of them must still take the seasonal-decompose route
+        n = {"ME": 36, "QE": 12}[freq]
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2020-01-31", periods=n, freq=freq),
+                "value": np.random.default_rng(0).normal(100, 10, n),
+            }
+        )
+        assert pd.infer_freq(pd.DatetimeIndex(df["date"])).startswith(freq)
+        called = {}
+        monkeypatch.setattr(
+            compat, "decompose_and_detect",
+            lambda d, period=None: called.setdefault("hit", True)
+            and pd.DataFrame(),
+        )
+        compat.detect_outliers_classic(df)
+        assert called.get("hit")
+
+    def test_year_end_routes_iqr_like_reference_A(self, monkeypatch):
+        # 'YE' normalizes to 'A', which is not in the decompose table
+        # (catch.py:552-571 routes only D/B/MS/Q/week), so 24 yearly
+        # points take the IQR fallback — same outcome as the reference,
+        # where inferred 'YE' matches the week regex but 24 < 104
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2000-12-31", periods=24, freq="YE"),
+                "value": np.random.default_rng(1).normal(100, 10, 24),
+            }
+        )
+        called = {}
+        monkeypatch.setattr(
+            compat, "detect_outliers_iqr",
+            lambda d: called.setdefault("hit", True) and "No outliers found.",
+        )
+        compat.detect_outliers_classic(df)
+        assert called.get("hit")

@@ -324,3 +324,43 @@ class TestGorillaVectorized:
         a = len(encode_chunk(ts, vals))
         b = len(encode_chunk_vectorized(ts, vals))
         assert b <= 1.10 * a
+
+
+class TestBucketFloorSemantics:
+    """Integer bucketing must FLOOR, not truncate toward zero, so
+    pre-1970 (negative-epoch) timestamps land in the bucket below."""
+
+    def test_negative_epoch_arbitrary_width(self):
+        import pyarrow as pa
+
+        from pycatcher_ray.stages.rollup import bucket_column
+
+        # 300s buckets (not a floor_temporal unit -> integer path)
+        ts = pa.array(
+            [-601, -600, -599, -1, 0, 1, 299, 300], type=pa.timestamp("s")
+        )
+        got = bucket_column(ts, 300).cast(pa.int64()).to_pylist()
+        assert got == [-900, -600, -600, -300, 0, 0, 0, 300]
+
+    def test_negative_epoch_subsecond_unit(self):
+        import pyarrow as pa
+
+        from pycatcher_ray.stages.rollup import bucket_column
+
+        ts = pa.array([-60_500, -59_999, 500], type=pa.timestamp("ms"))
+        got = bucket_column(ts, 300).cast(pa.int64()).to_pylist()
+        # -60.5s floors to bucket -300s; -59.999s too; 0.5s to bucket 0
+        assert got == [-300_000, -300_000, 0]
+
+    def test_negative_epoch_chunk_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pycatcher_ray.stages.compress import add_chunk_id
+
+        t = pa.table(
+            {"bucket_start": pa.array([-86_400, -1, 0, 86_399, 86_400],
+                                      type=pa.timestamp("s"))}
+        )
+        out = add_chunk_id(rd.from_arrow(t), 60, 1440).to_pandas()
+        assert out["chunk_id"].tolist() == [-1, -1, 0, 0, 1]
