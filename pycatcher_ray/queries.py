@@ -195,15 +195,18 @@ WHERE r.v <> med.m AND abs(0.6745 * (r.v - med.m) / madt.mad) > 3.5
 def latest_iqr_flag_1h(sf_dir: str):
     """Latest flagged bucket per source (sort-and-limit per key,
     SURVEY.md §2.1 #21-22)."""
+    from .stages.shard import sharded_map_groups
+
     flags = _flags(sf_dir, "1h", "iqr")
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start")
-        return g.tail(1)[["source", "bucket_start", "value"]].rename(
+    def latest_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "bucket_start"], kind="stable")
+        out = g.groupby("source", as_index=False, sort=False).tail(1)
+        return out[["source", "bucket_start", "value"]].rename(
             columns={"bucket_start": "last_flag_bucket"}
         )
 
-    return flags.groupby("source").map_groups(latest, batch_format="pandas")
+    return sharded_map_groups(flags, "source", latest_per_source)
 
 
 _LATEST_IQR_ORACLE = """
@@ -363,21 +366,27 @@ def sliding_avg_3h(sf_dir: str):
     """Sliding-window aggregate: 3-hour trailing mean over each source's
     hourly sums (windowed-aggregate operator; per-source pandas rolling
     inside map_groups, window-function oracle)."""
+    from .stages.shard import sharded_map_groups
+
     roll = _events_rollup(sf_dir, "1h")
 
-    def slide(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start")
-        out = pd.DataFrame(
+    def slide_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # all sources in the shard at once: one sort + one grouped rolling
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        avg = (
+            g.groupby("event_type", sort=False)["sum_value"]
+            .rolling(3, min_periods=1).mean()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
             {
-                "source": g["event_type"],
-                "bucket_start": g["bucket_start"],
-                "sliding_avg": g["sum_value"].rolling(3, min_periods=1)
-                .mean().round(4),
+                "source": g["event_type"].to_numpy(),
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "sliding_avg": avg.round(4).to_numpy(),
             }
         )
-        return out
 
-    return roll.groupby("event_type").map_groups(slide, batch_format="pandas")
+    return sharded_map_groups(roll, "event_type", slide_shard)
 
 
 _SLIDING_ORACLE = """
@@ -439,23 +448,29 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "value"],
     )
+    from .stages.shard import sharded_map_groups
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = g["ts"].diff() > gap
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # every user in the shard in one vectorized pass: sort by
+        # (user, ts); a session break is a >gap diff OR a user boundary,
+        # so one cumsum numbers all sessions across all users
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
         sid = new_session.cumsum()
         out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
             sum_value=("value", "sum"),
         ).reset_index(drop=True)
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = out["sum_value"].round(4)
         return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sharded_map_groups(ds, "user_id", sessions_shard)
 
 
 _SESSION_ORACLE = """
@@ -939,15 +954,18 @@ def stratified_sample_events(sf_dir: str, n_per_key: int = 5):
         columns=["event_type", "event_id", "ts", "value"],
     )
 
-    def head_n(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(n_per_key)
+    from .stages.shard import sharded_map_groups
+
+    def head_n_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"], kind="stable")
+        g = g.groupby("event_type", sort=False).head(n_per_key)
         out = g[["event_type", "event_id", "ts"]].rename(
             columns={"event_type": "source"}
         )
         out["value"] = g["value"].round(4)
         return out
 
-    return ds.groupby("event_type").map_groups(head_n, batch_format="pandas")
+    return sharded_map_groups(ds, "event_type", head_n_shard)
 
 
 _STRATIFIED_ORACLE = """
@@ -1053,25 +1071,28 @@ def stationarity_by_source(sf_dir: str):
     """Per-source ADF/KPSS stationarity verdicts over the hourly series
     (diagnostics.py:262-319 as a distributed map_groups stage)."""
     from .functions.stationarity import stationarity_verdict
+    from .stages.shard import sharded_map_groups
 
     roll = _events_rollup(sf_dir, "1h")
 
-    def per_series(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start")
-        v = stationarity_verdict(g["sum_value"].to_numpy())
-        return pd.DataFrame([
-            {
-                "source": g["event_type"].iloc[0],
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # per-series ADF/KPSS math is inherently whole-series; the shard
+        # grouping only removes Ray's per-key group dispatch
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        rows = []
+        for src, grp in g.groupby("event_type", sort=False):
+            v = stationarity_verdict(grp["sum_value"].to_numpy())
+            rows.append({
+                "source": src,
                 "adf_stat": round(v["adf_stat"], 6),
                 "adf_p": round(v["adf_p"], 6),
                 "kpss_stat": round(v["kpss_stat"], 6),
                 "kpss_p": round(v["kpss_p"], 6),
                 "stationary": bool(v["stationary"]),
-            }
-        ])
+            })
+        return pd.DataFrame(rows)
 
-    return roll.groupby("event_type").map_groups(per_series,
-                                                 batch_format="pandas")
+    return sharded_map_groups(roll, "event_type", per_shard)
 
 
 def stl_flags_1h(sf_dir: str):

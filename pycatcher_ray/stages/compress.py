@@ -43,31 +43,47 @@ def add_chunk_id(ds, bucket_seconds: int, chunk_buckets: int):
 
 
 def compress(rollup_ds, key_col: str, bucket_seconds: int, chunk_buckets: int,
-             value_col: str = "sum_value"):
-    """rollup tier → one Gorilla chunk row per (key, window)."""
+             value_col: str = "sum_value", num_shards: int = 64):
+    """rollup tier → one Gorilla chunk row per (key, window).
+
+    The exchange groups by ``hash(key, chunk_id) % num_shards``
+    (stages/shard.py), not one Ray group per chunk: the Gorilla encode
+    is per-chunk Python either way, but at 10^6 keys the per-group
+    dispatch would dominate.  Inside a shard, one sort + boundary scan
+    encodes every chunk."""
+    from .shard import sharded_map_groups
+
     with_id = add_chunk_id(rollup_ds, bucket_seconds, chunk_buckets)
 
-    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start")
-        ts = g["bucket_start"].astype("datetime64[s]").astype("int64").to_numpy()
-        vals = g[value_col].to_numpy(dtype=np.float64)
-        blob = encode_chunk(ts, vals)
-        return pd.DataFrame(
-            {
-                "key": [g[key_col].iloc[0]],
-                "chunk_id": [int(g["chunk_id"].iloc[0])],
-                "t0": [int(ts[0])],
-                "t1": [int(ts[-1])],
-                "n_points": [len(ts)],
-                "raw_bytes": [len(ts) * 16],
-                "chunk_bytes": [len(blob)],
-                "chunk": [blob],
-            }
-        )
+    def encode_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "chunk_id", "bucket_start"], kind="stable")
+        keys = g[key_col].to_numpy()
+        cids = g["chunk_id"].to_numpy()
+        ts_all = g["bucket_start"].astype("datetime64[s]").astype(
+            "int64").to_numpy()
+        vals_all = g[value_col].to_numpy(dtype=np.float64)
+        change = np.nonzero(
+            (keys[1:] != keys[:-1]) | (cids[1:] != cids[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        rows = {k: [] for k in ("key", "chunk_id", "t0", "t1", "n_points",
+                                "raw_bytes", "chunk_bytes", "chunk")}
+        for s, e in zip(starts, ends):
+            ts, vals = ts_all[s:e], vals_all[s:e]
+            blob = encode_chunk(ts, vals)
+            rows["key"].append(keys[s])
+            rows["chunk_id"].append(int(cids[s]))
+            rows["t0"].append(int(ts[0]))
+            rows["t1"].append(int(ts[-1]))
+            rows["n_points"].append(len(ts))
+            rows["raw_bytes"].append(len(ts) * 16)
+            rows["chunk_bytes"].append(len(blob))
+            rows["chunk"].append(blob)
+        return pd.DataFrame(rows)
 
-    return with_id.groupby([key_col, "chunk_id"]).map_groups(
-        encode_group, batch_format="pandas"
-    )
+    return sharded_map_groups(with_id, [key_col, "chunk_id"], encode_shard,
+                              num_shards=num_shards)
 
 
 def decompress_table(chunks: pd.DataFrame) -> pd.DataFrame:

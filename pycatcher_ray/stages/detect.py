@@ -36,45 +36,72 @@ from ..functions.stl import mstl, stl
 __all__ = ["pack_series", "DetectorActor", "detect", "detect_series"]
 
 
+def _fill_series(ts: np.ndarray, vals: np.ndarray, gapfill_method: str,
+                 bucket_seconds: int) -> tuple[np.ndarray, np.ndarray]:
+    """Densify one sorted series onto its regular bucket grid."""
+    grid = np.arange(ts[0], ts[-1] + bucket_seconds, bucket_seconds)
+    if grid.size == ts.size:
+        return ts, vals
+    dense = np.full(grid.size, np.nan)
+    dense[(ts - ts[0]) // bucket_seconds] = vals
+    if gapfill_method == "locf":
+        idx = np.maximum.accumulate(
+            np.where(~np.isnan(dense), np.arange(grid.size), 0)
+        )
+        dense = dense[idx]
+    else:  # linear
+        nans = np.isnan(dense)
+        dense[nans] = np.interp(grid[nans], grid[~nans], dense[~nans])
+    return grid, dense
+
+
 def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value",
                 gapfill_method: str | None = None,
-                bucket_seconds: int | None = None):
+                bucket_seconds: int | None = None,
+                num_shards: int = 64):
     """One row per key: (key, n, ts list<int64 epoch-s>, values list<f64>).
 
-    With ``gapfill_method`` set ('linear' | 'locf'), missing buckets are
-    filled INSIDE the same group pass — the detectors need a dense
-    regular grid, and fusing the fill here avoids a second full
-    groupby shuffle of the tier table (the standalone gapfill stage
-    remains for pipelines that persist the filled series)."""
+    The exchange groups by ``hash(key) % num_shards`` (stages/shard.py),
+    NOT one Ray group per key — at 10^6 sources a per-key groupby pays
+    ~0.3 ms of Python dispatch per series before any packing happens.
+    Inside a shard, one vectorized sort + boundary scan packs every
+    series with numpy slices.
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start")
-        ts = (g["bucket_start"].astype("datetime64[s]").astype("int64")).to_numpy()
-        vals = g[value_col].to_numpy(dtype=np.float64)
-        if gapfill_method and bucket_seconds and len(ts) > 1:
-            grid = np.arange(ts[0], ts[-1] + bucket_seconds, bucket_seconds)
-            if grid.size != ts.size:
-                dense = np.full(grid.size, np.nan)
-                dense[(ts - ts[0]) // bucket_seconds] = vals
-                if gapfill_method == "locf":
-                    idx = np.maximum.accumulate(
-                        np.where(~np.isnan(dense), np.arange(grid.size), 0)
-                    )
-                    dense = dense[idx]
-                else:  # linear
-                    nans = np.isnan(dense)
-                    dense[nans] = np.interp(grid[nans], grid[~nans], dense[~nans])
-                ts, vals = grid, dense
+    With ``gapfill_method`` set ('linear' | 'locf'), missing buckets are
+    filled INSIDE the same pass — the detectors need a dense regular
+    grid, and fusing the fill here avoids a second full groupby shuffle
+    of the tier table (the standalone gapfill stage remains for
+    pipelines that persist the filled series)."""
+    from .shard import sharded_map_groups
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "bucket_start"], kind="stable")
+        keys = g[key_col].to_numpy()
+        ts_all = (
+            g["bucket_start"].astype("datetime64[s]").astype("int64")
+        ).to_numpy()
+        vals_all = g[value_col].to_numpy(dtype=np.float64)
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(keys)]))
+        out_key, out_n, out_ts, out_vals = [], [], [], []
+        for s, e in zip(starts, ends):
+            ts, vals = ts_all[s:e], vals_all[s:e]
+            if gapfill_method and bucket_seconds and ts.size > 1:
+                ts, vals = _fill_series(ts, vals, gapfill_method,
+                                        bucket_seconds)
+            out_key.append(keys[s])
+            out_n.append(len(ts))
+            out_ts.append(ts)
+            out_vals.append(vals)
         return pd.DataFrame(
-            {
-                "key": [g[key_col].iloc[0]],
-                "n": [len(ts)],
-                "ts": [ts],
-                "values": [vals],
-            }
+            {"key": out_key, "n": out_n, "ts": out_ts, "values": out_vals}
         )
 
-    return rollup_ds.groupby(key_col).map_groups(pack, batch_format="pandas")
+    return sharded_map_groups(
+        rollup_ds.select_columns([key_col, "bucket_start", value_col]),
+        key_col, pack_shard, num_shards=num_shards,
+    )
 
 
 def detect_series(

@@ -1,0 +1,94 @@
+"""Hash-shard grouping utility — the bucketed ``map_groups`` pattern.
+
+Ray's ``groupby(key)`` pays Python dispatch per output group
+(~0.3 ms/group measured, NOTES_ROUND1.md): at 10^6 keys that is minutes
+of pure overhead before any work runs.  The fix used by the rollup's
+final combine (rollup.py ``_final_aggregate``) and the LSH pair stage
+(dedup.py) is generalized here: group by ``shard = hash(key) % B``
+instead, so the all-to-all exchange has only B groups, and each shard
+processes ALL of its keys with one vectorized pandas/pyarrow groupby.
+B bounds skew too — shards are hash-uniform in the number of DISTINCT
+keys regardless of per-key row counts (a hot key still lands in one
+shard, so pair B with per-batch partial aggregation when row-skew is
+the concern).
+
+Hashing is deterministic across processes (crc32, not PYTHONHASHSEED'd
+``hash``), and string columns are hashed once per DISTINCT value via
+dictionary encoding — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["shard_values", "with_shard", "sharded_map_groups"]
+
+_MASK = np.int64((1 << 62) - 1)
+_MIX = np.int64(1_000_003)
+
+
+def _col_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row int64 hash of one column (vectorized; strings hashed once
+    per distinct value through dictionary indices)."""
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (v * np.int64(2_654_435_761)) & _MASK
+    if pa.types.is_timestamp(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (v * np.int64(2_654_435_761)) & _MASK
+    dict_arr = pc.dictionary_encode(col)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    dictionary = dict_arr.dictionary.to_pylist()
+    dict_hashes = np.array(
+        [zlib.crc32(str(k).encode()) for k in dictionary], dtype=np.int64
+    )
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+    return dict_hashes[idx]
+
+
+def shard_values(batch: pa.Table, key_cols: list[str] | tuple[str, ...],
+                 num_shards: int) -> np.ndarray:
+    """int64 shard id per row from the combined key-column hash."""
+    h = np.zeros(len(batch), dtype=np.int64)
+    for c in key_cols:
+        h = (h * _MIX + _col_hashes(batch[c])) & _MASK
+    return h % num_shards
+
+
+def with_shard(ds, key_cols, num_shards: int = 64, col_name: str = "shard"):
+    """Append a deterministic ``shard`` column to a Dataset."""
+    cols = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            col_name, pa.array(shard_values(batch, cols, num_shards),
+                               type=pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int = 64,
+                       batch_format: str = "pandas"):
+    """``groupby(hash(key) % B).map_groups(shard_fn)``.
+
+    ``shard_fn`` receives one SHARD (all rows of every key hashing to
+    that shard, ``shard`` column removed) and must do its own vectorized
+    per-key grouping inside — the per-key work runs as pandas/pyarrow
+    kernels, not Ray group dispatch.
+    """
+    sharded = with_shard(ds, key_cols, num_shards)
+
+    if batch_format == "pandas":
+        def run(g):
+            return shard_fn(g.drop(columns=["shard"]))
+    else:
+        def run(g):
+            return shard_fn(g.drop_columns(["shard"]))
+
+    return sharded.groupby("shard").map_groups(run, batch_format=batch_format)
