@@ -125,7 +125,10 @@ _ROLLUP_MONTH_ORACLE = _ROLLUP_ORACLE.format(unit="month")
 def _flags(sf_dir: str, tier: str, method: str):
     """Run the detector actor-pool stage with one method over the events
     rollup; emit (source, bucket_start, value) flag rows."""
-    cfg = EngineConfig(detect_concurrency=2, detect_batch_series=4)
+    from .config import auto_concurrency
+
+    cfg = EngineConfig(detect_concurrency=auto_concurrency(cap=8),
+                       detect_batch_series=4)
     roll = _events_rollup(sf_dir, tier)
     flags = detect(roll, "event_type", tier=tier, cfg=cfg, methods=(method,))
     out = flags.select_columns(["key", "bucket_start", "value"]).rename_columns(
@@ -249,8 +252,10 @@ def iqr_flags_enriched_1h(sf_dir: str):
     ).to_pandas().set_index("event_type")
     stats_ref = ray.put(stats)
 
+    from .config import auto_concurrency
+
     flags = detect(roll, "event_type", tier="1h",
-                   cfg=EngineConfig(detect_concurrency=2),
+                   cfg=EngineConfig(detect_concurrency=auto_concurrency(cap=8)),
                    methods=("iqr",))
 
     def enrich(batch: pd.DataFrame) -> pd.DataFrame:
@@ -615,8 +620,13 @@ _LANG_ORACLE = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
 
 def ann_topk(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k against the vec_id=0 embedding: broadcast
-    the query vector once, numpy matmul per Arrow batch, global
-    sort+limit.  The IVF/LSH-bucketed scale path partitions by coarse
+    the query vector once, numpy matmul per Arrow batch, then PER-BATCH
+    top-k partials so the final sort+limit sees at most
+    k × num_batches rows — a global sort of the scored corpus for k=10
+    would be an all-to-all exchange of every score.  The per-batch
+    selection uses the same total order (cos desc, vec_id asc) as the
+    final merge, so the global top-k is always contained in the
+    partials.  The IVF/LSH-bucketed scale path partitions by coarse
     cluster id instead of scanning (see stages docs)."""
     import pyarrow.parquet as pq
 
@@ -628,7 +638,7 @@ def ann_topk(sf_dir: str, k: int = 10):
 
     ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
 
-    def score(batch: pa.Table) -> pa.Table:
+    def score_topk(batch: pa.Table) -> pa.Table:
         emb = batch["embedding"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
@@ -636,12 +646,20 @@ def ann_topk(sf_dir: str, k: int = 10):
         mat = flat.reshape(len(batch), -1)
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(cos) > k:
+            # top-k under (cos desc, vec_id asc): lexsort keys are
+            # (-cos primary, id secondary), take the first k
+            order = np.lexsort((ids, -cos))[:k]
+        else:
+            order = np.arange(len(cos))
         return pa.table(
-            {"vec_id": batch["vec_id"], "cos_sim": pa.array(cos)}
+            {"vec_id": pa.array(ids[order]), "cos_sim": pa.array(cos[order])}
         )
 
-    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    partials = ds.map_batches(score_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    top = partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
     return _round_cols(top, ("cos_sim",))
 
 
@@ -884,6 +902,7 @@ def embedding_neardup_exact(sf_dir: str, threshold: float = 0.3):
     random embeddings (an all-empty Ray dataset has no schema to
     compare).  The corpus-scale LSH variant is embedding_neardup_lsh."""
     import pyarrow.parquet as pq
+    import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"])
@@ -895,11 +914,14 @@ def embedding_neardup_exact(sf_dir: str, threshold: float = 0.3):
         np.float64).reshape(len(ids), -1)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
+    # broadcast ONCE via the object store; closure-capturing the matrix
+    # would re-serialize it into every task
+    broadcast_ref = ray.put((ids, mat / norms[:, None]))
 
     ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
 
     def pairs(batch: pa.Table) -> pa.Table:
+        ids, unit = ray.get(broadcast_ref)
         bemb = batch["embedding"]
         if isinstance(bemb, pa.ChunkedArray):
             bemb = bemb.combine_chunks()
@@ -1063,8 +1085,10 @@ def stl_decomposition_1h(sf_dir: str):
                                   "trend", "seasonal", "resid")})
         return pd.concat(frames, ignore_index=True)
 
-    return packed.map_batches(decompose, batch_format="pandas",
-                              batch_size=4, concurrency=2, num_cpus=1)
+    from .config import auto_concurrency
+
+    return packed.map_batches(decompose, batch_format="pandas", batch_size=4,
+                              concurrency=auto_concurrency(cap=8), num_cpus=1)
 
 
 def stationarity_by_source(sf_dir: str):

@@ -118,8 +118,10 @@ def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                  "doc_id": doc_ids}
             )
 
+    from ..config import auto_concurrency
+
     return ds.map_batches(BandEmitter, batch_format="pandas", batch_size=2048,
-                          concurrency=2, num_cpus=1)
+                          concurrency=auto_concurrency(), num_cpus=1)
 
 
 def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64):
@@ -285,8 +287,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                     rows["sig"].append(sig)
             return pd.DataFrame(rows)
 
+    from ..config import auto_concurrency
+
     bands = docs_ds.map_batches(Emitter, batch_format="pandas",
-                                batch_size=2048, concurrency=2, num_cpus=1)
+                                batch_size=2048,
+                                concurrency=auto_concurrency(), num_cpus=1)
 
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

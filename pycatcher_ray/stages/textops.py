@@ -160,8 +160,10 @@ class Fingerprint:
 
 
 def _apply(ds, cls, **kwargs):
+    from ..config import auto_concurrency
+
     return ds.map_batches(cls, batch_format="pandas", batch_size=4096,
-                          concurrency=2, num_cpus=1, **kwargs)
+                          concurrency=auto_concurrency(), num_cpus=1, **kwargs)
 
 
 def text_stats(ds):
