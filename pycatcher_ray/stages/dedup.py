@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "verify_jaccard_pairs",
     "cluster_pairs",
+    "cluster_pairs_distributed",
     "minhash_dedup",
     "SimHasher",
     "simhash_pairs",
@@ -124,13 +125,23 @@ def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                           concurrency=auto_concurrency(), num_cpus=1)
 
 
-def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64):
+def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
+                        max_bucket: int = 256):
     """LSH buckets → unordered candidate pairs (doc_a < doc_b).
 
     The exchange groups by ``hash(band) % B`` (B small) rather than one
     Ray group per LSH bucket — Ray pays Python overhead per group, so
     millions of tiny buckets are processed as B vectorized pandas
-    groupbys instead (same bucketed-combine pattern as the rollup)."""
+    groupbys instead (same bucketed-combine pattern as the rollup).
+
+    **Bucket cap**: a bucket of b docs emits O(b²) pairs, so a
+    boilerplate-heavy corpus (10^5 docs sharing one band hash) would
+    explode.  Buckets above ``max_bucket`` members are SAMPLED down to
+    the first ``max_bucket`` ids in sorted order (deterministic) and the
+    drop is reported on stderr — near-exact duplicates that large are
+    the exact-dedup stage's job, and every sampled doc still pairs with
+    the bucket's canonical (minimum) ids, so the cluster seed survives.
+    """
 
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -141,12 +152,25 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        n_over, n_dropped = 0, 0
         for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
             ids = sorted(set(grp["doc_id"]))
+            if len(ids) > max_bucket:
+                n_over += 1
+                n_dropped += len(ids) - max_bucket
+                ids = ids[:max_bucket]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
+        if n_over:
+            import sys
+
+            print(
+                f"[lsh_candidate_pairs] capped {n_over} over-size band "
+                f"bucket(s) at {max_bucket} members ({n_dropped} doc slots "
+                "sampled out)", file=sys.stderr,
+            )
         df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
         # in-shard dedup of pairs surfaced by multiple bands
         return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
@@ -165,59 +189,224 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64):
     )
 
 
-def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3):
-    """Exact shingle-Jaccard verification of candidate pairs.
+def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3,
+                         num_shards: int = 64):
+    """Exact shingle-Jaccard verification of candidate pairs — fully
+    distributed; returns a Dataset of (doc_a, doc_b, jaccard).
 
-    The candidate set is small relative to the corpus (LSH-pruned), so
-    the texts for pair members are fetched via a broadcast dict of the
-    candidate doc ids only (semi-join pattern: broadcast the needed key
-    subset, not the corpus).
+    The candidate PAIRS never touch the driver.  Texts reach their pairs
+    via a distributed semi-join carried by two hash-sharded groupbys
+    (Ray Data has no join operator; union + sharded ``map_groups`` on
+    the join key is the equivalent exchange):
+
+    1. the candidate doc-id set (ids only — LSH-pruned, orders of
+       magnitude smaller than the texts) is broadcast to filter the
+       corpus scan and shingle just the needed docs;
+    2. pair rows exploded per side ∪ (doc_id, shingles) rows, sharded
+       groupby on the doc id attaches each doc's shingles to its pairs;
+    3. sharded groupby on (doc_a, doc_b) brings the two shingle sets of
+       a pair together and computes exact Jaccard.
     """
     import ray
 
-    pairs = pairs_ds.to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    needed = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts = (
-        docs_ds.map_batches(
-            lambda b: b[b["doc_id"].isin(needed)][["doc_id", "text"]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
-        .to_dict()
-    )
-    texts_ref = ray.put(texts)
+    from .shard import sharded_map_groups
 
-    @ray.remote
-    def verify(chunk: pd.DataFrame, ref):
-        t = ref
-        out = []
-        for da, db in zip(chunk["doc_a"], chunk["doc_b"]):
-            sa, sb = shingle_set(t.get(da, ""), k), shingle_set(t.get(db, ""), k)
+    _EMPTY = b""
+
+    # --- 1. candidate id set (ids only) for the corpus-side semi-join
+    id_parts = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": pd.unique(pd.concat([b["doc_a"], b["doc_b"]],
+                                           ignore_index=True))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if id_parts.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                          "doc_b": pd.Series([], dtype=object),
+                          "jaccard": pd.Series([], dtype=float)})
+        )
+    needed_ref = ray.put(set(id_parts["doc_id"]))
+
+    def shingle_needed(batch: pd.DataFrame) -> pd.DataFrame:
+        needed = ray.get(needed_ref)
+        sub = batch[batch["doc_id"].isin(needed)]
+        return pd.DataFrame(
+            {
+                "jk": sub["doc_id"].to_numpy(),
+                "doc_a": sub["doc_id"].to_numpy(),  # placeholder, unused
+                "doc_b": sub["doc_id"].to_numpy(),
+                # bytes, not array objects: a plain binary column shuffles
+                # through union+groupby without tensor-extension typing
+                "shingles": [shingle_set(t, k).tobytes() for t in sub["text"]],
+                "kind": np.ones(len(sub), dtype=np.int64),
+            }
+        )
+
+    doc_rows = docs_ds.map_batches(shingle_needed, batch_format="pandas")
+
+    def explode_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {
+                "jk": pd.concat([b["doc_a"], b["doc_b"]], ignore_index=True),
+                "doc_a": pd.concat([b["doc_a"], b["doc_a"]], ignore_index=True),
+                "doc_b": pd.concat([b["doc_b"], b["doc_b"]], ignore_index=True),
+                "shingles": [_EMPTY] * (2 * n),
+                "kind": np.zeros(2 * n, dtype=np.int64),
+            }
+        )
+
+    pair_rows = pairs_ds.map_batches(explode_pairs, batch_format="pandas")
+
+    # --- 2. attach each doc's shingles to its pair rows
+    def attach(shard: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_sh = [], [], []
+        for _jk, grp in shard.groupby("jk", sort=False):
+            data = grp[grp["kind"] == 1]
+            if data.empty:
+                continue
+            sh = data["shingles"].iloc[0]
+            for a, b_, kind in zip(grp["doc_a"], grp["doc_b"], grp["kind"]):
+                if kind == 0:
+                    out_a.append(a)
+                    out_b.append(b_)
+                    out_sh.append(sh)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "shingles": out_sh})
+
+    attached = sharded_map_groups(pair_rows.union(doc_rows), "jk", attach,
+                                  num_shards=num_shards)
+
+    # --- 3. bring the two sides of each pair together, exact Jaccard
+    def jaccard(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (a, b_), grp in shard.groupby(["doc_a", "doc_b"], sort=False):
+            if len(grp) != 2:
+                continue  # one side's doc missing or shingle-empty
+            sa = np.frombuffer(grp["shingles"].iloc[0], dtype=np.uint64)
+            sb = np.frombuffer(grp["shingles"].iloc[1], dtype=np.uint64)
             if sa.size == 0 or sb.size == 0:
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             jac = inter / (sa.size + sb.size - inter)
             if jac >= threshold:
-                out.append((da, db, jac))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+                rows.append((a, b_, jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    chunks = np.array_split(pairs, max(1, len(pairs) // 2000))
-    results = ray.get([verify.remote(c, texts_ref) for c in chunks])
-    return pd.concat(results, ignore_index=True) if results else pd.DataFrame(
-        {"doc_a": [], "doc_b": [], "jaccard": []}
-    )
+    return sharded_map_groups(attached, ["doc_a", "doc_b"], jaccard,
+                              num_shards=num_shards)
+
+
+def cluster_pairs_distributed(verified_ds, num_shards: int = 64,
+                              max_rounds: int = 16):
+    """Connected components over a verified-pair Dataset →
+    Dataset of (doc_id, cluster_id) — min-label propagation carried by
+    sharded groupby rounds, no driver union-find.
+
+    Each round: every node sends its current label along its edges
+    (union of edge rows keyed by source with label rows, sharded
+    groupby attaches the label), then a sharded groupby-min per
+    receiving node takes the smallest label seen (its own included).
+    Labels are monotonically non-increasing, so the fixed point is
+    connected components; rounds stop early when no label changes.
+    Near-dup components are small-diameter, so rounds ≪ max_rounds in
+    practice; labels are materialized per round (one row per candidate
+    node — LSH-pruned, far smaller than the corpus).
+    """
+    from .shard import sharded_map_groups
+
+    def both_dir(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([b["doc_a"], b["doc_b"]], ignore_index=True),
+                "dst": pd.concat([b["doc_b"], b["doc_a"]], ignore_index=True),
+            }
+        )
+
+    edges = verified_ds.map_batches(
+        both_dir, batch_format="pandas"
+    ).materialize()
+    # compact to a few blocks and right-size the shard count: the edge
+    # set is small (LSH-pruned + verified), and a round over hundreds of
+    # tiny blocks pays per-task overhead ~100x the actual work
+    n_edges = edges.count()
+    n_blocks = max(2, min(64, n_edges // 50_000 + 2))
+    eff_shards = max(4, min(num_shards, n_edges // 1_000 + 4))
+    edges = edges.repartition(n_blocks).materialize()
+
+    def init_labels(shard: pd.DataFrame) -> pd.DataFrame:
+        u = shard.drop_duplicates("src")
+        return pd.DataFrame({"node": u["src"].to_numpy(),
+                             "label": u["src"].to_numpy()})
+
+    labels = sharded_map_groups(edges, "src", init_labels,
+                                num_shards=eff_shards).repartition(
+        n_blocks).materialize()
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"jk": b["src"], "dst": b["dst"],
+             "label": b["src"],  # placeholder, kind 0 rows carry no label
+             "kind": np.zeros(len(b), dtype=np.int64)}
+        )
+
+    for _ in range(max_rounds):
+        def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+            # dst=self so a node's own label competes in the min below,
+            # and old_label rides along for change detection
+            return pd.DataFrame(
+                {"jk": b["node"], "dst": b["node"], "label": b["label"],
+                 "kind": np.ones(len(b), dtype=np.int64)}
+            )
+
+        msgs_in = edges.map_batches(tag_edges, batch_format="pandas").union(
+            labels.map_batches(tag_labels, batch_format="pandas")
+        )
+
+        def send(shard: pd.DataFrame) -> pd.DataFrame:
+            out_dst, out_label, out_kind = [], [], []
+            for _jk, grp in shard.groupby("jk", sort=False):
+                lab_rows = grp[grp["kind"] == 1]
+                if lab_rows.empty:
+                    continue
+                lab = lab_rows["label"].iloc[0]
+                for dst, kind in zip(grp["dst"], grp["kind"]):
+                    out_dst.append(dst)
+                    out_label.append(lab)
+                    out_kind.append(kind)  # kind 1 = the node's own label
+            return pd.DataFrame({"dst": out_dst, "label": out_label,
+                                 "kind": out_kind})
+
+        sent = sharded_map_groups(msgs_in, "jk", send, num_shards=eff_shards)
+
+        def take_min(shard: pd.DataFrame) -> pd.DataFrame:
+            g = shard.sort_values(["dst", "label"], kind="stable")
+            new = g.groupby("dst", sort=False)["label"].min()
+            own = g[g["kind"] == 1].set_index("dst")["label"]
+            out = pd.DataFrame({"node": new.index.to_numpy(),
+                                "label": new.to_numpy()})
+            out["changed"] = (new != own.reindex(new.index)).to_numpy()
+            return out
+
+        new_labels = sharded_map_groups(sent, "dst", take_min,
+                                        num_shards=eff_shards).repartition(
+            n_blocks).materialize()
+        n_changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.rename_columns({"label": "cluster_id", "node": "doc_id"})
 
 
 def cluster_pairs(verified: pd.DataFrame) -> pd.DataFrame:
-    """Connected components over verified pairs → (doc_id, cluster_id).
-
-    Min-label propagation; the verified pair set is the small output of
-    LSH+verification, so a driver-side loop over edges is bounded.  (At
-    full scale this becomes rounds of groupby-min over an edge Dataset —
-    same algorithm, distributed carrier.)
+    """Connected components over a SMALL verified-pair pandas frame →
+    (doc_id, cluster_id); driver-side union-find for driver-sized edge
+    sets (the distributed carrier is ``cluster_pairs_distributed``).
     """
     label: dict = {}
     for da, db in zip(verified["doc_a"], verified["doc_b"]):
@@ -240,13 +429,23 @@ def cluster_pairs(verified: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_dedup(docs_ds, num_perm: int = 128, bands: int = 32, k: int = 3,
-                  threshold: float = 0.7, seed: int = 42) -> pd.DataFrame:
+                  threshold: float = 0.7, seed: int = 42,
+                  max_bucket: int = 256) -> pd.DataFrame:
     """Full MinHash-LSH near-dup pipeline → (doc_id, cluster_id) for
-    every doc in a near-dup cluster (singletons omitted)."""
+    every doc in a near-dup cluster (singletons omitted).  Every stage
+    is distributed (capped LSH buckets, semi-join verification,
+    label-propagation clustering); only the final cluster table — one
+    row per near-dup doc — is collected."""
     band_rows = minhash_bands(docs_ds, num_perm, bands, k, seed)
-    cand = lsh_candidate_pairs(band_rows)
+    cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket)
     verified = verify_jaccard_pairs(cand, docs_ds, threshold, k)
-    return cluster_pairs(verified)
+    clustered = cluster_pairs_distributed(verified)
+    out = clustered.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    return out[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
 
 
 class SimHasher:
@@ -268,9 +467,12 @@ class SimHasher:
         return int(sig)
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3):
+def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     """Near-dup pairs by SimHash pigeonhole LSH: 4 bands of 16 bits —
-    any pair within Hamming distance 3 shares at least one band."""
+    any pair within Hamming distance 3 shares at least one band.
+    Band buckets above ``max_bucket`` members are deterministically
+    sampled down (same pair-explosion defense as lsh_candidate_pairs;
+    16-bit bands guarantee hot buckets at billions of docs)."""
 
     class Emitter:
         def __init__(self):
@@ -302,8 +504,12 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
+        n_over = 0
         for (_bid, _bv), grp in g.groupby(["band_id", "band_val"]):
-            uniq = grp.drop_duplicates("doc_id")
+            uniq = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(uniq) > max_bucket:
+                n_over += 1
+                uniq = uniq.head(max_bucket)
             ids = uniq["doc_id"].tolist()
             sigs = uniq["sig"].tolist()
             for i in range(len(ids)):
@@ -312,6 +518,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                     if ham <= max_hamming:
                         a, b = sorted((ids[i], ids[j]))
                         out.append((a, b, ham))
+        if n_over:
+            import sys
+
+            print(f"[simhash_pairs] capped {n_over} over-size band "
+                  f"bucket(s) at {max_bucket} members", file=sys.stderr)
         df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
         return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
 
@@ -327,9 +538,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
 def embedding_neardup(emb_ds, threshold: float = 0.95, n_planes: int = 12,
                       seed: int = 42, id_col: str = "vec_id",
-                      vec_col: str = "embedding"):
+                      vec_col: str = "embedding", max_bucket: int = 2048):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket (one
-    shuffle) then exact cosine verification inside each bucket."""
+    shuffle) then exact cosine verification inside each bucket.
+    Buckets above ``max_bucket`` vectors are deterministically sampled
+    (by id order) before the O(b²) in-bucket cosine matrix."""
     rng = np.random.default_rng(seed)
     planes_by_dim: dict[int, np.ndarray] = {}
 
@@ -351,6 +564,12 @@ def embedding_neardup(emb_ds, threshold: float = 0.95, n_planes: int = 12,
                                  batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_bucket:
+            import sys
+
+            print(f"[embedding_neardup] capped a {len(g)}-vector bucket at "
+                  f"{max_bucket}", file=sys.stderr)
+            g = g.sort_values("vec_id").head(max_bucket)
         mat = np.stack(g["vec"].to_numpy())
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0

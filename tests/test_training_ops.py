@@ -258,3 +258,52 @@ class TestHLL:
         for src in exact.index:
             e, a = exact.loc[src, "n_users"], approx.loc[src, "approx_users"]
             assert abs(a - e) / e < 0.05, (src, e, a)
+
+
+class TestDedupScaleDefenses:
+    def test_hot_bucket_boilerplate_corpus_completes(self, ray_session):
+        """10^4-doc identical-boilerplate corpus: every doc lands in the
+        SAME LSH bucket in every band.  Without the bucket cap this is
+        a ~5*10^7-pair explosion; with it the pipeline completes and
+        still clusters the sampled members together."""
+        import ray.data as rd
+
+        from pycatcher_ray.stages.dedup import minhash_dedup
+
+        boiler = ("all rights reserved terms of service privacy policy "
+                  "copyright notice contact us about careers ") * 3
+        rows = [{"doc_id": f"d{i:05d}", "text": boiler} for i in range(10_000)]
+        docs = rd.from_items(rows)
+        clusters = minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9,
+                                 max_bucket=64)
+        # the 64 deterministically sampled docs form one cluster
+        assert len(clusters) == 64
+        assert clusters["cluster_id"].nunique() == 1
+        assert set(clusters["doc_id"]) == {f"d{i:05d}" for i in range(64)}
+
+    def test_label_propagation_matches_union_find(self, ray_session):
+        """cluster_pairs_distributed == driver union-find on a chain +
+        separate component (transitivity across shards)."""
+        import ray.data as rd
+
+        from pycatcher_ray.stages.dedup import (
+            cluster_pairs,
+            cluster_pairs_distributed,
+        )
+
+        edges = pd.DataFrame(
+            {
+                "doc_a": [f"n{i}" for i in range(9)] + ["x1", "y1"],
+                "doc_b": [f"n{i+1}" for i in range(9)] + ["x2", "y2"],
+                "jaccard": [0.9] * 11,
+            }
+        )
+        want = cluster_pairs(edges).set_index("doc_id")["cluster_id"]
+        got = (
+            cluster_pairs_distributed(rd.from_pandas(edges))
+            .to_pandas().set_index("doc_id")["cluster_id"]
+        )
+        assert set(got.index) == set(want.index)
+        # same partition structure (labels themselves both use min-id)
+        for d in want.index:
+            assert got[d] == want[d]
