@@ -6,13 +6,22 @@ materialization of the north rule): the rollup measures (sum, count,
 min, max) are mergeable, so
 
 1. the new shards are ingested and partially aggregated exactly like a
-   fresh run;
-2. the hash partitions TOUCHED by the new data are identified from its
-   keys (same ``stable_key_hash`` as the checkpoint layout — one
-   partitioning decision everywhere);
-3. only those partitions are rewritten: existing partition parquet is
-   read back as partials, combined with the new partials, finalized,
-   and atomically replaced (manifest rewritten with appended lineage).
+   fresh run — the delta stays a Ray Dataset end to end;
+2. the delta is hash-partitioned with the SAME ``stable_key_hash`` as
+   the checkpoint layout (one partitioning decision everywhere), so the
+   partitions TOUCHED by new data are exactly the groups of a
+   ``groupby("part")``;
+3. each touched partition is merged INSIDE its map_groups task: the
+   task reads that partition's existing parquet, combines it with the
+   delta rows (mergeable measures), rewrites data + manifest
+   atomically.  The driver only collects per-partition summaries —
+   no tier ever materializes driver-side.
+
+**Idempotent / resume-safe**: every update carries a deterministic
+``update_id`` (content hash of the sorted input shard list).  A
+partition's manifest lineage records the update_ids already applied;
+re-running the same update (the natural crash recovery) skips
+partitions that already applied it instead of double-counting deltas.
 
 Untouched partitions are never read or written, so the cost of an
 update scales with the new data + touched-partition size, not with
@@ -22,11 +31,11 @@ at 10^12-sequence scale.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -34,22 +43,23 @@ import pyarrow.parquet as pq
 from ..config import TIERS, EngineConfig
 from ..stages.ingest import ingest
 from ..stages.rollup import rollup, cascade
-from ..state.checkpoint import CheckpointedWriter, stable_key_hash
+from ..state.checkpoint import hash_partition_column
 
-__all__ = ["update_tiers"]
-
-
-def _touched_partitions(new_tier_df: pd.DataFrame, key_col: str,
-                        num_partitions: int) -> dict[int, pd.DataFrame]:
-    keys = new_tier_df[key_col].astype(str).to_numpy()
-    uniq = pd.unique(keys)
-    part_of = dict(zip(uniq, stable_key_hash(uniq, num_partitions)))
-    parts = np.array([part_of[k] for k in keys])
-    return {int(p): new_tier_df[parts == p] for p in np.unique(parts)}
+__all__ = ["update_tiers", "update_id_for"]
 
 
-def _merge_partition(existing: pd.DataFrame | None, new: pd.DataFrame,
-                     key_col: str) -> pd.DataFrame:
+def update_id_for(new_input_paths) -> str:
+    """Deterministic id of an update batch: content-independent hash of
+    the sorted shard path list (same inputs → same id on every rerun)."""
+    h = hashlib.sha256()
+    for p in sorted(map(str, new_input_paths)):
+        h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def _merge_frames(existing: pd.DataFrame | None, new: pd.DataFrame,
+                  key_col: str) -> pd.DataFrame:
     both = pd.concat([existing, new]) if existing is not None else new
     g = both.groupby([key_col, "bucket_start"], as_index=False).agg(
         sum_value=("sum_value", "sum"),
@@ -61,6 +71,55 @@ def _merge_partition(existing: pd.DataFrame | None, new: pd.DataFrame,
     return g.sort_values([key_col, "bucket_start"]).reset_index(drop=True)
 
 
+def _make_merge_task(stage_dir: str, key_col: str, update_id: str,
+                     inputs: list[str]):
+    """Per-partition merge, run INSIDE the groupby("part") task."""
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if "part" not in g.columns or not len(g):
+            return pd.DataFrame({"part": [], "rows": [], "applied": []})
+        part = int(g["part"].iloc[0])
+        pdir = os.path.join(stage_dir, f"part={part}")
+        manifest_path = os.path.join(pdir, "manifest.json")
+        lineage: dict = {}
+        if os.path.exists(manifest_path):
+            lineage = json.load(open(manifest_path)).get("lineage", {})
+        applied = [u.get("update_id") for u in lineage.get("updates", [])]
+        if update_id in applied:
+            # crash-recovery rerun: this partition already merged this
+            # exact input batch — skip instead of double-applying
+            return pd.DataFrame({"part": [part], "rows": [0],
+                                 "applied": [False]})
+        data_path = os.path.join(pdir, "data.parquet")
+        existing = (pq.read_table(data_path).to_pandas()
+                    if os.path.exists(data_path) else None)
+        merged = _merge_frames(existing, g.drop(columns=["part"]), key_col)
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, data_path)
+        updates = lineage.get("updates", [])
+        updates.append({"update_id": update_id, "inputs": inputs,
+                        "at": time.time()})
+        lineage["updates"] = updates
+        mtmp = os.path.join(pdir, ".manifest.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump({
+                "partition": part,
+                "rows": int(len(merged)),
+                "value_checksum": float(
+                    merged.select_dtypes("number").sum().sum()
+                ),
+                "lineage": lineage,
+                "written_at": time.time(),
+            }, f)
+        os.replace(mtmp, manifest_path)
+        return pd.DataFrame({"part": [part], "rows": [int(len(merged))],
+                             "applied": [True]})
+
+    return merge_partition
+
+
 def update_tiers(
     new_input_paths,
     out_dir: str,
@@ -69,22 +128,26 @@ def update_tiers(
 ) -> dict:
     """Fold new shards into the checkpointed rollup tiers under out_dir.
 
-    Returns per-tier update metrics (partitions touched/total, rows).
-    The tier stages must already exist (a prior ``run_flagship`` with
-    ``checkpoint_intermediate=True``).
+    Returns per-tier update metrics (partitions touched/total/skipped,
+    rows).  The tier stages must already exist (a prior ``run_flagship``
+    with ``checkpoint_intermediate=True``).  Safe to re-run with the
+    same inputs after a crash: already-updated partitions are skipped
+    via the update_id recorded in their manifest lineage.
     """
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
-    metrics: dict = {"new_inputs": list(map(str, new_input_paths)), "tiers": {}}
+    inputs = list(map(str, new_input_paths))
+    uid = update_id_for(inputs)
+    metrics: dict = {"new_inputs": inputs, "update_id": uid, "tiers": {}}
 
     ds = rd.read_parquet(new_input_paths)
     slim = ingest(ds, batch_size=cfg.read_batch_size).select_columns(
         [key_col, "ts", "n_tok"]
     )
 
-    # existence gate BEFORE constructing writers (the writer constructor
-    # creates its stage dir, which would mask a missing prior run)
+    # existence gate BEFORE any writes (a missing prior run must fail
+    # loudly, not be silently created)
     for name in cfg.tiers:
         stage_dir = os.path.join(out_dir, f"rollup_{name}")
         if not os.path.isdir(stage_dir):
@@ -93,62 +156,38 @@ def update_tiers(
                 "checkpoint_intermediate=True before incremental updates"
             )
 
-    prev_tier_new: pd.DataFrame | None = None
+    prev_delta = None
     for name in cfg.tiers:
         spec = TIERS[name]
-        writer = CheckpointedWriter(out_dir, f"rollup_{name}")
+        stage_dir = os.path.join(out_dir, f"rollup_{name}")
         t0 = time.time()
-        if prev_tier_new is None:
-            new_tier = rollup(slim, key_col, "ts", "n_tok", spec.seconds,
-                              batch_size=cfg.read_batch_size).to_pandas()
+        if prev_delta is None:
+            delta = rollup(slim, key_col, "ts", "n_tok", spec.seconds,
+                           batch_size=cfg.read_batch_size)
         else:
             # cascade the NEW deltas only (sum-of-sums re-aggregation)
-            import ray.data as rd2
-
-            new_tier = cascade(
-                rd2.from_pandas(prev_tier_new), key_col, spec.seconds
-            ).to_pandas()
-        touched = _touched_partitions(new_tier, key_col,
-                                      cfg.num_output_partitions)
-        for part, part_new in touched.items():
-            pdir = os.path.join(writer.stage_dir, f"part={part}")
-            data_path = os.path.join(pdir, "data.parquet")
-            existing = (
-                pq.read_table(data_path).to_pandas()
-                if os.path.exists(data_path) else None
-            )
-            merged = _merge_partition(existing, part_new, key_col)
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, ".data.parquet.tmp")
-            pq.write_table(
-                pa.Table.from_pandas(merged, preserve_index=False), tmp
-            )
-            os.replace(tmp, data_path)
-            manifest_path = os.path.join(pdir, "manifest.json")
-            lineage = {}
-            if os.path.exists(manifest_path):
-                lineage = json.load(open(manifest_path)).get("lineage", {})
-            updates = lineage.get("updates", [])
-            updates.append({"inputs": metrics["new_inputs"],
-                            "at": time.time()})
-            lineage["updates"] = updates
-            mtmp = os.path.join(pdir, ".manifest.json.tmp")
-            with open(mtmp, "w") as f:
-                json.dump({
-                    "partition": part,
-                    "rows": int(len(merged)),
-                    "value_checksum": float(
-                        merged.select_dtypes("number").sum().sum()
-                    ),
-                    "lineage": lineage,
-                    "written_at": time.time(),
-                }, f)
-            os.replace(mtmp, manifest_path)
+            delta = cascade(prev_delta, key_col, spec.seconds)
+        # the delta is tier-sized-or-smaller; materialize so the next
+        # tier cascades from the object store, not from a recompute
+        delta = delta.materialize()
+        parted = hash_partition_column(delta, key_col,
+                                       cfg.num_output_partitions)
+        summary = parted.groupby("part").map_groups(
+            _make_merge_task(stage_dir, key_col, uid, inputs),
+            batch_format="pandas",
+        ).to_pandas()
+        touched = sorted(int(p) for p in summary["part"]) if len(summary) else []
+        applied = (
+            sorted(int(p) for p in summary[summary["applied"]]["part"])
+            if len(summary) else []
+        )
         metrics["tiers"][name] = {
-            "partitions_touched": sorted(touched),
+            "partitions_touched": touched,
+            "partitions_applied": applied,
+            "partitions_skipped_idempotent": sorted(set(touched) - set(applied)),
             "partitions_total": cfg.num_output_partitions,
-            "new_rows": int(len(new_tier)),
+            "new_rows": int(delta.count()),
             "seconds": round(time.time() - t0, 3),
         }
-        prev_tier_new = new_tier
+        prev_delta = delta
     return metrics

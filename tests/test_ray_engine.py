@@ -374,3 +374,43 @@ class TestIncrementalUpdate:
             assert len(inc) == len(full), tier
             for col in ("sum_value", "n_points", "min_value", "max_value"):
                 np.testing.assert_allclose(inc[col], full[col], err_msg=tier)
+
+    def test_update_is_idempotent_on_rerun(self, ray_session, tmp_path):
+        """Re-running the SAME update (crash recovery) must not
+        double-apply deltas: the update_id in partition lineage gates
+        the merge."""
+        import ray.data as rd
+
+        from pycatcher_ray.config import EngineConfig
+        from pycatcher_ray.pipelines import run_flagship
+        from pycatcher_ray.pipelines.incremental import update_tiers
+
+        d = tmp_path / "in"
+        write_tokens_dataset(str(d / "a"), 2000, n_sources=4,
+                             minutes_span=720, seed=11)
+        write_tokens_dataset(str(d / "b"), 2000, n_sources=4,
+                             minutes_span=720,
+                             start_minute=28_401_120 + 720, seed=21)
+        a_paths = sorted(glob.glob(str(d / "a" / "*.parquet")))
+        b_paths = sorted(glob.glob(str(d / "b" / "*.parquet")))
+
+        cfg = EngineConfig(detect_tier="1h", detect_concurrency=2,
+                           num_output_partitions=8)
+        out = str(tmp_path / "inc")
+        run_flagship(a_paths, out, cfg)
+        m1 = update_tiers(b_paths, out, cfg)
+        assert m1["tiers"]["1m"]["partitions_applied"]
+
+        snapshot = {
+            p: pd.read_parquet(p)
+            for p in sorted(glob.glob(f"{out}/rollup_1m/part=*/data.parquet"))
+        }
+        # rerun the identical update: all touched partitions skip
+        m2 = update_tiers(b_paths, out, cfg)
+        for tier in ("1m", "1h", "1d"):
+            assert m2["tiers"][tier]["partitions_applied"] == []
+            assert (m2["tiers"][tier]["partitions_skipped_idempotent"]
+                    == m2["tiers"][tier]["partitions_touched"])
+        for p, before in snapshot.items():
+            after = pd.read_parquet(p)
+            pd.testing.assert_frame_equal(before, after)
