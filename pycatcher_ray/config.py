@@ -68,6 +68,9 @@ class EngineConfig:
     gapfill_method: str = "linear"        # "linear" | "locf"
     z_threshold: float = 2.0
     mad_threshold: float = 3.5
+    # None = per-series CV window search (reference catch.py:849-871);
+    # an int pins the moving-average window (deterministic + SQL-checkable)
+    ma_window: int | None = None
     esd_alpha: float = 0.05
     mc_resamples: int = 10000
     seed: int = 42

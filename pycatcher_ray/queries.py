@@ -122,13 +122,13 @@ def rollup_monthly(sf_dir: str):
 _ROLLUP_MONTH_ORACLE = _ROLLUP_ORACLE.format(unit="month")
 
 
-def _flags(sf_dir: str, tier: str, method: str):
+def _flags(sf_dir: str, tier: str, method: str, **cfg_overrides):
     """Run the detector actor-pool stage with one method over the events
     rollup; emit (source, bucket_start, value) flag rows."""
     from .config import auto_concurrency
 
     cfg = EngineConfig(detect_concurrency=auto_concurrency(cap=8),
-                       detect_batch_series=4)
+                       detect_batch_series=4, **cfg_overrides)
     roll = _events_rollup(sf_dir, tier)
     flags = detect(roll, "event_type", tier=tier, cfg=cfg, methods=(method,))
     out = flags.select_columns(["key", "bucket_start", "value"]).rename_columns(
@@ -954,6 +954,41 @@ SELECT vec_a, vec_b, CAST(round(cos_raw, 4) AS DOUBLE) AS cos_sim FROM (
 """
 
 
+def ngram_jaccard(sf_dir: str, threshold: float = 0.8):
+    """EXACT word-trigram Jaccard similar pairs over documents via the
+    distributed inverted-index join (stages/dedup.py
+    ngram_jaccard_pairs) — the n-gram Jaccard dedup operator with a
+    hard SQL oracle (DuckDB reproduces the trigram sets and the
+    co-occurrence join)."""
+    from .stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(sf_dir), k=3, threshold=threshold)
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        w -> lower(w)) AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+       round(co.c * 1.0 / (sa.n + sb.n - co.c), 4) AS jaccard
+FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+        JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE co.c * 1.0 / (sa.n + sb.n - co.c) >= 0.8
+"""
+
+
 def embedding_neardup_lsh(sf_dir: str):
     """Scale-path near-dup: hyperplane LSH buckets + in-bucket exact
     verification (recall < 1 by design; rows-only check)."""
@@ -1131,8 +1166,86 @@ def esd_flags_1h(sf_dir: str):
 
 
 def moving_average_flags_1d(sf_dir: str):
-    """Moving-average z-score flags on the daily tier."""
-    return _flags(sf_dir, "1d", "moving_average")
+    """Moving-average z-score flags on the daily tier, window PINNED at 3
+    so the operator is deterministic and SQL-expressible (the reference's
+    CV window search, catch.py:849-871, survives in the compat layer and
+    as the ``ma_window=None`` default; the pinned form lets the driver
+    hash-verify the rolling-mean + z-score semantics, catch.py:928-934).
+    """
+    return _flags(sf_dir, "1d", "moving_average", ma_window=3)
+
+
+_MA_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('day', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT *, row_number() OVER w AS rn,
+         avg(v) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+  FROM r
+  WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+), full_ma AS (
+  -- rolling_mean yields NaN until the window fills; those rows carry no
+  -- MA value and are excluded from the z-score moments (nan-skipping)
+  SELECT * FROM m WHERE rn >= 3
+), s AS (
+  SELECT source, avg(ma) AS mu, stddev_pop(ma) AS sigma
+  FROM full_ma GROUP BY source
+)
+SELECT f.source, f.bucket_start, round(f.v, 4) AS value
+FROM full_ma f JOIN s USING (source)
+WHERE abs((f.ma - s.mu) / s.sigma) > 2
+"""
+
+
+def stl_recon_1h(sf_dir: str):
+    """STL decomposition RECONSTRUCTION oracle: per source, the row count
+    of the decomposition table (gap-filled hourly grid) and the maximum
+    absolute reconstruction error |observed - trend - seasonal - resid|.
+    The identity holds exactly by construction (functions/stl.py:291
+    defines resid = y - T - S), so the SQL oracle can pin max_err = 0.0
+    and the grid row count — a hard check on the decomposition output
+    even though LOESS itself is not SQL-expressible."""
+    from .functions.stl import stl as _stl_fit
+    from .stages.detect import pack_series
+
+    roll = _events_rollup(sf_dir, "1h")
+    packed = pack_series(roll, "event_type", gapfill_method="linear",
+                         bucket_seconds=3600)
+
+    def recon(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in batch.iterrows():
+            vals = np.asarray(row["values"], dtype=np.float64)
+            if vals.size < 48:
+                continue
+            r = _stl_fit(vals, period=24, seasonal=25)
+            err = np.abs((r.observed - r.trend - r.seasonal) - r.resid)
+            rows.append({
+                "source": row["key"],
+                "n_rows": int(vals.size),
+                "max_abs_recon_err": round(float(err.max()), 6),
+            })
+        return pd.DataFrame(rows, columns=["source", "n_rows",
+                                           "max_abs_recon_err"])
+
+    return packed.map_batches(recon, batch_format="pandas", batch_size=4)
+
+
+_STL_RECON_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         (epoch(max(b)) - epoch(min(b))) / 3600 + 1 AS n_rows
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(0.0 AS DOUBLE) AS max_abs_recon_err
+FROM g WHERE n_rows >= 48
+"""
 
 
 def media_features(sf_dir: str):
@@ -1199,6 +1312,7 @@ def queries():
         "doc_fingerprints": doc_fingerprints,
         "minhash_clusters": minhash_clusters,
         "simhash_near_pairs": simhash_near_pairs,
+        "ngram_jaccard": ngram_jaccard,
         "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_neardup_lsh": embedding_neardup_lsh,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1207,6 +1321,7 @@ def queries():
         "stl_flags_1h": stl_flags_1h,
         "esd_flags_1h": esd_flags_1h,
         "moving_average_flags_1d": moving_average_flags_1d,
+        "stl_recon_1h": stl_recon_1h,
         "media_features": media_features,
     }
 
@@ -1235,6 +1350,9 @@ def oracles():
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
         "stratified_sample_events": _STRATIFIED_ORACLE,
+        "moving_average_flags_1d": _MA_ORACLE,
+        "stl_recon_1h": _STL_RECON_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         # tokens_* queries run on the synthesized native input, which the
         # driver's DuckDB views cannot see -> rows-only checks here;
         # exact DuckDB equality is asserted in tests/test_ray_engine.py.

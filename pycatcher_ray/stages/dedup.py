@@ -41,6 +41,7 @@ __all__ = [
     "cluster_pairs",
     "cluster_pairs_distributed",
     "minhash_dedup",
+    "ngram_jaccard_pairs",
     "SimHasher",
     "simhash_pairs",
     "embedding_neardup",
@@ -446,6 +447,131 @@ def minhash_dedup(docs_ds, num_perm: int = 128, bands: int = 32, k: int = 3,
     return out[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(
         drop=True
     )
+
+
+def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
+                        num_shards: int = 64, df_cap: int | None = None):
+    """EXACT word-k-gram Jaccard similar pairs via a distributed
+    inverted-index join — no all-pairs scan, no LSH approximation.
+
+    1. explode each doc into its DISTINCT gram hashes (one (gram,
+       doc_id) row each) and count grams per doc;
+    2. sharded groupby on gram turns each posting list into
+       co-occurring pairs; |A∩B| is the summed pair co-count;
+    3. two sharded semi-joins attach |A| and |B|;
+       Jaccard = co / (|A| + |B| - co), filter >= threshold.
+
+    ``df_cap`` optionally drops grams whose document frequency exceeds
+    the cap (stop-gram pruning — a gram in 10^5 docs contributes O(df²)
+    pairs and ~nothing to near-dup evidence).  Default None = exact,
+    matching the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from .shard import sharded_map_groups
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, ids = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sh = shingle_set(text, k)
+            if sh.size:
+                grams.append(sh.view(np.int64))  # same bits, signed carrier
+                ids.append(np.repeat(doc_id, sh.size))
+        if not grams:
+            return pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=object)})
+        return pd.DataFrame({"gram": np.concatenate(grams),
+                             "doc_id": np.concatenate(ids)})
+
+    grams = docs_ds.map_batches(explode, batch_format="pandas").materialize()
+    # right-size the shuffle: tiny corpora over 64 shards pay per-task
+    # overhead ~100x the work (same defense as cluster_pairs_distributed)
+    num_shards = max(4, min(num_shards, grams.count() // 50_000 + 4))
+
+    # per-doc distinct-gram counts (grams are already distinct per doc)
+    sizes = grams.map_batches(
+        lambda b: b.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "p_n"}),
+        batch_format="pandas",
+    ).groupby("doc_id").aggregate(Sum("p_n", alias_name="n_grams"))
+
+    def gram_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        n_dropped = 0
+        for _g, grp in shard.groupby("gram", sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if ids.size < 2:
+                continue
+            if df_cap is not None and ids.size > df_cap:
+                n_dropped += 1
+                continue
+            ii, jj = np.triu_indices(ids.size, 1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if n_dropped:
+            import sys
+
+            print(f"[ngram_jaccard_pairs] dropped {n_dropped} stop-gram "
+                  f"posting list(s) over df_cap={df_cap}", file=sys.stderr)
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "co": []})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
+            columns={"size": "co"}
+        )
+
+    co = sharded_map_groups(grams, "gram", gram_pairs,
+                            num_shards=num_shards).groupby(
+        ["doc_a", "doc_b"]
+    ).aggregate(Sum("co", alias_name="co"))
+
+    def _attach(pairs_ds, pairs_cols, side: str, out_col: str):
+        def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+            t = b.copy()
+            t["jk"] = b[side]
+            t["kind"] = 0
+            t[out_col] = 0
+            return t
+
+        def tag_sizes(b: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({"jk": b["doc_id"]})
+            for c in pairs_cols:
+                t[c] = b["doc_id"] if c in ("doc_a", "doc_b") else 0
+            t["kind"] = 1
+            t[out_col] = b["n_grams"].to_numpy()
+            return t
+
+        def join(shard: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _jk, grp in shard.groupby("jk", sort=False):
+                data = grp[grp["kind"] == 1]
+                if data.empty:
+                    continue
+                n = data[out_col].iloc[0]
+                sub = grp[grp["kind"] == 0].copy()
+                sub[out_col] = n
+                out.append(sub.drop(columns=["jk", "kind"]))
+            if not out:
+                return pd.DataFrame(
+                    {c: [] for c in pairs_cols + [out_col]})
+            return pd.concat(out, ignore_index=True)
+
+        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+            sizes.map_batches(tag_sizes, batch_format="pandas")
+        )
+        return sharded_map_groups(tagged, "jk", join, num_shards=num_shards)
+
+    with_na = _attach(co, ["doc_a", "doc_b", "co"], "doc_a", "n_a")
+    with_nb = _attach(with_na, ["doc_a", "doc_b", "co", "n_a"], "doc_b", "n_b")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        union = b["n_a"] + b["n_b"] - b["co"]
+        jac = b["co"] / union.where(union > 0, 1)
+        out = b[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = jac.round(4)
+        return out[jac >= threshold]
+
+    return with_nb.map_batches(finish, batch_format="pandas")
 
 
 class SimHasher:

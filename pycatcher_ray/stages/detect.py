@@ -226,7 +226,8 @@ def detect_series(
                      modified_zscore(values))
         elif method == "moving_average":
             try:
-                mask = moving_average_outlier_mask(values)
+                mask = moving_average_outlier_mask(values,
+                                                   window=cfg.ma_window)
             except Exception:
                 continue
             emit("moving_average", mask, zscore(values))

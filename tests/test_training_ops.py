@@ -307,3 +307,25 @@ class TestDedupScaleDefenses:
         # same partition structure (labels themselves both use min-id)
         for d in want.index:
             assert got[d] == want[d]
+
+    def test_ngram_jaccard_exact_pairs(self, ray_session):
+        """ngram_jaccard_pairs finds exactly the planted near-dup pair
+        with the true trigram Jaccard value (inverted-index join ==
+        brute-force set computation)."""
+        import ray.data as rd
+
+        from pycatcher_ray.stages.dedup import ngram_jaccard_pairs, shingle_set
+
+        rows = [{"doc_id": i, "text": f"totally unrelated document {i} "
+                 f"with its own words number {i*7} and {i*13}"}
+                for i in range(30)]
+        rows.append({"doc_id": 100, "text": NEAR_DUP_A})
+        rows.append({"doc_id": 101, "text": NEAR_DUP_B})
+        got = ngram_jaccard_pairs(rd.from_items(rows),
+                                  threshold=0.5).to_pandas()
+        sa, sb = shingle_set(NEAR_DUP_A), shingle_set(NEAR_DUP_B)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        want = round(inter / (sa.size + sb.size - inter), 4)
+        assert len(got) == 1
+        assert (int(got["doc_a"].iloc[0]), int(got["doc_b"].iloc[0])) == (100, 101)
+        assert abs(float(got["jaccard"].iloc[0]) - want) < 1e-9
