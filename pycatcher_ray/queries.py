@@ -1036,21 +1036,29 @@ FROM (
 
 
 def ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed ANN (scale path): coarse k-means clusters as the
-    partition key, search only the probed clusters.  Approximate —
-    recall vs the brute-force oracle is asserted in tests; rows-only
-    driver check."""
+    """IVF-bucketed ANN (scale path): coarse k-means clusters become the
+    parquet PARTITION key (write_ivf), and the search reads only the
+    probed cluster directories (ivf_search_disk) — pruning at the read,
+    not a filter over a full scan.  Approximate — recall vs brute force
+    is asserted in tests; rows-only driver check."""
     import pyarrow.parquet as pq
 
-    from .stages.ann import build_ivf, ivf_search
+    from .stages.ann import build_ivf, ivf_search_disk, load_ivf, write_ivf
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(path, columns=["vec_id", "embedding"],
                         filters=[("vec_id", "=", 0)])
     q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
-    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
-    index = build_ivf(ds, n_clusters=16)
-    return _round_cols(ivf_search(index, q, k=10, n_probe=4), ("cos_sim",))
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = os.path.join("/tmp", "pycatcher_ray_ivf", f"{name}-v1")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+        disk = write_ivf(build_ivf(ds, n_clusters=16), idx_dir)
+    else:
+        disk = load_ivf(idx_dir)
+    return _round_cols(ivf_search_disk(disk, q, k=10, n_probe=4),
+                       ("cos_sim",))
 
 
 def rollup_1m_retained(sf_dir: str, keep_days: int = 20):

@@ -329,3 +329,54 @@ class TestDedupScaleDefenses:
         assert len(got) == 1
         assert (int(got["doc_a"].iloc[0]), int(got["doc_b"].iloc[0])) == (100, 101)
         assert abs(float(got["jaccard"].iloc[0]) - want) < 1e-9
+
+
+class TestIVFDisk:
+    def test_disk_index_prunes_reads_and_matches_memory(self, ray_session,
+                                                        tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from pycatcher_ray.stages.ann import (
+            build_ivf,
+            ivf_search,
+            ivf_search_disk,
+            load_ivf,
+            probe_clusters,
+            write_ivf,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [{"vec_id": i, "embedding": rng.standard_normal(16)}
+                for i in range(400)]
+        ds = rd.from_items(rows)
+        index = build_ivf(ds, n_clusters=8)
+        disk = write_ivf(index, str(tmp_path / "ivf"))
+
+        q = rows[7]["embedding"]
+        got_mem = ivf_search(index, q, k=5, n_probe=3).to_pandas()
+        got_disk = ivf_search_disk(disk, q, k=5, n_probe=3).to_pandas()
+        assert got_mem["vec_id"].tolist() == got_disk["vec_id"].tolist()
+
+        # pruned read: probed dirs are a strict subset of the partitions,
+        # and they hold strictly fewer rows than the corpus
+        all_dirs = [d for d in os.listdir(tmp_path / "ivf" / "data")
+                    if d.startswith("cluster=")]
+        probed = probe_clusters(disk.centroids, q, 3)
+        assert len(probed) == 3 < len(all_dirs)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        probed_rows = sum(
+            pq.read_table(f).num_rows
+            for c in probed
+            for f in glob.glob(os.path.join(disk.cluster_dir(c), "*.parquet"))
+        )
+        assert 0 < probed_rows < 400
+
+        # reload round-trip
+        re = load_ivf(str(tmp_path / "ivf"))
+        got_re = ivf_search_disk(re, q, k=5, n_probe=3).to_pandas()
+        assert got_re["vec_id"].tolist() == got_disk["vec_id"].tolist()
