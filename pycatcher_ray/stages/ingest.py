@@ -35,13 +35,18 @@ def derive_ts(batch: pa.Table) -> pa.Table:
 
 
 _SCRATCH: dict[str, np.ndarray] = {}
-_GIDX_FILLED = 0
+
+# tokens processed per inner chunk.  Small on purpose: this VM class
+# makes first-touch page faults of large fresh allocations pathologically
+# expensive (and they serialize across workers), so the kernel streams
+# through a fixed ~2 MB working set that stays resident after the first
+# batch instead of sizing scratch to the whole batch (~200 MB cold per
+# worker — measured at seconds of wall time per process).
+_CS_CHUNK = 262_144
 
 
 def _scratch(name: str, size: int, dtype) -> np.ndarray:
-    """Grow-only per-process scratch buffer: on this class of VM
-    (lazy-mapped memory) first-touch page faults dominate fresh large
-    allocations, so workers reuse buffers across batches."""
+    """Grow-only per-process scratch buffer (reused across batches)."""
     buf = _SCRATCH.get(name)
     if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
         buf = np.empty(int(size * 1.25) + 16, dtype=dtype)
@@ -58,8 +63,9 @@ def _tokens_checksum(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
     Computed WITHOUT per-element position arrays via the identity
       Σ (t_i+1)(pos_i+1) = Σ (t_i+1)(g_i+1) − start_row · Σ (t_i+1)
     (g = global flat index, start_row = row's start offset): two
-    ``np.add.reduceat`` passes over reused scratch buffers — no
-    ``np.repeat`` temporaries, minimal fresh pages.
+    ``np.add.reduceat`` passes, streamed in row-aligned chunks of
+    ``_CS_CHUNK`` tokens over reused scratch buffers — no ``np.repeat``
+    temporaries, a constant-size working set.
     """
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
@@ -73,21 +79,43 @@ def _tokens_checksum(tokens: pa.ChunkedArray | pa.Array) -> np.ndarray:
     n = flat32.size
     if n == 0:
         return out
-    tmp = _scratch("cs_tmp", n, np.uint64)
-    np.add(flat32, 1, out=tmp, casting="unsafe")
-    nonempty = lengths > 0
-    red_starts = starts[nonempty]
-    b_sums = np.add.reduceat(tmp, red_starts)
-    gidx = _scratch("cs_gidx", n, np.uint64)
-    full = _SCRATCH["cs_gidx"]
-    global _GIDX_FILLED
-    if _GIDX_FILLED < full.size:  # (re)fill the cached 1..n ramp on growth
-        full[:] = np.arange(1, full.size + 1, dtype=np.uint64)
-        _GIDX_FILLED = full.size
-    np.multiply(tmp, gidx, out=tmp)
-    a_sums = np.add.reduceat(tmp, red_starts)
+    nonempty_idx = np.nonzero(lengths > 0)[0]
+    red_starts = starts[nonempty_idx]
+    a_sums = np.zeros(red_starts.size, dtype=np.uint64)
+    b_sums = np.zeros(red_starts.size, dtype=np.uint64)
+    # fixed 0..CHUNK-1 ramp, filled once per process
+    ramp = _SCRATCH.get("cs_ramp")
+    if ramp is None or ramp.size < _CS_CHUNK:
+        ramp = np.arange(_CS_CHUNK, dtype=np.uint64)
+        _SCRATCH["cs_ramp"] = ramp
+    row = 0  # index into red_starts of the first row at/after the chunk
+    for a in range(0, n, _CS_CHUNK):
+        b = min(a + _CS_CHUNK, n)
+        # rows whose START lies in [a, b); the last such row may extend
+        # past b — its tokens are still read (in-bounds of flat32), and
+        # `row` advances past it so nothing is double-counted
+        hi = int(np.searchsorted(red_starts, b, side="left"))
+        if hi == row:
+            continue
+        seg_starts = red_starts[row:hi]
+        lo_tok = int(seg_starts[0])
+        hi_tok = int(starts[nonempty_idx[hi - 1]]
+                     + lengths[nonempty_idx[hi - 1]])
+        m = hi_tok - lo_tok
+        t = _scratch("cs_tmp", m, np.uint64)
+        np.add(flat32[lo_tok:hi_tok], 1, out=t, casting="unsafe")
+        local = seg_starts - lo_tok
+        b_sums[row:hi] = np.add.reduceat(t, local)
+        if m <= ramp.size:
+            g = _scratch("cs_gid", m, np.uint64)
+            np.add(ramp[:m], np.uint64(lo_tok + 1), out=g)
+        else:  # a single row longer than the chunk size
+            g = np.arange(lo_tok + 1, hi_tok + 1, dtype=np.uint64)
+        np.multiply(t, g, out=t)
+        a_sums[row:hi] = np.add.reduceat(t, local)
+        row = hi
     res = (a_sums - red_starts.astype(np.uint64) * b_sums) * _CHECKSUM_MIX
-    out[nonempty] = res
+    out[nonempty_idx] = res
     return out
 
 
