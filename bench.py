@@ -62,6 +62,45 @@ def _ensure_input() -> list[str]:
             if f.endswith(".parquet")]
 
 
+def host_ceiling_microbench(par: int) -> dict:
+    """Measured upper bound of THIS HOST's parallel scaling: the same
+    memory-streaming numpy kernel with zero coordination, run once alone
+    and then `par`-way parallel as independent Ray tasks.  Any pipeline's
+    measured scaling efficiency is bounded by this ratio — emitting it
+    alongside the pipeline numbers makes efficiency self-evidencing
+    (single-box memory bandwidth is shared here, but per-node on the real
+    multi-node cluster the north rule describes)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def stream(mb: int = 32, passes: int = 20) -> float:
+        import numpy as _np
+        import time as _t
+
+        n = mb * 1024 * 1024 // 8
+        x = _np.ones(n)
+        y = _np.ones(n)
+        t0 = _t.time()
+        for _ in range(passes):
+            _np.add(x, y, out=y)
+            _np.multiply(y, 0.5, out=y)
+        dt = _t.time() - t0
+        return (mb / 1024) * passes * 3 / dt  # GB touched per second
+
+    solo = ray.get(stream.remote())
+    t0 = time.time()
+    agg = sum(ray.get([stream.remote() for _ in range(par)]))
+    _ = time.time() - t0
+    per_worker = agg / par
+    return {
+        "kernel": "memory-streaming daxpy, independent tasks",
+        "parallelism": par,
+        "gbps_solo": round(solo, 2),
+        "gbps_per_worker_at_par": round(per_worker, 2),
+        "ceiling_efficiency": round(per_worker / solo, 3),
+    }
+
+
 def _run_bench() -> dict:
     import ray
 
@@ -129,6 +168,10 @@ def _run_bench() -> dict:
     timed("ann_topk", lambda: ann_topk(SF_DIR).count())
     timed("dedup_exact", lambda: dedup_exact(SF_DIR).count())
 
+    # AFTER the timed pipeline (so it doesn't eat the host's
+    # sustained-load quota first): the host scaling ceiling
+    ceiling = host_ceiling_microbench(min(16, NUM_CPUS))
+
     shutil.rmtree(out_dir, ignore_errors=True)
     result = {
         "metric": "tokens flagship (ingest+checksum, rollup 1m/1h/1d cascade, "
@@ -145,6 +188,9 @@ def _run_bench() -> dict:
         "points_per_s": round(points / headline, 1) if headline else None,
         "tokens_per_s": round(tokens_total / headline, 1) if headline else None,
         "rows_per_s": round(n_rows / headline, 1) if headline else None,
+        "stages": {k: v.get("seconds")
+                   for k, v in metrics["stages"].items()},
+        "host_ceiling": ceiling,
     }
     ray.shutdown()
     return result
@@ -179,6 +225,7 @@ def main():
         r_hi = min(reps_hi, key=lambda r: r["value"])
         r_lo = min(reps_lo, key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        ceil_hi = r_hi.get("host_ceiling", {}).get("ceiling_efficiency")
         print(json.dumps({
             "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
             "value": round(eff, 3),
@@ -189,6 +236,10 @@ def main():
             "cpus_hi": hi,
             "tokens_per_s_lo": r_lo["tokens_per_s"],
             "tokens_per_s_hi": r_hi["tokens_per_s"],
+            "host_ceiling_efficiency": ceil_hi,
+            "efficiency_vs_host_ceiling": (
+                round(eff / ceil_hi, 3) if ceil_hi else None
+            ),
             "sf": r_hi["sf"],
         }))
     else:
