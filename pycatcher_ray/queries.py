@@ -322,36 +322,64 @@ SELECT count(*) AS n_dup_pairs FROM (
 def asof_join_features(sf_dir: str):
     """As-of join: each event is joined to the LATEST hourly rollup
     bucket with bucket_start <= ts for its key (lag-feature attachment).
-    Small side (the hourly rollup) is broadcast; per-batch
-    ``pd.merge_asof`` sorted by ts — the broadcast as-of-join pattern
-    for a dimension-sized right side; at matched scale both sides
-    bucket by key+time range and merge_asof per bucket.  Oracle uses
-    DuckDB's native ASOF JOIN."""
-    import ray
 
-    roll = _events_rollup(sf_dir, "1h").to_pandas()
-    roll = roll.rename(columns={"event_type": "source"})[
-        ["source", "bucket_start", "sum_value"]
-    ].sort_values("bucket_start")
-    roll["sum_value"] = roll["sum_value"].round(4)
-    roll_ref = ray.put(roll)
+    Bucketed (shuffle) form: BOTH sides are hash-sharded by key into the
+    same exchange (union + sharded groupby — no driver materialization
+    and no broadcast of the rollup side), then one vectorized
+    ``pd.merge_asof(by=source)`` runs per shard over all of that shard's
+    keys.  At skewed key volumes the shard count bounds the exchange;
+    a dimension-sized right side could still use the broadcast variant.
+    Oracle uses DuckDB's native ASOF JOIN."""
+    from .stages.shard import sharded_map_groups
 
-    ds = _rd().read_parquet(
+    roll = _events_rollup(sf_dir, "1h")
+
+    def tag_roll(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "event_id": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "ts": b["bucket_start"],
+                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "kind": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    events = _rd().read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "ts"],
     )
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(roll_ref)
-        left = batch.rename(columns={"event_type": "source"}).sort_values("ts")
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "event_id": b["event_id"].cast(pa.int64()),
+                "ts": b["ts"],
+                "sum_value": pa.array(np.zeros(len(b))),
+                "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        roll.map_batches(tag_roll, batch_format="pyarrow")
+    )
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["kind"] == 0][["event_id", "source", "ts"]].sort_values(
+            "ts", kind="stable"
+        )
+        right = g[g["kind"] == 1][["source", "ts", "sum_value"]].rename(
+            columns={"ts": "bucket_start"}
+        ).sort_values("bucket_start", kind="stable")
         out = pd.merge_asof(
-            left, r, left_on="ts", right_on="bucket_start", by="source",
+            left, right, left_on="ts", right_on="bucket_start", by="source",
             direction="backward", allow_exact_matches=True,
         )
         return out.rename(columns={"bucket_start": "asof_bucket",
                                    "sum_value": "asof_hour_sum"})
 
-    return ds.map_batches(join, batch_format="pandas", batch_size=8192)
+    return sharded_map_groups(both, "source", join_shard)
 
 
 _ASOF_ORACLE = """

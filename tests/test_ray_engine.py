@@ -414,3 +414,122 @@ class TestIncrementalUpdate:
         for p, before in snapshot.items():
             after = pd.read_parquet(p)
             pd.testing.assert_frame_equal(before, after)
+
+
+class TestTokensNativeDuckDBOracles:
+    """Hard DuckDB oracles for tokens-native paths the DRIVER cannot
+    oracle-check (its SQL views are fixed to the sf tables): chunk
+    metadata, the 1h IQR detector, and the audit row counts, all over
+    the same synthesized parquet."""
+
+    def _con(self, tokens_paths):
+        con = duckdb.connect()
+        files = "', '".join(tokens_paths)
+        con.execute(
+            f"""
+            CREATE VIEW t AS
+            SELECT source,
+                   CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60
+                     AS epoch_s,
+                   n_tok
+            FROM read_parquet(['{files}'])
+            """
+        )
+        return con
+
+    def test_chunk_metadata_matches_duckdb(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.compress import compress
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(
+            ["source", "ts", "n_tok"])
+        tier = rollup(slim, "source", "ts", "n_tok", 60)
+        got = (
+            compress(tier, "source", 60, 1440)
+            .select_columns(["key", "chunk_id", "t0", "t1", "n_points",
+                             "raw_bytes"])
+            .to_pandas().sort_values(["key", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        want = self._con(tokens_paths).execute(
+            """
+            WITH m AS (
+              SELECT source, epoch_s - (epoch_s % 60) AS b
+              FROM t GROUP BY source, epoch_s - (epoch_s % 60)
+            )
+            SELECT source AS key, b // 86400 AS chunk_id,
+                   min(b) AS t0, max(b) AS t1,
+                   count(*) AS n_points, count(*) * 16 AS raw_bytes
+            FROM m GROUP BY 1, 2 ORDER BY key, chunk_id
+            """
+        ).fetchdf()
+        assert len(got) == len(want)
+        for col in ("key", "chunk_id", "t0", "t1", "n_points", "raw_bytes"):
+            np.testing.assert_array_equal(got[col], want[col], err_msg=col)
+
+    def test_iqr_flags_1h_match_duckdb(self, ray_session, tokens_paths):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.detect import detect
+        from pycatcher_ray.stages.rollup import cascade
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(
+            ["source", "ts", "n_tok"])
+        roll = cascade(rollup(slim, "source", "ts", "n_tok", 60),
+                       "source", 3600)
+        flags = detect(roll, "source", tier="1h",
+                       cfg=EngineConfig(detect_concurrency=2),
+                       methods=("iqr",))
+        got = (
+            flags.select_columns(["key", "bucket_start", "value"])
+            .to_pandas().sort_values(["key", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        got["bucket_s"] = got["bucket_start"].astype(
+            "datetime64[s]").astype("int64")
+        want = self._con(tokens_paths).execute(
+            """
+            WITH r AS (
+              SELECT source, epoch_s - (epoch_s % 3600) AS b,
+                     CAST(sum(n_tok) AS DOUBLE) AS v
+              FROM t GROUP BY 1, 2
+            ), q AS (
+              SELECT source, quantile_cont(v, 0.25) AS q1,
+                     quantile_cont(v, 0.75) AS q3
+              FROM r GROUP BY source
+            )
+            SELECT r.source AS key, r.b AS bucket_s, r.v AS value
+            FROM r JOIN q USING (source)
+            WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1)
+               OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+            ORDER BY key, bucket_s
+            """
+        ).fetchdf()
+        assert len(got) == len(want) and len(got) > 0
+        np.testing.assert_array_equal(got["key"], want["key"])
+        np.testing.assert_array_equal(got["bucket_s"], want["bucket_s"])
+        np.testing.assert_allclose(got["value"], want["value"], rtol=0,
+                                   atol=0)
+
+    def test_audit_counts_match_duckdb(self, ray_session, tokens_paths,
+                                       monkeypatch):
+        import pycatcher_ray.queries as q
+
+        monkeypatch.setattr(
+            q, "_tokens_paths", lambda sf_dir: tokens_paths
+        )
+        got = (
+            q.tokens_audit("ignored").to_pandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        want = self._con(tokens_paths).execute(
+            "SELECT source, count(*) AS rows FROM t GROUP BY source "
+            "ORDER BY source"
+        ).fetchdf()
+        np.testing.assert_array_equal(got["source"], want["source"])
+        np.testing.assert_array_equal(got["rows"], want["rows"])
+        # every row's checksum must re-verify
+        np.testing.assert_array_equal(got["rows_ok"], want["rows"])
