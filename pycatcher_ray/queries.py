@@ -1284,6 +1284,170 @@ FROM g WHERE n_rows >= 48
 """
 
 
+def p95_hourly_by_source(sf_dir: str):
+    """Exact per-source p50/p95 of the hourly sums: series gathered per
+    key by the hash-sharded exchange, numpy linear-interpolation
+    quantiles (== SQL quantile_cont) inside the shard.  The
+    sketch-shaped approximate variant for 10^9-key cardinality is the
+    same partial/merge pattern as approx_users_by_type (HLL)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in g.groupby("event_type", sort=False):
+            v = grp["sum_value"].to_numpy(dtype=np.float64)
+            rows.append({
+                "source": src,
+                "p50": round(float(np.quantile(v, 0.5)), 4),
+                "p95": round(float(np.quantile(v, 0.95)), 4),
+                "n_buckets": int(v.size),
+            })
+        return pd.DataFrame(rows, columns=["source", "p50", "p95",
+                                           "n_buckets"])
+
+    return sharded_map_groups(roll, "event_type", quant)
+
+
+_P95_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source,
+       round(quantile_cont(v, 0.5), 4) AS p50,
+       round(quantile_cont(v, 0.95), 4) AS p95,
+       count(*) AS n_buckets
+FROM r GROUP BY source
+"""
+
+
+def top_users_by_type(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k users with the largest summed value per
+    event_type.  Partial (user, type) aggregation per batch, sharded
+    final combine, then per-type top-k inside the shard — no global
+    sort.  Deterministic tiebreak by user_id."""
+    from ray.data.aggregate import Sum
+
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["event_type"], "user_id": b["user_id"],
+                      "v": b["value"]})
+        return t.group_by(["source", "user_id"]).aggregate(
+            [("v", "sum")]
+        ).rename_columns(["source", "user_id", "p_v"])
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "user_id"]
+    ).aggregate(Sum("p_v", alias_name="total_value"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "total_value", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("source", sort=False).head(k).copy()
+        out["total_value"] = out["total_value"].round(4)
+        return out[["source", "user_id", "total_value"]]
+
+    # one shard holds every (source, user) total of its sources: the
+    # totals table is one row per pair, so the per-type top-k is exact
+    return sharded_map_groups(totals, "source", topk)
+
+
+_TOP_USERS_ORACLE = """
+WITH totals AS (
+  SELECT event_type AS source, user_id, sum(value) AS tv
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY tv DESC, user_id ASC) AS rn
+  FROM totals
+)
+SELECT source, user_id, round(tv, 4) AS total_value
+FROM ranked WHERE rn <= 3
+"""
+
+
+def chunks_downsample_1h(sf_dir: str):
+    """Downsample-on-read from compressed storage: the 1m events rollup
+    is Gorilla-encoded into chunk blobs, then DECODED in a distributed
+    pass and re-aggregated to the 1h tier — the read path of a
+    compressed retention tier, oracle-checked end to end (encode →
+    decode → cascade must reproduce DuckDB's hourly sums exactly)."""
+    from .functions.gorilla import decode_chunk
+    from .stages.compress import compress
+
+    roll = _events_rollup(sf_dir, "1m")
+    chunks = compress(roll, "event_type", 60, TIERS["1m"].chunk_buckets)
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, hours, vals = [], [], []
+        for key, blob in zip(batch["key"], batch["chunk"]):
+            ts, v = decode_chunk(blob)
+            keys.append(np.repeat(key, ts.size))
+            hours.append(ts - (ts % 3600))
+            vals.append(v)
+        if not keys:
+            return pd.DataFrame({"source": [], "hour_s": [], "v": []})
+        return pd.DataFrame(
+            {
+                "source": np.concatenate(keys),
+                "hour_s": np.concatenate(hours),
+                "v": np.concatenate(vals),
+            }
+        )
+
+    decoded = chunks.map_batches(decode, batch_format="pandas", batch_size=64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "hour_s": b["hour_s"],
+                      "v": b["v"]})
+        g = t.group_by(["source", "hour_s"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+        return g.rename_columns(["source", "hour_s", "p_sum", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = decoded.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "hour_s"]
+    ).aggregate(Sum("p_sum", alias_name="sum_value"),
+                Sum("p_n", alias_name="n_minutes"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_start": pc.multiply(
+                    b["hour_s"], pa.scalar(1, pa.int64())
+                ).cast(pa.timestamp("s")),
+                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "n_minutes": b["n_minutes"],
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_CHUNKS_DOWNSAMPLE_ORACLE = """
+WITH m AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS mb,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, date_trunc('hour', mb) AS bucket_start,
+       round(sum(v), 4) AS sum_value, count(*) AS n_minutes
+FROM m GROUP BY 1, 2
+"""
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: synth binary media table → actor-pool decode
     (stubbed codec) → per-mime feature aggregation."""
@@ -1358,6 +1522,9 @@ def queries():
         "esd_flags_1h": esd_flags_1h,
         "moving_average_flags_1d": moving_average_flags_1d,
         "stl_recon_1h": stl_recon_1h,
+        "chunks_downsample_1h": chunks_downsample_1h,
+        "p95_hourly_by_source": p95_hourly_by_source,
+        "top_users_by_type": top_users_by_type,
         "media_features": media_features,
     }
 
@@ -1389,6 +1556,9 @@ def oracles():
         "moving_average_flags_1d": _MA_ORACLE,
         "stl_recon_1h": _STL_RECON_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "chunks_downsample_1h": _CHUNKS_DOWNSAMPLE_ORACLE,
+        "p95_hourly_by_source": _P95_ORACLE,
+        "top_users_by_type": _TOP_USERS_ORACLE,
         # tokens_* queries run on the synthesized native input, which the
         # driver's DuckDB views cannot see -> rows-only checks here;
         # exact DuckDB equality is asserted in tests/test_ray_engine.py.
