@@ -108,19 +108,25 @@ class CheckpointedWriter:
         stage_dir = self.stage_dir
         lineage = lineage or {}
 
-        def write_group(g: pd.DataFrame) -> pd.DataFrame:
-            if "part" not in g.columns or not len(g):  # empty residual group
-                return pd.DataFrame({"part": [], "rows": []})
-            part = int(g["part"].iloc[0])
+        def write_group(g: pa.Table) -> pa.Table:
+            # Arrow-native write task: no pandas conversion of the
+            # partition on either side of the file boundary
+            if "part" not in g.column_names or not len(g):
+                return pa.table({"part": pa.array([], pa.int64()),
+                                 "rows": pa.array([], pa.int64())})
+            part = int(g["part"][0].as_py())
             pdir = os.path.join(stage_dir, f"part={part}")
             os.makedirs(pdir, exist_ok=True)
-            data = g.drop(columns=["part"])
+            data = g.drop_columns(["part"])
             tmp = os.path.join(pdir, ".data.parquet.tmp")
-            pq.write_table(pa.Table.from_pandas(data, preserve_index=False), tmp)
+            pq.write_table(data, tmp)
             os.replace(tmp, os.path.join(pdir, "data.parquet"))
-            num_cols = data.select_dtypes(include=[np.number])
-            checksum = float(num_cols.sum(numeric_only=True).sum()) if len(
-                num_cols.columns) else 0.0
+            checksum = 0.0
+            for name, col in zip(data.column_names, data.columns):
+                if pa.types.is_integer(col.type) or pa.types.is_floating(
+                        col.type):
+                    s = pc.sum(col).as_py()
+                    checksum += float(s) if s is not None else 0.0
             manifest = {
                 "partition": part,
                 "rows": int(len(data)),
@@ -132,10 +138,11 @@ class CheckpointedWriter:
             with open(mtmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(mtmp, os.path.join(pdir, "manifest.json"))
-            return pd.DataFrame({"part": [part], "rows": [len(data)]})
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "rows": pa.array([len(data)], pa.int64())})
 
         summary = parted.groupby("part").map_groups(
-            write_group, batch_format="pandas"
+            write_group, batch_format="pyarrow"
         ).to_pandas()
         written = (
             [int(p) for p in summary["part"].tolist()] if len(summary) else []
