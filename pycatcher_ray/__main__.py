@@ -64,7 +64,21 @@ def main(argv=None):
     s.add_argument("--rows", type=int, required=True)
     s.add_argument("--sources", type=int, default=20)
 
+    a = sub.add_parser("api", help="one JSON request (stdin) -> response "
+                                   "(stdout); reference api_catch contract")
+    a.add_argument("--endpoint", required=True,
+                   choices=["find_outliers", "detect_outliers_stl",
+                            "detect_outliers_today_classic"])
+
     args = p.parse_args(argv)
+
+    if args.cmd == "api":
+        from .serving import handle_api_request
+
+        payload = json.load(sys.stdin)
+        status, body = handle_api_request(args.endpoint, payload)
+        print(json.dumps({"status": status, **body}, default=str))
+        return 0 if status == 200 else 1
 
     if args.cmd == "synth":
         from .sources import write_tokens_dataset

@@ -629,3 +629,54 @@ class TestPandasFreqAliasQuirk:
         )
         compat.detect_outliers_classic(df)
         assert called.get("hit")
+
+
+class TestServingContract:
+    """Headless port of the reference's FastAPI contract
+    (api_catch.py:27-118; goldens from tests/test_api_catch.py)."""
+
+    def _payload(self):
+        return {"data": [[1, 10], [2, 12], [3, 14], [4, 100], [5, 15]],
+                "columns": ["ID", "Value"]}
+
+    def test_find_outliers_golden(self):
+        from pycatcher_ray.serving import handle_api_request
+
+        status, body = handle_api_request("find_outliers", self._payload())
+        assert status == 200
+        assert len(body["outliers"]) == 1
+        rec = body["outliers"][0]
+        assert rec["index"] == 3 and rec["Value"] == 100
+
+    def test_detect_outliers_stl_golden(self):
+        from pycatcher_ray.serving import handle_api_request
+
+        status, body = handle_api_request("detect_outliers_stl",
+                                          self._payload())
+        assert status == 200
+        assert [r["index"] for r in body["outliers"]] == [3]
+
+    def test_today_classic_message_contract(self):
+        from pycatcher_ray.serving import handle_api_request
+
+        status, body = handle_api_request("detect_outliers_today_classic",
+                                          self._payload())
+        assert status == 200
+        # 1970-epoch data is not "today": the string contract becomes
+        # a single message record (api_catch.py:108-110)
+        assert body["outliers"] == [{"message": "No Outliers Today!"}]
+
+    def test_bad_date_maps_to_400(self):
+        from pycatcher_ray.serving import handle_api_request
+
+        status, body = handle_api_request(
+            "find_outliers",
+            {"data": [["not-a-date", 1]], "columns": ["d", "v"]},
+        )
+        assert status == 400 and "datetime" in body["detail"]
+
+    def test_unknown_endpoint_404(self):
+        from pycatcher_ray.serving import handle_api_request
+
+        status, _ = handle_api_request("nope", self._payload())
+        assert status == 404
