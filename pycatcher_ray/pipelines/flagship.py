@@ -80,27 +80,48 @@ def run_flagship(
     detect_tier = cfg.detect_tier
     series_src = tier_ds[detect_tier]
 
-    t0 = time.time()
-    # gap-fill is fused into the series-pack pass (one groupby shuffle
-    # instead of two); the standalone gapfill stage is still exported
-    # for pipelines that persist filled series.
-    flags = detect(series_src, key_col, tier=detect_tier, cfg=cfg,
-                   gapfill_method=cfg.gapfill_method if with_gapfill else None)
+    # flags and chunks both consume already-materialized tiers and are
+    # independent — run their (driver-blocking) executions concurrently
+    # so the cluster interleaves their tasks instead of serializing the
+    # two stages' wall time.
     flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
-    summary = flags_writer.write(flags, "key", cfg.num_output_partitions,
-                                 lineage={"from_tier": detect_tier})
-    summary["seconds"] = round(time.time() - t0, 3)
-    metrics["stages"][f"flags_{detect_tier}"] = summary
 
-    if with_compress:
+    def _flags_stage():
+        t0 = time.time()
+        # gap-fill is fused into the series-pack pass (one groupby
+        # shuffle instead of two); the standalone gapfill stage remains
+        # for pipelines that persist filled series.
+        flags = detect(
+            series_src, key_col, tier=detect_tier, cfg=cfg,
+            gapfill_method=cfg.gapfill_method if with_gapfill else None,
+        )
+        summary = flags_writer.write(flags, "key", cfg.num_output_partitions,
+                                     lineage={"from_tier": detect_tier})
+        summary["seconds"] = round(time.time() - t0, 3)
+        return f"flags_{detect_tier}", summary
+
+    def _chunks_stage():
         t0 = time.time()
         chunks = compress(tier_ds["1m"], key_col, TIERS["1m"].seconds,
                           TIERS["1m"].chunk_buckets)
         chunk_writer = CheckpointedWriter(out_dir, "chunks_1m")
-        summary = chunk_writer.write(chunks, "key", cfg.num_output_partitions,
+        summary = chunk_writer.write(chunks, "key",
+                                     cfg.num_output_partitions,
                                      lineage={"from_tier": "1m"})
         summary["seconds"] = round(time.time() - t0, 3)
-        metrics["stages"]["chunks_1m"] = summary
+        return "chunks_1m", summary
+
+    stages = [_flags_stage] + ([_chunks_stage] if with_compress else [])
+    if len(stages) == 1:
+        results = [stages[0]()]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(stages)) as ex:
+            results = [f.result() for f in
+                       [ex.submit(s) for s in stages]]
+    for name, summary in results:
+        metrics["stages"][name] = summary
 
     metrics["total_seconds"] = round(time.time() - t_start, 3)
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:

@@ -380,3 +380,46 @@ class TestIVFDisk:
         re = load_ivf(str(tmp_path / "ivf"))
         got_re = ivf_search_disk(re, q, k=5, n_probe=3).to_pandas()
         assert got_re["vec_id"].tolist() == got_disk["vec_id"].tolist()
+
+
+class TestStdlibCodecs:
+    def test_png_round_trip(self):
+        from pycatcher_ray.stages.multimodal import make_png, parse_png
+
+        rng = np.random.default_rng(7)
+        blob = make_png(33, 21, rng)
+        w, h, px = parse_png(blob)
+        assert (w, h) == (33, 21)
+        assert px.shape == (21, 33)
+
+    def test_wav_round_trip_and_features(self):
+        from pycatcher_ray.stages.multimodal import make_wav, parse_wav
+
+        rng = np.random.default_rng(8)
+        blob = make_wav(8000, 8000, 440.0, rng)
+        rate, n, pcm = parse_wav(blob)
+        assert rate == 8000 and n == 8000 and pcm.size == 8000
+        # a 0.6-amplitude sine has RMS ~0.6/sqrt(2)
+        x = pcm.astype(np.float64) / 32768.0
+        assert abs(np.sqrt(np.mean(x * x)) - 0.6 / np.sqrt(2)) < 0.05
+
+    def test_decoder_extracts_real_dimensions(self, ray_session):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.multimodal import (
+            decode_features,
+            synth_media_table,
+        )
+
+        tbl = synth_media_table(16, seed=5)
+        out = decode_features(rd.from_arrow(tbl)).to_pandas()
+        assert len(out) == 16
+        by_id = out.set_index("media_id")
+        for i in range(16):
+            f = np.asarray(by_id.loc[i, "features"])
+            if i % 2 == 0:  # PNG: [1, w, h, mean, std, min, max, 0]
+                assert f[0] == 1.0 and 8 <= f[1] <= 128 and 8 <= f[2] <= 128
+            else:          # WAV: [2, rate, frames, dur, rms, peak, zcr, 0]
+                assert f[0] == 2.0 and f[1] == 8000.0
+                assert abs(f[3] - f[2] / 8000.0) < 1e-9
+                assert 0.3 < f[4] < 0.6  # sine RMS
