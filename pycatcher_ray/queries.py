@@ -1284,6 +1284,50 @@ FROM g WHERE n_rows >= 48
 """
 
 
+def gapfill_locf_1h(sf_dir: str):
+    """LOCF gap-fill over the hourly events series with fill provenance
+    — the gap-fill leg of the north rule with a hard SQL oracle (the
+    dense grid + last-observation carry is expressible with
+    generate_series + IGNORE NULLS window)."""
+    from .stages.gapfill import gapfill
+
+    roll = _events_rollup(sf_dir, "1h")
+    filled = gapfill(roll.rename_columns({"event_type": "source"}),
+                     "source", 3600, method="locf")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "bucket_start": b["bucket_start"],
+                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "fill_method": b["fill_method"],
+            }
+        )
+
+    return filled.map_batches(fin, batch_format="pyarrow")
+
+
+_GAPFILL_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(b) AS b0, max(b) AS b1 FROM r GROUP BY source
+), grid AS (
+  SELECT source, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+)
+SELECT g.source, g.b AS bucket_start,
+       round(last_value(r.v IGNORE NULLS) OVER (
+           PARTITION BY g.source ORDER BY g.b
+           ROWS UNBOUNDED PRECEDING), 4) AS sum_value,
+       CASE WHEN r.v IS NULL THEN 'locf' ELSE 'observed' END AS fill_method
+FROM grid g LEFT JOIN r ON g.source = r.source AND g.b = r.b
+"""
+
+
 def p95_hourly_by_source(sf_dir: str):
     """Exact per-source p50/p95 of the hourly sums: series gathered per
     key by the hash-sharded exchange, numpy linear-interpolation
@@ -1322,6 +1366,46 @@ SELECT source,
        count(*) AS n_buckets
 FROM r GROUP BY source
 """
+
+
+def approx_p95_by_source(sf_dir: str):
+    """Approximate per-source quantiles via mergeable t-digest sketches
+    (functions/tdigest.py): one serialized sketch per (batch, source),
+    merged per source in a tiny final stage — the sketch-shaped scale
+    path matching exact p95_hourly_by_source (oracle-checked baseline).
+    Rows-only driver check; accuracy vs exact asserted in pytest."""
+    from .functions.tdigest import TDigest
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in batch.groupby("event_type", sort=False):
+            rows.append({
+                "source": src,
+                "sketch": TDigest().add_many(
+                    g["value"].to_numpy()).to_bytes(),
+            })
+        return pd.DataFrame(rows)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest.from_bytes(g["sketch"].iloc[0])
+        for blob in g["sketch"].iloc[1:]:
+            td.merge(TDigest.from_bytes(blob))
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "approx_p50": [round(td.quantile(0.5), 4)],
+                "approx_p95": [round(td.quantile(0.95), 4)],
+            }
+        )
+
+    return ds.map_batches(sketch_batch, batch_format="pandas").groupby(
+        "source"
+    ).map_groups(merge_group, batch_format="pandas")
 
 
 def top_users_by_type(sf_dir: str, k: int = 3):
@@ -1523,7 +1607,9 @@ def queries():
         "moving_average_flags_1d": moving_average_flags_1d,
         "stl_recon_1h": stl_recon_1h,
         "chunks_downsample_1h": chunks_downsample_1h,
+        "gapfill_locf_1h": gapfill_locf_1h,
         "p95_hourly_by_source": p95_hourly_by_source,
+        "approx_p95_by_source": approx_p95_by_source,
         "top_users_by_type": top_users_by_type,
         "media_features": media_features,
     }
@@ -1557,6 +1643,7 @@ def oracles():
         "stl_recon_1h": _STL_RECON_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "chunks_downsample_1h": _CHUNKS_DOWNSAMPLE_ORACLE,
+        "gapfill_locf_1h": _GAPFILL_ORACLE,
         "p95_hourly_by_source": _P95_ORACLE,
         "top_users_by_type": _TOP_USERS_ORACLE,
         # tokens_* queries run on the synthesized native input, which the

@@ -8,10 +8,11 @@ last-observation-carried-forward), and a ``fill_method`` column records
 provenance ('observed' | 'linear' | 'locf') so detectors can ignore or
 down-weight synthetic points.
 
-Runs as ``groupby(key).map_groups`` — stateless tasks, one series per
-group, ordered by bucket inside the group (never relies on global order).
-Series length is bounded by tier retention (SURVEY.md §4), so a group
-always fits one task.
+Runs on the hash-sharded exchange (``groupby(hash(key) % B)``,
+stages/shard.py) — one Ray group per SHARD, every series in the shard
+filled by a pandas pass, ordered by bucket inside the series (never
+relies on global order).  Series length is bounded by tier retention
+(SURVEY.md §4), so a shard always fits one task.
 """
 
 from __future__ import annotations
@@ -52,10 +53,16 @@ def gapfill_group(g: pd.DataFrame, *, key_col: str, bucket_seconds: int,
 
 
 def gapfill(rollup_ds, key_col: str, bucket_seconds: int,
-            method: str = "linear"):
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return gapfill_group(
-            g, key_col=key_col, bucket_seconds=bucket_seconds, method=method
-        )
+            method: str = "linear", num_shards: int = 64):
+    from .shard import sharded_map_groups
 
-    return rollup_ds.groupby(key_col).map_groups(fn, batch_format="pandas")
+    def fill_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            gapfill_group(g, key_col=key_col, bucket_seconds=bucket_seconds,
+                          method=method)
+            for _, g in shard.groupby(key_col, sort=False)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded_map_groups(rollup_ds, key_col, fill_shard,
+                              num_shards=num_shards)

@@ -364,3 +364,40 @@ class TestBucketFloorSemantics:
         )
         out = add_chunk_id(rd.from_arrow(t), 60, 1440).to_pandas()
         assert out["chunk_id"].tolist() == [-1, -1, 0, 0, 1]
+
+
+class TestTDigest:
+    def test_quantiles_accurate(self):
+        from pycatcher_ray.functions.tdigest import TDigest
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(100_000)
+        td = TDigest().add_many(x)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+            assert abs(td.quantile(q) - np.quantile(x, q)) < 0.01, q
+
+    def test_merge_equals_single_pass(self):
+        from pycatcher_ray.functions.tdigest import TDigest
+
+        rng = np.random.default_rng(1)
+        x = rng.exponential(2.0, 50_000)
+        merged = TDigest().add_many(x[:20_000]).merge(
+            TDigest().add_many(x[20_000:]))
+        for q in (0.5, 0.95, 0.99):
+            assert abs(merged.quantile(q) - np.quantile(x, q)) \
+                < 0.02 * max(1.0, np.quantile(x, q)), q
+
+    def test_serde_round_trip(self):
+        from pycatcher_ray.functions.tdigest import TDigest
+
+        td = TDigest().add_many(np.arange(1000.0))
+        rt = TDigest.from_bytes(td.to_bytes())
+        assert rt.quantile(0.5) == td.quantile(0.5)
+        assert rt.means.size == td.means.size
+
+    def test_small_inputs(self):
+        from pycatcher_ray.functions.tdigest import TDigest
+
+        assert np.isnan(TDigest().quantile(0.5))
+        td = TDigest().add_many([7.0])
+        assert td.quantile(0.1) == 7.0 == td.quantile(0.9)

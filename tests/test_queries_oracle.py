@@ -72,3 +72,30 @@ def test_query_matches_oracle(name, duck, ray_session):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+
+
+class TestApproxQuantileAccuracy:
+    def test_tdigest_within_rank_tolerance_of_exact(self, ray_session):
+        """Rank-based accuracy: the sketch's q-quantile must lie within
+        the exact [q-eps, q+eps] quantile window (value-space tolerances
+        are meaningless on heavy tails of ~200-point groups, where one
+        rank step can move the value by several units)."""
+        import duckdb
+
+        import numpy as np
+
+        from pycatcher_ray.queries import approx_p95_by_source
+
+        got = approx_p95_by_source("/root/testdata/sf0.001").to_pandas()
+        raw = duckdb.connect().execute(
+            "SELECT event_type AS source, value FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        ).fetchdf()
+        eps = 0.02
+        assert len(got) == raw["source"].nunique()
+        for _, r in got.iterrows():
+            v = raw[raw["source"] == r["source"]]["value"].to_numpy()
+            for q, col in ((0.5, "approx_p50"), (0.95, "approx_p95")):
+                lo = np.quantile(v, max(0.0, q - eps))
+                hi = np.quantile(v, min(1.0, q + eps))
+                assert lo - 1e-9 <= r[col] <= hi + 1e-9, (r["source"], q)
