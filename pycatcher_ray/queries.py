@@ -1459,6 +1459,56 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def approx_top_users_by_type(sf_dir: str, k: int = 3):
+    """Heavy-hitter sketch top-k: per-batch Space-Saving partials per
+    event_type, merged per type — the mergeable-sketch scale path
+    matching exact top_users_by_type (oracle-checked).  With sketch
+    capacity ≫ k the reported top-k equals the exact one on this
+    data; the guarantee is asserted in pytest.  Rows-only driver
+    check (sketch counts are upper bounds)."""
+    import json as _json
+
+    from .functions.heavyhitters import SpaceSaving
+
+    cap = 256
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in batch.groupby("event_type", sort=False):
+            ss = SpaceSaving(cap).add_many(
+                g["user_id"].to_numpy(), g["value"].to_numpy()
+            )
+            rows.append({
+                "source": src,
+                "sketch": _json.dumps(
+                    [(int(i), c, e) for i, c, e in ss.to_items()]
+                ),
+            })
+        return pd.DataFrame(rows)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        ss = SpaceSaving.from_items(cap, _json.loads(g["sketch"].iloc[0]))
+        for blob in g["sketch"].iloc[1:]:
+            ss.merge(SpaceSaving.from_items(cap, _json.loads(blob)))
+        rows = [
+            {"source": g["source"].iloc[0], "user_id": int(i),
+             "approx_total": round(c, 4), "count_error_bound": round(e, 4)}
+            for i, c, e in ss.top(k)
+        ]
+        return pd.DataFrame(rows, columns=["source", "user_id",
+                                           "approx_total",
+                                           "count_error_bound"])
+
+    return ds.map_batches(sketch_batch, batch_format="pandas").groupby(
+        "source"
+    ).map_groups(merge_group, batch_format="pandas")
+
+
 def chunks_downsample_1h(sf_dir: str):
     """Downsample-on-read from compressed storage: the 1m events rollup
     is Gorilla-encoded into chunk blobs, then DECODED in a distributed
@@ -1611,6 +1661,7 @@ def queries():
         "p95_hourly_by_source": p95_hourly_by_source,
         "approx_p95_by_source": approx_p95_by_source,
         "top_users_by_type": top_users_by_type,
+        "approx_top_users_by_type": approx_top_users_by_type,
         "media_features": media_features,
     }
 

@@ -401,3 +401,50 @@ class TestTDigest:
         assert np.isnan(TDigest().quantile(0.5))
         td = TDigest().add_many([7.0])
         assert td.quantile(0.1) == 7.0 == td.quantile(0.9)
+
+
+class TestSpaceSaving:
+    def test_heavy_hitter_guarantee(self):
+        from pycatcher_ray.functions.heavyhitters import SpaceSaving
+
+        rng = np.random.default_rng(0)
+        # zipf stream: a few heavy items among many light ones
+        items = rng.zipf(1.5, 50_000) % 10_000
+        ss = SpaceSaving(k=64).add_many(items)
+        import collections
+
+        true = collections.Counter(items.tolist())
+        n = len(items)
+        # every item with count > N/k must be present
+        for item, c in true.items():
+            if c > n / 64:
+                assert item in ss.counts, item
+        # reported counts are upper bounds within the recorded error
+        for item, ub, err in ss.top(10):
+            assert true[item] <= ub <= true[item] + err + 1e-9
+
+    def test_merge_preserves_guarantee(self):
+        from pycatcher_ray.functions.heavyhitters import SpaceSaving
+
+        rng = np.random.default_rng(1)
+        items = rng.zipf(1.3, 40_000) % 5_000
+        a = SpaceSaving(64).add_many(items[:20_000])
+        b = SpaceSaving(64).add_many(items[20_000:])
+        merged = a.merge(b)
+        import collections
+
+        true = collections.Counter(items.tolist())
+        top_true = [i for i, _ in true.most_common(5)]
+        got = [i for i, _, _ in merged.top(64)]
+        for i in top_true:
+            assert i in got
+        for item, ub, err in merged.top(5):
+            assert true[item] <= ub + 1e-9
+
+    def test_weighted_counts(self):
+        from pycatcher_ray.functions.heavyhitters import SpaceSaving
+
+        ss = SpaceSaving(8).add_many(["a", "b", "a"], [1.0, 5.0, 2.0])
+        top = ss.top(2)
+        assert top[0][0] == "b" and top[0][1] == 5.0
+        assert top[1][0] == "a" and top[1][1] == 3.0
