@@ -83,6 +83,8 @@ __all__ = [
     "detect_outliers_today_esd",
     "detect_outliers_latest_esd",
     "build_decomposition_results",
+    "build_iqr_plot_data",
+    "build_monthwise_plot_data",
     "conduct_stationarity_check",
 ]
 
@@ -744,3 +746,52 @@ def build_decomposition_results(df) -> pd.DataFrame:
         },
         index=df_pandas.index,
     )
+
+
+def _box_stats(values: np.ndarray) -> dict:
+    """Matplotlib/seaborn boxplot statistics (the DATA of sns.boxplot):
+    quartiles, 1.5·IQR whiskers clamped to the most extreme points
+    inside the fences, mean (showmeans=True), and the fliers count."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        raise DataValidationError("Input DataFrame cannot have zero rows")
+    q1, med, q3 = np.quantile(v, [0.25, 0.5, 0.75])
+    iqr = q3 - q1
+    lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    inside = v[(v >= lo_fence) & (v <= hi_fence)]
+    return {
+        "q1": float(q1),
+        "median": float(med),
+        "q3": float(q3),
+        "lo_whisker": float(inside.min()),
+        "hi_whisker": float(inside.max()),
+        "mean_value": float(v.mean()),
+        "n": int(v.size),
+        "n_outliers": int(((v < lo_fence) | (v > hi_fence)).sum()),
+    }
+
+
+def build_iqr_plot_data(df) -> pd.DataFrame:
+    """The data behind diagnostics.build_iqr_plot (diagnostics.py:196-234,
+    a seaborn boxplot of the value column with showmeans=True) as a
+    one-row DataFrame — the headless plot product (plot RENDERING is the
+    declared out-of-scope surface; the numbers it draws are not)."""
+    df_pandas = _validate_frame(df)
+    values = pd.to_numeric(df_pandas.iloc[:, -1]).to_numpy()
+    return pd.DataFrame([_box_stats(values)])
+
+
+def build_monthwise_plot_data(df) -> pd.DataFrame:
+    """The data behind diagnostics.build_monthwise_plot
+    (diagnostics.py:237-260, per-Month-Year boxplots): one boxplot-stat
+    row per calendar month, index = Period('M') like the reference's
+    'Month-Year' axis."""
+    df_pandas = _validate_frame(df)
+    months = pd.to_datetime(df_pandas.iloc[:, 0]).dt.to_period("M")
+    values = pd.to_numeric(df_pandas.iloc[:, -1])
+    rows = {m: _box_stats(g.to_numpy())
+            for m, g in values.groupby(months)}
+    out = pd.DataFrame.from_dict(rows, orient="index")
+    out.index.name = "Month-Year"
+    return out.sort_index()

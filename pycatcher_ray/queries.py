@@ -1368,6 +1368,67 @@ FROM r GROUP BY source
 """
 
 
+def monthwise_box_stats(sf_dir: str):
+    """The reference's month-wise boxplot (diagnostics.py:237-260) as a
+    distributed DATA product: per (source, month) boxplot statistics —
+    quartiles, 1.5·IQR whiskers clamped to in-fence extremes, mean,
+    flier count — computed in the hash-sharded exchange, fully
+    SQL-oracle-checked."""
+    from .compat import _box_stats
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def stats_shard(g: pd.DataFrame) -> pd.DataFrame:
+        months = g["ts"].dt.to_period("M").dt.to_timestamp()
+        rows = []
+        for (src, month), grp in g.groupby([g["event_type"], months],
+                                           sort=False):
+            st = _box_stats(grp["value"].to_numpy())
+            rows.append({
+                "source": src, "month": month,
+                **{k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in st.items()},
+            })
+        return pd.DataFrame(rows, columns=["source", "month", "q1",
+                                           "median", "q3", "lo_whisker",
+                                           "hi_whisker", "mean_value",
+                                           "n", "n_outliers"])
+
+    return sharded_map_groups(ds, "event_type", stats_shard)
+
+
+_MONTHWISE_BOX_ORACLE = """
+WITH m AS (
+  SELECT event_type AS source, date_trunc('month', ts) AS month,
+         value AS v
+  FROM events
+), q AS (
+  SELECT source, month,
+         quantile_cont(v, 0.25) AS q1,
+         quantile_cont(v, 0.5) AS med,
+         quantile_cont(v, 0.75) AS q3,
+         avg(v) AS mv, count(*) AS n
+  FROM m GROUP BY 1, 2
+)
+SELECT m.source, m.month,
+       round(q.q1, 4) AS q1, round(q.med, 4) AS median,
+       round(q.q3, 4) AS q3,
+       round(min(m.v) FILTER (m.v >= q.q1 - 1.5 * (q.q3 - q.q1)), 4)
+           AS lo_whisker,
+       round(max(m.v) FILTER (m.v <= q.q3 + 1.5 * (q.q3 - q.q1)), 4)
+           AS hi_whisker,
+       round(q.mv, 4) AS mean_value, q.n AS n,
+       count(*) FILTER (m.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR m.v > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_outliers
+FROM m JOIN q USING (source, month)
+GROUP BY m.source, m.month, q.q1, q.med, q.q3, q.mv, q.n
+"""
+
+
 def approx_p95_by_source(sf_dir: str):
     """Approximate per-source quantiles via mergeable t-digest sketches
     (functions/tdigest.py): one serialized sketch per (batch, source),
@@ -1658,6 +1719,7 @@ def queries():
         "stl_recon_1h": stl_recon_1h,
         "chunks_downsample_1h": chunks_downsample_1h,
         "gapfill_locf_1h": gapfill_locf_1h,
+        "monthwise_box_stats": monthwise_box_stats,
         "p95_hourly_by_source": p95_hourly_by_source,
         "approx_p95_by_source": approx_p95_by_source,
         "top_users_by_type": top_users_by_type,
@@ -1695,6 +1757,7 @@ def oracles():
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "chunks_downsample_1h": _CHUNKS_DOWNSAMPLE_ORACLE,
         "gapfill_locf_1h": _GAPFILL_ORACLE,
+        "monthwise_box_stats": _MONTHWISE_BOX_ORACLE,
         "p95_hourly_by_source": _P95_ORACLE,
         "top_users_by_type": _TOP_USERS_ORACLE,
         # tokens_* queries run on the synthesized native input, which the

@@ -680,3 +680,35 @@ class TestServingContract:
 
         status, _ = handle_api_request("nope", self._payload())
         assert status == 404
+
+
+class TestPlotDataProducts:
+    """The DATA behind the reference's diagnostic plots
+    (diagnostics.py:196-260): boxplot statistics, headless."""
+
+    def test_iqr_plot_data_matches_manual_box_stats(self):
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2022-01-01", periods=9, freq="D"),
+                "value": [1, 2, 3, 4, 5, 6, 7, 8, 100],
+            }
+        )
+        out = compat.build_iqr_plot_data(df)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["q1"] == 3.0 and r["median"] == 5.0 and r["q3"] == 7.0
+        # 100 is outside q3 + 1.5*4 = 13 -> flier; hi whisker = 8
+        assert r["hi_whisker"] == 8.0 and r["n_outliers"] == 1
+        assert r["lo_whisker"] == 1.0 and r["n"] == 9
+
+    def test_monthwise_plot_data_periods(self):
+        df = pd.DataFrame(
+            {
+                "date": pd.date_range("2022-01-01", periods=90, freq="D"),
+                "value": np.arange(90, dtype=float),
+            }
+        )
+        out = compat.build_monthwise_plot_data(df)
+        assert list(map(str, out.index)) == ["2022-01", "2022-02", "2022-03"]
+        assert out.loc[pd.Period("2022-01"), "n"] == 31
+        assert out.loc[pd.Period("2022-03"), "hi_whisker"] == 89.0
