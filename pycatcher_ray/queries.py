@@ -395,6 +395,96 @@ FROM events e ASOF JOIN r
 """
 
 
+def range_join_recent_flags(sf_dir: str, window_hours: int = 2):
+    """RANGE JOIN: every event is annotated with the number of IQR flag
+    buckets for its source in the trailing ``window_hours`` interval
+    (flag.bucket_start ∈ [ts - window, ts]).  Both sides are
+    hash-sharded by key into one exchange (union + sharded groupby, the
+    same carrier as the as-of join) and the interval containment is two
+    vectorized ``searchsorted`` calls per source — no per-row loop, no
+    broadcast of the build side.  Oracle: the SQL range-predicate join.
+    """
+    from .stages.shard import sharded_map_groups
+
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def tag_flags(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "event_id": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "ts": b["bucket_start"],
+                "kind": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    events = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "ts"],
+    )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["event_type"],
+                "event_id": b["event_id"].cast(pa.int64()),
+                "ts": b["ts"],
+                "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        flags.map_batches(tag_flags, batch_format="pyarrow")
+    )
+    window_ns = np.int64(window_hours * 3600) * np.int64(1_000_000_000)
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, grp in g.groupby("source", sort=False):
+            ev = grp[grp["kind"] == 0]
+            fl_ts = np.sort(
+                grp[grp["kind"] == 1]["ts"].astype("datetime64[ns]")
+                .astype("int64").to_numpy()
+            )
+            ts = ev["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            hi = np.searchsorted(fl_ts, ts, side="right")
+            lo = np.searchsorted(fl_ts, ts - window_ns, side="left")
+            out.append(pd.DataFrame({
+                "event_id": ev["event_id"].to_numpy(),
+                "source": src,
+                "ts": ev["ts"].to_numpy(),
+                "n_recent_flags": (hi - lo).astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({"event_id": [], "source": [], "ts": [],
+                                 "n_recent_flags": []})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(both, "source", join_shard)
+
+
+_RANGE_JOIN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+)
+SELECT e.event_id, e.event_type AS source, e.ts,
+       count(f.bucket_start) AS n_recent_flags
+FROM events e LEFT JOIN f
+  ON e.event_type = f.source
+ AND f.bucket_start BETWEEN e.ts - INTERVAL 2 HOUR AND e.ts
+GROUP BY 1, 2, 3
+"""
+
+
 def sliding_avg_3h(sf_dir: str):
     """Sliding-window aggregate: 3-hour trailing mean over each source's
     hourly sums (windowed-aggregate operator; per-source pandas rolling
@@ -1692,6 +1782,7 @@ def queries():
         "approx_users_by_type": approx_users_by_type,
         "sliding_avg_3h": sliding_avg_3h,
         "asof_join_features": asof_join_features,
+        "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
@@ -1745,6 +1836,7 @@ def oracles():
         "distinct_users_by_type": _DISTINCT_ORACLE,
         "sliding_avg_3h": _SLIDING_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
+        "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
