@@ -756,7 +756,9 @@ def _box_stats(values: np.ndarray) -> dict:
     v = v[~np.isnan(v)]
     if v.size == 0:
         raise DataValidationError("Input DataFrame cannot have zero rows")
-    q1, med, q3 = np.quantile(v, [0.25, 0.5, 0.75])
+    from .functions.stats import quantile_cont
+
+    q1, med, q3 = quantile_cont(v, [0.25, 0.5, 0.75])
     iqr = q3 - q1
     lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
     inside = v[(v >= lo_fence) & (v <= hi_fence)]

@@ -25,6 +25,7 @@ from ..errors import DataValidationError
 
 __all__ = [
     "quantile_linear",
+    "quantile_cont",
     "iqr_bounds",
     "iqr_mask",
     "zscore",
@@ -52,6 +53,31 @@ def quantile_linear(x: np.ndarray, q: float) -> float:
     if arr.size == 0:
         return float("nan")
     return float(np.quantile(arr, q))  # numpy 'linear' == pandas default
+
+
+def quantile_cont(x: np.ndarray, q) -> np.ndarray | float:
+    """SQL ``quantile_cont`` bit-parity quantile.
+
+    Same linear-interpolation definition as numpy's, but computed with
+    the PLAIN lerp ``lo + frac·(hi − lo)`` that DuckDB/Postgres use.
+    numpy switches to the symmetric form ``hi − (1−frac)·(hi − lo)``
+    when frac ≥ 0.5 for extra precision, which can differ in the last
+    float bit — enough to flip a round(…, 4) on a .00005 boundary when
+    an engine result is hash-compared against a SQL oracle.  Use THIS
+    for oracle-checked outputs; ``quantile_linear`` keeps numpy/pandas
+    parity for the reference-conformant detector paths."""
+    arr = np.sort(np.asarray(x, dtype=np.float64).ravel())
+    arr = arr[~np.isnan(arr)] if np.isnan(arr).any() else arr
+    qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+    if arr.size == 0:
+        out = np.full(qs.size, np.nan)
+        return out if np.ndim(q) else float("nan")
+    pos = qs * (arr.size - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, arr.size - 1)
+    frac = pos - lo
+    out = arr[lo] + frac * (arr[hi] - arr[lo])
+    return out if np.ndim(q) else float(out[0])
 
 
 def iqr_bounds(x, k: float = 1.5) -> tuple[float, float]:

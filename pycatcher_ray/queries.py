@@ -1428,14 +1428,18 @@ def p95_hourly_by_source(sf_dir: str):
 
     roll = _events_rollup(sf_dir, "1h")
 
+    from .functions.stats import quantile_cont
+
     def quant(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for src, grp in g.groupby("event_type", sort=False):
             v = grp["sum_value"].to_numpy(dtype=np.float64)
             rows.append({
                 "source": src,
-                "p50": round(float(np.quantile(v, 0.5)), 4),
-                "p95": round(float(np.quantile(v, 0.95)), 4),
+                # round at 6: the exact quantile of d-decimal sums has
+                # <= d+2 decimals, so no half-tie is possible there
+                "p50": round(quantile_cont(v, 0.5), 6),
+                "p95": round(quantile_cont(v, 0.95), 6),
                 "n_buckets": int(v.size),
             })
         return pd.DataFrame(rows, columns=["source", "p50", "p95",
@@ -1451,8 +1455,8 @@ WITH r AS (
   FROM events GROUP BY 1, 2
 )
 SELECT source,
-       round(quantile_cont(v, 0.5), 4) AS p50,
-       round(quantile_cont(v, 0.95), 4) AS p95,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.95), 6) AS p95,
        count(*) AS n_buckets
 FROM r GROUP BY source
 """
@@ -1464,7 +1468,7 @@ def monthwise_box_stats(sf_dir: str):
     quartiles, 1.5·IQR whiskers clamped to in-fence extremes, mean,
     flier count — computed in the hash-sharded exchange, fully
     SQL-oracle-checked."""
-    from .compat import _box_stats
+    from .functions.stats import quantile_cont
     from .stages.shard import sharded_map_groups
 
     ds = _rd().read_parquet(
@@ -1477,11 +1481,25 @@ def monthwise_box_stats(sf_dir: str):
         rows = []
         for (src, month), grp in g.groupby([g["event_type"], months],
                                            sort=False):
-            st = _box_stats(grp["value"].to_numpy())
+            v = grp["value"].to_numpy(dtype=np.float64)
+            # quantile_cont for SQL bit-parity; round at 6 decimals,
+            # where the ≤5-decimal exact quantile values cannot tie
+            # (round-half-even vs SQL round-half-away differ ON ties —
+            # found by the randomized differential test)
+            q1, med, q3 = np.round(quantile_cont(v, [0.25, 0.5, 0.75]), 6)
+            iqr = q3 - q1
+            lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+            inside = v[(v >= lo_f) & (v <= hi_f)]
             rows.append({
                 "source": src, "month": month,
-                **{k: (round(v, 4) if isinstance(v, float) else v)
-                   for k, v in st.items()},
+                "q1": q1, "median": med, "q3": q3,
+                "lo_whisker": round(float(inside.min()), 4),
+                "hi_whisker": round(float(inside.max()), 4),
+                # mean from the ROUNDED sum (bit-deterministic divide,
+                # same trick as the rollup finalize)
+                "mean_value": round(float(np.sum(v)), 4) / v.size,
+                "n": int(v.size),
+                "n_outliers": int(((v < lo_f) | (v > hi_f)).sum()),
             })
         return pd.DataFrame(rows, columns=["source", "month", "q1",
                                            "median", "q3", "lo_whisker",
@@ -1498,20 +1516,19 @@ WITH m AS (
   FROM events
 ), q AS (
   SELECT source, month,
-         quantile_cont(v, 0.25) AS q1,
-         quantile_cont(v, 0.5) AS med,
-         quantile_cont(v, 0.75) AS q3,
-         avg(v) AS mv, count(*) AS n
+         round(quantile_cont(v, 0.25), 6) AS q1,
+         round(quantile_cont(v, 0.5), 6) AS med,
+         round(quantile_cont(v, 0.75), 6) AS q3,
+         round(sum(v), 4) / count(*) AS mv, count(*) AS n
   FROM m GROUP BY 1, 2
 )
 SELECT m.source, m.month,
-       round(q.q1, 4) AS q1, round(q.med, 4) AS median,
-       round(q.q3, 4) AS q3,
+       q.q1 AS q1, q.med AS median, q.q3 AS q3,
        round(min(m.v) FILTER (m.v >= q.q1 - 1.5 * (q.q3 - q.q1)), 4)
            AS lo_whisker,
        round(max(m.v) FILTER (m.v <= q.q3 + 1.5 * (q.q3 - q.q1)), 4)
            AS hi_whisker,
-       round(q.mv, 4) AS mean_value, q.n AS n,
+       q.mv AS mean_value, q.n AS n,
        count(*) FILTER (m.v < q.q1 - 1.5 * (q.q3 - q.q1)
                         OR m.v > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_outliers
 FROM m JOIN q USING (source, month)

@@ -1,0 +1,119 @@
+"""Differential fuzzing of the oracle-paired queries: the SAME query
+functions and the SAME oracle SQL strings the driver replays, run over
+RANDOMIZED events tables built to contain the edge cases the fixed sf
+tables may miss — a single-event source, duplicate timestamps, long
+gaps, negative values, ties at quantile boundaries."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+from check_oracles import canon, to_pandas  # noqa: E402
+
+# events-only queries cheap enough to fuzz (each is oracle-paired)
+FUZZ_QUERIES = [
+    "rollup_1m",
+    "rollup_monthly",
+    "iqr_flags_1h",
+    "zscore_flags_1h",
+    "mad_flags_1h",
+    "session_windows",
+    "sliding_avg_3h",
+    "latest_iqr_flag_1h",
+    "distinct_users_by_type",
+    "stratified_sample_events",
+    "p95_hourly_by_source",
+    "top_users_by_type",
+    "monthwise_box_stats",
+    "gapfill_locf_1h",
+    "duplicate_buckets",
+    "chunks_downsample_1h",
+    "moving_average_flags_1d",
+    "range_join_recent_flags",
+]
+
+
+def _synth_events(seed: int, n: int = 4000) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-03-01T00:00:00", "s")
+    srcs, tss, vals, uids = [], [], [], []
+
+    # normal sources with bursts and gaps over ~40 days (spans 2 months)
+    for s, frac in (("alpha", 0.45), ("beta", 0.3), ("gamma", 0.2)):
+        m = int(n * frac)
+        t = np.sort(rng.integers(0, 40 * 86400, m))
+        # carve a multi-day gap
+        t = t[(t < 12 * 86400) | (t > 15 * 86400)]
+        srcs += [s] * t.size
+        tss.append(t)
+        vals.append(np.round(rng.normal(50, 20, t.size), 3))  # negatives too
+        uids.append(rng.integers(1, 80, t.size))
+    # a source with exactly ONE event
+    srcs += ["solo"]
+    tss.append(np.array([86400]))
+    vals.append(np.array([123.456]))
+    uids.append(np.array([999]))
+    # a source whose events all share ONE timestamp (duplicate buckets)
+    k = 25
+    srcs += ["tied"] * k
+    tss.append(np.full(k, 7 * 86400 + 1800))
+    vals.append(np.round(rng.normal(0, 1, k), 3))
+    uids.append(rng.integers(1, 5, k))
+
+    ts = base + np.concatenate(tss).astype("timedelta64[s]")
+    v = np.concatenate(vals)
+    u = np.concatenate(uids)
+    order = np.argsort(rng.random(ts.size))  # shuffle row order
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(ts.size, dtype=np.int64)[order]),
+            "ts": pa.array(ts[order]).cast(pa.timestamp("us")),
+            "user_id": pa.array(u[order].astype(np.int64)),
+            "event_type": pa.array(np.array(srcs, dtype=object)[order]),
+            "value": pa.array(v[order]),
+        }
+    )
+
+
+@pytest.fixture(scope="module", params=[101, 202])
+def fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"fuzz{request.param}")
+    pq.write_table(_synth_events(request.param), str(d / "events.parquet"))
+    return str(d)
+
+
+class TestDifferentialRandomized:
+    def test_oracle_parity_on_random_events(self, ray_session, fuzz_dir):
+        from pycatcher_ray.queries import oracles, queries
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{fuzz_dir}/events.parquet')"
+        )
+        qs, os_ = queries(), oracles()
+        failures = []
+        for name in FUZZ_QUERIES:
+            got = canon(to_pandas(qs[name](fuzz_dir)))
+            want = canon(con.execute(os_[name]).fetchdf())
+            if list(got.columns) != list(want.columns):
+                failures.append((name, "columns", list(got.columns),
+                                 list(want.columns)))
+                continue
+            if len(got) != len(want):
+                failures.append((name, "rows", len(got), len(want)))
+                continue
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              rtol=0, atol=0)
+            except AssertionError as e:
+                failures.append((name, "values", str(e)[:200], ""))
+        assert not failures, failures
