@@ -117,3 +117,70 @@ class TestDifferentialRandomized:
             except AssertionError as e:
                 failures.append((name, "values", str(e)[:200], ""))
         assert not failures, failures
+
+
+def _synth_docs(seed: int, n: int = 160) -> pa.Table:
+    """Random ASCII corpus with edge cases: empty text, single word,
+    punctuation-only, EXACT duplicates, planted near-duplicates."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(200)])
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(5, 60))
+        texts.append(" ".join(rng.choice(vocab, k)))
+    texts[0] = ""
+    texts[1] = "solitary"
+    texts[2] = "... !!! ??? ,,,"
+    texts[3] = texts[10]          # exact duplicate
+    texts[4] = texts[10]          # triplicate
+    base = " ".join(rng.choice(vocab, 40))
+    texts[5] = base
+    texts[6] = base + " tail"     # near duplicate
+    langs = rng.choice(["en", "es", "fr"], n)
+    srcs = rng.choice(["web", "book"], n)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+        }
+    )
+
+
+DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
+                    "ngram_jaccard"]
+
+
+@pytest.fixture(scope="module", params=[7, 8])
+def doc_fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"docfuzz{request.param}")
+    pq.write_table(_synth_docs(request.param), str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestDifferentialDocs:
+    def test_doc_oracle_parity_on_random_corpus(self, ray_session,
+                                                doc_fuzz_dir):
+        from pycatcher_ray.queries import oracles, queries
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{doc_fuzz_dir}/documents.parquet')"
+        )
+        qs, os_ = queries(), oracles()
+        failures = []
+        for name in DOC_FUZZ_QUERIES:
+            got = canon(to_pandas(qs[name](doc_fuzz_dir)))
+            want = canon(con.execute(os_[name]).fetchdf())
+            if list(got.columns) != list(want.columns) or len(got) != len(want):
+                failures.append((name, list(got.columns), len(got),
+                                 list(want.columns), len(want)))
+                continue
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              rtol=0, atol=0)
+            except AssertionError as e:
+                failures.append((name, "values", str(e)[:200]))
+        assert not failures, failures
