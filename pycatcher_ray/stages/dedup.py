@@ -182,12 +182,14 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
         "shard"
     ).map_groups(pairs, batch_format="pandas")
     # cross-shard dedup: a (band_id, band_hash) bucket lives in exactly one
-    # shard, but the same PAIR can appear in buckets of different shards
-    from ray.data.aggregate import Sum
+    # shard, but the same PAIR can appear in buckets of different shards.
+    # sharded_aggregate, not groupby().aggregate(): the pair key space is
+    # high-cardinality and Ray pays ~0.3ms of Python per output group.
+    from .shard import sharded_aggregate
 
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("n_bands", alias_name="n_bands")
-    )
+    return sharded_aggregate(cand, ["doc_a", "doc_b"],
+                             {"n_bands": "sum"},
+                             num_shards=num_shuffle_buckets)
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3,
@@ -465,9 +467,7 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     the cap (stop-gram pruning — a gram in 10^5 docs contributes O(df²)
     pairs and ~nothing to near-dup evidence).  Default None = exact,
     matching the SQL oracle."""
-    from ray.data.aggregate import Sum
-
-    from .shard import sharded_map_groups
+    from .shard import sharded_aggregate, sharded_map_groups
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         grams, ids = [], []
@@ -488,11 +488,15 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     num_shards = max(4, min(num_shards, grams.count() // 50_000 + 4))
 
     # per-doc distinct-gram counts (grams are already distinct per doc)
-    sizes = grams.map_batches(
-        lambda b: b.groupby("doc_id", as_index=False).size().rename(
-            columns={"size": "p_n"}),
-        batch_format="pandas",
-    ).groupby("doc_id").aggregate(Sum("p_n", alias_name="n_grams"))
+    sizes = sharded_aggregate(
+        grams.map_batches(
+            lambda b: b.groupby("doc_id", as_index=False).size().rename(
+                columns={"size": "p_n"}),
+            batch_format="pandas",
+        ),
+        ["doc_id"], {"p_n": "sum"}, num_shards=num_shards,
+    ).map_batches(lambda b: b.rename(columns={"p_n": "n_grams"}),
+                  batch_format="pandas")
 
     def gram_pairs(shard: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -520,10 +524,11 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
             columns={"size": "co"}
         )
 
-    co = sharded_map_groups(grams, "gram", gram_pairs,
-                            num_shards=num_shards).groupby(
-        ["doc_a", "doc_b"]
-    ).aggregate(Sum("co", alias_name="co"))
+    co = sharded_aggregate(
+        sharded_map_groups(grams, "gram", gram_pairs,
+                           num_shards=num_shards),
+        ["doc_a", "doc_b"], {"co": "sum"}, num_shards=num_shards,
+    )
 
     def _attach(pairs_ds, pairs_cols, side: str, out_col: str):
         def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
@@ -655,11 +660,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     cand = bands.map_batches(add_shard, batch_format="pandas").groupby(
         "shard"
     ).map_groups(pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
+    from .shard import sharded_aggregate
 
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return sharded_aggregate(cand, ["doc_a", "doc_b"],
+                             {"hamming": "min"})
 
 
 def embedding_neardup(emb_ds, threshold: float = 0.95, n_planes: int = 12,

@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["shard_values", "with_shard", "sharded_map_groups"]
+__all__ = ["shard_values", "with_shard", "sharded_map_groups",
+           "sharded_aggregate"]
 
 _MASK = np.int64((1 << 62) - 1)
 _MIX = np.int64(1_000_003)
@@ -92,3 +93,21 @@ def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int = 64,
             return shard_fn(g.drop_columns(["shard"]))
 
     return sharded.groupby("shard").map_groups(run, batch_format=batch_format)
+
+
+def sharded_aggregate(ds, key_cols, agg_map: dict, num_shards: int = 64):
+    """High-cardinality groupby-aggregate without Ray's per-group cost.
+
+    ``groupby(keys).aggregate(...)`` dispatches Python per OUTPUT group
+    (~0.3 ms each) — at 10^5+ groups (e.g. candidate PAIRS in the dedup
+    paths) that dwarfs the actual combine.  Here the exchange groups by
+    ``hash(keys) % B`` and each shard runs ONE vectorized pandas
+    groupby-agg over all of its keys; a key always hashes to exactly one
+    shard, so the result is exact.  ``agg_map``: {col: 'sum'|'min'|
+    'max'|'count'|...} (pandas agg names)."""
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def agg_shard(shard):
+        return shard.groupby(cols, as_index=False).agg(agg_map)
+
+    return sharded_map_groups(ds, cols, agg_shard, num_shards=num_shards)
