@@ -294,19 +294,22 @@ def duplicate_buckets(sf_dir: str):
     count."""
     ds = _events(sf_dir)
 
+    from .stages.shard import sharded_aggregate
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"source": batch["event_type"], "ts": batch["ts"]})
         return t.group_by(["source", "ts"]).aggregate([("ts", "count")]).rename_columns(
             ["source", "ts", "p_n"]
         )
 
-    from ray.data.aggregate import Sum
-
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["source", "ts"]
-    ).aggregate(Sum("p_n", alias_name="n"))
+    # sharded combine: (source, ts) cardinality ~= the row count, so a
+    # Ray per-group aggregate would pay ~0.3ms x 10^6 groups
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "ts"], {"p_n": "sum"},
+    )
     dups = agg.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
+        lambda b: b[b["p_n"] > 1], batch_format="pandas"
     )
     # schema-stable summary (an empty flag table has no schema to compare)
     return pd.DataFrame({"n_dup_pairs": [int(dups.count())]})
