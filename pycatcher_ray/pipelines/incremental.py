@@ -45,7 +45,7 @@ from ..stages.ingest import ingest
 from ..stages.rollup import rollup, cascade
 from ..state.checkpoint import hash_partition_column
 
-__all__ = ["update_tiers", "update_id_for"]
+__all__ = ["update_tiers", "update_id_for", "refresh_partitions"]
 
 
 def update_id_for(new_input_paths) -> str:
@@ -120,11 +120,59 @@ def _make_merge_task(stage_dir: str, key_col: str, update_id: str,
     return merge_partition
 
 
+def refresh_partitions(out_dir: str, stage: str, source_tier: str,
+                       touched: list[int], build, cfg: EngineConfig,
+                       key_col: str = "source") -> dict | None:
+    """Recompute a DERIVED stage (flags, chunks) for the TOUCHED
+    partitions only, from the already-merged tier partitions.
+
+    Key insight: every stage partitions by the same ``stable_key_hash``
+    of the series key, so a series lives in partition p of EVERY stage —
+    recomputing stage partition p needs exactly tier partition p as
+    input, and the recomputed rows land back in partition p.  Untouched
+    partitions keep their previous output (their series data did not
+    change), so the refresh cost scales with the update, not history.
+
+    ``build(tier_ds) -> Dataset`` produces the stage's rows from a tier
+    Dataset.  Returns the write summary, or None if the stage was never
+    checkpointed (nothing to refresh)."""
+    import ray.data as rd
+
+    from ..state.checkpoint import CheckpointedWriter
+
+    stage_dir = os.path.join(out_dir, stage)
+    if not os.path.isdir(stage_dir):
+        return None
+    tier_paths = [
+        os.path.join(out_dir, f"rollup_{source_tier}", f"part={p}",
+                     "data.parquet")
+        for p in touched
+    ]
+    tier_paths = [p for p in tier_paths if os.path.exists(p)]
+    if not tier_paths:
+        return {"partitions_written": [], "partitions_skipped": [],
+                "rows_written": 0}
+    tier_ds = rd.read_parquet(tier_paths, partitioning=None)
+    out_ds = build(tier_ds)
+    # invalidate exactly the touched partitions, then let the
+    # checkpointed writer rebuild them (all keys read from partition p
+    # hash back into partition p; everything else stays done)
+    for p in touched:
+        manifest = os.path.join(stage_dir, f"part={p}", "manifest.json")
+        if os.path.exists(manifest):
+            os.remove(manifest)
+    writer = CheckpointedWriter(out_dir, stage)
+    return writer.write(out_ds, "key", cfg.num_output_partitions,
+                        lineage={"refreshed_from": source_tier,
+                                 "partitions": sorted(touched)})
+
+
 def update_tiers(
     new_input_paths,
     out_dir: str,
     cfg: EngineConfig | None = None,
     key_col: str = "source",
+    refresh_outputs: bool = True,
 ) -> dict:
     """Fold new shards into the checkpointed rollup tiers under out_dir.
 
@@ -190,4 +238,39 @@ def update_tiers(
             "seconds": round(time.time() - t0, 3),
         }
         prev_delta = delta
+
+    if refresh_outputs:
+        from ..config import TIERS as _TIERS
+        from ..stages.compress import compress
+        from ..stages.detect import detect
+
+        detect_tier = cfg.detect_tier
+        touched_detect = metrics["tiers"].get(detect_tier, {}).get(
+            "partitions_applied", [])
+        if touched_detect:
+            t0 = time.time()
+            s = refresh_partitions(
+                out_dir, f"flags_{detect_tier}", detect_tier, touched_detect,
+                lambda tier_ds: detect(tier_ds, key_col, tier=detect_tier,
+                                       cfg=cfg,
+                                       gapfill_method=cfg.gapfill_method),
+                cfg, key_col,
+            )
+            if s is not None:
+                s["seconds"] = round(time.time() - t0, 3)
+                metrics["flags_refreshed"] = s
+        touched_1m = metrics["tiers"].get("1m", {}).get(
+            "partitions_applied", [])
+        if touched_1m:
+            t0 = time.time()
+            spec = _TIERS["1m"]
+            s = refresh_partitions(
+                out_dir, "chunks_1m", "1m", touched_1m,
+                lambda tier_ds: compress(tier_ds, key_col, spec.seconds,
+                                         spec.chunk_buckets),
+                cfg, key_col,
+            )
+            if s is not None:
+                s["seconds"] = round(time.time() - t0, 3)
+                metrics["chunks_refreshed"] = s
     return metrics

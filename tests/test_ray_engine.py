@@ -533,3 +533,58 @@ class TestTokensNativeDuckDBOracles:
         np.testing.assert_array_equal(got["rows"], want["rows"])
         # every row's checksum must re-verify
         np.testing.assert_array_equal(got["rows_ok"], want["rows"])
+
+
+class TestIncrementalRefresh:
+    def test_refresh_outputs_match_full_recompute(self, ray_session,
+                                                  tmp_path):
+        """After an incremental tier update, flags and chunks for the
+        touched partitions are refreshed and match a full recompute
+        over A ∪ B (untouched partitions keep their valid output)."""
+        import ray.data as rd
+
+        from pycatcher_ray.config import EngineConfig
+        from pycatcher_ray.pipelines import run_flagship
+        from pycatcher_ray.pipelines.incremental import update_tiers
+
+        d = tmp_path / "in"
+        write_tokens_dataset(str(d / "a"), 3000, n_sources=5,
+                             minutes_span=1440, seed=31)
+        write_tokens_dataset(str(d / "b"), 3000, n_sources=5,
+                             minutes_span=1440,
+                             start_minute=28_401_120 + 1440, seed=41)
+        a_paths = sorted(glob.glob(str(d / "a" / "*.parquet")))
+        b_paths = sorted(glob.glob(str(d / "b" / "*.parquet")))
+        cfg = EngineConfig(detect_tier="1h", detect_concurrency=2,
+                           num_output_partitions=8)
+
+        out_inc = str(tmp_path / "inc")
+        run_flagship(a_paths, out_inc, cfg)
+        m = update_tiers(b_paths, out_inc, cfg)
+        assert m.get("flags_refreshed", {}).get("rows_written", 0) >= 0
+        assert "chunks_refreshed" in m
+
+        out_full = str(tmp_path / "full")
+        run_flagship(a_paths + b_paths, out_full, cfg)
+
+        def read_stage(base, stage, cols):
+            return pd.concat([
+                pd.read_parquet(p)[cols] for p in sorted(
+                    glob.glob(f"{base}/{stage}/part=*/data.parquet"))
+            ]).sort_values(cols[:3]).reset_index(drop=True)
+
+        fi = read_stage(out_inc, "flags_1h",
+                        ["key", "bucket_start", "method", "value"])
+        ff = read_stage(out_full, "flags_1h",
+                        ["key", "bucket_start", "method", "value"])
+        assert len(fi) == len(ff)
+        pd.testing.assert_frame_equal(
+            fi[["key", "bucket_start", "method"]],
+            ff[["key", "bucket_start", "method"]])
+        np.testing.assert_allclose(fi["value"], ff["value"], rtol=1e-9)
+
+        ci = read_stage(out_inc, "chunks_1m",
+                        ["key", "chunk_id", "t0", "n_points"])
+        cf = read_stage(out_full, "chunks_1m",
+                        ["key", "chunk_id", "t0", "n_points"])
+        pd.testing.assert_frame_equal(ci, cf)
