@@ -1754,30 +1754,44 @@ FROM m GROUP BY 1, 2
 
 
 def media_features(sf_dir: str):
-    """Multimodal plumbing: synth binary media table → actor-pool decode
-    (stubbed codec) → per-mime feature aggregation."""
+    """Multimodal pipeline: synth REAL media payloads (valid PNG/WAV) →
+    actor-pool stdlib decode (stages/multimodal.py) → per-mime
+    aggregation of the decoded features (audio duration from the WAV
+    headers+frames, pixel statistics from the inflated PNG scanlines)."""
     from .stages.multimodal import decode_features, synth_media_table
 
     media = _rd().from_arrow(synth_media_table(512, seed=42))
     feats = decode_features(media)
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "mime": batch["mime"],
-                "n_bytes": batch["n_bytes"],
-            }
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        f = np.stack(batch["features"].to_numpy())
+        batch = batch.assign(
+            # feature layout (multimodal.MediaDecoder): PNG f[3]=pixel
+            # mean; WAV f[3]=duration seconds
+            primary=f[:, 3],
         )
-        return t.group_by("mime").aggregate(
-            [("n_bytes", "sum"), ("n_bytes", "count")]
-        ).rename_columns(["mime", "p_bytes", "p_n"])
+        g = batch.groupby("mime", as_index=False).agg(
+            p_bytes=("n_bytes", "sum"),
+            p_n=("n_bytes", "count"),
+            p_primary=("primary", "sum"),
+        )
+        return g
 
     from ray.data.aggregate import Sum
 
-    return feats.map_batches(summarize, batch_format="pyarrow").groupby(
+    agg = feats.map_batches(summarize, batch_format="pandas").groupby(
         "mime"
     ).aggregate(Sum("p_bytes", alias_name="total_bytes"),
-                Sum("p_n", alias_name="n_media"))
+                Sum("p_n", alias_name="n_media"),
+                Sum("p_primary", alias_name="sum_primary"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # audio/wav -> mean clip duration (s); image/png -> mean pixel level
+        b["avg_primary_feature"] = (b["sum_primary"] / b["n_media"]).round(4)
+        return b.drop(columns=["sum_primary"])
+
+    return agg.map_batches(fin, batch_format="pandas")
 
 
 # ------------------------------------------------------------- registry
