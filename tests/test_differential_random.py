@@ -184,3 +184,57 @@ class TestDifferentialDocs:
             except AssertionError as e:
                 failures.append((name, "values", str(e)[:200]))
         assert not failures, failures
+
+
+def _synth_embeddings(seed: int, n: int = 300, dim: int = 16) -> pa.Table:
+    """Random embeddings with edge cases: exact duplicate vectors (cos
+    ties at 1.0), scaled copies (cos ties below 1.0), near-parallel
+    pairs — exercises the top-k tiebreak (cos desc, vec_id asc) across
+    batch boundaries."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    mat[5] = mat[0]             # duplicate of the query vector
+    mat[6] = mat[0] * 3.0       # scaled copy: same cosine
+    mat[7] = -mat[0]            # antipodal
+    mat[20] = mat[21]           # duplicate pair elsewhere
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+
+
+@pytest.fixture(scope="module", params=[11, 12])
+def emb_fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"embfuzz{request.param}")
+    pq.write_table(_synth_embeddings(request.param),
+                   str(d / "embeddings.parquet"))
+    return str(d)
+
+
+class TestDifferentialEmbeddings:
+    def test_ann_and_neardup_parity_with_ties(self, ray_session,
+                                              emb_fuzz_dir):
+        from pycatcher_ray.queries import oracles, queries
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{emb_fuzz_dir}/embeddings.parquet')"
+        )
+        qs, os_ = queries(), oracles()
+        failures = []
+        for name in ("ann_topk", "embedding_neardup_exact"):
+            got = canon(to_pandas(qs[name](emb_fuzz_dir)))
+            want = canon(con.execute(os_[name]).fetchdf())
+            if len(got) != len(want):
+                failures.append((name, "rows", len(got), len(want)))
+                continue
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              rtol=0, atol=0)
+            except AssertionError as e:
+                failures.append((name, "values", str(e)[:200]))
+        assert not failures, failures
