@@ -85,6 +85,19 @@ __all__ = [
     "build_decomposition_results",
     "build_iqr_plot_data",
     "build_monthwise_plot_data",
+    "create_app",
+    "build_iqr_plot",
+    "build_monthwise_plot",
+    "build_outliers_plot_classic",
+    "build_outliers_plot_stl",
+    "build_outliers_plot_mstl",
+    "build_outliers_plot_esd",
+    "build_outliers_plot_moving_average",
+    "build_seasonal_plot_classic",
+    "generate_seasonal_plot_classic",
+    "build_seasonal_plot_stl",
+    "build_seasonal_plot_mstl",
+    "plot_seasonal",
     "conduct_stationarity_check",
 ]
 
@@ -797,3 +810,154 @@ def build_monthwise_plot_data(df) -> pd.DataFrame:
     out = pd.DataFrame.from_dict(rows, orient="index")
     out.index.name = "Month-Year"
     return out.sort_index()
+
+
+def create_app():
+    """Reference export parity (webapp.py create_app): the engine's
+    stdlib WSGI app with the upload + JSON-endpoint surface."""
+    from .serving import create_app as _create_app
+
+    return _create_app()
+
+
+# ------------------------------------------------ plot-surface parity
+# The reference's build_*_plot functions return matplotlib figures;
+# matplotlib is a rendering concern this engine does not ship, so each
+# function returns the DATA the figure would draw (documented divergence
+# — same detector/decomposition math, no raster output).
+
+
+def _outliers_overlay(df, detect_fn) -> pd.DataFrame:
+    """Series + outlier mask — the data of the reference's outlier
+    overlay plots (diagnostics.py:391-1113 family)."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    out = detect_fn(df)
+    flagged = set()
+    if isinstance(out, pd.DataFrame) and len(out):
+        first = out.columns[0]
+        flagged = set(pd.to_datetime(out[first]) if not isinstance(
+            out.index, pd.DatetimeIndex) else out.index)
+        if not flagged:
+            flagged = set(pd.to_datetime(out.iloc[:, 0]))
+    res = pd.DataFrame(
+        {"value": dated.iloc[:, -1].to_numpy()}, index=dated.index
+    )
+    res["is_outlier"] = [ts in flagged for ts in res.index]
+    return res
+
+
+def build_iqr_plot(df) -> pd.DataFrame:
+    """Data of diagnostics.build_iqr_plot (boxplot stats)."""
+    return build_iqr_plot_data(df)
+
+
+def build_monthwise_plot(df) -> pd.DataFrame:
+    """Data of diagnostics.build_monthwise_plot (per-month box stats)."""
+    return build_monthwise_plot_data(df)
+
+
+def build_outliers_plot_classic(df) -> pd.DataFrame:
+    """Data of diagnostics.build_outliers_plot_classic:449."""
+    return _outliers_overlay(df, detect_outliers_classic)
+
+
+def build_outliers_plot_stl(df) -> pd.DataFrame:
+    """Data of diagnostics.build_outliers_plot_stl:515."""
+    return _outliers_overlay(df, detect_outliers_stl)
+
+
+def build_outliers_plot_mstl(df) -> pd.DataFrame:
+    """Data of diagnostics.build_outliers_plot_mstl:769."""
+    return _outliers_overlay(df, detect_outliers_mstl)
+
+
+def build_outliers_plot_esd(df) -> pd.DataFrame:
+    """Data of diagnostics.build_outliers_plot_esd:1039."""
+    return _outliers_overlay(df, detect_outliers_esd)
+
+
+def build_outliers_plot_moving_average(df) -> pd.DataFrame:
+    """Data of diagnostics.build_outliers_plot_moving_average:391."""
+    return _outliers_overlay(df, detect_outliers_moving_average)
+
+
+def build_seasonal_plot_classic(df) -> pd.DataFrame:
+    """Data of diagnostics.build_seasonal_plot_classic:58 — the chosen
+    classical decomposition's components."""
+    return build_decomposition_results(df)
+
+
+def generate_seasonal_plot_classic(df, detected_period) -> pd.DataFrame:
+    """Data of diagnostics.generate_seasonal_plot_classic:147 (explicit
+    period)."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    arr = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    res = seasonal_decompose(arr, period=int(detected_period),
+                             model="additive")
+    return pd.DataFrame(
+        {
+            "seasonal": res.seasonal,
+            "trend": res.trend,
+            "residuals": res.resid,
+            "actual_values": res.observed,
+        },
+        index=dated.index,
+    )
+
+
+def _stl_components(df, fit) -> pd.DataFrame:
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    arr = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    res = fit(arr, len(dated))
+    seasonal = res.seasonal
+    if isinstance(seasonal, dict):  # MSTL: sum the per-period components
+        seasonal = res.seasonal_sum
+    elif getattr(seasonal, "ndim", 1) > 1:
+        seasonal = np.asarray(seasonal).sum(axis=0)
+    return pd.DataFrame(
+        {
+            "seasonal": seasonal,
+            "trend": res.trend,
+            "residuals": res.resid,
+            "actual_values": res.observed,
+        },
+        index=dated.index,
+    )
+
+
+def build_seasonal_plot_stl(df) -> pd.DataFrame:
+    """Data of diagnostics.build_seasonal_plot_stl:647."""
+    def fit(arr, n):
+        freq = _normalized_freq(
+            check_and_convert_date(_validate_frame(df)).index.inferred_freq
+        )
+        period = _FREQ_TO_PERIOD.get(freq or "D", 7)
+        seasonal = period + (period % 2 == 0)
+        return _stl(arr, period=period, seasonal=seasonal)
+
+    return _stl_components(df, fit)
+
+
+def build_seasonal_plot_mstl(df) -> pd.DataFrame:
+    """Data of diagnostics.build_seasonal_plot_mstl:908."""
+    def fit(arr, n):
+        freq = _normalized_freq(
+            check_and_convert_date(_validate_frame(df)).index.inferred_freq
+        )
+        periods = _mstl_dispatch_periods(freq, n) or (7,)
+        usable = tuple(p for p in periods if n >= 2 * p) or (periods[0],)
+        return _mstl(arr, periods=usable)
+
+    return _stl_components(df, fit)
+
+
+def plot_seasonal(res, axes, title):
+    """Pure matplotlib renderer in the reference (diagnostics.py:31-55);
+    this engine produces plot DATA, not rasters."""
+    raise NotImplementedError(
+        "plot_seasonal renders matplotlib axes; use the build_*_plot "
+        "functions' returned DataFrames with your own plotting stack"
+    )

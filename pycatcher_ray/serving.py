@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["ENDPOINTS", "handle_api_request"]
+__all__ = ["ENDPOINTS", "handle_api_request", "process_upload",
+           "create_app"]
 
 
 def _to_frame(payload: dict) -> pd.DataFrame:
@@ -82,3 +83,124 @@ def handle_api_request(endpoint: str, payload: dict) -> tuple[int, dict]:
         return 400, {"detail": str(exc)}
     except Exception as exc:
         return 500, {"detail": str(exc)}
+
+
+# ----------------------------------------------------- webapp contract
+
+
+def _reset_safe(df: pd.DataFrame) -> pd.DataFrame:
+    # detectors that index by the (retained) date column would collide
+    # on reset_index; drop the index instead of duplicating the column
+    if df.index.name is not None and df.index.name in df.columns:
+        return df.reset_index(drop=True)
+    return df.reset_index()
+
+
+def process_upload(csv_bytes: bytes, method: str = "comprehensive") -> dict:
+    """The reference webapp's ``FileProcessor.process_file``
+    (webapp.py:54-150) headlessly: CSV bytes → detector → the same
+    response envelope.  Divergences (documented): 'table' carries JSON
+    records instead of styled HTML, and 'plot' carries the boxplot DATA
+    (build_iqr_plot_data) instead of a base64 PNG — matplotlib is a
+    rendering concern this engine does not ship."""
+    import io
+
+    from . import compat
+
+    df = pd.read_csv(io.BytesIO(csv_bytes))
+    plot_data = None
+    if method == "comprehensive":
+        outliers = compat.detect_outliers_classic(df)
+        plot_data = compat.build_iqr_plot_data(df).iloc[0].to_dict()
+    elif method == "stl":
+        outliers = compat.detect_outliers_stl(df)
+    elif method == "moving_average":
+        outliers = compat.detect_outliers_moving_average(df)
+    else:
+        raise ValueError("Invalid analysis method selected.")
+
+    if not isinstance(outliers, pd.DataFrame):
+        return {
+            "success": True,
+            "message": "Analysis completed successfully",
+            "data": {
+                "table": "No outliers found",
+                "summary": {
+                    "total_rows": len(df),
+                    "outlier_rows": 0,
+                    "outlier_percentage": 0,
+                    "columns_analyzed": list(df.columns),
+                },
+                "plot": plot_data,
+            },
+        }
+    total_rows = len(df)
+    outlier_rows = len(outliers)
+    return {
+        "success": True,
+        "message": "Analysis completed successfully",
+        "data": {
+            "table": _reset_safe(outliers).to_dict(orient="records"),
+            "summary": {
+                "total_rows": total_rows,
+                "outlier_rows": outlier_rows,
+                "outlier_percentage": (outlier_rows / total_rows) * 100,
+                "columns_analyzed": list(df.columns),
+            },
+            "plot": plot_data,
+        },
+    }
+
+
+def create_app():
+    """WSGI app with the reference's serving surface: the webapp's
+    POST /upload (CSV body; ``?method=`` selects the detector,
+    webapp.py:166-203) and api_catch's three POST JSON endpoints.
+    Pure stdlib (any WSGI server, e.g. ``wsgiref.simple_server``,
+    can host it) — the functional replacement for Flask/FastAPI,
+    which do not ship in this container."""
+    import json
+
+    def app(environ, start_response):
+        def respond(status_code: int, body: dict):
+            payload = json.dumps(body, default=str).encode()
+            start_response(
+                f"{status_code} " + {200: "OK", 400: "Bad Request",
+                                     404: "Not Found",
+                                     405: "Method Not Allowed",
+                                     500: "Error"}.get(status_code, "Error"),
+                [("Content-Type", "application/json"),
+                 ("Content-Length", str(len(payload)))],
+            )
+            return [payload]
+
+        path = (environ.get("PATH_INFO") or "/").strip("/")
+        if environ.get("REQUEST_METHOD") != "POST":
+            return respond(405, {"detail": "POST only"})
+        try:
+            size = int(environ.get("CONTENT_LENGTH") or 0)
+            raw = environ["wsgi.input"].read(size)
+        except Exception as exc:
+            return respond(400, {"detail": f"unreadable body: {exc}"})
+
+        if path == "upload":
+            from urllib.parse import parse_qs
+
+            method = parse_qs(environ.get("QUERY_STRING", "")).get(
+                "method", ["comprehensive"])[0]
+            try:
+                return respond(200, process_upload(raw, method))
+            except ValueError as exc:
+                return respond(400, {"success": False, "message": str(exc)})
+            except Exception as exc:
+                return respond(500, {"success": False, "message": str(exc)})
+        if path in ENDPOINTS:
+            try:
+                payload = json.loads(raw)
+            except Exception as exc:
+                return respond(400, {"detail": f"invalid JSON: {exc}"})
+            status, body = handle_api_request(path, payload)
+            return respond(status, body)
+        return respond(404, {"detail": f"unknown route /{path}"})
+
+    return app

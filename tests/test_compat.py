@@ -712,3 +712,103 @@ class TestPlotDataProducts:
         assert list(map(str, out.index)) == ["2022-01", "2022-02", "2022-03"]
         assert out.loc[pd.Period("2022-01"), "n"] == 31
         assert out.loc[pd.Period("2022-03"), "hi_whisker"] == 89.0
+
+
+class TestPlotSurfaceParity:
+    """All 44 reference __init__ exports exist in compat; the plot
+    family returns the DATA its figures would draw (documented
+    divergence — no matplotlib here)."""
+
+    def test_full_export_parity(self):
+        import re
+
+        ref = open("/root/reference/src/pycatcher/__init__.py").read()
+        names = set(re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)"',
+                               ref.split("__all__")[1]))
+        missing = sorted(n for n in names if n not in set(compat.__all__))
+        assert missing == []
+
+    def test_outlier_overlay_flags_planted(self, iqr_known_outlier):
+        ov = compat.build_outliers_plot_classic(iqr_known_outlier)
+        assert list(ov.columns) == ["value", "is_outlier"]
+        assert ov["is_outlier"].sum() == 1
+        assert ov.loc[ov["is_outlier"], "value"].iloc[0] == 100
+
+    def test_seasonal_builders_reconstruct(self):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({
+            "date": pd.date_range("2020-01-01", periods=800, freq="D"),
+            "value": 100 + 10 * np.sin(np.arange(800) * 2 * np.pi / 7)
+            + rng.normal(0, 1, 800),
+        })
+        for builder in (compat.build_seasonal_plot_stl,
+                        compat.build_seasonal_plot_mstl):
+            out = builder(df)
+            err = np.nanmax(np.abs(
+                out["actual_values"] - out["trend"] - out["seasonal"]
+                - out["residuals"]))
+            assert err < 1e-8
+
+    def test_plot_seasonal_raises(self):
+        with pytest.raises(NotImplementedError):
+            compat.plot_seasonal(None, None, "t")
+
+
+class TestWSGIApp:
+    def _call(self, app, path, body: bytes, qs=""):
+        import io as _io
+
+        status_box = {}
+
+        def start_response(status, headers):
+            status_box["status"] = status
+
+        env = {
+            "REQUEST_METHOD": "POST",
+            "PATH_INFO": path,
+            "QUERY_STRING": qs,
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": _io.BytesIO(body),
+        }
+        out = b"".join(app(env, start_response))
+        import json as _json
+
+        return status_box["status"], _json.loads(out)
+
+    def test_upload_comprehensive(self):
+        app = compat.create_app()
+        csv = b"date,value\n" + b"".join(
+            f"2022-01-{d:02d},{v}\n".encode()
+            for d, v in zip(range(1, 6), [1, 2, 3, 100, 4])
+        )
+        status, body = self._call(app, "/upload", csv)
+        assert status.startswith("200")
+        assert body["success"] is True
+        assert body["data"]["summary"]["outlier_rows"] == 1
+        assert body["data"]["plot"]["n_outliers"] == 1
+
+    def test_upload_bad_method_400(self):
+        app = compat.create_app()
+        status, body = self._call(app, "/upload", b"date,value\n2022-01-01,1\n",
+                                  qs="method=nope")
+        assert status.startswith("400")
+        assert "Invalid analysis method" in body["message"]
+
+    def test_json_endpoint_routed(self):
+        import json as _json
+
+        app = compat.create_app()
+        payload = _json.dumps({
+            "data": [["2024-01-01", 10], ["2024-01-02", 12],
+                     ["2024-01-03", 14], ["2024-01-04", 100],
+                     ["2024-01-05", 15]],
+            "columns": ["date", "value"],
+        }).encode()
+        status, body = self._call(app, "/find_outliers", payload)
+        assert status.startswith("200")
+        assert body["outliers"][0]["value"] == 100
+
+    def test_unknown_route_404(self):
+        app = compat.create_app()
+        status, _ = self._call(app, "/nope", b"{}")
+        assert status.startswith("404")
