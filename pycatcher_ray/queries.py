@@ -51,14 +51,28 @@ def _events(sf_dir: str):
     )
 
 
+def _round_exact(values, ndigits: int = ROUND) -> np.ndarray:
+    """Correctly-rounded decimal rounding (Python's round), matching SQL
+    round() to the last ULP.  Arrow's pc.round scales-multiplies-rounds-
+    divides, which can land one ULP off the nearest double of the true
+    decimal — invisible until a downstream division sits exactly on a
+    half-tie of the comparison rounding (found by the sf0.1 sweep)."""
+    arr = np.asarray(values, dtype=np.float64)
+    out = np.empty(arr.size, dtype=np.float64)
+    for i, x in enumerate(arr.ravel()):
+        out[i] = round(x, ndigits) if x == x else x  # NaN passthrough
+    return out.reshape(arr.shape)
+
+
 def _round_cols(ds, cols: tuple[str, ...], ndigits: int = ROUND):
     def fn(batch: pa.Table) -> pa.Table:
         for c in cols:
             if c in batch.column_names:
                 idx = batch.column_names.index(c)
-                batch = batch.set_column(
-                    idx, c, pc.round(batch[c], ndigits=ndigits)
+                rounded = _round_exact(
+                    batch[c].to_numpy(zero_copy_only=False), ndigits
                 )
+                batch = batch.set_column(idx, c, pa.array(rounded))
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -79,7 +93,11 @@ def _finalize_rollup(ds):
     # identical float ops (round → divide → round); avoids .00005-boundary
     # flips from summation-order drift in the raw mean
     def fin(batch: pa.Table) -> pa.Table:
-        s = pc.round(batch["sum_value"], ndigits=ROUND)
+        # correctly-rounded sum (see _round_exact) so the divide below is
+        # bit-identical to the oracle's round(sum,4)/count(*)
+        s = pa.array(
+            _round_exact(batch["sum_value"].to_numpy(zero_copy_only=False))
+        )
         # no outer round: dividing the identical rounded double by the same
         # integer is bit-deterministic, while a second round() hits
         # half-tie rule differences (arrow half-to-even vs DuckDB half-away)
@@ -343,7 +361,8 @@ def asof_join_features(sf_dir: str):
                 "source": b["event_type"],
                 "event_id": pa.array(np.zeros(len(b), dtype=np.int64)),
                 "ts": b["bucket_start"],
-                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "sum_value": pa.array(_round_exact(
+                    b["sum_value"].to_numpy(zero_copy_only=False))),
                 "kind": pa.array(np.ones(len(b), dtype=np.int64)),
             }
         )
@@ -1393,7 +1412,8 @@ def gapfill_locf_1h(sf_dir: str):
             {
                 "source": b["source"],
                 "bucket_start": b["bucket_start"],
-                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "sum_value": pa.array(_round_exact(
+                    b["sum_value"].to_numpy(zero_copy_only=False))),
                 "fill_method": b["fill_method"],
             }
         )
@@ -1733,7 +1753,8 @@ def chunks_downsample_1h(sf_dir: str):
                 "bucket_start": pc.multiply(
                     b["hour_s"], pa.scalar(1, pa.int64())
                 ).cast(pa.timestamp("s")),
-                "sum_value": pc.round(b["sum_value"], ndigits=ROUND),
+                "sum_value": pa.array(_round_exact(
+                    b["sum_value"].to_numpy(zero_copy_only=False))),
                 "n_minutes": b["n_minutes"],
             }
         )
