@@ -1509,7 +1509,8 @@ def monthwise_box_stats(sf_dir: str):
             # where the ≤5-decimal exact quantile values cannot tie
             # (round-half-even vs SQL round-half-away differ ON ties —
             # found by the randomized differential test)
-            q1, med, q3 = np.round(quantile_cont(v, [0.25, 0.5, 0.75]), 6)
+            q1, med, q3 = (round(float(x), 6)
+                           for x in quantile_cont(v, [0.25, 0.5, 0.75]))
             iqr = q3 - q1
             lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
             inside = v[(v >= lo_f) & (v <= hi_f)]
