@@ -84,24 +84,41 @@ def _make_merge_task(stage_dir: str, key_col: str, update_id: str,
         lineage: dict = {}
         if os.path.exists(manifest_path):
             lineage = json.load(open(manifest_path)).get("lineage", {})
-        applied = [u.get("update_id") for u in lineage.get("updates", [])]
-        if update_id in applied:
-            # crash-recovery rerun: this partition already merged this
-            # exact input batch — skip instead of double-applying
-            return pd.DataFrame({"part": [part], "rows": [0],
-                                 "applied": [False]})
         data_path = os.path.join(pdir, "data.parquet")
-        existing = (pq.read_table(data_path).to_pandas()
-                    if os.path.exists(data_path) else None)
+        existing = None
+        applied_ids: list[str] = []
+        if os.path.exists(data_path):
+            existing_tbl = pq.read_table(data_path)
+            # the applied-update list lives IN the parquet key-value
+            # metadata: data + lineage change in the same os.replace, so
+            # a crash can never leave merged data without its update_id
+            # (ADVICE r2: the old data-then-manifest rename pair had a
+            # double-apply window between the two renames)
+            meta = existing_tbl.schema.metadata or {}
+            applied_ids = json.loads(
+                meta.get(b"applied_updates", b"[]").decode())
+            if update_id in applied_ids:
+                # crash-recovery rerun: this partition already merged
+                # this exact input batch — skip, don't double-apply
+                return pd.DataFrame({"part": [part], "rows": [0],
+                                     "applied": [False]})
+            existing = existing_tbl.to_pandas()
         merged = _merge_frames(existing, g.drop(columns=["part"]), key_col)
         os.makedirs(pdir, exist_ok=True)
+        out_tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        new_meta = dict(out_tbl.schema.metadata or {})
+        new_meta[b"applied_updates"] = json.dumps(
+            applied_ids + [update_id]).encode()
+        out_tbl = out_tbl.replace_schema_metadata(new_meta)
         tmp = os.path.join(pdir, ".data.parquet.tmp")
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
-        os.replace(tmp, data_path)
+        pq.write_table(out_tbl, tmp)
+        os.replace(tmp, data_path)  # atomic: data + applied_updates together
         updates = lineage.get("updates", [])
         updates.append({"update_id": update_id, "inputs": inputs,
                         "at": time.time()})
         lineage["updates"] = updates
+        # manifest is observability only — idempotency derives from the
+        # parquet metadata above, so a crash before this write is safe
         mtmp = os.path.join(pdir, ".manifest.json.tmp")
         with open(mtmp, "w") as f:
             json.dump({

@@ -26,30 +26,49 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["shard_values", "with_shard", "sharded_map_groups",
-           "sharded_aggregate"]
+           "sharded_aggregate", "right_size_shards"]
 
 _MASK = np.int64((1 << 62) - 1)
 _MIX = np.int64(1_000_003)
+_NULL_SENTINEL = np.int64(-0x51_70_CA_7C)  # hash slot for null keys
 
 
 def _col_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Per-row int64 hash of one column (vectorized; strings hashed once
-    per distinct value through dictionary indices)."""
-    if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return (v * np.int64(2_654_435_761)) & _MASK
-    if pa.types.is_timestamp(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    per distinct value through dictionary indices).  Null keys hash to a
+    fixed sentinel so nullable key columns shard instead of crashing
+    (int/timestamp nulls would otherwise surface as NaN float64 and
+    break the integer ops)."""
+    if pa.types.is_integer(col.type) or pa.types.is_timestamp(col.type):
+        v64 = pc.fill_null(col.cast(pa.int64()), int(_NULL_SENTINEL))
+        v = v64.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         return (v * np.int64(2_654_435_761)) & _MASK
     dict_arr = pc.dictionary_encode(col)
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
     dictionary = dict_arr.dictionary.to_pylist()
     dict_hashes = np.array(
-        [zlib.crc32(str(k).encode()) for k in dictionary], dtype=np.int64
+        [zlib.crc32(str(k).encode()) for k in dictionary] or [0],
+        dtype=np.int64,
     )
     idx = dict_arr.indices.to_numpy(zero_copy_only=False)
-    return dict_hashes[idx]
+    if idx.dtype.kind == "f":  # null indices -> NaN; route to sentinel
+        null_mask = np.isnan(idx)
+        idx = np.where(null_mask, 0, idx).astype(np.int64)
+        out = dict_hashes[idx]
+        out[null_mask] = _NULL_SENTINEL & _MASK
+        return out
+    return dict_hashes[idx.astype(np.int64, copy=False)]
+
+
+def right_size_shards(n_rows: int, lo: int = 4, hi: int = 256,
+                      rows_per_shard: int = 50_000) -> int:
+    """Derive a shard count from the data size: small inputs must not pay
+    per-task overhead for hundreds of near-empty shards, large inputs
+    must not cap parallelism/shard size at a fixed 64 (the per-key work
+    in a shard is O(rows), so ~rows_per_shard rows per shard keeps tasks
+    in the sweet spot measured in NOTES_ROUND1/2)."""
+    return max(lo, min(hi, n_rows // rows_per_shard + lo))
 
 
 def shard_values(batch: pa.Table, key_cols: list[str] | tuple[str, ...],
@@ -61,9 +80,22 @@ def shard_values(batch: pa.Table, key_cols: list[str] | tuple[str, ...],
     return h % num_shards
 
 
-def with_shard(ds, key_cols, num_shards: int = 64, col_name: str = "shard"):
+def _resolve_shards(ds, num_shards: int | None):
+    """num_shards=None → derive from the input's row count (the groupby
+    behind every sharded carrier is a full barrier anyway, so the extra
+    materialize adds no pass — count() on a materialized Dataset is
+    metadata-only)."""
+    if num_shards is not None:
+        return ds, num_shards
+    ds = ds.materialize()
+    return ds, right_size_shards(ds.count())
+
+
+def with_shard(ds, key_cols, num_shards: int | None = 64,
+               col_name: str = "shard"):
     """Append a deterministic ``shard`` column to a Dataset."""
     cols = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    ds, num_shards = _resolve_shards(ds, num_shards)
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -74,14 +106,15 @@ def with_shard(ds, key_cols, num_shards: int = 64, col_name: str = "shard"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int = 64,
+def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int | None = 64,
                        batch_format: str = "pandas"):
     """``groupby(hash(key) % B).map_groups(shard_fn)``.
 
     ``shard_fn`` receives one SHARD (all rows of every key hashing to
     that shard, ``shard`` column removed) and must do its own vectorized
     per-key grouping inside — the per-key work runs as pandas/pyarrow
-    kernels, not Ray group dispatch.
+    kernels, not Ray group dispatch.  ``num_shards=None`` right-sizes
+    the shard count from the data (``right_size_shards``).
     """
     sharded = with_shard(ds, key_cols, num_shards)
 
@@ -95,7 +128,8 @@ def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int = 64,
     return sharded.groupby("shard").map_groups(run, batch_format=batch_format)
 
 
-def sharded_aggregate(ds, key_cols, agg_map: dict, num_shards: int = 64):
+def sharded_aggregate(ds, key_cols, agg_map: dict,
+                      num_shards: int | None = 64):
     """High-cardinality groupby-aggregate without Ray's per-group cost.
 
     ``groupby(keys).aggregate(...)`` dispatches Python per OUTPUT group

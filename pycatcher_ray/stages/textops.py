@@ -132,30 +132,49 @@ class Fingerprint:
         self.base = np.uint64(1099511628211)
 
     def _fingerprint(self, text: str) -> tuple[int, int]:
+        full, mins = self._fingerprints([text])
+        return int(full[0]), int(mins[0])
+
+    def _fingerprints(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Batch fingerprints: ONE bulk word-hash call across all docs,
+        polynomial content hash and min k-gram via vectorized power
+        products per doc slice (no per-word Python)."""
         from .dedup import word_hashes  # deterministic across processes
 
-        words = [w.lower() for w in self.word_re.findall(text)]
-        if not words:
-            return 0, 0
-        hs = word_hashes(words)
-        full = np.uint64(0)
-        for h in hs:
-            full = full * self.base + h
-        if len(hs) < self.k:
-            return int(full), int(hs.min())
-        # vectorized k-gram rolling hashes via strided powers
-        powers = np.array(
-            [self.base ** np.uint64(i) for i in range(self.k)], dtype=np.uint64
-        )[::-1]
-        windows = np.lib.stride_tricks.sliding_window_view(hs, self.k)
-        grams = (windows * powers).sum(axis=1, dtype=np.uint64)
-        return int(full), int(grams.min())
+        words_per_doc = [self.word_re.findall((t or "").lower())
+                         for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        flat: list[str] = []
+        for ws in words_per_doc:
+            flat.extend(ws)
+        hs = word_hashes(flat)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        max_n = int(lens.max()) if lens.size else 0
+        # ascending powers base^0..base^(max_n-1), wrapping mod 2^64
+        powers_asc = self.base ** np.arange(max(max_n, self.k),
+                                            dtype=np.uint64)
+        kpow = powers_asc[:self.k][::-1]
+        full = np.zeros(len(texts), dtype=np.uint64)
+        mins = np.zeros(len(texts), dtype=np.uint64)
+        for i, n in enumerate(lens):
+            if n == 0:
+                continue
+            sub = hs[offs[i]:offs[i] + n]
+            full[i] = (sub * powers_asc[:n][::-1]).sum(dtype=np.uint64)
+            if n < self.k:
+                mins[i] = sub.min()
+            else:
+                windows = np.lib.stride_tricks.sliding_window_view(sub, self.k)
+                grams = (windows * kpow).sum(axis=1, dtype=np.uint64)
+                mins[i] = grams.min()
+        return full, mins
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = batch["text"].fillna("").map(self._fingerprint)
+        full, mins = self._fingerprints(list(batch["text"].fillna("")))
         out = batch[["doc_id"]].copy()
-        out["content_hash"] = fps.map(lambda t: np.uint64(t[0]))
-        out["min_kgram_hash"] = fps.map(lambda t: np.uint64(t[1]))
+        out["content_hash"] = full
+        out["min_kgram_hash"] = mins
         return out
 
 

@@ -276,10 +276,16 @@ class TestDedupScaleDefenses:
         docs = rd.from_items(rows)
         clusters = minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9,
                                  max_bucket=64)
-        # the 64 deterministically sampled docs form one cluster
-        assert len(clusters) == 64
-        assert clusters["cluster_id"].nunique() == 1
-        assert set(clusters["doc_id"]) == {f"d{i:05d}" for i in range(64)}
+        # each band samples its bucket UNIFORMLY (per-bucket hash order,
+        # unbiased — ADVICE r2), so the retained docs are the union of the
+        # per-band samples: bounded by bands * max_bucket, every retained
+        # doc in a non-singleton cluster, and deterministic across runs
+        assert 64 <= len(clusters) <= 8 * 64
+        sizes = clusters.groupby("cluster_id").size()
+        assert (sizes >= 2).all()
+        clusters2 = minhash_dedup(docs, num_perm=32, bands=8, threshold=0.9,
+                                  max_bucket=64)
+        pd.testing.assert_frame_equal(clusters, clusters2)
 
     def test_label_propagation_matches_union_find(self, ray_session):
         """cluster_pairs_distributed == driver union-find on a chain +
