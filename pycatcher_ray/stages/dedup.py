@@ -192,7 +192,7 @@ def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
 
 
 def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
-                        max_bucket: int = 256):
+                        max_bucket: int = 256, unique: bool = True):
     """LSH buckets → unordered candidate pairs (doc_a < doc_b).
 
     The exchange groups by ``hash(band) % B`` (B small) rather than one
@@ -252,6 +252,11 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
     cand = band_rows.map_batches(add_shard, batch_format="pandas").groupby(
         "shard"
     ).map_groups(pairs, batch_format="pandas")
+    if not unique:
+        # pairs are deduped within each bucket shard only; a consumer
+        # whose own exchange can dedup (verify_jaccard_pairs) skips the
+        # extra all-to-all (each sharded exchange costs ~1 s fixed)
+        return cand
     # cross-shard dedup: a (band_id, band_hash) bucket lives in exactly one
     # shard, but the same PAIR can appear in buckets of different shards.
     # sharded_aggregate, not groupby().aggregate(): the pair key space is
@@ -330,7 +335,10 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3,
     # --- 1. semi-join: shingle only docs that have pairs, attach to pairs
     def attach(shard: pd.DataFrame) -> pd.DataFrame:
         kinds = shard["kind"].to_numpy()
-        pairs = shard[kinds == 0]
+        # drop_duplicates: the candidate stream may carry the same pair
+        # from buckets in different shards (lsh_candidate_pairs
+        # unique=False skips its own dedup exchange; it happens here)
+        pairs = shard[kinds == 0].drop_duplicates(["jk", "doc_a", "doc_b"])
         docs = shard[kinds == 1].drop_duplicates("jk")
         if pairs.empty or docs.empty:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
@@ -549,7 +557,7 @@ def minhash_dedup(docs_ds, num_perm: int = 128, bands: int = 32, k: int = 3,
     label-propagation clustering); only the final cluster table — one
     row per near-dup doc — is collected."""
     band_rows = minhash_bands(docs_ds, num_perm, bands, k, seed)
-    cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket)
+    cand = lsh_candidate_pairs(band_rows, max_bucket=max_bucket, unique=False)
     verified = verify_jaccard_pairs(cand, docs_ds, threshold, k)
     clustered = cluster_pairs_distributed(verified)
     out = clustered.to_pandas()
@@ -566,11 +574,16 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     inverted-index join — no all-pairs scan, no LSH approximation.
 
     1. explode each doc into its DISTINCT gram hashes (one (gram,
-       doc_id) row each) and count grams per doc;
+       doc_id, n_grams) row each) — the doc's distinct-gram COUNT rides
+       along with every gram row, so no separate size table or
+       attach-join exchange is ever needed;
     2. sharded groupby on gram turns each posting list into
-       co-occurring pairs; |A∩B| is the summed pair co-count;
-    3. two sharded semi-joins attach |A| and |B|;
-       Jaccard = co / (|A| + |B| - co), filter >= threshold.
+       co-occurring pairs carrying (n_a, n_b) from the posting rows;
+    3. ONE sharded aggregate on (doc_a, doc_b) sums the per-gram
+       co-counts; Jaccard = co / (n_a + n_b - co), filter >= threshold.
+
+    Two all-to-all exchanges total (was five in r2 — each sharded
+    exchange costs ~1 s fixed, which dominated a 500-doc corpus).
 
     ``df_cap`` optionally drops grams whose document frequency exceeds
     the cap (stop-gram pruning — a gram in 10^5 docs contributes O(df²)
@@ -579,104 +592,69 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     from .shard import sharded_aggregate, sharded_map_groups
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        grams, ids = [], []
+        grams, ids, sizes = [], [], []
         shingles = shingle_sets_batch(list(batch["text"]), k)
         for doc_id, sh in zip(batch["doc_id"], shingles):
             if sh.size:
                 grams.append(sh.view(np.int64))  # same bits, signed carrier
                 ids.append(np.repeat(doc_id, sh.size))
+                sizes.append(np.full(sh.size, sh.size, dtype=np.int64))
         if not grams:
             return pd.DataFrame({"gram": pd.Series([], dtype=np.int64),
-                                 "doc_id": pd.Series([], dtype=object)})
+                                 "doc_id": pd.Series([], dtype=object),
+                                 "n_grams": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({"gram": np.concatenate(grams),
-                             "doc_id": np.concatenate(ids)})
+                             "doc_id": np.concatenate(ids),
+                             "n_grams": np.concatenate(sizes)})
 
     grams = docs_ds.map_batches(explode, batch_format="pandas").materialize()
     # right-size the shuffle: tiny corpora over 64 shards pay per-task
     # overhead ~100x the work (same defense as cluster_pairs_distributed)
     num_shards = max(4, min(num_shards, grams.count() // 50_000 + 4))
 
-    # per-doc distinct-gram counts (grams are already distinct per doc)
-    sizes = sharded_aggregate(
-        grams.map_batches(
-            lambda b: b.groupby("doc_id", as_index=False).size().rename(
-                columns={"size": "p_n"}),
-            batch_format="pandas",
-        ),
-        ["doc_id"], {"p_n": "sum"}, num_shards=num_shards,
-    ).map_batches(lambda b: b.rename(columns={"p_n": "n_grams"}),
-                  batch_format="pandas")
-
     def gram_pairs(shard: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         n_dropped = 0
         for _g, grp in shard.groupby("gram", sort=False):
-            ids = np.sort(grp["doc_id"].unique())
-            if ids.size < 2:
+            uniq = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(uniq) < 2:
                 continue
-            if df_cap is not None and ids.size > df_cap:
+            if df_cap is not None and len(uniq) > df_cap:
                 n_dropped += 1
                 continue
+            ids = uniq["doc_id"].to_numpy()
+            ns = uniq["n_grams"].to_numpy()
             ii, jj = np.triu_indices(ids.size, 1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
+            out_na.append(ns[ii])
+            out_nb.append(ns[jj])
         if n_dropped:
             import sys
 
             print(f"[ngram_jaccard_pairs] dropped {n_dropped} stop-gram "
                   f"posting list(s) over df_cap={df_cap}", file=sys.stderr)
         if not out_a:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "co": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=object),
+                 "doc_b": pd.Series([], dtype=object),
+                 "n_a": pd.Series([], dtype=np.int64),
+                 "n_b": pd.Series([], dtype=np.int64),
+                 "co": pd.Series([], dtype=np.int64)})
         df = pd.DataFrame({"doc_a": np.concatenate(out_a),
-                           "doc_b": np.concatenate(out_b)})
-        return df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(
-            columns={"size": "co"}
-        )
+                           "doc_b": np.concatenate(out_b),
+                           "n_a": np.concatenate(out_na),
+                           "n_b": np.concatenate(out_nb)})
+        # in-shard partial co-count (n_a/n_b are constant per pair)
+        return df.groupby(["doc_a", "doc_b", "n_a", "n_b"],
+                          as_index=False).size().rename(columns={"size": "co"})
 
     co = sharded_aggregate(
         sharded_map_groups(grams, "gram", gram_pairs,
                            num_shards=num_shards),
-        ["doc_a", "doc_b"], {"co": "sum"}, num_shards=num_shards,
+        ["doc_a", "doc_b"], {"co": "sum", "n_a": "first", "n_b": "first"},
+        num_shards=num_shards,
     )
-
-    def _attach(pairs_ds, pairs_cols, side: str, out_col: str):
-        def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
-            t = b.copy()
-            t["jk"] = b[side]
-            t["kind"] = 0
-            t[out_col] = 0
-            return t
-
-        def tag_sizes(b: pd.DataFrame) -> pd.DataFrame:
-            t = pd.DataFrame({"jk": b["doc_id"]})
-            for c in pairs_cols:
-                t[c] = b["doc_id"] if c in ("doc_a", "doc_b") else 0
-            t["kind"] = 1
-            t[out_col] = b["n_grams"].to_numpy()
-            return t
-
-        def join(shard: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _jk, grp in shard.groupby("jk", sort=False):
-                data = grp[grp["kind"] == 1]
-                if data.empty:
-                    continue
-                n = data[out_col].iloc[0]
-                sub = grp[grp["kind"] == 0].copy()
-                sub[out_col] = n
-                out.append(sub.drop(columns=["jk", "kind"]))
-            if not out:
-                return pd.DataFrame(
-                    {c: [] for c in pairs_cols + [out_col]})
-            return pd.concat(out, ignore_index=True)
-
-        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
-            sizes.map_batches(tag_sizes, batch_format="pandas")
-        )
-        return sharded_map_groups(tagged, "jk", join, num_shards=num_shards)
-
-    with_na = _attach(co, ["doc_a", "doc_b", "co"], "doc_a", "n_a")
-    with_nb = _attach(with_na, ["doc_a", "doc_b", "co", "n_a"], "doc_b", "n_b")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         union = b["n_a"] + b["n_b"] - b["co"]
@@ -685,7 +663,7 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
         out["jaccard"] = jac.round(4)
         return out[jac >= threshold]
 
-    return with_nb.map_batches(finish, batch_format="pandas")
+    return co.map_batches(finish, batch_format="pandas")
 
 
 class SimHasher:
