@@ -1326,6 +1326,67 @@ def stationarity_by_source(sf_dir: str):
     return sharded_map_groups(roll, "event_type", per_shard)
 
 
+def dickey_fuller_by_source(sf_dir: str):
+    """Lag-0 Dickey-Fuller unit-root regression per source over the
+    hourly series: Δy_t = α + β·y_{t-1}; df_stat = t(β).  The fixed-lag
+    case is closed-form OLS, so unlike the full ADF (data-driven lag
+    selection + surface p-values, ``stationarity_by_source``) this one
+    carries an exact DuckDB oracle via regr_* aggregates (verdict r2
+    item 6).  Reference anchor: diagnostics.py:262-319's ADF check."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def df_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        rows = []
+        for src, grp in g.groupby("event_type", sort=False):
+            y = grp["sum_value"].to_numpy(dtype=np.float64)
+            if y.size < 11:  # need >= 10 regression rows (oracle HAVING)
+                continue
+            dy = np.diff(y)
+            x = y[:-1]
+            n = dy.size
+            xm, dm = x.mean(), dy.mean()
+            sxx = float(((x - xm) ** 2).sum())
+            if sxx == 0.0:
+                continue
+            beta = float(((x - xm) * (dy - dm)).sum()) / sxx
+            alpha = dm - beta * xm
+            resid = dy - alpha - beta * x
+            s2 = float((resid ** 2).sum()) / (n - 2)
+            t = beta / np.sqrt(s2 / sxx)
+            rows.append((src, n, beta, t))
+        return pd.DataFrame(rows, columns=["source", "n_obs", "beta",
+                                           "df_stat"])
+
+    out = sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", df_shard)
+    return _round_cols(out, ("beta", "df_stat"))
+
+
+_DICKEY_FULLER_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, v - lag(v) OVER w AS dy, lag(v) OVER w AS ylag
+  FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+), f AS (
+  SELECT source, dy, ylag FROM s WHERE dy IS NOT NULL
+)
+SELECT source,
+       count(*) AS n_obs,
+       round(regr_slope(dy, ylag), 4) AS beta,
+       round(regr_slope(dy, ylag) / sqrt(
+         ((1 - regr_r2(dy, ylag)) * regr_syy(dy, ylag) / (count(*) - 2))
+         / regr_sxx(dy, ylag)), 4) AS df_stat
+FROM f GROUP BY source HAVING count(*) >= 10
+"""
+
+
 def stl_flags_1h(sf_dir: str):
     """STL residual flags over hourly events series (Box-Cox model
     selection + Shapiro-MC gate; not SQL-expressible)."""
@@ -1884,6 +1945,7 @@ def queries():
         "ann_topk_ivf": ann_topk_ivf,
         "stratified_sample_events": stratified_sample_events,
         "stationarity_by_source": stationarity_by_source,
+        "dickey_fuller_by_source": dickey_fuller_by_source,
         "stl_flags_1h": stl_flags_1h,
         "esd_flags_1h": esd_flags_1h,
         "moving_average_flags_1d": moving_average_flags_1d,
@@ -1924,6 +1986,7 @@ def oracles():
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
         "stratified_sample_events": _STRATIFIED_ORACLE,
+        "dickey_fuller_by_source": _DICKEY_FULLER_ORACLE,
         "moving_average_flags_1d": _MA_ORACLE,
         "stl_recon_1h": _STL_RECON_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -514,6 +514,72 @@ class TestTokensNativeDuckDBOracles:
         np.testing.assert_allclose(got["value"], want["value"], rtol=0,
                                    atol=0)
 
+    def _flags_vs_sql(self, tokens_paths, method: str, sql: str):
+        """Shared engine-vs-DuckDB equality for a tokens-native 1h flag
+        method (verdict r2 item 6: zscore/mad flags are SQL-expressible
+        — give them hard oracles like the IQR path)."""
+        import ray.data as rd
+
+        from pycatcher_ray.stages.detect import detect
+        from pycatcher_ray.stages.rollup import cascade
+
+        ds = rd.read_parquet(tokens_paths)
+        slim = ingest(ds, checksum=False).select_columns(
+            ["source", "ts", "n_tok"])
+        roll = cascade(rollup(slim, "source", "ts", "n_tok", 60),
+                       "source", 3600)
+        flags = detect(roll, "source", tier="1h",
+                       cfg=EngineConfig(detect_concurrency=2),
+                       methods=(method,))
+        got = (
+            flags.select_columns(["key", "bucket_start", "value"])
+            .to_pandas().sort_values(["key", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        got["bucket_s"] = got["bucket_start"].astype(
+            "datetime64[s]").astype("int64")
+        want = self._con(tokens_paths).execute(sql).fetchdf()
+        assert len(got) == len(want) and len(got) > 0
+        np.testing.assert_array_equal(got["key"], want["key"])
+        np.testing.assert_array_equal(got["bucket_s"], want["bucket_s"])
+        np.testing.assert_allclose(got["value"], want["value"], rtol=0,
+                                   atol=0)
+
+    def test_zscore_flags_1h_match_duckdb(self, ray_session, tokens_paths):
+        self._flags_vs_sql(tokens_paths, "zscore", """
+            WITH r AS (
+              SELECT source, epoch_s - (epoch_s % 3600) AS b,
+                     CAST(sum(n_tok) AS DOUBLE) AS v
+              FROM t GROUP BY 1, 2
+            ), s AS (
+              SELECT source, avg(v) AS mu, stddev_pop(v) AS sigma
+              FROM r GROUP BY source
+            )
+            SELECT r.source AS key, r.b AS bucket_s, r.v AS value
+            FROM r JOIN s USING (source)
+            WHERE abs((r.v - s.mu) / s.sigma) > 2
+            ORDER BY key, bucket_s
+            """)
+
+    def test_mad_flags_1h_match_duckdb(self, ray_session, tokens_paths):
+        self._flags_vs_sql(tokens_paths, "mad", """
+            WITH r AS (
+              SELECT source, epoch_s - (epoch_s % 3600) AS b,
+                     CAST(sum(n_tok) AS DOUBLE) AS v
+              FROM t GROUP BY 1, 2
+            ), med AS (
+              SELECT source, median(v) AS m FROM r GROUP BY source
+            ), madt AS (
+              SELECT r.source, median(abs(r.v - med.m)) AS mad
+              FROM r JOIN med USING (source) GROUP BY r.source
+            )
+            SELECT r.source AS key, r.b AS bucket_s, r.v AS value
+            FROM r JOIN med USING (source) JOIN madt USING (source)
+            WHERE r.v <> med.m
+              AND abs(0.6745 * (r.v - med.m) / madt.mad) > 3.5
+            ORDER BY key, bucket_s
+            """)
+
     def test_audit_counts_match_duckdb(self, ray_session, tokens_paths,
                                        monkeypatch):
         import pycatcher_ray.queries as q

@@ -170,6 +170,59 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             MediaDecoder(decoder="pil")
 
+    def test_media_features_exact_golden(self, ray_session):
+        """HARD signal for the media_features query (verdict r2: the one
+        registry entry with no driver correctness row): the synth is
+        seeded, so the per-mime aggregates of the decoded features are
+        exact constants.  Checked two ways: (a) against a driver-side
+        recompute straight from parse_png/parse_wav ground truth, and
+        (b) against pinned literals so a silent synth/codec drift fails
+        loudly."""
+        from pycatcher_ray.queries import media_features
+        from pycatcher_ray.stages.multimodal import (
+            parse_png,
+            parse_wav,
+            synth_media_table,
+        )
+
+        got = media_features("/unused").to_pandas().sort_values(
+            "mime").reset_index(drop=True)
+
+        # (a) ground truth straight from the codecs, no Ray
+        t = synth_media_table(512, seed=42)
+        agg: dict = {}
+        for m, p, b in zip(t["mime"].to_pylist(), t["payload"].to_pylist(),
+                           t["n_bytes"].to_pylist()):
+            d = agg.setdefault(m, {"total_bytes": 0, "n": 0, "sum": 0.0})
+            d["total_bytes"] += b
+            d["n"] += 1
+            if m == "image/png":
+                _w, _h, px = parse_png(p)
+                d["sum"] += px.astype(np.float64).mean()
+            else:
+                rate, nf, _pcm = parse_wav(p)
+                d["sum"] += nf / rate
+        want = pd.DataFrame(
+            [{"mime": m, "total_bytes": d["total_bytes"], "n_media": d["n"],
+              "avg_primary_feature": round(d["sum"] / d["n"], 4)}
+             for m, d in sorted(agg.items())]
+        )
+        merged = got.merge(want, on="mime", suffixes=("", "_want"))
+        assert len(merged) == 2
+        assert (merged["total_bytes"] == merged["total_bytes_want"]).all()
+        assert (merged["n_media"] == merged["n_media_want"]).all()
+        assert (merged["avg_primary_feature"]
+                == merged["avg_primary_feature_want"]).all()
+
+        # (b) pinned literals (synth_media_table(512, seed=42))
+        by_mime = got.set_index("mime")
+        assert int(by_mime.loc["audio/wav", "total_bytes"]) == 1123552
+        assert int(by_mime.loc["audio/wav", "n_media"]) == 256
+        assert float(by_mime.loc["audio/wav", "avg_primary_feature"]) == 0.2716
+        assert int(by_mime.loc["image/png", "total_bytes"]) == 1202628
+        assert int(by_mime.loc["image/png", "n_media"]) == 256
+        assert float(by_mime.loc["image/png", "avg_primary_feature"]) == 127.489
+
 
 class TestStationarity:
     def test_white_noise_stationary(self):
