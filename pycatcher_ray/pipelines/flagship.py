@@ -58,14 +58,29 @@ def run_flagship(
     tier_ds = {}
     for name in cfg.tiers:
         spec = TIERS[name]
+        t0 = time.time()  # tier construction executes the exchange eagerly
+        if checkpoint_intermediate:
+            writer = CheckpointedWriter(out_dir, f"rollup_{name}")
+            if len(writer.done_partitions()) >= cfg.num_output_partitions:
+                # resume fast path: every partition checkpointed — read
+                # back without rebuilding the tier (the rollup exchange
+                # executes eagerly, so the skip must happen BEFORE it)
+                tier_ds[name] = writer.read()
+                metrics["stages"][f"rollup_{name}"] = {
+                    "stage_dir": writer.stage_dir,
+                    "partitions_written": [],
+                    "partitions_skipped": sorted(writer.done_partitions()),
+                    "rows_written": 0,
+                    "seconds": round(time.time() - t0, 3),
+                }
+                prev_name = name
+                continue
         if prev_name is None:
             tier = rollup(slim, key_col, "ts", "n_tok", spec.seconds,
                           batch_size=cfg.read_batch_size)
         else:
             tier = cascade(tier_ds[prev_name], key_col, spec.seconds)
-        t0 = time.time()
         if checkpoint_intermediate:
-            writer = CheckpointedWriter(out_dir, f"rollup_{name}")
             summary = writer.write(tier, key_col, cfg.num_output_partitions,
                                    lineage={**lineage, "from_tier": prev_name})
             tier_ds[name] = writer.read()
@@ -86,28 +101,40 @@ def run_flagship(
     # two stages' wall time.
     flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
 
+    def _skip_summary(writer):
+        return {"stage_dir": writer.stage_dir, "partitions_written": [],
+                "partitions_skipped": sorted(writer.done_partitions()),
+                "rows_written": 0}
+
     def _flags_stage():
         t0 = time.time()
-        # gap-fill is fused into the series-pack pass (one groupby
-        # shuffle instead of two); the standalone gapfill stage remains
-        # for pipelines that persist filled series.
-        flags = detect(
-            series_src, key_col, tier=detect_tier, cfg=cfg,
-            gapfill_method=cfg.gapfill_method if with_gapfill else None,
-        )
-        summary = flags_writer.write(flags, "key", cfg.num_output_partitions,
-                                     lineage={"from_tier": detect_tier})
+        if len(flags_writer.done_partitions()) >= cfg.num_output_partitions:
+            summary = _skip_summary(flags_writer)  # resume: skip the pack
+        else:
+            # gap-fill is fused into the series-pack pass (one groupby
+            # shuffle instead of two); the standalone gapfill stage
+            # remains for pipelines that persist filled series.
+            flags = detect(
+                series_src, key_col, tier=detect_tier, cfg=cfg,
+                gapfill_method=cfg.gapfill_method if with_gapfill else None,
+            )
+            summary = flags_writer.write(flags, "key",
+                                         cfg.num_output_partitions,
+                                         lineage={"from_tier": detect_tier})
         summary["seconds"] = round(time.time() - t0, 3)
         return f"flags_{detect_tier}", summary
 
     def _chunks_stage():
         t0 = time.time()
-        chunks = compress(tier_ds["1m"], key_col, TIERS["1m"].seconds,
-                          TIERS["1m"].chunk_buckets)
         chunk_writer = CheckpointedWriter(out_dir, "chunks_1m")
-        summary = chunk_writer.write(chunks, "key",
-                                     cfg.num_output_partitions,
-                                     lineage={"from_tier": "1m"})
+        if len(chunk_writer.done_partitions()) >= cfg.num_output_partitions:
+            summary = _skip_summary(chunk_writer)
+        else:
+            chunks = compress(tier_ds["1m"], key_col, TIERS["1m"].seconds,
+                              TIERS["1m"].chunk_buckets)
+            summary = chunk_writer.write(chunks, "key",
+                                         cfg.num_output_partitions,
+                                         lineage={"from_tier": "1m"})
         summary["seconds"] = round(time.time() - t0, 3)
         return "chunks_1m", summary
 

@@ -237,7 +237,10 @@ def update_tiers(
         delta = delta.materialize()
         parted = hash_partition_column(delta, key_col,
                                        cfg.num_output_partitions)
-        summary = parted.groupby("part").map_groups(
+        from ..stages.shard import exchange_by_int_column
+
+        summary = exchange_by_int_column(
+            parted, "part", cfg.num_output_partitions,
             _make_merge_task(stage_dir, key_col, uid, inputs),
             batch_format="pandas",
         ).to_pandas()

@@ -137,34 +137,16 @@ def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
 
     Ray's ``groupby().aggregate()`` runs a Python loop per output group
     (~0.3 ms/group — 80k groups cost ~25 s), so the exchange here groups
-    by ``bucket = hash(key, bucket_start) % B`` instead: the shuffle has
-    only B groups, and each group's combine is ONE vectorized pyarrow
+    by ``hash(key, bucket_start) % B`` instead: the all-to-all has only
+    B groups, and each group's combine is ONE vectorized pyarrow
     ``group_by`` (C++).  B bounds parallelism and skew: buckets are
     hash-uniform, and the per-batch partial combine has already collapsed
     duplicate keys, so bucket sizes are ~|output|/B regardless of hot
     keys — this is the salted two-stage aggregation of SURVEY.md §4.
+    The exchange itself is the raw split/reduce hash shuffle
+    (stages/shard.py) — Ray's sort-based groupby cost ~1-1.5 s fixed on
+    this path.
     """
-    mask = np.int64((1 << 62) - 1)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib
-
-        # dictionary-encode: hash each DISTINCT key once, then a
-        # vectorized take over int32 indices (no per-row Python)
-        dict_arr = pc.dictionary_encode(batch[key_col])
-        if isinstance(dict_arr, pa.ChunkedArray):
-            dict_arr = dict_arr.combine_chunks()
-        dictionary = dict_arr.dictionary.to_pylist()
-        dict_hashes = np.array(
-            [zlib.crc32(str(k).encode()) for k in dictionary], dtype=np.int64
-        )
-        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
-        kh = dict_hashes[idx]
-        ts = batch["bucket_start"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        mixed = (kh * np.int64(1_000_003) + ts * np.int64(2_654_435_761)) & mask
-        return batch.append_column(
-            "bucket", pa.array(mixed % num_buckets, type=pa.int64())
-        )
 
     def combine(group: pa.Table) -> pa.Table:
         out = _combine_partials(group, key_col).rename_columns(
@@ -173,10 +155,11 @@ def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
         )
         return _finalize(key_col)(out)
 
-    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    return bucketed.groupby("bucket").map_groups(combine,
-                                                 batch_format="pyarrow")
+    from .shard import sharded_map_groups
+
+    return sharded_map_groups(partials, [key_col, "bucket_start"], combine,
+                              num_shards=num_buckets,
+                              batch_format="pyarrow")
 
 
 def rollup(ds, key_col: str, ts_col: str, value_col: str, bucket_seconds: int,

@@ -26,7 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["shard_values", "with_shard", "sharded_map_groups",
-           "sharded_aggregate", "right_size_shards"]
+           "sharded_aggregate", "right_size_shards",
+           "exchange_by_int_column"]
 
 _MASK = np.int64((1 << 62) - 1)
 _MIX = np.int64(1_000_003)
@@ -118,7 +119,20 @@ def _split_block(tbl: pa.Table, cols, num_shards: int):
     into ``num_shards`` contiguous pieces (empty pieces keep the schema).
     The final extra return is the per-shard row-count vector, so the
     driver can skip reduce tasks for globally-empty shards."""
-    sv = shard_values(tbl, cols, num_shards)
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+    if tbl.num_rows == 0 or any(c not in tbl.column_names for c in col_list):
+        # Ray's sort-groupby pads with zero-column empty blocks — emit
+        # empty pieces (counts 0 => their reduces are skipped anyway)
+        empty = tbl.slice(0, 0)
+        return (*([empty] * num_shards),
+                np.zeros(num_shards, dtype=np.int64))
+    if isinstance(cols, str):
+        # value mode: the bucket id IS this int column (already 0..B-1;
+        # the modulo guards against out-of-range ids silently dropping)
+        sv = tbl[cols].to_numpy(zero_copy_only=False).astype(
+            np.int64) % num_shards
+    else:
+        sv = shard_values(tbl, cols, num_shards)
     order = np.argsort(sv, kind="stable")
     st = tbl.take(pa.array(order))
     svs = sv[order]
@@ -173,11 +187,25 @@ def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int | None = 64,
     ``_MAX_EXCHANGE_BLOCKS`` — the same O(blocks × shards) object layout
     Ray's push-based shuffle schedules, without the sort machinery.
     """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ds, num_shards = _resolve_shards(ds, num_shards)
+    return _run_exchange(ds, cols, shard_fn, num_shards, batch_format)
+
+
+def exchange_by_int_column(ds, col: str, num_buckets: int, fn,
+                           batch_format: str = "pyarrow"):
+    """Same two-stage raw exchange, but the bucket id IS an existing
+    integer column (values in [0, num_buckets)) — e.g. a precomputed
+    checkpoint ``part`` id — so every reduce task receives exactly one
+    partition's rows (column included)."""
+    return _run_exchange(ds, col, fn, num_buckets, batch_format)
+
+
+def _run_exchange(ds, key_spec, shard_fn, num_shards: int,
+                  batch_format: str):
     import ray
     import ray.data as rd
 
-    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    ds, num_shards = _resolve_shards(ds, num_shards)
     ds = ds.materialize()
     if ds.num_blocks() > _MAX_EXCHANGE_BLOCKS:
         ds = ds.repartition(_MAX_EXCHANGE_BLOCKS).materialize()
@@ -189,7 +217,7 @@ def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int | None = 64,
         num_returns=num_shards + 1, num_cpus=1)
     reduce = ray.remote(_reduce_shard).options(num_cpus=1)
 
-    pieces = [split.remote(r, cols, num_shards) for r in refs]
+    pieces = [split.remote(r, key_spec, num_shards) for r in refs]
     # tiny count vectors only — the table pieces stay in the object store
     counts = np.sum(ray.get([p[num_shards] for p in pieces]), axis=0)
     out_refs = [

@@ -141,8 +141,14 @@ class CheckpointedWriter:
             return pa.table({"part": pa.array([part], pa.int64()),
                              "rows": pa.array([len(data)], pa.int64())})
 
-        summary = parted.groupby("part").map_groups(
-            write_group, batch_format="pyarrow"
+        # raw value-keyed exchange: each reduce task receives exactly one
+        # partition and writes it (Ray's sort-groupby carrier cost
+        # ~1-1.5 s fixed per write stage)
+        from ..stages.shard import exchange_by_int_column
+
+        summary = exchange_by_int_column(
+            parted, "part", num_partitions, write_group,
+            batch_format="pyarrow",
         ).to_pandas()
         written = (
             [int(p) for p in summary["part"].tolist()] if len(summary) else []
