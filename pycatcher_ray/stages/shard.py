@@ -159,7 +159,11 @@ def _reduce_shard(shard_fn, batch_format: str, *parts):
         # e.g. timestamp[s] vs timestamp[us] blocks from pandas outputs
         tbl = pa.concat_tables(tables, promote_options="permissive")
     if batch_format == "pandas":
-        out = shard_fn(tbl.to_pandas())
+        # drop pandas schema metadata: blocks built from pandas frames
+        # with tensor-extension columns (e.g. fixed-size vector columns)
+        # embed a dtype string plain to_pandas cannot reconstruct; the
+        # registered extension types convert fine without it
+        out = shard_fn(tbl.replace_schema_metadata(None).to_pandas())
         if not isinstance(out, _pd.DataFrame):
             out = _pd.DataFrame(out)
         return pa.Table.from_pandas(out, preserve_index=False)
