@@ -95,10 +95,13 @@ def run_flagship(
     detect_tier = cfg.detect_tier
     series_src = tier_ds[detect_tier]
 
-    # flags and chunks both consume already-materialized tiers and are
-    # independent — run their (driver-blocking) executions concurrently
-    # so the cluster interleaves their tasks instead of serializing the
-    # two stages' wall time.
+    # flags then chunks SEQUENTIALLY, each at full cluster width.  The
+    # r2 design ran them in concurrent threads, but Ray actor pools
+    # RESERVE their CPUs while idle, so the detector pool and the chunk
+    # tasks partitioned the cluster statically — at 4 CPUs the detector
+    # got 2 actors and dominated the wall (the measured r3 scaling
+    # defect).  Sequential full-width stages are work-conserving: both
+    # stages have far more parallelism (1000+ series) than CPUs.
     flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
 
     def _skip_summary(writer):
@@ -139,15 +142,8 @@ def run_flagship(
         return "chunks_1m", summary
 
     stages = [_flags_stage] + ([_chunks_stage] if with_compress else [])
-    if len(stages) == 1:
-        results = [stages[0]()]
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(len(stages)) as ex:
-            results = [f.result() for f in
-                       [ex.submit(s) for s in stages]]
-    for name, summary in results:
+    for stage in stages:
+        name, summary = stage()
         metrics["stages"][name] = summary
 
     metrics["total_seconds"] = round(time.time() - t_start, 3)

@@ -731,6 +731,135 @@ FROM documents
 """
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k terms by TF-IDF-style weight over the corpus —
+    the inverted-index scoring primitive of retrieval/quality pipelines.
+
+    Weight = tf · (N / df) — the reciprocal-df idf WITHOUT the log so the
+    engine and the SQL oracle execute bit-identical float ops (libm log
+    is not guaranteed correctly-rounded across implementations; a
+    log-idf variant is a one-line change).  Two sharded exchanges:
+    df+score on the term key, then top-k per doc on the doc key."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    n_docs = ds.count()
+
+    def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, terms = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            ws = [w for w in (text or "").lower().split(" ") if w]
+            ids.append(np.repeat(doc_id, len(ws)))
+            terms.append(np.asarray(ws, dtype=object))
+        if not ids:
+            return pd.DataFrame({"doc_id": [], "term": [], "tf": []})
+        df = pd.DataFrame({"doc_id": np.concatenate(ids),
+                           "term": np.concatenate(terms)})
+        # each doc lives wholly in one batch -> per-batch tf is final
+        return df.groupby(["doc_id", "term"], as_index=False).size().rename(
+            columns={"size": "tf"})
+
+    tf_rows = ds.map_batches(term_counts, batch_format="pandas")
+
+    def score_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        df_per_term = shard.groupby("term")["doc_id"].nunique()
+        out = shard.copy()
+        out["df"] = out["term"].map(df_per_term).astype(np.int64)
+        out["score"] = out["tf"].to_numpy(dtype=np.float64) * (
+            float(n_docs) / out["df"].to_numpy(dtype=np.float64))
+        return out
+
+    scored = sharded_map_groups(tf_rows, "term", score_shard, num_shards=32)
+
+    def topk_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        s = shard.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+        top = s.groupby("doc_id", sort=False).head(k)
+        # score emitted UNROUNDED: both sides run the identical float ops
+        # (tf · (N/df)) so the raw doubles are bit-equal — any rounding
+        # here reopens the half-even-vs-half-away tie gap (3·500/384 =
+        # 3.90625 exactly, found at sf0.01)
+        return top[["doc_id", "term", "tf", "df", "score"]]
+
+    return sharded_map_groups(scored, "doc_id", topk_shard, num_shards=32)
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+         tf.tf * (CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (w)
+)
+SELECT doc_id, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def quality_filter(sf_dir: str):
+    """C4/Gopher-style heuristic quality gate on SQL-expressible stats:
+    keep documents with enough words, enough characters, and a plausible
+    chars-per-word ratio.  The filter leg of a training-data pipeline,
+    exact-checkable end to end (the richer regex-feature scorer stays in
+    stages/textops.py text_quality)."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+        ratio = pc.divide(pc.cast(n_chars, pa.float64()),
+                          pc.cast(n_words, pa.float64()))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_words, 10),
+                    pc.greater_equal(n_chars, 100)),
+            pc.and_(pc.greater_equal(ratio, 3.0),
+                    pc.less_equal(ratio, 12.0)),
+        )
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "n_chars": n_chars,
+            "n_words": n_words,
+        })
+        return out.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_QUALITY_FILTER_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang, source,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT * FROM s
+WHERE n_words >= 10 AND n_chars >= 100
+  AND CAST(n_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 12.0
+"""
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup by full text: keep min(doc_id) per text, report group
     size.  Partial per-batch group_by before the shuffle (combiner)."""
@@ -1925,6 +2054,8 @@ def queries():
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
+        "tfidf_top_terms": tfidf_top_terms,
+        "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
         "ann_topk": ann_topk,
@@ -1980,6 +2111,8 @@ def oracles():
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
+        "tfidf_top_terms": _TFIDF_ORACLE,
+        "quality_filter": _QUALITY_FILTER_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
         "ann_topk": _ANN_ORACLE,

@@ -43,7 +43,7 @@ def add_chunk_id(ds, bucket_seconds: int, chunk_buckets: int):
 
 
 def compress(rollup_ds, key_col: str, bucket_seconds: int, chunk_buckets: int,
-             value_col: str = "sum_value", num_shards: int = 64):
+             value_col: str = "sum_value", num_shards: int | None = None):
     """rollup tier → one Gorilla chunk row per (key, window).
 
     The exchange groups by ``hash(key, chunk_id) % num_shards``

@@ -58,7 +58,7 @@ def _fill_series(ts: np.ndarray, vals: np.ndarray, gapfill_method: str,
 def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value",
                 gapfill_method: str | None = None,
                 bucket_seconds: int | None = None,
-                num_shards: int = 64):
+                num_shards: int | None = None):
     """One row per key: (key, n, ts list<int64 epoch-s>, values list<f64>).
 
     The exchange groups by ``hash(key) % num_shards`` (stages/shard.py),

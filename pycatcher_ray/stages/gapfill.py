@@ -53,7 +53,7 @@ def gapfill_group(g: pd.DataFrame, *, key_col: str, bucket_seconds: int,
 
 
 def gapfill(rollup_ds, key_col: str, bucket_seconds: int,
-            method: str = "linear", num_shards: int = 64):
+            method: str = "linear", num_shards: int | None = None):
     from .shard import sharded_map_groups
 
     def fill_shard(shard: pd.DataFrame) -> pd.DataFrame:
