@@ -24,6 +24,8 @@ SUBSET = [
     "ann_topk",
     "embedding_neardup_exact",
     "lineitem_pricing_summary",
+    "tfidf_top_terms",
+    "quality_filter",
 ]
 
 
