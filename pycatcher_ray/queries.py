@@ -563,6 +563,37 @@ FROM r
 """
 
 
+def hopping_stats_2h(sf_dir: str):
+    """Hopping-window aggregate: 2-hour windows starting every hour over
+    events (each event lands in two windows).  Expansion happens on the
+    hop-grid partials, not the raw rows (stages/rollup.hopping_rollup),
+    so the shuffle cost is 2× the 1h-rollup partials."""
+    from .stages.rollup import hopping_rollup
+
+    ds = hopping_rollup(_events(sf_dir), "event_type", "ts", "value",
+                        window_seconds=7200, hop_seconds=3600)
+    return _finalize_rollup(ds).rename_columns(
+        {"bucket_start": "window_start"})
+
+
+_HOPPING_ORACLE = """
+WITH e AS (
+  SELECT event_type, value, date_trunc('hour', ts) AS h FROM events
+), x AS (
+  SELECT event_type, value, h AS window_start FROM e
+  UNION ALL
+  SELECT event_type, value, h - INTERVAL 1 HOUR AS window_start FROM e
+)
+SELECT event_type AS source, window_start,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n_points,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value), 4) / count(*) AS mean_value
+FROM x GROUP BY 1, 2
+"""
+
+
 def approx_users_by_type(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL
     sketches: one serialized sketch per batch, merged in a tiny final
@@ -2051,6 +2082,7 @@ def queries():
         "distinct_users_by_type": distinct_users_by_type,
         "approx_users_by_type": approx_users_by_type,
         "sliding_avg_3h": sliding_avg_3h,
+        "hopping_stats_2h": hopping_stats_2h,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -2108,6 +2140,7 @@ def oracles():
         "session_windows": _SESSION_ORACLE,
         "distinct_users_by_type": _DISTINCT_ORACLE,
         "sliding_avg_3h": _SLIDING_ORACLE,
+        "hopping_stats_2h": _HOPPING_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

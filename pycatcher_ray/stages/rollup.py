@@ -28,7 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bucket_column", "rollup", "cascade", "rollup_tiers"]
+__all__ = ["bucket_column", "rollup", "cascade", "hopping_rollup",
+           "rollup_tiers"]
 
 _UNIT_FOR_SECONDS = {60: "minute", 3600: "hour", 86400: "day"}
 
@@ -179,6 +180,51 @@ def cascade(rollup_ds, key_col: str, bucket_seconds: int,
     """Re-aggregate a finer rollup into a coarser tier (sum of sums)."""
     partials = rollup_ds.map_batches(
         lambda b: _partial_from_rollup(b, key_col, bucket_seconds),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return _final_aggregate(partials, key_col)
+
+
+def hopping_rollup(ds, key_col: str, ts_col: str, value_col: str,
+                   window_seconds: int, hop_seconds: int,
+                   batch_size: int = 65536):
+    """Hopping (overlapping) windowed aggregate: per-(key, window_start)
+    stats where windows of ``window_seconds`` start every ``hop_seconds``
+    (window = hop is a plain tumbling rollup).
+
+    Scale shape: each batch is first combined on the *hop* grid (one
+    partial row per key per hop bucket — the same combiner-before-shuffle
+    defense as ``rollup``), and only those partials are replicated
+    ``window/hop`` times with shifted window starts.  The all-to-all
+    exchange therefore moves ``window/hop × |hop partials|`` rows, never
+    ``window/hop × |raw rows|``; duplicate (key, window_start) pairs from
+    different hop buckets merge in the bucketed final combine."""
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    n_win = window_seconds // hop_seconds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _partial(batch, key_col, ts_col, value_col, hop_seconds)
+        if n_win == 1:
+            return g
+        base = g["bucket_start"]
+        unit_div = {"s": 1, "ms": 1000, "us": 1_000_000,
+                    "ns": 1_000_000_000}[base.type.unit]
+        pieces = []
+        for k in range(n_win):
+            shifted = pc.subtract(
+                base.cast(pa.int64()),
+                pa.scalar(k * hop_seconds * unit_div, pa.int64()),
+            ).cast(base.type)
+            pieces.append(g.set_column(
+                g.column_names.index("bucket_start"), "bucket_start", shifted
+            ))
+        return pa.concat_tables(pieces)
+
+    partials = ds.map_batches(
+        partial,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -24,6 +24,7 @@ SUBSET = [
     "ann_topk",
     "embedding_neardup_exact",
     "lineitem_pricing_summary",
+    "hopping_stats_2h",
     "tfidf_top_terms",
     "quality_filter",
 ]
