@@ -1108,10 +1108,58 @@ def tokens_flags_1h(sf_dir: str):
     return detect(roll, "source", tier="1h", cfg=cfg)
 
 
+def _cast_npoints_double(ds):
+    """Stable gap-fill schema: n_points is always float64.  Without gaps
+    the pandas merge keeps int64, with gaps interpolation makes it float —
+    the same query must not change schema with the data."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_points")
+        return batch.set_column(
+            i, "n_points", pc.cast(batch["n_points"], pa.float64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tokens_gapfill_1h(sf_dir: str):
     """Gap-filled hourly series with fill provenance."""
     roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
-    return gapfill(roll, "source", 3600, method="linear")
+    return _cast_npoints_double(gapfill(roll, "source", 3600, method="linear"))
+
+
+def tokens_gapfill_1m(sf_dir: str):
+    """Linear gap-fill at the native 1m tier, where the synth's planted
+    whole-bucket gaps (minutes 1000-1029) and the Zipf tail's organic
+    sparsity actually exercise interpolation (~36k of 57k grid rows at
+    sf0.01 are synthetic).  Oracle: DuckDB window functions replaying
+    np.interp's exact operation order (slope = dv/didx first, then
+    slope*(idx-pidx)+prev) — bit-identical, no rounding needed."""
+    return _cast_npoints_double(
+        gapfill(tokens_rollup_1m(sf_dir), "source", 60, method="linear")
+    )
+
+
+def _tokens_flags(sf_dir: str, method: str):
+    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    flags = detect(roll, "source", tier="1h",
+                   cfg=EngineConfig(detect_concurrency=2), methods=(method,))
+    return flags.select_columns(["key", "bucket_start", "value"])
+
+
+def tokens_iqr_flags_1h(sf_dir: str):
+    """Tukey-fence outliers on the hourly n_tok series (exact oracle)."""
+    return _tokens_flags(sf_dir, "iqr")
+
+
+def tokens_zscore_flags_1h(sf_dir: str):
+    """|z| > 2 outliers on the hourly n_tok series (exact oracle)."""
+    return _tokens_flags(sf_dir, "zscore")
+
+
+def tokens_mad_flags_1h(sf_dir: str):
+    """Modified-z (0.6745·|v-med|/MAD > 3.5) outliers, exact oracle."""
+    return _tokens_flags(sf_dir, "mad")
 
 
 def tokens_chunks_1m(sf_dir: str):
@@ -1155,6 +1203,152 @@ def tokens_audit(sf_dir: str):
     return ingested.map_batches(recheck, batch_format="pyarrow").groupby(
         "source"
     ).aggregate(Sum("p_ok", alias_name="rows_ok"), Sum("p_n", alias_name="rows"))
+
+
+# ----------------------------------------- tokens-native driver oracles
+#
+# The driver's correctness gate runs at sf=0.01 with a FIXED oracle SQL
+# string, so the tokens oracles embed the absolute path of the
+# deterministic synthesized input for that sf (generated on demand when
+# ``oracles()`` is called — same cached artifact the queries read).
+# ``GRAFT_ORACLE_SF_DIR`` overrides the sf for local gate replicas
+# (scripts/check_oracles.py sets it to its sf_dir argument).
+
+
+def _tokens_oracle_cte() -> str:
+    """Shared ingest CTE: parquet → (source, epoch_s, ts, n_tok), the SQL
+    twin of stages/ingest.py's doc_id→ts derivation."""
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60 AS epoch_s,
+         n_tok
+  FROM read_parquet('{glob}')
+)"""
+
+
+_TOKENS_HOURLY = """, r AS (
+  SELECT source, epoch_s - (epoch_s % 3600) AS b,
+         CAST(sum(n_tok) AS DOUBLE) AS v
+  FROM t GROUP BY 1, 2
+)"""
+
+
+def _tokens_rollup_oracle() -> str:
+    return _tokens_oracle_cte() + """
+SELECT source,
+       to_timestamp(epoch_s - (epoch_s % 60)) AT TIME ZONE 'UTC' AS bucket_start,
+       CAST(sum(n_tok) AS DOUBLE) AS sum_value,
+       count(*) AS n_points,
+       CAST(min(n_tok) AS DOUBLE) AS min_value,
+       CAST(max(n_tok) AS DOUBLE) AS max_value,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_value
+FROM t GROUP BY 1, 2
+"""
+
+
+def _tokens_gapfill_oracle(bucket_seconds: int) -> str:
+    """Dense grid per source + linear interpolation via window functions.
+    Replays np.interp's float ops exactly: slope = (next-prev)/didx
+    rounded first, then slope*(idx-pidx)+prev — bit-identical to the
+    pandas interpolate in stages/gapfill.py (probed at sf0.01: 0
+    bit-mismatches over 36k interpolated rows)."""
+    cols = ("sum_value", "n_points", "min_value", "max_value", "mean_value")
+    win = " , ".join(
+        f"""last_value({c} IGNORE NULLS) OVER wp AS p_{c},
+      first_value({c} IGNORE NULLS) OVER wn AS n_{c}""" for c in cols
+    )
+    sel = " , ".join(
+        f"CASE WHEN fill_method = 'observed' THEN {c} "
+        f"ELSE ((n_{c} - p_{c}) / (nidx - pidx)) * (idx - pidx) + p_{c} "
+        f"END AS {c}" for c in cols
+    )
+    s = bucket_seconds
+    return _tokens_oracle_cte() + f""", r AS (
+  SELECT source, epoch_s - (epoch_s % {s}) AS b,
+         CAST(sum(n_tok) AS DOUBLE) AS sum_value,
+         CAST(count(*) AS DOUBLE) AS n_points,
+         CAST(min(n_tok) AS DOUBLE) AS min_value,
+         CAST(max(n_tok) AS DOUBLE) AS max_value,
+         CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_value
+  FROM t GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(b) AS b0, max(b) AS b1 FROM r GROUP BY source
+), grid AS (
+  SELECT source, unnest(generate_series(b0, b1, {s})) AS b FROM bounds
+), g2 AS (
+  SELECT grid.source, grid.b,
+         CAST((grid.b - bounds.b0) // {s} AS DOUBLE) AS idx
+  FROM grid JOIN bounds ON grid.source = bounds.source
+), j AS (
+  SELECT g2.source, g2.b, g2.idx,
+         r.sum_value, r.n_points, r.min_value, r.max_value, r.mean_value,
+         CASE WHEN r.b IS NULL THEN 'linear' ELSE 'observed' END AS fill_method
+  FROM g2 LEFT JOIN r ON g2.source = r.source AND g2.b = r.b
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN sum_value IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wp AS pidx,
+    first_value(CASE WHEN sum_value IS NOT NULL THEN idx END IGNORE NULLS)
+      OVER wn AS nidx,
+    {win}
+  FROM j
+  WINDOW wp AS (PARTITION BY source ORDER BY b ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY source ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT source, to_timestamp(b) AT TIME ZONE 'UTC' AS bucket_start,
+       {sel}, fill_method
+FROM w
+"""
+
+
+def _tokens_iqr_oracle() -> str:
+    return _tokens_oracle_cte() + _TOKENS_HOURLY + """, q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+)
+SELECT r.source AS key, to_timestamp(r.b) AT TIME ZONE 'UTC' AS bucket_start,
+       r.v AS value
+FROM r JOIN q USING (source)
+WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+def _tokens_zscore_oracle() -> str:
+    return _tokens_oracle_cte() + _TOKENS_HOURLY + """, s AS (
+  SELECT source, avg(v) AS mu, stddev_pop(v) AS sigma FROM r GROUP BY source
+)
+SELECT r.source AS key, to_timestamp(r.b) AT TIME ZONE 'UTC' AS bucket_start,
+       r.v AS value
+FROM r JOIN s USING (source)
+WHERE abs((r.v - s.mu) / s.sigma) > 2
+"""
+
+
+def _tokens_mad_oracle() -> str:
+    return _tokens_oracle_cte() + _TOKENS_HOURLY + """, med AS (
+  SELECT source, median(v) AS m FROM r GROUP BY source
+), madt AS (
+  SELECT r.source, median(abs(r.v - med.m)) AS mad
+  FROM r JOIN med USING (source) GROUP BY r.source
+)
+SELECT r.source AS key, to_timestamp(r.b) AT TIME ZONE 'UTC' AS bucket_start,
+       r.v AS value
+FROM r JOIN med USING (source) JOIN madt ON r.source = madt.source
+WHERE abs(0.6745 * (r.v - med.m) / madt.mad) > 3.5
+"""
+
+
+def _tokens_audit_oracle() -> str:
+    """The audit's contract IS that every row's recomputed checksum
+    matches (token-array equality invariant) — the oracle asserts it by
+    equating rows_ok with the plain per-source row count."""
+    return _tokens_oracle_cte() + """
+SELECT source, count(*) AS rows_ok, count(*) AS rows FROM t GROUP BY source
+"""
 
 
 # ------------------------------------- training-data ops (dedup / text)
@@ -2094,7 +2288,11 @@ def queries():
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "tokens_rollup_1m": tokens_rollup_1m,
         "tokens_flags_1h": tokens_flags_1h,
+        "tokens_iqr_flags_1h": tokens_iqr_flags_1h,
+        "tokens_zscore_flags_1h": tokens_zscore_flags_1h,
+        "tokens_mad_flags_1h": tokens_mad_flags_1h,
         "tokens_gapfill_1h": tokens_gapfill_1h,
+        "tokens_gapfill_1m": tokens_gapfill_1m,
         "tokens_chunks_1m": tokens_chunks_1m,
         "tokens_audit": tokens_audit,
         "text_quality": text_quality,
@@ -2161,7 +2359,16 @@ def oracles():
         "monthwise_box_stats": _MONTHWISE_BOX_ORACLE,
         "p95_hourly_by_source": _P95_ORACLE,
         "top_users_by_type": _TOP_USERS_ORACLE,
-        # tokens_* queries run on the synthesized native input, which the
-        # driver's DuckDB views cannot see -> rows-only checks here;
-        # exact DuckDB equality is asserted in tests/test_ray_engine.py.
+        # tokens-native oracles: fixed SQL strings over the absolute path
+        # of the deterministic synthesized input (the driver's gate runs
+        # at sf0.01; GRAFT_ORACLE_SF_DIR overrides for local replicas).
+        # tokens_flags_1h (LOESS/ESD detectors) and tokens_chunks_1m
+        # (Gorilla blobs) stay rows-only — not SQL-expressible.
+        "tokens_rollup_1m": _tokens_rollup_oracle(),
+        "tokens_iqr_flags_1h": _tokens_iqr_oracle(),
+        "tokens_zscore_flags_1h": _tokens_zscore_oracle(),
+        "tokens_mad_flags_1h": _tokens_mad_oracle(),
+        "tokens_gapfill_1h": _tokens_gapfill_oracle(3600),
+        "tokens_gapfill_1m": _tokens_gapfill_oracle(60),
+        "tokens_audit": _tokens_audit_oracle(),
     }

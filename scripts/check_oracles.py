@@ -48,6 +48,11 @@ def main(sf_dir: str, only: list[str] | None = None):
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
     sys.path.insert(0, "/root/repo")
+    import os
+
+    # tokens-native oracle SQL embeds an absolute synthesized-input path
+    # (default sf0.01, the driver's gate sf) — point it at OUR sf dir
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     from pycatcher_ray.queries import oracles, queries
 
     con = duckdb.connect()
