@@ -76,7 +76,10 @@ class EngineConfig:
     seed: int = 42
     # physical knobs
     read_batch_size: int = 65536
-    detect_concurrency: int = 4
+    detect_use_actors: bool = False       # task carrier by default; see
+    # stages/detect.detect for the measured tradeoff (actor pool only
+    # pays off when per-worker state is heavy, e.g. MC null matrices)
+    detect_concurrency: int = 4           # actor-pool size (actors only)
     detect_batch_series: int = 8          # packed series per detector batch
     num_output_partitions: int = 16       # checkpoint/resume granularity
     extras: dict = field(default_factory=dict)

@@ -234,6 +234,51 @@ def detect_series(
     return out
 
 
+# worker-process-global Monte-Carlo Shapiro cache for the task-based
+# detect path: the null distribution depends only on (n_resamples, seed,
+# series length), so a per-process singleton gives task workers the same
+# build-once semantics an actor gets from __init__ — without paying actor
+# creation.  Bounded: MonteCarloShapiro caps its own per-length cache.
+_MC_BY_CFG: dict[tuple[int, int], MonteCarloShapiro] = {}
+
+
+def _mc_for(cfg: EngineConfig) -> MonteCarloShapiro:
+    key = (cfg.mc_resamples, cfg.seed)
+    mc = _MC_BY_CFG.get(key)
+    if mc is None:
+        mc = _MC_BY_CFG[key] = MonteCarloShapiro(
+            n_resamples=cfg.mc_resamples, seed=cfg.seed
+        )
+    return mc
+
+
+def detect_batch(
+    batch: pd.DataFrame,
+    *,
+    cfg: EngineConfig,
+    period: int,
+    mstl_periods: tuple[int, ...],
+    methods: tuple[str, ...],
+    mc: MonteCarloShapiro,
+) -> "pa.Table":
+    """Run the detectors over one batch of packed series → flag rows.
+    Shared kernel for both execution carriers (task pool / actor pool)."""
+    import pyarrow as pa
+
+    per_series = []
+    for _, row in batch.iterrows():
+        ts = np.asarray(row["ts"], dtype=np.int64)
+        vals = np.asarray(row["values"], dtype=np.float64)
+        flags = detect_series(ts, vals, methods, cfg, period, mstl_periods, mc)
+        for idxs, method, scores in flags:
+            per_series.append(
+                (row["key"], ts[idxs], vals[idxs],
+                 [method] * len(idxs), scores)
+            )
+
+    return _flag_table(per_series)
+
+
 class DetectorActor:
     """Stateful detector stage: one instance per pool actor.
 
@@ -254,67 +299,97 @@ class DetectorActor:
         )
 
     def __call__(self, batch: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
-        per_series = []
-        for _, row in batch.iterrows():
-            ts = np.asarray(row["ts"], dtype=np.int64)
-            vals = np.asarray(row["values"], dtype=np.float64)
-            flags = detect_series(
-                ts, vals, self.methods, self.cfg, self.period,
-                self.mstl_periods, self.mc
-            )
-            for idxs, method, scores in flags:
-                per_series.append(
-                    (row["key"], ts[idxs], vals[idxs],
-                     [method] * len(idxs), scores)
-                )
-
-        if per_series:
-            keys = np.concatenate(
-                [np.repeat(k, len(t)) for k, t, _, _, _ in per_series]
-            )
-            buckets = np.concatenate([t for _, t, _, _, _ in per_series])
-            values_out = np.concatenate([v for _, _, v, _, _ in per_series])
-            methods_out = [m for _, _, _, ms, _ in per_series for m in ms]
-            scores_out = np.concatenate([s for _, _, _, _, s in per_series])
-        else:
-            keys = np.array([], dtype=str)
-            buckets = np.array([], dtype=np.int64)
-            values_out = np.array([], dtype=np.float64)
-            methods_out = []
-            scores_out = np.array([], dtype=np.float64)
-
-        # emit an Arrow table so downstream Project/rename stages operate
-        # on Arrow blocks (and the flags table stays zero-copy)
-        return pa.table(
-            {
-                "key": pa.array(keys, type=pa.string()),
-                "bucket_start": pa.array(
-                    buckets.astype(np.int64), type=pa.int64()
-                ).cast(pa.timestamp("s")),
-                "value": pa.array(values_out),
-                "method": pa.array(methods_out, type=pa.string()),
-                "score": pa.array(scores_out),
-            }
+        return detect_batch(
+            batch, cfg=self.cfg, period=self.period,
+            mstl_periods=self.mstl_periods, methods=self.methods, mc=self.mc,
         )
+
+
+def _flag_table(per_series) -> "pa.Table":
+    import pyarrow as pa
+
+    if per_series:
+        keys = np.concatenate(
+            [np.repeat(k, len(t)) for k, t, _, _, _ in per_series]
+        )
+        buckets = np.concatenate([t for _, t, _, _, _ in per_series])
+        values_out = np.concatenate([v for _, _, v, _, _ in per_series])
+        methods_out = [m for _, _, _, ms, _ in per_series for m in ms]
+        scores_out = np.concatenate([s for _, _, _, _, s in per_series])
+    else:
+        keys = np.array([], dtype=str)
+        buckets = np.array([], dtype=np.int64)
+        values_out = np.array([], dtype=np.float64)
+        methods_out = []
+        scores_out = np.array([], dtype=np.float64)
+
+    # emit an Arrow table so downstream Project/rename stages operate
+    # on Arrow blocks (and the flags table stays zero-copy)
+    return pa.table(
+        {
+            "key": pa.array(keys, type=pa.string()),
+            "bucket_start": pa.array(
+                buckets.astype(np.int64), type=pa.int64()
+            ).cast(pa.timestamp("s")),
+            "value": pa.array(values_out),
+            "method": pa.array(methods_out, type=pa.string()),
+            "score": pa.array(scores_out),
+        }
+    )
 
 
 def detect(rollup_ds, key_col: str, *, tier: str = "1h",
            cfg: EngineConfig | None = None,
            methods: tuple[str, ...] | None = None,
            value_col: str = "sum_value",
-           gapfill_method: str | None = None):
-    """rollup table → flag rows, via pack (+fused gap-fill) + actor pool."""
+           gapfill_method: str | None = None,
+           use_actors: bool | None = None):
+    """rollup table → flag rows, via pack (+fused gap-fill) + detector pool.
+
+    Two execution carriers for the same ``detect_batch`` kernel:
+
+    - tasks (default, ``cfg.detect_use_actors=False``): plain
+      ``map_batches(fn)`` over Ray's prestarted worker processes, with the
+      MC-Shapiro cache as a per-worker-process singleton (``_mc_for``).
+      Measured on this host: 32 fresh actor processes cost ~12 s of
+      spin-up (cold imports under slow first-touch page faults) vs 6 s
+      total for the identical scan on tasks.  Tasks are also
+      work-conserving — no CPU reservation by an idle pool.
+    - actor pool (``use_actors=True``): ``map_batches(DetectorActor,
+      concurrency=N)``.  The right carrier when per-worker state is
+      genuinely expensive to build or memory-heavy (bounded to N copies),
+      e.g. short-series tiers where the MC null simulation runs (n ≤ 500)
+      and the per-length null matrices are worth confining to N actors.
+    """
     cfg = cfg or EngineConfig()
+    if use_actors is None:
+        use_actors = cfg.detect_use_actors
     packed = pack_series(rollup_ds, key_col, value_col,
                          gapfill_method=gapfill_method,
                          bucket_seconds=TIERS[tier].seconds)
+    if use_actors:
+        return packed.map_batches(
+            DetectorActor,
+            fn_constructor_kwargs={"cfg": cfg, "tier": tier,
+                                   "methods": methods},
+            batch_format="pandas",
+            batch_size=cfg.detect_batch_series,
+            concurrency=cfg.detect_concurrency,
+            num_cpus=1,
+        )
+    spec = TIERS[tier]
+    methods_t = tuple(methods or cfg.detectors)
+
+    def run(batch: pd.DataFrame) -> "pa.Table":
+        return detect_batch(
+            batch, cfg=cfg, period=spec.period,
+            mstl_periods=spec.mstl_periods, methods=methods_t,
+            mc=_mc_for(cfg),
+        )
+
     return packed.map_batches(
-        DetectorActor,
-        fn_constructor_kwargs={"cfg": cfg, "tier": tier, "methods": methods},
+        run,
         batch_format="pandas",
         batch_size=cfg.detect_batch_series,
-        concurrency=cfg.detect_concurrency,
         num_cpus=1,
     )
