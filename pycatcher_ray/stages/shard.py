@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 
 __all__ = ["shard_values", "with_shard", "sharded_map_groups",
            "sharded_aggregate", "right_size_shards",
-           "exchange_by_int_column"]
+           "exchange_by_int_column", "exchange_by_key_partition",
+           "stable_key_hash"]
 
 _MASK = np.int64((1 << 62) - 1)
 _MIX = np.int64(1_000_003)
@@ -64,6 +65,35 @@ def _col_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         out[null_mask] = _NULL_SENTINEL & _MASK
         return out
     return dict_hashes[idx.astype(np.int64, copy=False)]
+
+
+def stable_key_hash(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic (process-independent) FNV-1a partition id per string
+    key — the checkpoint/resume partitioning contract (state/checkpoint).
+    Python loop over DISTINCT keys only; callers map rows through
+    dictionary indices."""
+    out = np.zeros(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        h = 2166136261
+        for ch in str(k).encode():
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        out[i] = h % num_partitions
+    return out
+
+
+def _append_part_column(tbl: pa.Table, key_col: str,
+                        num_partitions: int) -> pa.Table:
+    """Append ``part`` = stable_key_hash(key) % P, hashing each DISTINCT
+    key once via dictionary encoding."""
+    dict_arr = pc.dictionary_encode(tbl[key_col])
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    ids = stable_key_hash(
+        dict_arr.dictionary.to_numpy(zero_copy_only=False), num_partitions
+    )
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+    parts = ids[idx.astype(np.int64, copy=False)]
+    return tbl.append_column("part", pa.array(parts, type=pa.int64()))
 
 
 def right_size_shards(n_rows: int, lo: int = 4, hi: int = 256,
@@ -119,14 +149,24 @@ def _split_block(tbl: pa.Table, cols, num_shards: int):
     into ``num_shards`` contiguous pieces (empty pieces keep the schema).
     The final extra return is the per-shard row-count vector, so the
     driver can skip reduce tasks for globally-empty shards."""
-    col_list = [cols] if isinstance(cols, str) else list(cols)
+    part_key = None
+    if isinstance(cols, dict):  # fused checkpoint mode: {"part_key": col}
+        part_key = cols["part_key"]
+        col_list = [part_key]
+    else:
+        col_list = [cols] if isinstance(cols, str) else list(cols)
     if tbl.num_rows == 0 or any(c not in tbl.column_names for c in col_list):
         # Ray's sort-groupby pads with zero-column empty blocks — emit
         # empty pieces (counts 0 => their reduces are skipped anyway)
         empty = tbl.slice(0, 0)
         return (*([empty] * num_shards),
                 np.zeros(num_shards, dtype=np.int64))
-    if isinstance(cols, str):
+    if part_key is not None:
+        # fused checkpoint mode: compute the stable partition id here and
+        # carry it as a column — no separate partition-column map pass
+        tbl = _append_part_column(tbl, part_key, num_shards)
+        sv = tbl["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    elif isinstance(cols, str):
         # value mode: the bucket id IS this int column (already 0..B-1;
         # the modulo guards against out-of-range ids silently dropping)
         sv = tbl[cols].to_numpy(zero_copy_only=False).astype(
@@ -205,8 +245,23 @@ def exchange_by_int_column(ds, col: str, num_buckets: int, fn,
     return _run_exchange(ds, col, fn, num_buckets, batch_format)
 
 
+def exchange_by_key_partition(ds, key_col: str, num_partitions: int, fn,
+                              skip_parts: frozenset | set = frozenset(),
+                              batch_format: str = "pyarrow"):
+    """Checkpoint-write exchange: the map-side split computes the stable
+    FNV partition id per DISTINCT key (``stable_key_hash``), appends it
+    as a ``part`` column and slices — fusing what was a separate
+    partition-column ``map_batches`` pass (plus a resume-filter pass)
+    into the shuffle's own map task.  ``skip_parts`` (already-done
+    checkpoint partitions) drop at the reduce: their pieces are never
+    concatenated or passed to ``fn``."""
+    return _run_exchange(ds, {"part_key": key_col}, fn, num_partitions,
+                         batch_format, skip_buckets=frozenset(skip_parts))
+
+
 def _run_exchange(ds, key_spec, shard_fn, num_shards: int,
-                  batch_format: str):
+                  batch_format: str,
+                  skip_buckets: frozenset = frozenset()):
     import ray
     import ray.data as rd
 
@@ -228,7 +283,7 @@ def _run_exchange(ds, key_spec, shard_fn, num_shards: int,
         reduce.remote(shard_fn, batch_format,
                       *[pieces[i][s] for i in range(len(refs))])
         for s in range(num_shards)
-        if counts[s] > 0
+        if counts[s] > 0 and s not in skip_buckets
     ]
     if not out_refs:
         return rd.from_items([])  # no rows anywhere -> empty dataset

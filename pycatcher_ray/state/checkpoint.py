@@ -18,8 +18,6 @@ import json
 import os
 import time
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -27,31 +25,18 @@ import pyarrow.parquet as pq
 __all__ = ["hash_partition_column", "CheckpointedWriter", "stable_key_hash"]
 
 
-def stable_key_hash(keys: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Deterministic (process-independent) partition id per string key."""
-    out = np.zeros(len(keys), dtype=np.int64)
-    for i, k in enumerate(keys):  # small arrays: one value per distinct key
-        h = 2166136261
-        for ch in str(k).encode():
-            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-        out[i] = h % num_partitions
-    return out
+# the partition-id contract lives with the exchange (stages/shard.py);
+# re-exported here because every consumer of the checkpoint layout
+# (incremental maintenance, tests) historically imports it from state
+from ..stages.shard import _append_part_column, stable_key_hash  # noqa: E402
 
 
 def hash_partition_column(ds, key_col: str, num_partitions: int):
-    """Append ``part`` = stable hash(key) % P (vectorized per batch via a
-    per-batch dictionary of distinct keys)."""
+    """Append ``part`` = stable hash(key) % P (each distinct key hashed
+    once per batch via dictionary encoding)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        uniq = pc.unique(keys).to_numpy(zero_copy_only=False)
-        mapping = dict(zip(uniq, stable_key_hash(uniq, num_partitions)))
-        parts = np.fromiter(
-            (mapping[k] for k in keys.to_numpy(zero_copy_only=False)),
-            dtype=np.int64,
-            count=len(batch),
-        )
-        return batch.append_column("part", pa.array(parts, type=pa.int64()))
+        return _append_part_column(batch, key_col, num_partitions)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -96,15 +81,6 @@ class CheckpointedWriter:
                 "partitions_skipped": sorted(done),
                 "rows_written": 0,
             }
-        parted = hash_partition_column(ds, key_col, num_partitions)
-        if done:
-            skip = pa.array(sorted(done), type=pa.int64())
-            parted = parted.map_batches(
-                lambda b: b.filter(
-                    pc.invert(pc.is_in(b["part"], value_set=skip))
-                ),
-                batch_format="pyarrow",
-            )
         stage_dir = self.stage_dir
         lineage = lineage or {}
 
@@ -141,14 +117,15 @@ class CheckpointedWriter:
             return pa.table({"part": pa.array([part], pa.int64()),
                              "rows": pa.array([len(data)], pa.int64())})
 
-        # raw value-keyed exchange: each reduce task receives exactly one
-        # partition and writes it (Ray's sort-groupby carrier cost
-        # ~1-1.5 s fixed per write stage)
-        from ..stages.shard import exchange_by_int_column
+        # fused raw exchange: the shuffle's map task computes the stable
+        # partition id itself (no separate partition-column pass, no
+        # resume-filter pass), each reduce task receives exactly one
+        # partition and writes it
+        from ..stages.shard import exchange_by_key_partition
 
-        summary = exchange_by_int_column(
-            parted, "part", num_partitions, write_group,
-            batch_format="pyarrow",
+        summary = exchange_by_key_partition(
+            ds, key_col, num_partitions, write_group,
+            skip_parts=done, batch_format="pyarrow",
         ).to_pandas()
         written = (
             [int(p) for p in summary["part"].tolist()] if len(summary) else []
