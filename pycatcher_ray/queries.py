@@ -522,6 +522,259 @@ GROUP BY 1, 2, 3
 """
 
 
+def ewma_hourly(sf_dir: str, alpha: float = 0.25):
+    """Per-source EWMA smoothing of the hourly sums (the classic
+    streaming-monitor baseline band): s_0 = v_0, s_i = (1-α)·s_{i-1} +
+    α·v_i over observed buckets in time order — the ``adjust=False``
+    recursion.  Series gathered per key by the hash-sharded exchange;
+    the recursion is inherently sequential per series (bounded by tier
+    retention), parallel across series.
+
+    Oracle: DuckDB recursive CTE replaying the identical float ops on
+    the identically-rounded hourly sums — each step is (1-α)*prev + α*v
+    in both engines, so the smoothed values are bit-equal."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+    om, al = 1.0 - alpha, alpha
+
+    def smooth(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            s = np.empty_like(v)
+            if v.size:
+                s[0] = v[0]
+                for i in range(1, v.size):
+                    s[i] = om * s[i - 1] + al * v[i]
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "value": v,
+                "ewma": s,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", smooth,
+    )
+
+
+def sliding_p95_24h(sf_dir: str):
+    """Exact p95 over a trailing 24-hour RANGE window per source (the
+    windowed-quantile primitive behind burn-rate / SLO alerting).  Same
+    shape as every series op: hash-sharded exchange gathers the series,
+    then a per-series pass computes each bucket's window by binary
+    search (windows are time-RANGE based, so bucket gaps shrink the
+    window rather than stretching it) and the DuckDB-bit-parity
+    ``quantile_cont`` lerp over it.  Work is O(buckets × window) per
+    series, bounded by tier retention; parallel across series."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def windowed(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            ts = g["bucket_start"].astype("datetime64[s]").astype(
+                "int64").to_numpy()
+            v = g["sum_value"].to_numpy(dtype=np.float64)
+            lo = np.searchsorted(ts, ts - 23 * 3600, side="left")
+            p95 = np.empty_like(v)
+            n_win = np.empty(v.size, dtype=np.int64)
+            for i in range(v.size):
+                w = v[lo[i]:i + 1]
+                p95[i] = round(float(quantile_cont(w, 0.95)), 6)
+                n_win[i] = w.size
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "p95_24h": p95,
+                "n_in_window": n_win,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", windowed,
+    )
+
+
+def cusum_hourly(sf_dir: str, k: float = 0.5, h: float = 5.0):
+    """Two-sided standardized CUSUM change-point statistic per source
+    (Page 1954): z_i = (v_i - μ)/σ on the hourly sums, s⁺_i = max(0,
+    s⁺_{i-1} + (z_i - k)), s⁻_i = max(0, s⁻_{i-1} + (-z_i - k)); a
+    sustained mean shift accumulates past the decision band h.  Emits
+    the full statistic series plus the flag so the driver hash covers
+    the recursion itself, not just threshold membership.
+
+    Float discipline (same class as the EWMA oracle): v, μ and σ are
+    rounded on BOTH sides before the recursion (bit-equal inputs +
+    identical op order per step ⇒ bit-equal statistics); the emitted
+    s⁺/s⁻ are rounded at 4 as a second guard."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def cusum(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            mu = round(float(np.mean(v)), 6)
+            sigma = round(float(np.std(v)), 6)
+            z = (v - mu) / sigma
+            sp = np.empty_like(v)
+            sn = np.empty_like(v)
+            cp = cn = 0.0
+            for i in range(v.size):
+                cp = max(0.0, cp + (z[i] - k))
+                cn = max(0.0, cn + (-z[i] - k))
+                sp[i] = cp
+                sn[i] = cn
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "value": v,
+                "cusum_pos": _round_exact(sp),
+                "cusum_neg": _round_exact(sn),
+                "flagged": ((sp > h) | (sn > h)).astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", cusum,
+    )
+
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE r0 AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT source, round(avg(v), 6) AS mu, round(stddev_pop(v), 6) AS sigma
+  FROM r0 GROUP BY source
+), r AS (
+  SELECT r0.source, r0.bucket_start, r0.idx, r0.v,
+         (r0.v - st.mu) / st.sigma AS z
+  FROM r0 JOIN st USING (source)
+), c AS (
+  SELECT source, bucket_start, idx, v,
+         greatest(0.0, z - 0.5) AS s_pos,
+         greatest(0.0, -z - 0.5) AS s_neg
+  FROM r WHERE idx = 1
+  UNION ALL
+  SELECT r.source, r.bucket_start, r.idx, r.v,
+         greatest(0.0, c.s_pos + (r.z - 0.5)),
+         greatest(0.0, c.s_neg + (-r.z - 0.5))
+  FROM r JOIN c ON r.source = c.source AND r.idx = c.idx + 1
+)
+SELECT source, bucket_start, v AS value,
+       round(s_pos, 4) AS cusum_pos,
+       round(s_neg, 4) AS cusum_neg,
+       CAST(s_pos > 5.0 OR s_neg > 5.0 AS BIGINT) AS flagged
+FROM c
+"""
+
+
+_SLIDING_P95_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_start,
+       round(quantile_cont(v, 0.95) OVER w, 6) AS p95_24h,
+       count(*) OVER w AS n_in_window
+FROM r
+WINDOW w AS (PARTITION BY source ORDER BY bucket_start
+             RANGE BETWEEN INTERVAL 23 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def theil_sen_trend(sf_dir: str):
+    """Robust per-source trend: the Theil–Sen estimator (median of all
+    pairwise slopes) over the hourly sums, with positional x (bucket
+    rank in time order) — the robust complement to the OLS-based
+    Dickey–Fuller regression in ``dickey_fuller_by_source``.  Slopes
+    materialize per series as one n×n numpy broadcast (bounded by tier
+    retention: 720 buckets → 260k slopes ≈ 2 MB); the median is the
+    DuckDB-bit-parity ``quantile_cont`` lerp, so no tolerance needed."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def trend(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            n = v.size
+            idx = np.arange(n, dtype=np.float64)
+            dv = v[None, :] - v[:, None]       # v_j - v_i
+            di = idx[None, :] - idx[:, None]   # j - i
+            iu = np.triu_indices(n, k=1)
+            slopes = dv[iu] / di[iu]
+            rows.append({
+                "source": src,
+                "slope": round(float(quantile_cont(slopes, 0.5)), 6),
+                "n_pairs": int(slopes.size),
+            })
+        return pd.DataFrame(rows, columns=["source", "slope", "n_pairs"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", trend,
+    )
+
+
+_THEIL_SEN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.source, (b.v - a.v) / CAST(b.idx - a.idx AS DOUBLE) AS slope
+  FROM r a JOIN r b ON a.source = b.source AND b.idx > a.idx
+)
+SELECT source, round(quantile_cont(slope, 0.5), 6) AS slope,
+       count(*) AS n_pairs
+FROM s GROUP BY source
+"""
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT source, bucket_start, idx, v, v AS ewma FROM r WHERE idx = 1
+  UNION ALL
+  SELECT r.source, r.bucket_start, r.idx, r.v, 0.75 * e.ewma + 0.25 * r.v
+  FROM r JOIN e ON r.source = e.source AND r.idx = e.idx + 1
+)
+SELECT source, bucket_start, v AS value, ewma FROM e
+"""
+
+
 def sliding_avg_3h(sf_dir: str):
     """Sliding-window aggregate: 3-hour trailing mean over each source's
     hourly sums (windowed-aggregate operator; per-source pandas rolling
@@ -2277,6 +2530,10 @@ def queries():
         "approx_users_by_type": approx_users_by_type,
         "sliding_avg_3h": sliding_avg_3h,
         "hopping_stats_2h": hopping_stats_2h,
+        "ewma_hourly": ewma_hourly,
+        "sliding_p95_24h": sliding_p95_24h,
+        "cusum_hourly": cusum_hourly,
+        "theil_sen_trend": theil_sen_trend,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -2339,6 +2596,10 @@ def oracles():
         "distinct_users_by_type": _DISTINCT_ORACLE,
         "sliding_avg_3h": _SLIDING_ORACLE,
         "hopping_stats_2h": _HOPPING_ORACLE,
+        "ewma_hourly": _EWMA_ORACLE,
+        "sliding_p95_24h": _SLIDING_P95_ORACLE,
+        "cusum_hourly": _CUSUM_ORACLE,
+        "theil_sen_trend": _THEIL_SEN_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
