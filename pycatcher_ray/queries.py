@@ -1183,6 +1183,60 @@ def lang_distribution(sf_dir: str):
 _LANG_ORACLE = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
 
 
+def token_length_histogram(sf_dir: str):
+    """Sequence-length distribution of the corpus per language — the
+    training-data diagnostic behind context-length planning and packing
+    efficiency.  Token count = number of ``\\S+`` runs (one vectorized
+    RE2 count per batch, ``pc.count_substring_regex``); length classes
+    are power-of-two buckets (bucket = 2^floor(log2(n)), 0 for empty
+    docs), computed integer-exactly by searchsorted against an int64
+    power table (no float log2 edge cases).
+
+    Scale shape: each batch emits only its (lang × ~20 buckets) partial
+    counts, so the combine groupby moves O(langs × buckets × batches)
+    rows — document text never shuffles."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"])
+
+    pows = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch["text"], r"\S+").to_numpy(zero_copy_only=False)
+        n = n.astype(np.int64)
+        bucket = np.where(
+            n > 0, pows[np.searchsorted(pows, n, side="right") - 1], 0)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": lang, "len_bucket": bucket, "n": n})
+        g = df.groupby(["lang", "len_bucket"], as_index=False).agg(
+            p_docs=("n", "size"), p_tokens=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["lang", "len_bucket"]).aggregate(
+        Sum("p_docs", alias_name="n_docs"),
+        Sum("p_tokens", alias_name="n_tokens"),
+    )
+
+
+_TOKEN_HIST_ORACLE = """
+WITH counted AS (
+  SELECT lang, len(regexp_extract_all(text, '\\S+')) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n = 0 THEN 0
+            ELSE CAST(power(2, length(format('{:b}', n)) - 1) AS BIGINT)
+       END AS len_bucket,
+       count(*) AS n_docs,
+       sum(n) AS n_tokens
+FROM counted
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------- embeddings queries
 
 
@@ -2541,6 +2595,7 @@ def queries():
         "quality_filter": quality_filter,
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
+        "token_length_histogram": token_length_histogram,
         "ann_topk": ann_topk,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "tokens_rollup_1m": tokens_rollup_1m,
@@ -2607,6 +2662,7 @@ def oracles():
         "quality_filter": _QUALITY_FILTER_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
+        "token_length_histogram": _TOKEN_HIST_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,

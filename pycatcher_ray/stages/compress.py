@@ -51,9 +51,14 @@ def compress(rollup_ds, key_col: str, bucket_seconds: int, chunk_buckets: int,
     is per-chunk Python either way, but at 10^6 keys the per-group
     dispatch would dominate.  Inside a shard, one sort + boundary scan
     encodes every chunk."""
-    from .shard import sharded_map_groups
+    from .shard import compute_shards, sharded_map_groups
 
     with_id = add_chunk_id(rollup_ds, bucket_seconds, chunk_buckets)
+    if num_shards is None:
+        # the per-chunk Gorilla encode runs INSIDE the reduce tasks, so
+        # the shard count IS the encode parallelism — size for compute
+        with_id = with_id.materialize()
+        num_shards = compute_shards(with_id.count())
 
     def encode_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, "chunk_id", "bucket_start"], kind="stable")

@@ -72,7 +72,14 @@ def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value",
     grid, and fusing the fill here avoids a second full groupby shuffle
     of the tier table (the standalone gapfill stage remains for
     pipelines that persist the filled series)."""
-    from .shard import sharded_map_groups
+    from .shard import compute_shards, sharded_map_groups
+
+    src = rollup_ds.select_columns([key_col, "bucket_start", value_col])
+    if num_shards is None:
+        # the packed output's block count bounds the DOWNSTREAM detector
+        # scan's task parallelism — size for compute, not pack rows
+        src = src.materialize()
+        num_shards = compute_shards(src.count())
 
     def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, "bucket_start"], kind="stable")
@@ -98,10 +105,8 @@ def pack_series(rollup_ds, key_col: str, value_col: str = "sum_value",
             {"key": out_key, "n": out_n, "ts": out_ts, "values": out_vals}
         )
 
-    return sharded_map_groups(
-        rollup_ds.select_columns([key_col, "bucket_start", value_col]),
-        key_col, pack_shard, num_shards=num_shards,
-    )
+    return sharded_map_groups(src, key_col, pack_shard,
+                              num_shards=num_shards)
 
 
 def detect_series(

@@ -106,6 +106,25 @@ def right_size_shards(n_rows: int, lo: int = 4, hi: int = 256,
     return max(lo, min(hi, n_rows // rows_per_shard + lo))
 
 
+def compute_shards(n_rows: int, hi: int = 4096) -> int:
+    """Shard count for exchanges whose OUTPUT feeds heavy per-group
+    compute (detector scan, chunk encode): the reduce-task count IS the
+    output block count, which bounds downstream ``map_batches`` task
+    parallelism — sizing only by pack-side rows capped the detector scan
+    at 10 tasks on a 347k-row tier (the measured flat-4→16 flags stage).
+    Floor = 2× the cluster's CPUs (work-conserving at N and at 4N
+    nodes); ``right_size_shards``'s row term still raises it for
+    genuinely large inputs; ``hi`` bounds the map-side object fan-out
+    (blocks × shards refs)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+    except Exception:
+        cpus = 32
+    return min(hi, max(right_size_shards(n_rows), 2 * cpus))
+
+
 def shard_values(batch: pa.Table, key_cols: list[str] | tuple[str, ...],
                  num_shards: int) -> np.ndarray:
     """int64 shard id per row from the combined key-column hash."""
