@@ -1237,6 +1237,91 @@ GROUP BY 1, 2
 """
 
 
+def context_packing(sf_dir: str, window: int = 2048):
+    """Greedy document-boundary-respecting context-window packing per
+    language — the packing-efficiency diagnostic of LLM training-data
+    prep (how many ``window``-token sequences the corpus fills when docs
+    are packed in doc_id order without splitting, oversized docs
+    truncated to one window).  The fold is inherently sequential per
+    language (like EWMA), parallel across languages; only per-doc token
+    counts shuffle, never text.
+
+    Oracle: DuckDB recursive CTE replaying the identical greedy fold.
+    ``packing_efficiency`` is emitted as the raw double of
+    ``packed / (bins·window)`` — identical integer→double converts and
+    one IEEE division on both sides, so no rounding is needed."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "n": pc.cast(n, pa.int64())})
+
+    per_doc = ds.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def pack_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard[shard["n"] > 0].sort_values(["lang", "doc_id"],
+                                                  kind="stable")
+        rows = []
+        for lang, g in shard.groupby("lang", sort=False):
+            t = np.minimum(g["n"].to_numpy(dtype=np.int64), window)
+            fill, bins = 0, 0
+            for ti in t:
+                if bins and fill + ti <= window:
+                    fill += ti
+                else:
+                    bins += 1
+                    fill = ti
+            packed = int(t.sum())
+            rows.append({
+                "lang": lang,
+                "n_windows": bins,
+                "n_docs": int(t.size),
+                "n_tokens_packed": packed,
+                "n_truncated": int((g["n"].to_numpy() > window).sum()),
+                "packing_efficiency": float(packed) / (float(bins) * window)
+                if bins else 0.0,
+            })
+        return pd.DataFrame(rows, columns=[
+            "lang", "n_windows", "n_docs", "n_tokens_packed",
+            "n_truncated", "packing_efficiency"])
+
+    return sharded_map_groups(per_doc, "lang", pack_shard)
+
+
+_PACKING_ORACLE = """
+WITH RECURSIVE c AS (
+  SELECT lang, doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+  FROM documents
+), d AS (
+  SELECT lang, doc_id, least(n, 2048) AS t,
+         CAST(n > 2048 AS BIGINT) AS tr,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
+  FROM c WHERE n > 0
+), p AS (
+  SELECT lang, idx, t AS fill, 1 AS bins, t AS packed, tr AS n_trunc
+  FROM d WHERE idx = 1
+  UNION ALL
+  SELECT d.lang, d.idx,
+         CASE WHEN p.fill + d.t <= 2048 THEN p.fill + d.t ELSE d.t END,
+         CASE WHEN p.fill + d.t <= 2048 THEN p.bins ELSE p.bins + 1 END,
+         p.packed + d.t, p.n_trunc + d.tr
+  FROM d JOIN p ON d.lang = p.lang AND d.idx = p.idx + 1
+)
+SELECT lang, bins AS n_windows, idx AS n_docs, packed AS n_tokens_packed,
+       n_trunc AS n_truncated,
+       CAST(packed AS DOUBLE) / (CAST(bins AS DOUBLE) * 2048)
+         AS packing_efficiency
+FROM p
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY idx DESC) = 1
+"""
+
+
 # ---------------------------------------------------- embeddings queries
 
 
@@ -2596,6 +2681,7 @@ def queries():
         "dedup_exact": dedup_exact,
         "lang_distribution": lang_distribution,
         "token_length_histogram": token_length_histogram,
+        "context_packing": context_packing,
         "ann_topk": ann_topk,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "tokens_rollup_1m": tokens_rollup_1m,
@@ -2663,6 +2749,7 @@ def oracles():
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
         "token_length_histogram": _TOKEN_HIST_ORACLE,
+        "context_packing": _PACKING_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,

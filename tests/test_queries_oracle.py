@@ -27,6 +27,12 @@ SUBSET = [
     "hopping_stats_2h",
     "tfidf_top_terms",
     "quality_filter",
+    "ewma_hourly",
+    "sliding_p95_24h",
+    "cusum_hourly",
+    "theil_sen_trend",
+    "token_length_histogram",
+    "context_packing",
 ]
 
 
