@@ -758,6 +758,308 @@ FROM s GROUP BY source
 """
 
 
+def holt_linear_hourly(sf_dir: str):
+    """Holt double-exponential smoothing (level + linear trend) of the
+    hourly sums per source — the forecasting primitive one step past
+    EWMA.  Init l₀=v₀, b₀=0; then l_i = α·v + (1-α)·(l+b),
+    b_i = β·(l_i - l_{i-1}) + (1-β)·b — with α=0.5, β=0.25 (both exactly
+    representable doubles) every step is the identical FP expression in
+    both engines, so level/trend are bit-equal to the recursive-CTE
+    oracle.  Sequential per series, parallel across series."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def smooth(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            lev = np.empty_like(v)
+            tr = np.empty_like(v)
+            if v.size:
+                lev[0], tr[0] = v[0], 0.0
+                for i in range(1, v.size):
+                    l_new = 0.5 * v[i] + 0.5 * (lev[i - 1] + tr[i - 1])
+                    tr[i] = 0.25 * (l_new - lev[i - 1]) + 0.75 * tr[i - 1]
+                    lev[i] = l_new
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "value": v, "level": lev, "trend": tr,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", smooth,
+    )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT source, bucket_start, idx, v, v AS level,
+         CAST(0 AS DOUBLE) AS trend
+  FROM r WHERE idx = 1
+  UNION ALL
+  SELECT r.source, r.bucket_start, r.idx, r.v,
+         0.5 * r.v + 0.5 * (e.level + e.trend),
+         0.25 * ((0.5 * r.v + 0.5 * (e.level + e.trend)) - e.level)
+           + 0.75 * e.trend
+  FROM r JOIN e ON r.source = e.source AND r.idx = e.idx + 1
+)
+SELECT source, bucket_start, v AS value, level, trend FROM e
+"""
+
+
+def rate_of_change_1h(sf_dir: str):
+    """Derivative operator: per-source delta and per-second rate between
+    consecutive OBSERVED hourly buckets (gaps widen the denominator
+    rather than being imputed — the raw-counter shape of a `rate()`
+    primitive).  Delta/rate are a subtract and one divide on the same
+    rounded doubles in both engines, so bit-equal to the lag() oracle."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def deriv(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            ts = g["bucket_start"].to_numpy()
+            delta = np.full(v.size, np.nan)
+            rate = np.full(v.size, np.nan)
+            if v.size > 1:
+                delta[1:] = v[1:] - v[:-1]
+                tsec = ts.astype("datetime64[s]").astype(np.int64)
+                rate[1:] = delta[1:] / (tsec[1:] - tsec[:-1]).astype(
+                    np.float64)
+            out.append(pd.DataFrame({
+                "source": src, "bucket_start": ts, "value": v,
+                "delta": delta, "rate_per_s": rate,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", deriv,
+    )
+
+
+_RATE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_start, v AS value,
+       v - lag(v) OVER w AS delta,
+       (v - lag(v) OVER w)
+         / CAST(date_diff('second', lag(bucket_start) OVER w,
+                          bucket_start) AS DOUBLE) AS rate_per_s
+FROM r WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+"""
+
+
+def gap_analysis(sf_dir: str):
+    """Heartbeat / liveness audit per source over the hourly tier:
+    bucket count, span, expected buckets on the 1h grid, missing count,
+    number of gaps and the widest gap.  All-integer except coverage
+    (one int→double divide, identical both sides)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def gaps(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            tsec = g["bucket_start"].to_numpy().astype(
+                "datetime64[s]").astype(np.int64)
+            d = np.diff(tsec)
+            expected = int((tsec[-1] - tsec[0]) // 3600 + 1)
+            rows.append({
+                "source": src,
+                "n_buckets": int(tsec.size),
+                "first_bucket": g["bucket_start"].iloc[0],
+                "last_bucket": g["bucket_start"].iloc[-1],
+                "expected_buckets": expected,
+                "n_missing": expected - int(tsec.size),
+                "n_gaps": int((d > 3600).sum()),
+                "max_gap_s": int(d.max()) if d.size else 0,
+                "coverage": float(tsec.size) / float(expected),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "first_bucket", "last_bucket",
+            "expected_buckets", "n_missing", "n_gaps", "max_gap_s",
+            "coverage"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start"]),
+        "event_type", gaps,
+    )
+
+
+_GAP_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT source, bucket_start,
+         date_diff('second',
+                   lag(bucket_start) OVER (PARTITION BY source
+                                           ORDER BY bucket_start),
+                   bucket_start) AS gap
+  FROM r
+)
+SELECT source, count(*) AS n_buckets,
+       min(bucket_start) AS first_bucket,
+       max(bucket_start) AS last_bucket,
+       date_diff('second', min(bucket_start), max(bucket_start)) // 3600
+         + 1 AS expected_buckets,
+       date_diff('second', min(bucket_start), max(bucket_start)) // 3600
+         + 1 - count(*) AS n_missing,
+       count(*) FILTER (gap > 3600) AS n_gaps,
+       coalesce(max(gap), 0) AS max_gap_s,
+       CAST(count(*) AS DOUBLE)
+         / CAST(date_diff('second', min(bucket_start), max(bucket_start))
+                // 3600 + 1 AS DOUBLE) AS coverage
+FROM d GROUP BY source
+"""
+
+
+def alert_episodes(sf_dir: str):
+    """Gaps-and-islands over the IQR flags: consecutive flagged hourly
+    buckets per source collapse into alert episodes with start/end,
+    length, peak and total flagged value — the alert-dedup step every
+    monitoring pipeline runs after point detection.  Consumes the same
+    detector stage as ``iqr_flags_1h`` and re-shards its (small) flag
+    output per source."""
+    from .stages.shard import sharded_map_groups
+
+    flags = iqr_flags_1h(sf_dir)
+
+    def episodes(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("source", sort=False):
+            ts = g["bucket_start"].to_numpy()
+            tsec = ts.astype("datetime64[s]").astype(np.int64)
+            new = np.ones(tsec.size, dtype=bool)
+            new[1:] = (tsec[1:] - tsec[:-1]) != 3600
+            eid = np.cumsum(new)
+            v = g["value"].to_numpy(dtype=np.float64)
+            df = pd.DataFrame({"eid": eid, "ts": ts, "v": v})
+            agg = df.groupby("eid", sort=False).agg(
+                episode_start=("ts", "min"), episode_end=("ts", "max"),
+                n_buckets=("v", "size"), peak_value=("v", "max"),
+                total_value=("v", "sum")).reset_index(drop=True)
+            agg["total_value"] = _round_exact(
+                agg["total_value"].to_numpy(dtype=np.float64))
+            agg.insert(0, "source", src)
+            out.append(agg)
+        if not out:
+            return pd.DataFrame(columns=[
+                "source", "episode_start", "episode_end", "n_buckets",
+                "peak_value", "total_value"])
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(flags, "source", episodes)
+
+
+_EPISODES_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start, round(r.v, 4) AS v
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+), g AS (
+  SELECT source, bucket_start, v,
+         date_diff('hour', TIMESTAMP '1970-01-01', bucket_start)
+           - row_number() OVER (PARTITION BY source
+                                ORDER BY bucket_start) AS grp
+  FROM f
+)
+SELECT source, min(bucket_start) AS episode_start,
+       max(bucket_start) AS episode_end, count(*) AS n_buckets,
+       max(v) AS peak_value, round(sum(v), 4) AS total_value
+FROM g GROUP BY source, grp
+"""
+
+
+def ohlc_hourly(sf_dir: str):
+    """OHLC candle downsample: per (source, hourly bucket) the first /
+    max / min / last raw value, ordered by (ts, event_id) so ties on ts
+    are deterministic.  Open/close carry their order keys through the
+    partial aggregate so the shard reduce picks the global first/last —
+    no raw-row shuffle, only per-(source,bucket) partials move.  All
+    outputs are untouched input doubles or integer counts: bit-exact by
+    construction."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        df["bucket_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "bucket_start"], sort=False)
+        return g.agg(
+            open=("value", "first"), close=("value", "last"),
+            low=("value", "min"), high=("value", "max"),
+            n_points=("value", "size"),
+            open_ts=("ts", "first"), open_id=("event_id", "first"),
+            close_ts=("ts", "last"), close_id=("event_id", "last"),
+        ).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+
+    def reduce_shard(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "bucket_start"]
+        df = df.sort_values(["open_ts", "open_id"], kind="stable")
+        opens = df.groupby(keys, sort=False)["open"].first()
+        df2 = df.sort_values(["close_ts", "close_id"], kind="stable")
+        closes = df2.groupby(keys, sort=False)["close"].last()
+        rest = df.groupby(keys).agg(
+            low=("low", "min"), high=("high", "max"),
+            n_points=("n_points", "sum"))
+        out = rest.join(opens).join(closes).reset_index()
+        out = out.rename(columns={"event_type": "source"})
+        return out[["source", "bucket_start", "open", "high", "low",
+                    "close", "n_points"]]
+
+    return sharded_map_groups(partials, "event_type", reduce_shard)
+
+
+_OHLC_ORACLE = """
+SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high, min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*) AS n_points
+FROM events GROUP BY 1, 2
+"""
+
+
 _EWMA_ORACLE = """
 WITH RECURSIVE r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -2673,6 +2975,11 @@ def queries():
         "sliding_p95_24h": sliding_p95_24h,
         "cusum_hourly": cusum_hourly,
         "theil_sen_trend": theil_sen_trend,
+        "holt_linear_hourly": holt_linear_hourly,
+        "rate_of_change_1h": rate_of_change_1h,
+        "gap_analysis": gap_analysis,
+        "alert_episodes": alert_episodes,
+        "ohlc_hourly": ohlc_hourly,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -2741,6 +3048,11 @@ def oracles():
         "sliding_p95_24h": _SLIDING_P95_ORACLE,
         "cusum_hourly": _CUSUM_ORACLE,
         "theil_sen_trend": _THEIL_SEN_ORACLE,
+        "holt_linear_hourly": _HOLT_ORACLE,
+        "rate_of_change_1h": _RATE_ORACLE,
+        "gap_analysis": _GAP_ORACLE,
+        "alert_episodes": _EPISODES_ORACLE,
+        "ohlc_hourly": _OHLC_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -33,6 +33,11 @@ SUBSET = [
     "theil_sen_trend",
     "token_length_histogram",
     "context_packing",
+    "holt_linear_hourly",
+    "rate_of_change_1h",
+    "gap_analysis",
+    "alert_episodes",
+    "ohlc_hourly",
 ]
 
 
