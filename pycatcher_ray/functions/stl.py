@@ -115,6 +115,58 @@ def _loess_point(y: np.ndarray, i: float, q: int, degree: int,
     return _wls_fit_at(idx.astype(np.float64), y[idx], w, float(i), degree)
 
 
+_EDGE_COEF_CACHE: dict[tuple[int, int, int, int, str], np.ndarray] = {}
+
+
+def _edge_coefs(n: int, q: int, degree: int, ext: int,
+                side: str) -> np.ndarray:
+    """Fit-coefficient rows for the boundary positions of a length-n
+    uniform-grid LOESS (rho=None): near an edge the qq nearest points are
+    the fixed prefix/suffix window, so each position's weighted-LS fit is
+    a dot product with a position-dependent coefficient row.  All rows
+    for one (n, q, degree, ext, side) are built in one broadcasted shot
+    and cached — detection runs thousands of same-length series, so the
+    boundary fits amortize to two small matvecs per smooth instead of
+    ~2h Python-level ``_loess_point`` calls."""
+    key = (n, q, degree, ext, side)
+    W = _EDGE_COEF_CACHE.get(key)
+    if W is not None:
+        return W
+    qq = min(q, n)
+    h = (q - 1) // 2
+    if side == "left":
+        pos = np.arange(-ext, min(h, n), dtype=np.float64)
+        xs = np.arange(qq, dtype=np.float64)
+    elif side == "right":
+        pos = np.arange(n - h, n + ext, dtype=np.float64)
+        xs = np.arange(n - qq, n, dtype=np.float64)
+    else:  # "full": q >= n, every position fits over the whole series
+        pos = np.arange(-ext, n + ext, dtype=np.float64)
+        xs = np.arange(n, dtype=np.float64)
+    dist = np.abs(xs[None, :] - pos[:, None])
+    lam = dist.max(axis=1) if qq else np.zeros(pos.size)
+    if q > n:
+        lam = lam * (q / n)
+    lam = np.where(lam <= 0, 1.0, lam)
+    w = _tricube(dist / lam[:, None])
+    sw = w.sum(axis=1)
+    if degree == 0:
+        W = w / sw[:, None]
+    else:
+        xc = xs[None, :] - pos[:, None]
+        swx = (w * xc).sum(axis=1)
+        swx2 = (w * xc * xc).sum(axis=1)
+        det = sw * swx2 - swx * swx
+        bad = np.abs(det) < 1e-12 * np.maximum(sw * swx2, 1e-300)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            W = w * (swx2[:, None] - swx[:, None] * xc) / det[:, None]
+        if bad.any():
+            W[bad] = w[bad] / sw[bad, None]
+    W = np.ascontiguousarray(W)
+    _EDGE_COEF_CACHE[key] = W
+    return W
+
+
 def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
                  rho: np.ndarray | None = None,
                  ext: int = 0, jump: int = 1) -> np.ndarray:
@@ -141,7 +193,7 @@ def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
         vals = np.array([_loess_point(y, float(i), q, degree, rho) for i in xs])
         out[ext : ext + n] = np.interp(np.arange(n), xs, vals)
         boundary = []
-    elif rho is None and q <= n and n > q:
+    elif rho is None and q < n:
         # interior kernel: offsets -h..h, lambda = h (weight 0 at edges)
         d = np.arange(-h, h + 1, dtype=np.float64)
         lam = max(h, 1)
@@ -149,7 +201,16 @@ def loess_smooth(y: np.ndarray, q: int, degree: int = 1,
         kern /= kern.sum()
         interior = np.convolve(y, kern[::-1], mode="valid")  # positions h..n-1-h
         out[ext + h : ext + n - h] = interior
-        boundary = list(range(0, min(h, n))) + list(range(max(n - h, 0), n))
+        # boundary + extension fits: cached coefficient matvecs over the
+        # fixed prefix/suffix windows (see _edge_coefs)
+        qq = min(q, n)
+        out[: ext + min(h, n)] = _edge_coefs(n, q, degree, ext, "left") @ y[:qq]
+        out[ext + n - h :] = _edge_coefs(n, q, degree, ext, "right") @ y[n - qq:]
+        return out
+    elif rho is None:
+        # q >= n: every fit sees the whole series
+        out[:] = _edge_coefs(n, q, degree, ext, "full") @ y
+        return out
     else:
         boundary = list(range(n))
 
