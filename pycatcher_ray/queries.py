@@ -1060,6 +1060,192 @@ FROM events GROUP BY 1, 2
 """
 
 
+def acf_by_source(sf_dir: str, max_lag: int = 3):
+    """Sample autocorrelation of the hourly sums at lags 1..max_lag per
+    source (the seasonality/persistence diagnostic behind period
+    inference).  r_k = Σ(v_i−μ)(v_{i+k}−μ) / Σ(v_i−μ)² over the observed
+    buckets in time order, μ = the 4-dp-rounded mean; outputs rounded to
+    6 dp on both sides to absorb summation-order last-bit drift."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def acf(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            mu = _round_exact(np.array([v.mean()]))[0]
+            dv = v - mu
+            den = float(np.dot(dv, dv))
+            for k in range(1, max_lag + 1):
+                num = float(np.dot(dv[:-k], dv[k:])) if v.size > k else np.nan
+                rows.append({
+                    "source": src, "lag": k,
+                    "acf": round(num / den, 6) if den > 0 else np.nan,
+                    "n_obs": int(v.size),
+                })
+        return pd.DataFrame(rows, columns=["source", "lag", "acf", "n_obs"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", acf,
+    )
+
+
+_ACF_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT source, round(avg(v), 4) AS mu, count(*) AS n_obs
+  FROM r GROUP BY source
+), d AS (
+  SELECT r.source, r.idx, r.v - m.mu AS dv, m.n_obs
+  FROM r JOIN m USING (source)
+), den AS (
+  SELECT source, sum(dv * dv) AS s2 FROM d GROUP BY source
+), lags AS (SELECT unnest([1, 2, 3]) AS lag)
+SELECT a.source, lags.lag,
+       round(sum(a.dv * b.dv) / any_value(den.s2), 6) AS acf,
+       any_value(a.n_obs) AS n_obs
+FROM d a
+CROSS JOIN lags
+JOIN d b ON b.source = a.source AND b.idx = a.idx + lags.lag
+JOIN den ON den.source = a.source
+GROUP BY a.source, lags.lag
+"""
+
+
+def seasonal_naive_error(sf_dir: str):
+    """Forecast-skill audit: the seasonal-naive predictor v̂(t) = v(t−24h)
+    evaluated wherever the same hour of the previous day was observed —
+    per-source MAE/RMSE and match counts (the baseline every detector's
+    band must beat).  Per-series self-merge on the shifted timestamp;
+    errors are subtractions of 4-dp doubles, aggregates rounded to 6."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def err(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            ts = g["bucket_start"].to_numpy().astype("datetime64[s]")
+            prev = pd.Series(v, index=ts)
+            want = ts - np.timedelta64(86400, "s")
+            hit = prev.index.get_indexer(want)
+            ok = hit >= 0
+            e = v[ok] - v[hit[ok]]
+            n = int(ok.sum())
+            rows.append({
+                "source": src,
+                "n_obs": int(v.size),
+                "n_matched": n,
+                "mae": round(float(np.abs(e).sum()) / n, 6) if n else np.nan,
+                "rmse": round(float(np.sqrt(np.dot(e, e) / n)), 6)
+                if n else np.nan,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_obs", "n_matched", "mae", "rmse"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", err,
+    )
+
+
+_SEASONAL_NAIVE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.source, a.v - b.v AS e
+  FROM r a JOIN r b
+    ON b.source = a.source
+   AND b.bucket_start = a.bucket_start - INTERVAL 24 HOUR
+), n AS (SELECT source, count(*) AS n_obs FROM r GROUP BY source)
+SELECT n.source, n.n_obs, count(j.e) AS n_matched,
+       round(sum(abs(j.e)) / count(j.e), 6) AS mae,
+       round(sqrt(sum(j.e * j.e) / count(j.e)), 6) AS rmse
+FROM n LEFT JOIN j ON j.source = n.source
+GROUP BY n.source, n.n_obs
+"""
+
+
+def token_entropy_by_lang(sf_dir: str):
+    """Unigram Shannon entropy of the word distribution per language over
+    the documents corpus — the vocabulary-diversity signal of
+    training-data curation (low entropy = template/boilerplate-heavy
+    slices).  One sharded exchange carries (lang, word) counts; entropy
+    folds per lang inside the shard.  Tokenization matches
+    ``tfidf_top_terms`` (lower + split on single spaces)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text"])
+
+    def word_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        langs, words = [], []
+        for lang, text in zip(batch["lang"], batch["text"]):
+            ws = [w for w in (text or "").lower().split(" ") if w]
+            langs.append(np.repeat(lang, len(ws)))
+            words.append(np.asarray(ws, dtype=object))
+        if not langs:
+            return pd.DataFrame({"lang": [], "word": [], "c": []})
+        df = pd.DataFrame({"lang": np.concatenate(langs),
+                           "word": np.concatenate(words)})
+        return df.groupby(["lang", "word"], as_index=False).size().rename(
+            columns={"size": "c"})
+
+    partials = ds.map_batches(word_counts, batch_format="pandas")
+
+    def entropy_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        counts = shard.groupby(["lang", "word"])["c"].sum()
+        rows = []
+        for lang, g in counts.groupby(level="lang", sort=False):
+            c = g.to_numpy(dtype=np.float64)
+            total = c.sum()
+            p = c / total
+            rows.append({
+                "lang": lang,
+                "n_tokens": int(total),
+                "n_distinct": int(c.size),
+                "entropy_bits": round(float(-(p * np.log2(p)).sum()), 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "lang", "n_tokens", "n_distinct", "entropy_bits"])
+
+    return sharded_map_groups(partials, "lang", entropy_shard)
+
+
+_ENTROPY_ORACLE = """
+WITH words AS (
+  SELECT lang, w
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE w <> ''
+), c AS (
+  SELECT lang, w, count(*) AS c FROM words GROUP BY 1, 2
+), tot AS (
+  SELECT lang, sum(c) AS total, count(*) AS n_distinct FROM c GROUP BY lang
+)
+SELECT c.lang, CAST(any_value(tot.total) AS BIGINT) AS n_tokens,
+       any_value(tot.n_distinct) AS n_distinct,
+       round(-sum((c.c / tot.total) * log2(c.c / tot.total)), 6)
+         AS entropy_bits
+FROM c JOIN tot USING (lang)
+GROUP BY c.lang
+"""
+
+
 _EWMA_ORACLE = """
 WITH RECURSIVE r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -2980,6 +3166,9 @@ def queries():
         "gap_analysis": gap_analysis,
         "alert_episodes": alert_episodes,
         "ohlc_hourly": ohlc_hourly,
+        "acf_by_source": acf_by_source,
+        "seasonal_naive_error": seasonal_naive_error,
+        "token_entropy_by_lang": token_entropy_by_lang,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3053,6 +3242,9 @@ def oracles():
         "gap_analysis": _GAP_ORACLE,
         "alert_episodes": _EPISODES_ORACLE,
         "ohlc_hourly": _OHLC_ORACLE,
+        "acf_by_source": _ACF_ORACLE,
+        "seasonal_naive_error": _SEASONAL_NAIVE_ORACLE,
+        "token_entropy_by_lang": _ENTROPY_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -38,6 +38,9 @@ SUBSET = [
     "gap_analysis",
     "alert_episodes",
     "ohlc_hourly",
+    "acf_by_source",
+    "seasonal_naive_error",
+    "token_entropy_by_lang",
 ]
 
 
