@@ -20,6 +20,7 @@ value-hash compare is robust to summation-order last-bit drift.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1243,6 +1244,292 @@ SELECT c.lang, CAST(any_value(tot.total) AS BIGINT) AS n_tokens,
          AS entropy_bits
 FROM c JOIN tot USING (lang)
 GROUP BY c.lang
+"""
+
+
+def benford_first_digit(sf_dir: str):
+    """Benford first-significant-digit audit of event values per source —
+    the classic fabricated/templated-data screen for ingest QA.  The
+    value is fixed to 4 decimals by ``floor(|v|·10⁴)`` (floor, not
+    round: identical IEEE multiply+floor both sides; no half-tie rule in
+    play), the leading digit of that integer is found with a
+    searchsorted against powers of ten (integer-exact), and the Benford
+    expectation log10(1+1/d) is rounded to 6 dp on both sides."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _events(sf_dir).select_columns(["event_type", "value"])
+    pow10 = 10 ** np.arange(19, dtype=np.int64)
+
+    def digit_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        scaled = np.floor(np.abs(batch["value"].to_numpy(dtype=np.float64))
+                          * 10000.0)
+        keep = scaled >= 1.0
+        n = scaled[keep].astype(np.int64)
+        if not n.size:
+            return pd.DataFrame({"source": [], "digit": [], "c": []})
+        digit = n // pow10[np.searchsorted(pow10, n, side="right") - 1]
+        df = pd.DataFrame({"source": batch["event_type"].to_numpy()[keep],
+                           "digit": digit})
+        return df.groupby(["source", "digit"], as_index=False).size().rename(
+            columns={"size": "c"})
+
+    partials = ds.map_batches(digit_counts, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        counts = shard.groupby(["source", "digit"])["c"].sum()
+        rows = []
+        for src, g in counts.groupby(level="source", sort=False):
+            tot = float(g.sum())
+            for (_, d), c in g.items():
+                rows.append({
+                    "source": src, "digit": int(d), "n_values": int(c),
+                    "share": round(float(c) / tot, 6),
+                    "benford_expected": round(math.log10(1.0 + 1.0 / d), 6),
+                })
+        return pd.DataFrame(rows, columns=[
+            "source", "digit", "n_values", "share", "benford_expected"])
+
+    return sharded_map_groups(partials, "source", fold)
+
+
+_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT event_type AS source,
+         CAST(floor(abs(value) * 10000) AS BIGINT) AS n
+  FROM events WHERE abs(value) * 10000 >= 1
+), d AS (
+  SELECT source, CAST(substr(CAST(n AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM v
+), c AS (
+  SELECT source, digit, count(*) AS n_values FROM d GROUP BY 1, 2
+), t AS (SELECT source, sum(n_values) AS tot FROM c GROUP BY source)
+SELECT c.source, c.digit, c.n_values,
+       round(CAST(c.n_values AS DOUBLE) / t.tot, 6) AS share,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_expected
+FROM c JOIN t USING (source)
+"""
+
+
+def fano_burstiness(sf_dir: str):
+    """Burstiness audit: the Fano factor (variance/mean) of per-minute
+    event counts per source over the observed minutes.  Poisson arrivals
+    give 1.0; >1 is bursty, <1 is metronomic.  All moments are integer
+    sums (S=Σc, Q=Σc², n) folded associatively, so the only float ops
+    are the two final divides — written in the identical order on both
+    sides: mean = S/n, fano = (Q − S·S/n)/S."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1m")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            c = g["n_points"].to_numpy(dtype=np.int64)
+            n, s, q = int(c.size), int(c.sum()), int((c * c).sum())
+            rows.append({
+                "source": src, "n_minutes": n, "n_events": s,
+                "mean_per_min": round(float(s) / n, 6),
+                "fano": round((q - float(s) * s / n) / s, 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_minutes", "n_events", "mean_per_min", "fano"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "n_points"]), "event_type", fold)
+
+
+_FANO_ORACLE = """
+WITH m AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS b,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, count(*) AS n_minutes, sum(c) AS n_events,
+         sum(c * c) AS q
+  FROM m GROUP BY source
+)
+SELECT source, n_minutes, CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(n_events AS DOUBLE) / n_minutes, 6) AS mean_per_min,
+       round((q - CAST(n_events AS DOUBLE) * n_events / n_minutes)
+             / n_events, 6) AS fano
+FROM s
+"""
+
+
+def weekday_profile(sf_dir: str):
+    """Weekday-vs-weekend load profile per source over the hourly tier:
+    bucket counts, total and mean hourly volume for each day class — the
+    calendar-seasonality summary behind capacity planning.  Sums are of
+    4-dp-rounded bucket values; outer rounding to 4/6 dp absorbs
+    summation-order last-bit drift."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.copy()
+        shard["v"] = _round_exact(
+            shard["sum_value"].to_numpy(dtype=np.float64))
+        # pandas dayofweek: 0=Mon..6=Sun → weekend = {5, 6}
+        shard["is_weekend"] = (
+            pd.DatetimeIndex(shard["bucket_start"]).dayofweek >= 5
+        ).astype(np.int64)
+        rows = []
+        for (src, wk), g in shard.groupby(["event_type", "is_weekend"],
+                                          sort=False):
+            v = g["v"].to_numpy(dtype=np.float64)
+            # mean = rounded-total / count with NO outer round: dividing
+            # the identical 4-dp double by the same integer is
+            # bit-deterministic, while a second round() can sit on a
+            # half-tie seeded by summation-order drift (hit at sf0.1)
+            total = _round_exact(np.array([v.sum()]))[0]
+            rows.append({
+                "source": src, "is_weekend": int(wk),
+                "n_buckets": int(v.size),
+                "total_value": total,
+                "mean_bucket_value": total / v.size,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "is_weekend", "n_buckets", "total_value",
+            "mean_bucket_value"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_WEEKDAY_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source,
+       CASE WHEN dayofweek(bucket_start) IN (0, 6) THEN 1 ELSE 0
+         END AS is_weekend,
+       count(*) AS n_buckets,
+       round(sum(v), 4) AS total_value,
+       round(sum(v), 4) / count(*) AS mean_bucket_value
+FROM r GROUP BY 1, 2
+"""
+
+
+def updown_transitions(sf_dir: str):
+    """Momentum persistence: classify each consecutive-bucket step of
+    the hourly series as up (v > previous) or down/flat, then count the
+    four (previous step, this step) transition pairs per source — the
+    lag-1 Markov summary of trend persistence.  Comparisons are between
+    identical 4-dp doubles, counts are integers; fully exact."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            up = (v[1:] > v[:-1]).astype(np.int64)
+            prev, cur = up[:-1], up[1:]
+            rows.append({
+                "source": src,
+                "n_steps": int(up.size),
+                "n_uu": int(((prev == 1) & (cur == 1)).sum()),
+                "n_ud": int(((prev == 1) & (cur == 0)).sum()),
+                "n_du": int(((prev == 0) & (cur == 1)).sum()),
+                "n_dd": int(((prev == 0) & (cur == 0)).sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_steps", "n_uu", "n_ud", "n_du", "n_dd"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_UPDOWN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, bucket_start, v,
+         lag(v) OVER (PARTITION BY source ORDER BY bucket_start) AS pv
+  FROM r
+), st AS (
+  SELECT source, bucket_start,
+         CASE WHEN v > pv THEN 1 ELSE 0 END AS up
+  FROM s WHERE pv IS NOT NULL
+), p AS (
+  SELECT source, up,
+         lag(up) OVER (PARTITION BY source ORDER BY bucket_start) AS pup
+  FROM st
+)
+SELECT source, count(*) AS n_steps,
+       count(*) FILTER (pup = 1 AND up = 1) AS n_uu,
+       count(*) FILTER (pup = 1 AND up = 0) AS n_ud,
+       count(*) FILTER (pup = 0 AND up = 1) AS n_du,
+       count(*) FILTER (pup = 0 AND up = 0) AS n_dd
+FROM p GROUP BY source
+"""
+
+
+def interarrival_stats(sf_dir: str):
+    """Inter-arrival-time audit per source over the raw event stream:
+    gap count, mean gap (seconds), min/max gap (µs, integer-exact) and
+    the number of simultaneous arrivals.  Consecutive differences of a
+    sorted multiset don't depend on tie order, so sorting by ts alone is
+    deterministic.  The gap sum is an exact int64 (µs); the only float
+    op is the final mean divide, same order both sides (S/m/1e6).
+
+    Partitioning assumption (same as the detector stages): one source's
+    event timestamps fit in one shard — sources are coarse entities
+    (event types / tenants), not unbounded keys."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            us = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                         .astype(np.int64))
+            d = np.diff(us)
+            m = int(d.size)
+            rows.append({
+                "source": src,
+                "n_events": int(us.size),
+                "n_gaps": m,
+                "mean_gap_s": round(float(d.sum()) / m / 1e6, 6)
+                if m else np.nan,
+                "min_gap_us": int(d.min()) if m else 0,
+                "max_gap_us": int(d.max()) if m else 0,
+                "n_simultaneous": int((d == 0).sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_events", "n_gaps", "mean_gap_s", "min_gap_us",
+            "max_gap_us", "n_simultaneous"])
+
+    return sharded_map_groups(ds, "event_type", fold)
+
+
+_INTERARRIVAL_ORACLE = """
+WITH s AS (
+  SELECT event_type AS source, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY event_type ORDER BY ts),
+                   ts) AS d
+  FROM events
+)
+SELECT source, count(*) AS n_events, count(d) AS n_gaps,
+       round(CAST(sum(d) AS DOUBLE) / count(d) / 1e6, 6) AS mean_gap_s,
+       coalesce(min(d), 0) AS min_gap_us,
+       coalesce(max(d), 0) AS max_gap_us,
+       count(*) FILTER (d = 0) AS n_simultaneous
+FROM s GROUP BY source
 """
 
 
@@ -3169,6 +3456,11 @@ def queries():
         "acf_by_source": acf_by_source,
         "seasonal_naive_error": seasonal_naive_error,
         "token_entropy_by_lang": token_entropy_by_lang,
+        "benford_first_digit": benford_first_digit,
+        "fano_burstiness": fano_burstiness,
+        "weekday_profile": weekday_profile,
+        "updown_transitions": updown_transitions,
+        "interarrival_stats": interarrival_stats,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3245,6 +3537,11 @@ def oracles():
         "acf_by_source": _ACF_ORACLE,
         "seasonal_naive_error": _SEASONAL_NAIVE_ORACLE,
         "token_entropy_by_lang": _ENTROPY_ORACLE,
+        "benford_first_digit": _BENFORD_ORACLE,
+        "fano_burstiness": _FANO_ORACLE,
+        "weekday_profile": _WEEKDAY_ORACLE,
+        "updown_transitions": _UPDOWN_ORACLE,
+        "interarrival_stats": _INTERARRIVAL_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -41,6 +41,11 @@ SUBSET = [
     "acf_by_source",
     "seasonal_naive_error",
     "token_entropy_by_lang",
+    "benford_first_digit",
+    "fano_burstiness",
+    "weekday_profile",
+    "updown_transitions",
+    "interarrival_stats",
 ]
 
 
