@@ -1081,7 +1081,9 @@ def acf_by_source(sf_dir: str, max_lag: int = 3):
             dv = v - mu
             den = float(np.dot(dv, dv))
             for k in range(1, max_lag + 1):
-                num = float(np.dot(dv[:-k], dv[k:])) if v.size > k else np.nan
+                if v.size <= k:
+                    continue  # no (i, i+k) pairs — oracle emits no row
+                num = float(np.dot(dv[:-k], dv[k:]))
                 rows.append({
                     "source": src, "lag": k,
                     "acf": round(num / den, 6) if den > 0 else np.nan,
@@ -1430,6 +1432,8 @@ def updown_transitions(sf_dir: str):
         rows = []
         for src, g in shard.groupby("event_type", sort=False):
             v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            if v.size < 2:
+                continue  # no steps — oracle emits no row
             up = (v[1:] > v[:-1]).astype(np.int64)
             prev, cur = up[:-1], up[1:]
             rows.append({
@@ -1530,6 +1534,149 @@ SELECT source, count(*) AS n_events, count(d) AS n_gaps,
        coalesce(max(d), 0) AS max_gap_us,
        count(*) FILTER (d = 0) AS n_simultaneous
 FROM s GROUP BY source
+"""
+
+
+def source_correlation(sf_dir: str):
+    """Pairwise Pearson correlation between the sources' hourly series
+    over their COMMON buckets (inner join on bucket) — the co-movement
+    matrix behind fleet-wide incident triage.  Distribution: the hourly
+    tier is sharded by BUCKET, each shard emits per-pair partial moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) from a within-shard self-merge, and a
+    second (tiny) exchange folds the moments; the driver never holds the
+    series.  ρ is computed with the explicit-moment formula written in
+    the same op order as the oracle SQL; rounded to 6 dp (partial-sum
+    order drift ~1e-12 of |ρ|≤1)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def pair_partials(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.copy()
+        shard["v"] = _round_exact(
+            shard["sum_value"].to_numpy(dtype=np.float64))
+        j = shard.merge(shard, on="bucket_start", suffixes=("_a", "_b"))
+        j = j[j["event_type_a"] < j["event_type_b"]]
+        if not len(j):
+            return pd.DataFrame(columns=[
+                "source_a", "source_b", "n", "sx", "sy", "sxy", "sxx",
+                "syy"])
+        x = j["v_a"].to_numpy(dtype=np.float64)
+        y = j["v_b"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({
+            "source_a": j["event_type_a"].to_numpy(),
+            "source_b": j["event_type_b"].to_numpy(),
+            "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syy": y * y})
+        return out.groupby(["source_a", "source_b"],
+                           as_index=False).sum()
+
+    partials = sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "bucket_start", pair_partials)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby(["source_a", "source_b"], as_index=False).sum()
+        n = agg["n"].to_numpy(dtype=np.float64)
+        sx = agg["sx"].to_numpy(dtype=np.float64)
+        sy = agg["sy"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rho = ((agg["sxy"].to_numpy() - sx * sy / n)
+                   / np.sqrt((agg["sxx"].to_numpy() - sx * sx / n)
+                             * (agg["syy"].to_numpy() - sy * sy / n)))
+        return pd.DataFrame({
+            "source_a": agg["source_a"], "source_b": agg["source_b"],
+            "n_common": agg["n"].astype(np.int64),
+            "pearson": _round_exact(rho, 6)})
+
+    return sharded_map_groups(partials, "source_a", fold)
+
+
+_SOURCE_CORR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.source AS sa, b.source AS sb, a.v AS x, b.v AS y
+  FROM r a JOIN r b
+    ON b.bucket_start = a.bucket_start AND a.source < b.source
+), s AS (
+  SELECT sa, sb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b, n AS n_common,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS pearson
+FROM s
+"""
+
+
+def seasonality_strength(sf_dir: str):
+    """Hour-of-day seasonality strength per source: the fraction of the
+    hourly series' variance explained by the 24-slot hour-of-day profile
+    (between-group SS / total SS, the one-way-ANOVA R²).  ≈1 means a
+    pure daily cycle, ≈0 means no calendar structure — the signal that
+    decides whether the STL/seasonal-ESD detectors apply.  Explicit
+    sum-of-squares formula in identical op order both sides."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.copy()
+        shard["v"] = _round_exact(
+            shard["sum_value"].to_numpy(dtype=np.float64))
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = g["v"].to_numpy(dtype=np.float64)
+            hour = pd.DatetimeIndex(g["bucket_start"]).hour.to_numpy()
+            n = float(v.size)
+            grand = v.sum() * v.sum() / n
+            total_ss = float((v * v).sum() - grand)
+            hs = pd.Series(v).groupby(hour).agg(["sum", "size"])
+            between_ss = float(
+                (hs["sum"].to_numpy() ** 2 / hs["size"].to_numpy()).sum()
+                - grand)
+            rows.append({
+                "source": src,
+                "n_buckets": int(v.size),
+                "n_slots": int(len(hs)),
+                "strength": round(between_ss / total_ss, 6)
+                if total_ss > 0 else np.nan,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "n_slots", "strength"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_SEASONALITY_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT source, hour(bucket_start) AS hh, sum(v) AS s, count(*) AS c
+  FROM r GROUP BY 1, 2
+), t AS (
+  SELECT source, count(*) AS n_buckets, sum(v) AS sv,
+         sum(v * v) AS svv
+  FROM r GROUP BY source
+), b AS (
+  SELECT source, count(*) AS n_slots, sum(s * s / c) AS bss
+  FROM h GROUP BY source
+)
+SELECT t.source, t.n_buckets, b.n_slots,
+       CASE WHEN svv - sv * sv / n_buckets > 0 THEN
+         round((bss - sv * sv / n_buckets)
+               / (svv - sv * sv / n_buckets), 6)
+       ELSE NULL END AS strength
+FROM t JOIN b USING (source)
 """
 
 
@@ -3461,6 +3608,8 @@ def queries():
         "weekday_profile": weekday_profile,
         "updown_transitions": updown_transitions,
         "interarrival_stats": interarrival_stats,
+        "source_correlation": source_correlation,
+        "seasonality_strength": seasonality_strength,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3542,6 +3691,8 @@ def oracles():
         "weekday_profile": _WEEKDAY_ORACLE,
         "updown_transitions": _UPDOWN_ORACLE,
         "interarrival_stats": _INTERARRIVAL_ORACLE,
+        "source_correlation": _SOURCE_CORR_ORACLE,
+        "seasonality_strength": _SEASONALITY_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -38,6 +38,17 @@ FUZZ_QUERIES = [
     "chunks_downsample_1h",
     "moving_average_flags_1d",
     "range_join_recent_flags",
+    "gap_analysis",
+    "ohlc_hourly",
+    "acf_by_source",
+    "seasonal_naive_error",
+    "benford_first_digit",
+    "fano_burstiness",
+    "weekday_profile",
+    "updown_transitions",
+    "interarrival_stats",
+    "source_correlation",
+    "seasonality_strength",
 ]
 
 

@@ -46,6 +46,8 @@ SUBSET = [
     "weekday_profile",
     "updown_transitions",
     "interarrival_stats",
+    "source_correlation",
+    "seasonality_strength",
 ]
 
 
