@@ -2487,6 +2487,58 @@ def tokens_chunks_1m(sf_dir: str):
     )
 
 
+def tokens_length_stats(sf_dir: str):
+    """Sequence-length curation profile per source over the native
+    input: doc count, total tokens (int-exact), p50/p90/p99 of n_tok
+    (quantile_cont bit-parity lerp) and the short/long tail counts the
+    length filters act on.  Reads ONLY (source, n_tok) — the tokens list
+    column never leaves storage."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "n_tok"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            n = g["n_tok"].to_numpy(dtype=np.int64)
+            q = quantile_cont(n.astype(np.float64), [0.5, 0.9, 0.99])
+            rows.append({
+                "source": src,
+                "n_docs": int(n.size),
+                "total_tokens": int(n.sum()),
+                # interpolated quantiles of ints have <= 2 decimals of
+                # true value; round 6 cannot sit on a tie
+                "p50": round(float(q[0]), 6),
+                "p90": round(float(q[1]), 6),
+                "p99": round(float(q[2]), 6),
+                "n_short": int((n < 16).sum()),
+                "n_long": int((n > 1024).sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "total_tokens", "p50", "p90", "p99",
+            "n_short", "n_long"])
+
+    return sharded_map_groups(ds, "source", fold)
+
+
+def _tokens_length_stats_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99,
+       count(*) FILTER (n_tok < 16) AS n_short,
+       count(*) FILTER (n_tok > 1024) AS n_long
+FROM read_parquet('{glob}')
+GROUP BY source
+"""
+
+
 def tokens_audit(sf_dir: str):
     """Per-row token invariant proof: recompute the checksum twice (at
     ingest and after a pass-through projection) and report per-source
@@ -3630,6 +3682,7 @@ def queries():
         "tokens_gapfill_1m": tokens_gapfill_1m,
         "tokens_chunks_1m": tokens_chunks_1m,
         "tokens_audit": tokens_audit,
+        "tokens_length_stats": tokens_length_stats,
         "text_quality": text_quality,
         "lang_id_pred": lang_id_pred,
         "doc_fingerprints": doc_fingerprints,
@@ -3727,4 +3780,5 @@ def oracles():
         "tokens_gapfill_1h": _tokens_gapfill_oracle(3600),
         "tokens_gapfill_1m": _tokens_gapfill_oracle(60),
         "tokens_audit": _tokens_audit_oracle(),
+        "tokens_length_stats": _tokens_length_stats_oracle(),
     }

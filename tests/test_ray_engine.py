@@ -600,6 +600,34 @@ class TestTokensNativeDuckDBOracles:
         # every row's checksum must re-verify
         np.testing.assert_array_equal(got["rows_ok"], want["rows"])
 
+    def test_length_stats_match_duckdb(self, ray_session, tokens_paths,
+                                       monkeypatch):
+        import pycatcher_ray.queries as q
+
+        monkeypatch.setattr(
+            q, "_tokens_paths", lambda sf_dir: tokens_paths
+        )
+        got = (
+            q.tokens_length_stats("ignored").to_pandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        want = self._con(tokens_paths).execute(
+            """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(quantile_cont(n_tok, 0.5), 6) AS p50,
+                   round(quantile_cont(n_tok, 0.9), 6) AS p90,
+                   round(quantile_cont(n_tok, 0.99), 6) AS p99,
+                   count(*) FILTER (n_tok < 16) AS n_short,
+                   count(*) FILTER (n_tok > 1024) AS n_long
+            FROM t GROUP BY source ORDER BY source
+            """
+        ).fetchdf()
+        assert len(got) == len(want)
+        for col in ("source", "n_docs", "total_tokens", "p50", "p90",
+                    "p99", "n_short", "n_long"):
+            np.testing.assert_array_equal(got[col], want[col], err_msg=col)
+
 
 class TestIncrementalRefresh:
     def test_refresh_outputs_match_full_recompute(self, ray_session,
