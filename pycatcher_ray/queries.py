@@ -1680,6 +1680,75 @@ FROM t JOIN b USING (source)
 """
 
 
+def winsorized_stats(sf_dir: str):
+    """Winsorized robust summary per source: clip the hourly series at
+    its own p05/p95 (quantile_cont bit-parity) and report clip counts
+    and the raw vs winsorized totals/means — the outlier-robust
+    normalization step curation pipelines run before thresholding.
+    Totals are 4-dp-rounded sums; means divide the rounded total by the
+    count with no outer round (bit-deterministic)."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            lo, hi = quantile_cont(v, [0.05, 0.95])
+            wv = np.clip(v, lo, hi)
+            total_raw = _round_exact(np.array([v.sum()]))[0]
+            total_w = _round_exact(np.array([wv.sum()]))[0]
+            rows.append({
+                "source": src,
+                "n_buckets": int(v.size),
+                "p05": round(float(lo), 6),
+                "p95": round(float(hi), 6),
+                "n_clipped_low": int((v < lo).sum()),
+                "n_clipped_high": int((v > hi).sum()),
+                "total_raw": total_raw,
+                "total_winsorized": total_w,
+                "mean_raw": total_raw / v.size,
+                "mean_winsorized": total_w / v.size,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "p05", "p95", "n_clipped_low",
+            "n_clipped_high", "total_raw", "total_winsorized",
+            "mean_raw", "mean_winsorized"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_WINSOR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+  FROM r GROUP BY source
+), w AS (
+  SELECT r.source, v,
+         CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS wv,
+         v < lo AS cl, v > hi AS ch, lo, hi
+  FROM r JOIN q ON q.source = r.source
+)
+SELECT source, count(*) AS n_buckets,
+       round(any_value(lo), 6) AS p05,
+       round(any_value(hi), 6) AS p95,
+       count(*) FILTER (cl) AS n_clipped_low,
+       count(*) FILTER (ch) AS n_clipped_high,
+       round(sum(v), 4) AS total_raw,
+       round(sum(wv), 4) AS total_winsorized,
+       round(sum(v), 4) / count(*) AS mean_raw,
+       round(sum(wv), 4) / count(*) AS mean_winsorized
+FROM w GROUP BY source
+"""
+
+
 _EWMA_ORACLE = """
 WITH RECURSIVE r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -3662,6 +3731,7 @@ def queries():
         "interarrival_stats": interarrival_stats,
         "source_correlation": source_correlation,
         "seasonality_strength": seasonality_strength,
+        "winsorized_stats": winsorized_stats,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3746,6 +3816,7 @@ def oracles():
         "interarrival_stats": _INTERARRIVAL_ORACLE,
         "source_correlation": _SOURCE_CORR_ORACLE,
         "seasonality_strength": _SEASONALITY_ORACLE,
+        "winsorized_stats": _WINSOR_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

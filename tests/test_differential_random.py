@@ -49,6 +49,7 @@ FUZZ_QUERIES = [
     "interarrival_stats",
     "source_correlation",
     "seasonality_strength",
+    "winsorized_stats",
 ]
 
 

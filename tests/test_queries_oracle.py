@@ -48,6 +48,7 @@ SUBSET = [
     "interarrival_stats",
     "source_correlation",
     "seasonality_strength",
+    "winsorized_stats",
 ]
 
 
