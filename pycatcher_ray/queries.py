@@ -1749,6 +1749,89 @@ FROM w GROUP BY source
 """
 
 
+def next_day_retention(sf_dir: str):
+    """Daily active users + next-day retention per (source, day) — the
+    cohort-stickiness table behind every engagement dashboard.  Shape:
+    per-batch (source, day, user) dedup partials ride a USER-keyed
+    exchange (all copies of a user share a shard, so the triple dedup
+    completes there and consecutive-day pairs are visible per user);
+    per-(source, day) integer partials then fold in a second tiny
+    exchange.  The driver never sees a user id, and the only float op is
+    the final rate divide (identical both sides)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "user_id"])
+
+    def triples(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": batch["event_type"],
+            "day": batch["ts"].dt.floor("D"),
+            "user_id": batch["user_id"],
+        })
+        return out.drop_duplicates()
+
+    partials = ds.map_batches(triples, batch_format="pandas")
+
+    def per_user(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates().sort_values(
+            ["source", "user_id", "day"], kind="stable")
+        dayi = (shard["day"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        same = np.zeros(len(shard), dtype=bool)
+        if len(shard) > 1:
+            same[:-1] = (
+                (shard["source"].to_numpy()[:-1]
+                 == shard["source"].to_numpy()[1:])
+                & (shard["user_id"].to_numpy()[:-1]
+                   == shard["user_id"].to_numpy()[1:])
+                & (dayi[1:] - dayi[:-1] == 1))
+        agg = pd.DataFrame({
+            "source": shard["source"].to_numpy(),
+            "day": shard["day"].to_numpy(),
+            "active": 1,
+            "retained": same.astype(np.int64),
+        })
+        return agg.groupby(["source", "day"], as_index=False).sum()
+
+    counts = sharded_map_groups(partials, "user_id", per_user)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby(["source", "day"], as_index=False).sum()
+        return pd.DataFrame({
+            "source": agg["source"],
+            "day": agg["day"],
+            "active_users": agg["active"].astype(np.int64),
+            "retained_next_day": agg["retained"].astype(np.int64),
+            "retention_rate": _round_exact(
+                agg["retained"].to_numpy(dtype=np.float64)
+                / agg["active"].to_numpy(dtype=np.float64), 6),
+        })
+
+    return sharded_map_groups(counts, "source", fold)
+
+
+_NEXT_DAY_RETENTION_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT event_type AS source, date_trunc('day', ts) AS d,
+         user_id
+  FROM events
+), n AS (
+  SELECT a.source, a.d, count(*) AS active_users,
+         count(b.user_id) AS retained_next_day
+  FROM a LEFT JOIN a b
+    ON b.source = a.source AND b.user_id = a.user_id
+   AND b.d = a.d + INTERVAL 1 DAY
+  GROUP BY 1, 2
+)
+SELECT source, d AS day, active_users, retained_next_day,
+       round(CAST(retained_next_day AS DOUBLE) / active_users, 6)
+         AS retention_rate
+FROM n
+"""
+
+
 _EWMA_ORACLE = """
 WITH RECURSIVE r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -3732,6 +3815,7 @@ def queries():
         "source_correlation": source_correlation,
         "seasonality_strength": seasonality_strength,
         "winsorized_stats": winsorized_stats,
+        "next_day_retention": next_day_retention,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3817,6 +3901,7 @@ def oracles():
         "source_correlation": _SOURCE_CORR_ORACLE,
         "seasonality_strength": _SEASONALITY_ORACLE,
         "winsorized_stats": _WINSOR_ORACLE,
+        "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -50,6 +50,7 @@ FUZZ_QUERIES = [
     "source_correlation",
     "seasonality_strength",
     "winsorized_stats",
+    "next_day_retention",
 ]
 
 

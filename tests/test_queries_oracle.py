@@ -49,6 +49,7 @@ SUBSET = [
     "source_correlation",
     "seasonality_strength",
     "winsorized_stats",
+    "next_day_retention",
 ]
 
 
