@@ -1812,6 +1812,83 @@ def next_day_retention(sf_dir: str):
     return sharded_map_groups(counts, "source", fold)
 
 
+def funnel_view_click(sf_dir: str):
+    """Time-windowed conversion funnel: per day, how many distinct users
+    had a ``view`` event, and how many of those had a ``click`` strictly
+    after one of that day's views and within one hour of it.  Shape:
+    (user, ts, type) rows ride a USER-keyed exchange; per user the
+    sorted click array is probed with one searchsorted per view (the
+    first click after a view is the earliest — if it is outside the
+    window none is inside); per-day integer partials fold in a second
+    tiny exchange.  µs-integer comparisons; the only float op is the
+    final rate divide."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "user_id"],
+    ).filter(expr="event_type == 'view' or event_type == 'click'")
+
+    def per_user(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        shard = shard.sort_values(["user_id", "ts"], kind="stable")
+        for uid, g in shard.groupby("user_id", sort=False):
+            us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            is_view = (g["event_type"] == "view").to_numpy()
+            views, clicks = us[is_view], np.sort(us[~is_view])
+            if not views.size:
+                continue
+            idx = np.searchsorted(clicks, views, side="right")
+            conv = np.zeros(views.size, dtype=bool)
+            ok = idx < clicks.size
+            conv[ok] = clicks[idx[ok]] <= views[ok] + 3_600_000_000
+            day = (views // 86_400_000_000) * 86_400_000_000
+            df = pd.DataFrame({"day": day, "conv": conv.astype(np.int64)})
+            agg = df.groupby("day", as_index=False)["conv"].max()
+            agg["viewer"] = 1
+            out.append(agg)
+        if not out:
+            return pd.DataFrame(columns=["day", "conv", "viewer"])
+        return pd.concat(out, ignore_index=True)
+
+    partials = sharded_map_groups(ds, "user_id", per_user)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby("day", as_index=False).sum()
+        return pd.DataFrame({
+            "day": pd.to_datetime(agg["day"].to_numpy(), unit="us"),
+            "n_viewers": agg["viewer"].astype(np.int64),
+            "n_converted": agg["conv"].astype(np.int64),
+            "conversion_rate": _round_exact(
+                agg["conv"].to_numpy(dtype=np.float64)
+                / agg["viewer"].to_numpy(dtype=np.float64), 6),
+        })
+
+    return sharded_map_groups(partials, "day", fold)
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, date_trunc('day', ts) AS d
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), u AS (
+  SELECT d, user_id,
+         max(CASE WHEN EXISTS (
+               SELECT 1 FROM c
+               WHERE c.user_id = v.user_id AND c.ts > v.ts
+                 AND c.ts <= v.ts + INTERVAL 1 HOUR)
+             THEN 1 ELSE 0 END) AS conv
+  FROM v GROUP BY d, user_id
+)
+SELECT d AS day, count(*) AS n_viewers,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
+FROM u GROUP BY d
+"""
+
+
 _NEXT_DAY_RETENTION_ORACLE = """
 WITH a AS (
   SELECT DISTINCT event_type AS source, date_trunc('day', ts) AS d,
@@ -3816,6 +3893,7 @@ def queries():
         "seasonality_strength": seasonality_strength,
         "winsorized_stats": winsorized_stats,
         "next_day_retention": next_day_retention,
+        "funnel_view_click": funnel_view_click,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3902,6 +3980,7 @@ def oracles():
         "seasonality_strength": _SEASONALITY_ORACLE,
         "winsorized_stats": _WINSOR_ORACLE,
         "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,
+        "funnel_view_click": _FUNNEL_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

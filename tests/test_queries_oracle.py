@@ -50,6 +50,7 @@ SUBSET = [
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",
+    "funnel_view_click",
 ]
 
 
