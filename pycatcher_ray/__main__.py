@@ -22,6 +22,15 @@ import json
 import sys
 
 
+def _to_pandas_result(res):
+    """Dataset | pandas | pyarrow → pandas (query results are small)."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
 def _init_ray():
     import ray
 
@@ -64,6 +73,15 @@ def main(argv=None):
     s.add_argument("--rows", type=int, required=True)
     s.add_argument("--sources", type=int, default=20)
 
+    q = sub.add_parser("query", help="run a registry query over an sf dir; "
+                                     "CSV to stdout, or --out dir for "
+                                     "partitioned parquet")
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name (omit or use 'list' to enumerate)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None,
+                   help="write result as parquet to this dir instead of CSV")
+
     a = sub.add_parser("api", help="one JSON request (stdin) -> response "
                                    "(stdout); reference api_catch contract")
     a.add_argument("--endpoint", required=True,
@@ -86,6 +104,30 @@ def main(argv=None):
         paths = write_tokens_dataset(args.out, args.rows,
                                      n_sources=args.sources)
         print(json.dumps({"files": len(paths), "dir": args.out}))
+        return 0
+
+    if args.cmd == "query":
+        from .queries import queries as registry
+
+        qs = registry()
+        if args.name in (None, "list"):
+            print("\n".join(sorted(qs)))
+            return 0
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; run "
+                  "'query list' for names", file=sys.stderr)
+            return 1
+        _init_ray()
+        res = qs[args.name](args.sf_dir)
+        if args.out is not None:
+            import ray.data as rd
+
+            if not isinstance(res, rd.Dataset):
+                res = rd.from_pandas(_to_pandas_result(res))
+            res.write_parquet(args.out)
+            print(json.dumps({"query": args.name, "dir": args.out}))
+        else:
+            _to_pandas_result(res).to_csv(sys.stdout, index=False)
         return 0
 
     _init_ray()

@@ -682,3 +682,33 @@ class TestIncrementalRefresh:
         cf = read_stage(out_full, "chunks_1m",
                         ["key", "chunk_id", "t0", "n_points"])
         pd.testing.assert_frame_equal(ci, cf)
+
+
+class TestQueryCLI:
+    """`python -m pycatcher_ray query` — list, CSV to stdout, parquet out."""
+
+    def test_list_and_run(self, ray_session, capsys, tmp_path):
+        from pycatcher_ray.__main__ import main
+
+        assert main(["query", "list"]) == 0
+        names = capsys.readouterr().out.split()
+        assert "rollup_1m" in names and "fano_burstiness" in names
+
+        assert main(["query", "fano_burstiness",
+                     "--sf-dir", "/root/testdata/sf0.001"]) == 0
+        out = capsys.readouterr().out
+        header = out.splitlines()[0].split(",")
+        assert header == ["source", "n_minutes", "n_events",
+                          "mean_per_min", "fano"]
+        assert len(out.splitlines()) == 6  # header + 5 sources
+
+        assert main(["query", "nope"]) == 1
+
+        d = str(tmp_path / "q")
+        assert main(["query", "weekday_profile",
+                     "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", d]) == 0
+        got = pd.concat([pd.read_parquet(p) for p in
+                         sorted(glob.glob(f"{d}/*.parquet"))])
+        assert set(got.columns) >= {"source", "is_weekend", "n_buckets"}
+        assert len(got) == 10
