@@ -1867,6 +1867,111 @@ def funnel_view_click(sf_dir: str):
     return sharded_map_groups(partials, "day", fold)
 
 
+def gini_by_source(sf_dir: str):
+    """Volume-inequality audit: the Gini coefficient of each source's
+    hourly volumes, G = 2·Σ i·v₍ᵢ₎ / (n·Σv) − (n+1)/n over the
+    ascending-sorted series — the skew signal that decides whether a
+    tier needs hot-key salting.  Σ i·v₍ᵢ₎ is invariant to tie order
+    (equal values swap equal ranks), so sort order is deterministic;
+    formula written in the identical op order both sides, rounded 6."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = np.sort(_round_exact(
+                g["sum_value"].to_numpy(dtype=np.float64)))
+            n = v.size
+            sv = float(v.sum())
+            iv = float(np.dot(np.arange(1, n + 1, dtype=np.float64), v))
+            rows.append({
+                "source": src, "n_buckets": int(n),
+                "gini": round(2.0 * iv / (n * sv) - (n + 1.0) / n, 6)
+                if sv > 0 else np.nan,
+            })
+        return pd.DataFrame(rows, columns=["source", "n_buckets", "gini"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS i
+  FROM r
+), s AS (
+  SELECT source, count(*) AS n, sum(v) AS sv, sum(i * v) AS iv
+  FROM k GROUP BY source
+)
+SELECT source, n AS n_buckets,
+       CASE WHEN sv > 0 THEN
+         round(2.0 * iv / (n * sv) - (n + 1.0) / n, 6)
+       ELSE NULL END AS gini
+FROM s
+"""
+
+
+def percentile_rank_1h(sf_dir: str):
+    """Rank-based CDF normalization of the hourly series: each bucket's
+    value mapped to its percent rank (r−1)/(n−1) within its source —
+    the distribution-free transform behind cross-source comparability.
+    Integer-exact: ranks come from one searchsorted against the sorted
+    per-source values (min rank on ties, == SQL percent_rank), and the
+    only float op is the final integer divide."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            sv = np.sort(v)
+            rank = np.searchsorted(sv, v, side="left")  # 0-based min rank
+            n = v.size
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy(),
+                "value": v,
+                "pct_rank": rank / (n - 1.0) if n > 1
+                else np.zeros(1),
+            }))
+        if not out:
+            return pd.DataFrame(columns=[
+                "source", "bucket_start", "value", "pct_rank"])
+        res = pd.concat(out, ignore_index=True)
+        res["pct_rank"] = _round_exact(
+            res["pct_rank"].to_numpy(dtype=np.float64), 6)
+        return res
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_PCT_RANK_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_start, v AS value,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY v), 6)
+         AS pct_rank
+FROM r
+"""
+
+
 _FUNNEL_ORACLE = """
 WITH v AS (
   SELECT user_id, ts, date_trunc('day', ts) AS d
@@ -3894,6 +3999,8 @@ def queries():
         "winsorized_stats": winsorized_stats,
         "next_day_retention": next_day_retention,
         "funnel_view_click": funnel_view_click,
+        "gini_by_source": gini_by_source,
+        "percentile_rank_1h": percentile_rank_1h,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -3981,6 +4088,8 @@ def oracles():
         "winsorized_stats": _WINSOR_ORACLE,
         "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,
         "funnel_view_click": _FUNNEL_ORACLE,
+        "gini_by_source": _GINI_ORACLE,
+        "percentile_rank_1h": _PCT_RANK_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

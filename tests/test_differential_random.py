@@ -51,6 +51,8 @@ FUZZ_QUERIES = [
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",
+    "gini_by_source",
+    "percentile_rank_1h",
 ]
 
 

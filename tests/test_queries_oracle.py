@@ -51,6 +51,8 @@ SUBSET = [
     "winsorized_stats",
     "next_day_retention",
     "funnel_view_click",
+    "gini_by_source",
+    "percentile_rank_1h",
 ]
 
 
