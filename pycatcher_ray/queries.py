@@ -1972,6 +1972,91 @@ FROM r
 """
 
 
+def classic_decompose_1h(sf_dir: str):
+    """Oracle-paired classic additive decomposition of the hourly series
+    (the SQL-expressible cousin of the reference's
+    ``decompose_and_detect`` additive path, catch.py:628-647): centered
+    25-point moving-average trend, hour-of-day seasonal means of the
+    detrended series, residual — emitted only where the full window
+    exists.  BIT-exact by integer arithmetic: the 4-dp values scale to
+    int64 (V = v·10⁴), every intermediate stays an integer
+    (trend_sum = ΣV over the window, D = 25·V − trend_sum,
+    S = Σ D per slot), and each output is ONE integer→double divide
+    written identically both sides — no rounding anywhere."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            n = v.size
+            if n < 25:
+                continue
+            V = np.rint(v * 10000.0).astype(np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(V, 25)
+            trend_sum = win.sum(axis=1)  # rows 12..n-13
+            mid = slice(12, n - 12)
+            D = 25 * V[mid] - trend_sum
+            slot = pd.DatetimeIndex(
+                g["bucket_start"].to_numpy()[mid]).hour.to_numpy()
+            df = pd.DataFrame({"slot": slot, "D": D})
+            agg = df.groupby("slot")["D"].agg(["sum", "size"])
+            s2 = agg["sum"].reindex(slot).to_numpy()
+            n2 = agg["size"].reindex(slot).to_numpy().astype(np.int64)
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy()[mid],
+                "value": v[mid],
+                "trend": trend_sum.astype(np.float64) / 250000.0,
+                "seasonal": s2.astype(np.float64) / (n2 * 250000.0),
+                "residual": (n2 * D - s2).astype(np.float64)
+                / (n2 * 250000.0),
+            }))
+        if not out:
+            return pd.DataFrame(columns=[
+                "source", "bucket_start", "value", "trend", "seasonal",
+                "residual"])
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_CLASSIC_DECOMP_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, V,
+         sum(V) OVER (PARTITION BY source ORDER BY bucket_start
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS trend_sum,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_start
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+  FROM r
+), d AS (
+  SELECT source, bucket_start, V, trend_sum,
+         25 * V - trend_sum AS D, hour(bucket_start) AS slot
+  FROM w WHERE wn = 25
+), s AS (
+  SELECT source, slot, sum(D) AS s2, count(*) AS n2
+  FROM d GROUP BY 1, 2
+)
+SELECT d.source, d.bucket_start,
+       CAST(d.V AS DOUBLE) / 10000.0 AS value,
+       CAST(d.trend_sum AS DOUBLE) / 250000.0 AS trend,
+       CAST(s.s2 AS DOUBLE) / (s.n2 * 250000.0) AS seasonal,
+       CAST(s.n2 * d.D - s.s2 AS DOUBLE) / (s.n2 * 250000.0) AS residual
+FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
+"""
+
+
 _FUNNEL_ORACLE = """
 WITH v AS (
   SELECT user_id, ts, date_trunc('day', ts) AS d
@@ -4001,6 +4086,7 @@ def queries():
         "funnel_view_click": funnel_view_click,
         "gini_by_source": gini_by_source,
         "percentile_rank_1h": percentile_rank_1h,
+        "classic_decompose_1h": classic_decompose_1h,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -4090,6 +4176,7 @@ def oracles():
         "funnel_view_click": _FUNNEL_ORACLE,
         "gini_by_source": _GINI_ORACLE,
         "percentile_rank_1h": _PCT_RANK_ORACLE,
+        "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -53,6 +53,7 @@ FUZZ_QUERIES = [
     "next_day_retention",
     "gini_by_source",
     "percentile_rank_1h",
+    "classic_decompose_1h",
 ]
 
 

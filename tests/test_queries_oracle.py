@@ -53,6 +53,7 @@ SUBSET = [
     "funnel_view_click",
     "gini_by_source",
     "percentile_rank_1h",
+    "classic_decompose_1h",
 ]
 
 
