@@ -2057,6 +2057,70 @@ FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
 """
 
 
+def kpss_level_stat(sf_dir: str):
+    """KPSS level-stationarity statistic per source at bandwidth 0
+    (η = Σ Sₜ² / (n · Σ eₜ²) on the demeaned series) — the hard-oracled
+    member of the stationarity family next to the Dickey-Fuller OLS
+    oracle (conduct_stationarity_check parity, catch.py:713 family).
+    Scale-free trick: with V = v·10⁴ int64 and e'ₜ = n·Vₜ − ΣV, every
+    eₜ and partial sum Sₜ is an EXACT integer in both engines (DuckDB
+    window sums are exact hugeint; numpy int64 cumsum), the n·10⁴
+    factors cancel in the ratio, and the only inexactness is the final
+    float square-sum (identical values, order drift ≪ 6 dp)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            V = np.rint(v * 10000.0).astype(np.int64)
+            n = V.size
+            e = n * V - V.sum()
+            S = np.cumsum(e)
+            ed = e.astype(np.float64)
+            sd = S.astype(np.float64)
+            den = float((ed * ed).sum())
+            num = float((sd * sd).sum())
+            rows.append({
+                "source": src, "n_buckets": int(n),
+                "kpss_stat": round(num / (n * den), 6)
+                if den > 0 else np.nan,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "kpss_stat"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_KPSS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT source, count(*) AS n, sum(V) AS T FROM r GROUP BY source
+), e AS (
+  SELECT r.source, t.n,
+         CAST(t.n * r.V - t.T AS DOUBLE) AS ed,
+         CAST(sum(t.n * r.V - t.T) OVER (
+              PARTITION BY r.source ORDER BY r.bucket_start
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS sd
+  FROM r JOIN t USING (source)
+)
+SELECT source, any_value(n) AS n_buckets,
+       CASE WHEN sum(ed * ed) > 0 THEN
+         round(sum(sd * sd) / (any_value(n) * sum(ed * ed)), 6)
+       ELSE NULL END AS kpss_stat
+FROM e GROUP BY source
+"""
+
+
 _FUNNEL_ORACLE = """
 WITH v AS (
   SELECT user_id, ts, date_trunc('day', ts) AS d
@@ -4087,6 +4151,7 @@ def queries():
         "gini_by_source": gini_by_source,
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
+        "kpss_level_stat": kpss_level_stat,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -4177,6 +4242,7 @@ def oracles():
         "gini_by_source": _GINI_ORACLE,
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
+        "kpss_level_stat": _KPSS_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -54,6 +54,7 @@ SUBSET = [
     "gini_by_source",
     "percentile_rank_1h",
     "classic_decompose_1h",
+    "kpss_level_stat",
 ]
 
 
