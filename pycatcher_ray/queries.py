@@ -2098,6 +2098,75 @@ def kpss_level_stat(sf_dir: str):
         "event_type", fold)
 
 
+def embedding_label_stats(sf_dir: str):
+    """Per-label embedding-space profile: vector count, centroid L2 norm
+    (‖Σv‖/n) and mean squared vector norm — the class-separation /
+    collapse diagnostic run before training on labeled embeddings.
+    Per-batch numpy partials (Σ over vectors per dim, Σ‖v‖², count) fold
+    in one label-keyed exchange; the oracle unnests the list column WITH
+    ORDINALITY.  float32 lifts to float64 exactly; the final norms are
+    written in identical op order and rounded at 6 (partial-sum order
+    drift ≪)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        lab = batch["label"].to_numpy()
+        rows = []
+        for lb in np.unique(lab):
+            m = mat[lab == lb]
+            rows.append({
+                "label": int(lb), "n": m.shape[0],
+                "ssq": float((m * m).sum()),
+                "sv": m.sum(axis=0).tolist(),
+            })
+        return pd.DataFrame(rows, columns=["label", "n", "ssq", "sv"])
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lb, g in shard.groupby("label", sort=False):
+            n = int(g["n"].sum())
+            ssq = float(g["ssq"].sum())
+            sv = np.sum(np.stack(g["sv"].to_numpy()), axis=0)
+            rows.append({
+                "label": int(lb), "n_vecs": n,
+                "centroid_norm": round(
+                    math.sqrt(float((sv * sv).sum())) / n, 6),
+                "mean_sq_norm": round(ssq / n, 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "label", "n_vecs", "centroid_norm", "mean_sq_norm"])
+
+    return sharded_map_groups(parts, "label", fold)
+
+
+_EMB_LABEL_ORACLE = """
+WITH u AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), perdim AS (
+  SELECT label, dim, sum(x) AS sx FROM u GROUP BY 1, 2
+), c AS (
+  SELECT label, sum(sx * sx) AS c2 FROM perdim GROUP BY label
+), v AS (
+  SELECT label, count(DISTINCT vec_id) AS n_vecs, sum(x * x) AS ssq
+  FROM u GROUP BY label
+)
+SELECT v.label, v.n_vecs,
+       round(sqrt(c.c2) / v.n_vecs, 6) AS centroid_norm,
+       round(v.ssq / v.n_vecs, 6) AS mean_sq_norm
+FROM v JOIN c USING (label)
+"""
+
+
 _KPSS_ORACLE = """
 WITH r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -4152,6 +4221,7 @@ def queries():
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
         "kpss_level_stat": kpss_level_stat,
+        "embedding_label_stats": embedding_label_stats,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -4243,6 +4313,7 @@ def oracles():
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
+        "embedding_label_stats": _EMB_LABEL_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
