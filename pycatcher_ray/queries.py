@@ -2167,6 +2167,118 @@ FROM v JOIN c USING (label)
 """
 
 
+def top_building_orders(sf_dir: str, cutoff: str = "1998-01-01",
+                        k: int = 10):
+    """TPC-H Q3 shape — the multi-table distributed equi-join: top-k
+    BUILDING-segment orders by unshipped revenue.  Plan: the customer
+    dimension is filtered and BROADCAST once (``ray.put`` key array, not
+    re-shipped per batch); orders are semi-join-filtered against it
+    map-side; lineitem revenue partials pre-aggregate per batch; both
+    sides then meet in ONE orderkey-hash exchange where the join +
+    final sum happen per shard; each shard emits only its top-k, so the
+    driver sees ≤ k × num_shards rows.  Revenue sums are 4-dp rounded
+    (_round_exact) and ORDER BY uses the rounded value with
+    (orderdate, orderkey) tiebreaks — deterministic in both engines."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    cut = np.datetime64(cutoff)
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys_ref = ray.put(np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING",
+                 "c_custkey"].to_numpy(dtype=np.int64)))
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        b = b[(b["o_orderdate"].to_numpy() < cut)
+              & np.isin(b["o_custkey"].to_numpy(dtype=np.int64), keys,
+                        assume_unique=False)]
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "rev": 0.0,
+            "kind": np.int64(1),
+        })
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def rev_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy() > cut]
+        if not len(b):
+            return pd.DataFrame({
+                "okey": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "rev": pd.Series([], dtype=np.float64),
+                "kind": pd.Series([], dtype=np.int64)})
+        rev = (b["l_extendedprice"].to_numpy(dtype=np.float64)
+               * (1.0 - b["l_discount"].to_numpy(dtype=np.float64)))
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(dtype=np.int64), "rev": rev,
+        }).groupby("okey", as_index=False)["rev"].sum()
+        agg["o_orderdate"] = pd.NaT
+        agg["o_orderpriority"] = ""
+        agg["kind"] = np.int64(0)
+        return agg[["okey", "o_orderdate", "o_orderpriority", "rev",
+                    "kind"]]
+
+    both = line.map_batches(rev_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "o_orderdate", "o_orderpriority"]]
+        r = g[g["kind"] == 0].groupby("okey", as_index=False)["rev"].sum()
+        j = o.merge(r, on="okey", how="inner")
+        if not len(j):
+            return pd.DataFrame(columns=[
+                "o_orderkey", "o_orderdate", "o_orderpriority", "revenue"])
+        j["revenue"] = _round_exact(j["rev"].to_numpy(dtype=np.float64))
+        j = j.sort_values(["revenue", "o_orderdate", "okey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+        return pd.DataFrame({
+            "o_orderkey": j["okey"].astype(np.int64),
+            "o_orderdate": j["o_orderdate"],
+            "o_orderpriority": j["o_orderpriority"],
+            "revenue": j["revenue"]})
+
+    partials = sharded_map_groups(both, "okey", join_topk)
+    # ≤ k rows per shard reach the driver — bounded by the shard count,
+    # not the data size
+    out = partials.to_pandas().sort_values(
+        ["revenue", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True], kind="stable").head(k)
+    return out.reset_index(drop=True)
+
+
+_Q3_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 _KPSS_ORACLE = """
 WITH r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
@@ -4222,6 +4334,7 @@ def queries():
         "classic_decompose_1h": classic_decompose_1h,
         "kpss_level_stat": kpss_level_stat,
         "embedding_label_stats": embedding_label_stats,
+        "top_building_orders": top_building_orders,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -4314,6 +4427,7 @@ def oracles():
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
+        "top_building_orders": _Q3_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,
