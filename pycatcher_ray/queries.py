@@ -2264,6 +2264,85 @@ def top_building_orders(sf_dir: str, cutoff: str = "1998-01-01",
     return out.reset_index(drop=True)
 
 
+def boilerplate_phrases(sf_dir: str, n: int = 5, min_docs: int = 2):
+    """C4-style boilerplate phrase mining: word 5-grams that repeat
+    across ≥ min_docs distinct documents, with doc and occurrence
+    counts — the phrase-frequency screen curation pipelines run before
+    near-dup (repeated template sentences are removed line-wise; with a
+    single-line corpus the unit is the n-gram phrase).  Vectorized
+    per-batch gram construction (shifted object-array concat with
+    doc-boundary masks); a document never spans batches, so per-batch
+    (gram, doc) partials are already globally unique and the gram-keyed
+    exchange only counts.  All integer-exact."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        words, docs = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            ws = [w for w in (text or "").split(" ") if w]
+            words.append(np.asarray(ws, dtype=object))
+            docs.append(np.full(len(ws), did, dtype=np.int64))
+        if not words:
+            return pd.DataFrame({"gram": [], "doc_id": [], "c": []})
+        w = np.concatenate(words)
+        d = np.concatenate(docs)
+        if w.size < n:
+            return pd.DataFrame({"gram": [], "doc_id": [], "c": []})
+        ok = d[: w.size - n + 1] == d[n - 1:]
+        gram = w[: w.size - n + 1].copy()
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + w[k: w.size - n + k + 1]
+        df = pd.DataFrame({"gram": gram[ok],
+                           "doc_id": d[: w.size - n + 1][ok]})
+        return df.groupby(["gram", "doc_id"], as_index=False).size().rename(
+            columns={"size": "c"})
+
+    partials = ds.map_batches(gram_partials, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby("gram").agg(
+            n_docs=("doc_id", "size"), n_occurrences=("c", "sum"))
+        agg = agg[agg["n_docs"] >= min_docs].reset_index()
+        return pd.DataFrame({
+            "gram": agg["gram"],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_occurrences": agg["n_occurrences"].astype(np.int64)})
+
+    return sharded_map_groups(partials, "gram", fold)
+
+
+_BOILERPLATE_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM raw WHERE w <> ''
+), g AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w
+           AS gram
+  FROM t a
+  JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  JOIN t d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+  JOIN t e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+), dd AS (SELECT DISTINCT doc_id, gram FROM g),
+c1 AS (SELECT gram, count(*) AS n_docs FROM dd GROUP BY gram),
+c2 AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram)
+SELECT c1.gram, c1.n_docs, c2.n_occurrences
+FROM c1 JOIN c2 USING (gram)
+WHERE c1.n_docs >= 2
+"""
+
+
 _Q3_ORACLE = """
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
@@ -4335,6 +4414,7 @@ def queries():
         "kpss_level_stat": kpss_level_stat,
         "embedding_label_stats": embedding_label_stats,
         "top_building_orders": top_building_orders,
+        "boilerplate_phrases": boilerplate_phrases,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "doc_text_stats": doc_text_stats,
@@ -4428,6 +4508,7 @@ def oracles():
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,
+        "boilerplate_phrases": _BOILERPLATE_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,
         "doc_text_stats": _DOC_STATS_ORACLE,

@@ -166,7 +166,7 @@ def _synth_docs(seed: int, n: int = 160) -> pa.Table:
 
 
 DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
-                    "ngram_jaccard"]
+                    "ngram_jaccard", "boilerplate_phrases"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -57,6 +57,7 @@ SUBSET = [
     "kpss_level_stat",
     "embedding_label_stats",
     "top_building_orders",
+    "boilerplate_phrases",
 ]
 
 
