@@ -73,6 +73,15 @@ def main(argv=None):
     s.add_argument("--rows", type=int, required=True)
     s.add_argument("--sources", type=int, default=20)
 
+    c = sub.add_parser("curate", help="document-curation pipeline: quality "
+                                      "gate -> exact dedup -> minhash "
+                                      "near-dup -> checkpointed corpus write")
+    c.add_argument("--input", nargs="+", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-quality", type=float, default=0.35)
+    c.add_argument("--min-words", type=int, default=5)
+    c.add_argument("--neardup-threshold", type=float, default=0.7)
+
     q = sub.add_parser("query", help="run a registry query over an sf dir; "
                                      "CSV to stdout, or --out dir for "
                                      "partitioned parquet")
@@ -140,6 +149,16 @@ def main(argv=None):
             args.input, args.out, cfg,
             checkpoint_intermediate=not args.no_checkpoint,
         )
+        print(json.dumps(metrics, default=str))
+        return 0
+
+    if args.cmd == "curate":
+        from .pipelines import run_curation
+
+        metrics = run_curation(
+            args.input, args.out, min_quality=args.min_quality,
+            min_words=args.min_words,
+            neardup_threshold=args.neardup_threshold)
         print(json.dumps(metrics, default=str))
         return 0
 

@@ -1546,7 +1546,13 @@ def source_correlation(sf_dir: str):
     second (tiny) exchange folds the moments; the driver never holds the
     series.  ρ is computed with the explicit-moment formula written in
     the same op order as the oracle SQL; rounded to 6 dp (partial-sum
-    order drift ~1e-12 of |ρ|≤1)."""
+    order drift ~1e-12 of |ρ|≤1).
+
+    Partitioning assumption: all-pairs correlation is inherently
+    O(sources²) — this operator is for bounded source panels (fleets,
+    tenants, service groups).  At unbounded source cardinality, pick a
+    reference set and correlate against it (the broadcast pattern of
+    ann_topk) instead of self-merging per bucket."""
     from .stages.shard import sharded_map_groups
 
     roll = _events_rollup(sf_dir, "1h")
