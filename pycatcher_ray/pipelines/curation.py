@@ -36,9 +36,9 @@ import time
 import numpy as np
 import pandas as pd
 
-from ..config import auto_concurrency
-
 __all__ = ["run_curation"]
+
+_GATES: dict = {}
 
 
 class QualityGate:
@@ -83,10 +83,19 @@ def run_curation(input_paths, out_dir: str, *, min_quality: float = 0.35,
     docs = rd.read_parquet(input_paths)
     n_input = docs.count()  # parquet metadata — no data scan
 
+    # task carrier + per-process singleton (see stages/textops._apply):
+    # a fresh actor pool mid-session pays serialized cold process spawns
+    gate_kw = (min_quality, min_words)
+
+    def gate_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        inst = _GATES.get(gate_kw)
+        if inst is None:
+            inst = QualityGate(*gate_kw)
+            _GATES[gate_kw] = inst
+        return inst(batch)
+
     gated = docs.map_batches(
-        QualityGate, fn_constructor_args=(min_quality, min_words),
-        batch_format="pandas", batch_size=4096,
-        concurrency=auto_concurrency(), num_cpus=1,
+        gate_fn, batch_format="pandas", batch_size=4096,
     ).materialize()
     n_gated = gated.count()
     metrics["quality_gate"] = {

@@ -159,36 +159,43 @@ class MinHasher:
         return hashed.min(axis=0)
 
 
+# Per-process cache for task-carrier stage state (hasher params →
+# instances).  Tasks on the prestarted worker pool instead of a fresh
+# actor pool: a mid-session actor pool pays serialized cold process
+# spawns (~0.5-2 s per actor on this host) that dwarf these kernels —
+# same fix as stages/detect.py's task carrier and textops._apply.
+_STAGE_CACHE: dict = {}
+
+
 def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                   seed: int = 42):
     """documents → exploded (band_id, band_hash, doc_id) rows."""
     rows_per_band = num_perm // bands
 
-    class BandEmitter:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, seed=seed, k=k)
+    def band_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("minhash_bands", num_perm, bands, k, seed)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
             # polynomial band combine instead of per-(doc, band) crc32:
             # fully vectorized over the (docs, bands, rows) signature cube
-            self.band_mix = _gram_powers(rows_per_band)
+            st = (MinHasher(num_perm=num_perm, seed=seed, k=k),
+                  _gram_powers(rows_per_band))
+            _STAGE_CACHE[key] = st
+        mh, band_mix = st
+        n = len(batch)
+        shingles = shingle_sets_batch(list(batch["text"]), k)
+        sigs = np.stack([mh.signature(s) for s in shingles])
+        cube = sigs.reshape(n, bands, rows_per_band)
+        band_hash = (cube * band_mix).sum(axis=2, dtype=np.uint64)
+        # fold to int64-safe range for the pandas/Arrow carrier
+        band_hash = (band_hash >> np.uint64(2)).astype(np.int64)
+        return pd.DataFrame(
+            {"band_id": np.tile(np.arange(bands), n),
+             "band_hash": band_hash.ravel(),
+             "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            n = len(batch)
-            shingles = shingle_sets_batch(list(batch["text"]), k)
-            sigs = np.stack([self.mh.signature(s) for s in shingles])
-            cube = sigs.reshape(n, bands, rows_per_band)
-            band_hash = (cube * self.band_mix).sum(axis=2, dtype=np.uint64)
-            # fold to int64-safe range for the pandas/Arrow carrier
-            band_hash = (band_hash >> np.uint64(2)).astype(np.int64)
-            return pd.DataFrame(
-                {"band_id": np.tile(np.arange(bands), n),
-                 "band_hash": band_hash.ravel(),
-                 "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands)}
-            )
-
-    from ..config import auto_concurrency
-
-    return ds.map_batches(BandEmitter, batch_format="pandas", batch_size=2048,
-                          concurrency=auto_concurrency(), num_cpus=1)
+    return ds.map_batches(band_fn, batch_format="pandas", batch_size=2048)
 
 
 def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
@@ -706,26 +713,23 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     sampled down (same pair-explosion defense as lsh_candidate_pairs;
     16-bit bands guarantee hot buckets at billions of docs)."""
 
-    class Emitter:
-        def __init__(self):
-            self.sh = SimHasher()
+    def emit_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = _STAGE_CACHE.get("simhash")
+        if sh is None:
+            sh = SimHasher()
+            _STAGE_CACHE["simhash"] = sh
+        sigs = sh.signatures(list(batch["text"]))
+        rows = {"doc_id": [], "band_id": [], "band_val": [], "sig": []}
+        for doc_id, sig in zip(batch["doc_id"], sigs):
+            for b in range(4):
+                rows["doc_id"].append(doc_id)
+                rows["band_id"].append(b)
+                rows["band_val"].append((sig >> (16 * b)) & 0xFFFF)
+                rows["sig"].append(sig)
+        return pd.DataFrame(rows)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.sh.signatures(list(batch["text"]))
-            rows = {"doc_id": [], "band_id": [], "band_val": [], "sig": []}
-            for doc_id, sig in zip(batch["doc_id"], sigs):
-                for b in range(4):
-                    rows["doc_id"].append(doc_id)
-                    rows["band_id"].append(b)
-                    rows["band_val"].append((sig >> (16 * b)) & 0xFFFF)
-                    rows["sig"].append(sig)
-            return pd.DataFrame(rows)
-
-    from ..config import auto_concurrency
-
-    bands = docs_ds.map_batches(Emitter, batch_format="pandas",
-                                batch_size=2048,
-                                concurrency=auto_concurrency(), num_cpus=1)
+    bands = docs_ds.map_batches(emit_fn, batch_format="pandas",
+                                batch_size=2048)
 
     def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

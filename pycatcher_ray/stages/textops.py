@@ -178,11 +178,28 @@ class Fingerprint:
         return out
 
 
-def _apply(ds, cls, **kwargs):
-    from ..config import auto_concurrency
+# Per-process stage-instance cache: the text stages run as TASKS on
+# Ray's prestarted worker pool with a process-global singleton, not as a
+# dedicated actor pool.  Same reasoning as the detect stage
+# (stages/detect.py task carrier): a map_batches actor pool created
+# mid-session cannot reuse the prestarted idle workers and pays a cold
+# process spawn per actor (~0.5-2 s each, serialized on this host) —
+# measured 16 s wall for a 0.03 s fingerprint kernel.  The stage state
+# here (compiled regexes, stopword sets) is cheap to build once per
+# worker process.
+_INSTANCES: dict = {}
 
-    return ds.map_batches(cls, batch_format="pandas", batch_size=4096,
-                          concurrency=auto_concurrency(), num_cpus=1, **kwargs)
+
+def _apply(ds, cls, **kwargs):
+    def fn(batch: pd.DataFrame, _cls=cls) -> pd.DataFrame:
+        inst = _INSTANCES.get(_cls)
+        if inst is None:
+            inst = _cls()
+            _INSTANCES[_cls] = inst
+        return inst(batch)
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096,
+                          **kwargs)
 
 
 def text_stats(ds):
