@@ -1978,6 +1978,56 @@ FROM r
 """
 
 
+def seasonal_envelope(sf_dir: str):
+    """Seasonal expectation envelope: p10/p50/p90 of the hourly sums per
+    (source, hour-of-day slot) — the "typical band" the today-wrappers
+    compare against (compat.detect_outliers_today_* family uses the
+    detector's band; this is its distribution-free data product).
+    quantile_cont bit-parity lerp over 4-dp values; integer counts."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.copy()
+        shard["v"] = _round_exact(
+            shard["sum_value"].to_numpy(dtype=np.float64))
+        shard["slot"] = pd.DatetimeIndex(
+            shard["bucket_start"]).hour.to_numpy().astype(np.int64)
+        rows = []
+        for (src, slot), g in shard.groupby(["event_type", "slot"],
+                                            sort=False):
+            v = g["v"].to_numpy(dtype=np.float64)
+            q = quantile_cont(v, [0.1, 0.5, 0.9])
+            rows.append({
+                "source": src, "slot": int(slot), "n_buckets": int(v.size),
+                "p10": round(float(q[0]), 6),
+                "p50": round(float(q[1]), 6),
+                "p90": round(float(q[2]), 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "slot", "n_buckets", "p10", "p50", "p90"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_ENVELOPE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT source, hour(bucket_start) AS slot, count(*) AS n_buckets,
+       round(quantile_cont(v, 0.1), 6) AS p10,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.9), 6) AS p90
+FROM r GROUP BY 1, 2
+"""
+
+
 def classic_decompose_1h(sf_dir: str):
     """Oracle-paired classic additive decomposition of the hourly series
     (the SQL-expressible cousin of the reference's
@@ -4417,6 +4467,7 @@ def queries():
         "gini_by_source": gini_by_source,
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
+        "seasonal_envelope": seasonal_envelope,
         "kpss_level_stat": kpss_level_stat,
         "embedding_label_stats": embedding_label_stats,
         "top_building_orders": top_building_orders,
@@ -4511,6 +4562,7 @@ def oracles():
         "gini_by_source": _GINI_ORACLE,
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
+        "seasonal_envelope": _ENVELOPE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,

@@ -55,6 +55,7 @@ FUZZ_QUERIES = [
     "percentile_rank_1h",
     "classic_decompose_1h",
     "kpss_level_stat",
+    "seasonal_envelope",
 ]
 
 

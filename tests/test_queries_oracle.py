@@ -55,6 +55,7 @@ SUBSET = [
     "percentile_rank_1h",
     "classic_decompose_1h",
     "kpss_level_stat",
+    "seasonal_envelope",
     "embedding_label_stats",
     "top_building_orders",
     "boilerplate_phrases",
