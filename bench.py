@@ -204,6 +204,16 @@ def _run_bench() -> dict:
     timed("ann_topk", lambda: ann_topk(SF_DIR).count())
     timed("dedup_exact", lambda: dedup_exact(SF_DIR).count())
 
+    def run_curation_bench():
+        from pycatcher_ray.pipelines import run_curation
+
+        cur_out = f"{out_dir}_curation"
+        shutil.rmtree(cur_out, ignore_errors=True)
+        run_curation(os.path.join(SF_DIR, "documents.parquet"), cur_out)
+        shutil.rmtree(cur_out, ignore_errors=True)
+
+    timed("curation_docs", run_curation_bench)
+
     # AFTER the timed pipeline (so it doesn't eat the host's
     # sustained-load quota first): the host scaling ceiling
     probes["after_queries"] = throttle_probe()
