@@ -1285,7 +1285,7 @@ def benford_first_digit(sf_dir: str):
             for (_, d), c in g.items():
                 rows.append({
                     "source": src, "digit": int(d), "n_values": int(c),
-                    "share": round(float(c) / tot, 6),
+                    "share": float(c) / tot,
                     "benford_expected": round(math.log10(1.0 + 1.0 / d), 6),
                 })
         return pd.DataFrame(rows, columns=[
@@ -1306,7 +1306,7 @@ WITH v AS (
   SELECT source, digit, count(*) AS n_values FROM d GROUP BY 1, 2
 ), t AS (SELECT source, sum(n_values) AS tot FROM c GROUP BY source)
 SELECT c.source, c.digit, c.n_values,
-       round(CAST(c.n_values AS DOUBLE) / t.tot, 6) AS share,
+       CAST(c.n_values AS DOUBLE) / t.tot AS share,
        round(log10(1.0 + 1.0 / c.digit), 6) AS benford_expected
 FROM c JOIN t USING (source)
 """
@@ -1330,8 +1330,8 @@ def fano_burstiness(sf_dir: str):
             n, s, q = int(c.size), int(c.sum()), int((c * c).sum())
             rows.append({
                 "source": src, "n_minutes": n, "n_events": s,
-                "mean_per_min": round(float(s) / n, 6),
-                "fano": round((q - float(s) * s / n) / s, 6),
+                "mean_per_min": float(s) / n,
+                "fano": (q - float(s) * s / n) / s,
             })
         return pd.DataFrame(rows, columns=[
             "source", "n_minutes", "n_events", "mean_per_min", "fano"])
@@ -1351,9 +1351,9 @@ WITH m AS (
   FROM m GROUP BY source
 )
 SELECT source, n_minutes, CAST(n_events AS BIGINT) AS n_events,
-       round(CAST(n_events AS DOUBLE) / n_minutes, 6) AS mean_per_min,
-       round((q - CAST(n_events AS DOUBLE) * n_events / n_minutes)
-             / n_events, 6) AS fano
+       CAST(n_events AS DOUBLE) / n_minutes AS mean_per_min,
+       (q - CAST(n_events AS DOUBLE) * n_events / n_minutes)
+         / n_events AS fano
 FROM s
 """
 
@@ -1507,8 +1507,7 @@ def interarrival_stats(sf_dir: str):
                 "source": src,
                 "n_events": int(us.size),
                 "n_gaps": m,
-                "mean_gap_s": round(float(d.sum()) / m / 1e6, 6)
-                if m else np.nan,
+                "mean_gap_s": float(d.sum()) / m / 1e6 if m else np.nan,
                 "min_gap_us": int(d.min()) if m else 0,
                 "max_gap_us": int(d.max()) if m else 0,
                 "n_simultaneous": int((d == 0).sum()),
@@ -1529,7 +1528,7 @@ WITH s AS (
   FROM events
 )
 SELECT source, count(*) AS n_events, count(d) AS n_gaps,
-       round(CAST(sum(d) AS DOUBLE) / count(d) / 1e6, 6) AS mean_gap_s,
+       CAST(sum(d) AS DOUBLE) / count(d) / 1e6 AS mean_gap_s,
        coalesce(min(d), 0) AS min_gap_us,
        coalesce(max(d), 0) AS max_gap_us,
        count(*) FILTER (d = 0) AS n_simultaneous
@@ -1810,9 +1809,8 @@ def next_day_retention(sf_dir: str):
             "day": agg["day"],
             "active_users": agg["active"].astype(np.int64),
             "retained_next_day": agg["retained"].astype(np.int64),
-            "retention_rate": _round_exact(
-                agg["retained"].to_numpy(dtype=np.float64)
-                / agg["active"].to_numpy(dtype=np.float64), 6),
+            "retention_rate": agg["retained"].to_numpy(dtype=np.float64)
+            / agg["active"].to_numpy(dtype=np.float64),
         })
 
     return sharded_map_groups(counts, "source", fold)
@@ -1865,9 +1863,8 @@ def funnel_view_click(sf_dir: str):
             "day": pd.to_datetime(agg["day"].to_numpy(), unit="us"),
             "n_viewers": agg["viewer"].astype(np.int64),
             "n_converted": agg["conv"].astype(np.int64),
-            "conversion_rate": _round_exact(
-                agg["conv"].to_numpy(dtype=np.float64)
-                / agg["viewer"].to_numpy(dtype=np.float64), 6),
+            "conversion_rate": agg["conv"].to_numpy(dtype=np.float64)
+            / agg["viewer"].to_numpy(dtype=np.float64),
         })
 
     return sharded_map_groups(partials, "day", fold)
@@ -1955,10 +1952,7 @@ def percentile_rank_1h(sf_dir: str):
         if not out:
             return pd.DataFrame(columns=[
                 "source", "bucket_start", "value", "pct_rank"])
-        res = pd.concat(out, ignore_index=True)
-        res["pct_rank"] = _round_exact(
-            res["pct_rank"].to_numpy(dtype=np.float64), 6)
-        return res
+        return pd.concat(out, ignore_index=True)
 
     return sharded_map_groups(
         roll.select_columns(["event_type", "bucket_start", "sum_value"]),
@@ -1972,9 +1966,57 @@ WITH r AS (
   FROM events GROUP BY 1, 2
 )
 SELECT source, bucket_start, v AS value,
-       round(percent_rank() OVER (PARTITION BY source ORDER BY v), 6)
-         AS pct_rank
+       percent_rank() OVER (PARTITION BY source ORDER BY v) AS pct_rank
 FROM r
+"""
+
+
+def error_rate_hourly(sf_dir: str):
+    """Operational SLO series: per hour, error-event count vs total
+    events and the error rate — the denominator-aware companion to the
+    per-source detectors (a traffic drop and an error spike look the
+    same to a single series; the ratio disambiguates).  Integer counts
+    from one bucket-keyed partial combine; one identical divide.
+
+    The rate is emitted UNROUNDED on both sides: an exact rational k/n
+    (n = events per hour, e.g. 1/640 = 0.0015625) can sit exactly on a
+    6-dp half-tie, where SQL round (half-away) and Python round
+    (half-even) genuinely disagree — found by the sf0.1 sweep.  The
+    identical int→double divide is bit-deterministic without rounding."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _events(sf_dir).select_columns(["event_type", "ts"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({
+            "bucket_start": batch["ts"].dt.floor("h"),
+            "err": (batch["event_type"] == "error").astype(np.int64),
+            "one": np.int64(1),
+        })
+        return b.groupby("bucket_start", as_index=False).sum()
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby("bucket_start", as_index=False).sum()
+        return pd.DataFrame({
+            "bucket_start": agg["bucket_start"],
+            "n_errors": agg["err"].astype(np.int64),
+            "n_events": agg["one"].astype(np.int64),
+            "error_rate": agg["err"].to_numpy(dtype=np.float64)
+            / agg["one"].to_numpy(dtype=np.float64),
+        })
+
+    return sharded_map_groups(parts, "bucket_start", fold)
+
+
+_ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       count(*) FILTER (event_type = 'error') AS n_errors,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (event_type = 'error') AS DOUBLE)
+         / count(*) AS error_rate
+FROM events GROUP BY 1
 """
 
 
@@ -2454,7 +2496,7 @@ WITH v AS (
 )
 SELECT d AS day, count(*) AS n_viewers,
        CAST(sum(conv) AS BIGINT) AS n_converted,
-       round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
+       CAST(sum(conv) AS DOUBLE) / count(*) AS conversion_rate
 FROM u GROUP BY d
 """
 
@@ -2473,7 +2515,7 @@ WITH a AS (
   GROUP BY 1, 2
 )
 SELECT source, d AS day, active_users, retained_next_day,
-       round(CAST(retained_next_day AS DOUBLE) / active_users, 6)
+       CAST(retained_next_day AS DOUBLE) / active_users
          AS retention_rate
 FROM n
 """
@@ -4468,6 +4510,7 @@ def queries():
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
         "seasonal_envelope": seasonal_envelope,
+        "error_rate_hourly": error_rate_hourly,
         "kpss_level_stat": kpss_level_stat,
         "embedding_label_stats": embedding_label_stats,
         "top_building_orders": top_building_orders,
@@ -4563,6 +4606,7 @@ def oracles():
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
         "seasonal_envelope": _ENVELOPE_ORACLE,
+        "error_rate_hourly": _ERROR_RATE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,

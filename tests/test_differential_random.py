@@ -56,6 +56,7 @@ FUZZ_QUERIES = [
     "classic_decompose_1h",
     "kpss_level_stat",
     "seasonal_envelope",
+    "error_rate_hourly",
 ]
 
 

@@ -56,6 +56,7 @@ SUBSET = [
     "classic_decompose_1h",
     "kpss_level_stat",
     "seasonal_envelope",
+    "error_rate_hourly",
     "embedding_label_stats",
     "top_building_orders",
     "boilerplate_phrases",
