@@ -13,7 +13,27 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 __all__ = ["TierSpec", "TIERS", "EngineConfig", "DEFAULT_CONFIG",
-           "auto_concurrency"]
+           "auto_concurrency", "stage_instance"]
+
+# Per-process get-or-create cache for task-carrier stage state.  Stages
+# with cheap per-worker state (compiled regexes, hasher params) run as
+# TASKS on Ray's prestarted worker pool with this singleton instead of a
+# dedicated map_batches actor pool: a pool created mid-session cannot
+# reuse the prestarted idle workers and pays serialized cold process
+# spawns (~0.5-2 s per actor on this host) that dwarf the kernels —
+# measured 16 s wall for a 0.03 s fingerprint kernel.  Keep actor pools
+# only for genuinely heavy per-worker state (cfg.detect_use_actors).
+_STAGE_INSTANCES: dict = {}
+
+
+def stage_instance(key, factory):
+    """Return the per-process instance for ``key``, creating via
+    ``factory()`` on first use in this worker process."""
+    inst = _STAGE_INSTANCES.get(key)
+    if inst is None:
+        inst = factory()
+        _STAGE_INSTANCES[key] = inst
+    return inst
 
 
 def auto_concurrency(reserve: int = 2, cap: int | None = None) -> int:

@@ -38,8 +38,6 @@ import pandas as pd
 
 __all__ = ["run_curation"]
 
-_GATES: dict = {}
-
 
 class QualityGate:
     """Score with TextStats, keep text inline, drop low-quality rows."""
@@ -83,15 +81,15 @@ def run_curation(input_paths, out_dir: str, *, min_quality: float = 0.35,
     docs = rd.read_parquet(input_paths)
     n_input = docs.count()  # parquet metadata — no data scan
 
-    # task carrier + per-process singleton (see stages/textops._apply):
-    # a fresh actor pool mid-session pays serialized cold process spawns
+    # task carrier + per-process singleton (config.stage_instance): a
+    # fresh actor pool mid-session pays serialized cold process spawns
     gate_kw = (min_quality, min_words)
 
     def gate_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        inst = _GATES.get(gate_kw)
-        if inst is None:
-            inst = QualityGate(*gate_kw)
-            _GATES[gate_kw] = inst
+        from ..config import stage_instance
+
+        inst = stage_instance(("curation_gate",) + gate_kw,
+                              lambda: QualityGate(*gate_kw))
         return inst(batch)
 
     gated = docs.map_batches(
@@ -129,7 +127,10 @@ def run_curation(input_paths, out_dir: str, *, min_quality: float = 0.35,
             return batch
         return batch[~np.isin(batch["doc_id"].to_numpy(dtype=np.int64), d)]
 
-    kept = deduped.map_batches(anti_filter, batch_format="pandas")
+    # materialize so the anti-filter's runtime lands in THIS stage's
+    # seconds rather than being absorbed lazily into the write pass
+    kept = deduped.map_batches(anti_filter,
+                               batch_format="pandas").materialize()
     metrics["near_dedup"] = {
         "n_clusters": int(clusters["cluster_id"].nunique())
         if len(clusters) else 0,

@@ -1066,7 +1066,9 @@ def acf_by_source(sf_dir: str, max_lag: int = 3):
     source (the seasonality/persistence diagnostic behind period
     inference).  r_k = Σ(v_i−μ)(v_{i+k}−μ) / Σ(v_i−μ)² over the observed
     buckets in time order, μ = the 4-dp-rounded mean; outputs rounded to
-    6 dp on both sides to absorb summation-order last-bit drift."""
+    6 dp on both sides to absorb summation-order last-bit drift.
+    NOTE: the paired oracle SQL hardcodes lags [1, 2, 3] — a
+    non-default ``max_lag`` is a library call, not oracle-checked."""
     from .stages.shard import sharded_map_groups
 
     roll = _events_rollup(sf_dir, "1h")
@@ -1077,7 +1079,10 @@ def acf_by_source(sf_dir: str, max_lag: int = 3):
         rows = []
         for src, g in shard.groupby("event_type", sort=False):
             v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
-            mu = _round_exact(np.array([v.mean()]))[0]
+            # rounded-total / count with NO outer round (the
+            # _finalize_rollup rule): rounding the order-divergent mean
+            # itself can flip a half-tie and shift every dv
+            mu = _round_exact(np.array([v.sum()]))[0] / v.size
             dv = v - mu
             den = float(np.dot(dv, dv))
             for k in range(1, max_lag + 1):
@@ -1105,7 +1110,7 @@ WITH r AS (
                             ORDER BY date_trunc('hour', ts)) AS idx
   FROM events GROUP BY 1, 2
 ), m AS (
-  SELECT source, round(avg(v), 4) AS mu, count(*) AS n_obs
+  SELECT source, round(sum(v), 4) / count(*) AS mu, count(*) AS n_obs
   FROM r GROUP BY source
 ), d AS (
   SELECT r.source, r.idx, r.v - m.mu AS dv, m.n_obs
@@ -2178,9 +2183,20 @@ def kpss_level_stat(sf_dir: str):
             V = np.rint(v * 10000.0).astype(np.int64)
             n = V.size
             e = n * V - V.sum()
-            S = np.cumsum(e)
             ed = e.astype(np.float64)
-            sd = S.astype(np.float64)
+            # |S_t| is bounded by n·max|e|; if that could cross int64,
+            # fall back to exact Python-int partial sums (bounded output
+            # path: one pass over <= a few thousand buckets per source)
+            # — the oracle's window sum is exact hugeint either way, and
+            # int→double casts round identically in both engines
+            if n and n * int(np.abs(e).max()) >= 2 ** 62:
+                acc, sd_list = 0, []
+                for x in e.tolist():
+                    acc += x
+                    sd_list.append(float(acc))
+                sd = np.asarray(sd_list, dtype=np.float64)
+            else:
+                sd = np.cumsum(e).astype(np.float64)
             den = float((ed * ed).sum())
             num = float((sd * sd).sum())
             rows.append({
@@ -2276,7 +2292,9 @@ def top_building_orders(sf_dir: str, cutoff: str = "1998-01-01",
     final sum happen per shard; each shard emits only its top-k, so the
     driver sees ≤ k × num_shards rows.  Revenue sums are 4-dp rounded
     (_round_exact) and ORDER BY uses the rounded value with
-    (orderdate, orderkey) tiebreaks — deterministic in both engines."""
+    (orderdate, orderkey) tiebreaks — deterministic in both engines.
+    NOTE: the paired oracle SQL hardcodes cutoff='1998-01-01' / k=10 —
+    other arguments are library calls, not oracle-checked."""
     import ray
 
     from .stages.shard import sharded_map_groups
@@ -2356,7 +2374,11 @@ def top_building_orders(sf_dir: str, cutoff: str = "1998-01-01",
     partials = sharded_map_groups(both, "okey", join_topk)
     # ≤ k rows per shard reach the driver — bounded by the shard count,
     # not the data size
-    out = partials.to_pandas().sort_values(
+    out = partials.to_pandas()
+    cols = ["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
+    if out.empty:  # globally empty exchange yields a column-less frame
+        return pd.DataFrame(columns=cols)
+    out = out.sort_values(
         ["revenue", "o_orderdate", "o_orderkey"],
         ascending=[False, True, True], kind="stable").head(k)
     return out.reset_index(drop=True)
@@ -2371,7 +2393,9 @@ def boilerplate_phrases(sf_dir: str, n: int = 5, min_docs: int = 2):
     per-batch gram construction (shifted object-array concat with
     doc-boundary masks); a document never spans batches, so per-batch
     (gram, doc) partials are already globally unique and the gram-keyed
-    exchange only counts.  All integer-exact."""
+    exchange only counts.  All integer-exact.
+    NOTE: the paired oracle SQL hardcodes n=5 / min_docs=2 — other
+    arguments are library calls, not oracle-checked."""
     from .stages.shard import sharded_map_groups
 
     ds = _rd().read_parquet(

@@ -159,29 +159,24 @@ class MinHasher:
         return hashed.min(axis=0)
 
 
-# Per-process cache for task-carrier stage state (hasher params →
-# instances).  Tasks on the prestarted worker pool instead of a fresh
-# actor pool: a mid-session actor pool pays serialized cold process
-# spawns (~0.5-2 s per actor on this host) that dwarf these kernels —
-# same fix as stages/detect.py's task carrier and textops._apply.
-_STAGE_CACHE: dict = {}
-
-
 def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
                   seed: int = 42):
-    """documents → exploded (band_id, band_hash, doc_id) rows."""
+    """documents → exploded (band_id, band_hash, doc_id) rows.
+
+    Task carrier + per-process singleton (config.stage_instance): no
+    mid-session actor-pool spawn cost; hasher state builds once per
+    worker process."""
     rows_per_band = num_perm // bands
 
     def band_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        key = ("minhash_bands", num_perm, bands, k, seed)
-        st = _STAGE_CACHE.get(key)
-        if st is None:
-            # polynomial band combine instead of per-(doc, band) crc32:
-            # fully vectorized over the (docs, bands, rows) signature cube
-            st = (MinHasher(num_perm=num_perm, seed=seed, k=k),
-                  _gram_powers(rows_per_band))
-            _STAGE_CACHE[key] = st
-        mh, band_mix = st
+        from ..config import stage_instance
+
+        # polynomial band combine instead of per-(doc, band) crc32:
+        # fully vectorized over the (docs, bands, rows) signature cube
+        mh, band_mix = stage_instance(
+            ("minhash_bands", num_perm, bands, k, seed),
+            lambda: (MinHasher(num_perm=num_perm, seed=seed, k=k),
+                     _gram_powers(rows_per_band)))
         n = len(batch)
         shingles = shingle_sets_batch(list(batch["text"]), k)
         sigs = np.stack([mh.signature(s) for s in shingles])
@@ -714,10 +709,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     16-bit bands guarantee hot buckets at billions of docs)."""
 
     def emit_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = _STAGE_CACHE.get("simhash")
-        if sh is None:
-            sh = SimHasher()
-            _STAGE_CACHE["simhash"] = sh
+        from ..config import stage_instance
+
+        sh = stage_instance("simhash", SimHasher)
         sigs = sh.signatures(list(batch["text"]))
         rows = {"doc_id": [], "band_id": [], "band_val": [], "sig": []}
         for doc_id, sig in zip(batch["doc_id"], sigs):

@@ -178,25 +178,13 @@ class Fingerprint:
         return out
 
 
-# Per-process stage-instance cache: the text stages run as TASKS on
-# Ray's prestarted worker pool with a process-global singleton, not as a
-# dedicated actor pool.  Same reasoning as the detect stage
-# (stages/detect.py task carrier): a map_batches actor pool created
-# mid-session cannot reuse the prestarted idle workers and pays a cold
-# process spawn per actor (~0.5-2 s each, serialized on this host) —
-# measured 16 s wall for a 0.03 s fingerprint kernel.  The stage state
-# here (compiled regexes, stopword sets) is cheap to build once per
-# worker process.
-_INSTANCES: dict = {}
-
-
 def _apply(ds, cls, **kwargs):
+    # task carrier + per-process singleton (config.stage_instance): no
+    # mid-session actor-pool spawn cost for these cheap-state stages
+    from ..config import stage_instance
+
     def fn(batch: pd.DataFrame, _cls=cls) -> pd.DataFrame:
-        inst = _INSTANCES.get(_cls)
-        if inst is None:
-            inst = _cls()
-            _INSTANCES[_cls] = inst
-        return inst(batch)
+        return stage_instance(_cls, _cls)(batch)
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=4096,
                           **kwargs)
