@@ -113,3 +113,93 @@ class TestHLLProperties:
         est = HLL().add_many(vals).estimate()
         # linear-counting regime: tight even for tiny sets
         assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+class TestQuantileContParity:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                                allow_nan=False, allow_infinity=False,
+                                width=64), min_size=1, max_size=120),
+        q=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_matches_duckdb_bitwise(self, vals, q):
+        """quantile_cont's plain lerp must be BIT-identical to DuckDB's
+        quantile_cont for arbitrary doubles and quantiles."""
+        import duckdb
+
+        from pycatcher_ray.functions.stats import quantile_cont
+
+        got = quantile_cont(np.asarray(vals), q)
+        want = duckdb.connect().execute(
+            "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)",
+            [q, vals],
+        ).fetchone()[0]
+        if got == 0.0 and want == 0.0:
+            return  # ±0.0 differ bitwise but are value-equal everywhere
+        assert np.float64(got).tobytes() == np.float64(want).tobytes()
+
+
+class TestBenfordDigit:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=10**17),
+                    min_size=1, max_size=200))
+    def test_searchsorted_digit_equals_string_digit(self, ns):
+        n = np.asarray(ns, dtype=np.int64)
+        pow10 = 10 ** np.arange(19, dtype=np.int64)
+        digit = n // pow10[np.searchsorted(pow10, n, side="right") - 1]
+        want = np.array([int(str(x)[0]) for x in ns], dtype=np.int64)
+        np.testing.assert_array_equal(digit, want)
+
+
+class TestGiniProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.floats(min_value=0.0, max_value=1e6,
+                              allow_nan=False, width=64),
+                    min_size=2, max_size=150))
+    def test_bounds_and_scale_invariance(self, vals):
+        v = np.sort(np.asarray(vals, dtype=np.float64))
+        if v.sum() <= 0:
+            return
+        n = v.size
+
+        def gini(x):
+            iv = float(np.dot(np.arange(1, n + 1, dtype=np.float64), x))
+            return 2.0 * iv / (n * float(x.sum())) - (n + 1.0) / n
+
+        g = gini(v)
+        assert -1e-9 <= g < 1.0
+        # scale invariance (identical op structure -> tiny drift only)
+        assert abs(gini(v * 3.0) - g) < 1e-9
+        # constant array -> 0
+        assert abs(gini(np.full(n, 5.0))) < 1e-12
+
+
+class TestKpssBigIntFallback:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=2, max_size=300))
+    def test_python_int_path_matches_cumsum(self, es):
+        """The overflow-guard path (exact Python-int partial sums) must
+        agree bit-for-bit with np.cumsum when no overflow occurs."""
+        e = np.asarray(es, dtype=np.int64)
+        fast = np.cumsum(e).astype(np.float64)
+        acc, out = 0, []
+        for x in e.tolist():
+            acc += x
+            out.append(float(acc))
+        np.testing.assert_array_equal(fast, np.asarray(out))
+
+
+class TestPercentRank:
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                              allow_nan=False, width=64),
+                    min_size=2, max_size=200))
+    def test_searchsorted_equals_min_rank(self, vals):
+        v = np.asarray(vals, dtype=np.float64)
+        sv = np.sort(v)
+        rank = np.searchsorted(sv, v, side="left")
+        want = (pd.Series(v).rank(method="min").to_numpy() - 1).astype(
+            np.int64)
+        np.testing.assert_array_equal(rank, want)
