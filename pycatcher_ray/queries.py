@@ -2025,6 +2025,74 @@ FROM events GROUP BY 1
 """
 
 
+def rolling_zscore_flags_1h(sf_dir: str):
+    """Trailing-window anomaly flags: |v − μ_w| > 3·σ_w over the last
+    24 observed hourly buckets per source (the streaming-flavored
+    variant of the global z-score detector — a level shift re-baselines
+    within a day instead of contaminating the global stats).  Emitted
+    only where the full window exists.  μ/σ are written with the same
+    explicit window-moment formula as the oracle (S/24, Q/24 − μ²);
+    like the other flag oracles, membership is robust because the 3σ
+    threshold is never sat on exactly by continuous data."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = g["sum_value"].to_numpy(dtype=np.float64)
+            if v.size < 24:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(v, 24)
+            S = win.sum(axis=1)
+            Q = (win * win).sum(axis=1)
+            mu = S / 24.0
+            var = Q / 24.0 - mu * mu
+            sigma = np.sqrt(np.maximum(var, 0.0))
+            cur = v[23:]
+            keep = np.abs(cur - mu) > 3.0 * sigma
+            if not keep.any():
+                continue
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy()[23:][keep],
+                "value": _round_exact(cur[keep]),
+            }))
+        if not out:
+            return pd.DataFrame(columns=["source", "bucket_start",
+                                         "value"])
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, v,
+         sum(v) OVER win AS s,
+         sum(v * v) OVER win AS q,
+         count(*) OVER win AS wn
+  FROM r
+  WINDOW win AS (PARTITION BY source ORDER BY bucket_start
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT source, bucket_start, round(v, 4) AS value
+FROM w
+WHERE wn = 24
+  AND abs(v - s / 24.0) > 3.0 * sqrt(greatest(q / 24.0
+        - (s / 24.0) * (s / 24.0), 0.0))
+"""
+
+
 def seasonal_envelope(sf_dir: str):
     """Seasonal expectation envelope: p10/p50/p90 of the hourly sums per
     (source, hour-of-day slot) — the "typical band" the today-wrappers
@@ -4534,6 +4602,7 @@ def queries():
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
         "seasonal_envelope": seasonal_envelope,
+        "rolling_zscore_flags_1h": rolling_zscore_flags_1h,
         "error_rate_hourly": error_rate_hourly,
         "kpss_level_stat": kpss_level_stat,
         "embedding_label_stats": embedding_label_stats,
@@ -4630,6 +4699,7 @@ def oracles():
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,
         "seasonal_envelope": _ENVELOPE_ORACLE,
+        "rolling_zscore_flags_1h": _ROLLING_ZSCORE_ORACLE,
         "error_rate_hourly": _ERROR_RATE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,

@@ -57,6 +57,7 @@ FUZZ_QUERIES = [
     "kpss_level_stat",
     "seasonal_envelope",
     "error_rate_hourly",
+    "rolling_zscore_flags_1h",
 ]
 
 

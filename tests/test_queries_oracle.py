@@ -56,6 +56,7 @@ SUBSET = [
     "classic_decompose_1h",
     "kpss_level_stat",
     "seasonal_envelope",
+    "rolling_zscore_flags_1h",
     "error_rate_hourly",
     "embedding_label_stats",
     "top_building_orders",
