@@ -1624,6 +1624,77 @@ FROM s
 """
 
 
+def reference_correlation(sf_dir: str):
+    """Each source's Pearson correlation against the FLEET-TOTAL hourly
+    series — the broadcast-reference scale path documented in
+    ``source_correlation`` for unbounded source counts: O(sources)
+    work, no pairwise explosion.  One bucket-keyed exchange co-locates
+    a bucket's rows so the 4-dp total attaches in-shard; a second
+    source-keyed exchange folds the explicit moments.  The source's own
+    contribution is included in the total (fleet-vs-aggregate
+    co-movement, the standard triage framing)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def attach_total(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.copy()
+        shard["x"] = _round_exact(
+            shard["sum_value"].to_numpy(dtype=np.float64))
+        totals = shard.groupby("bucket_start")["x"].sum()
+        shard["y"] = _round_exact(
+            totals.reindex(shard["bucket_start"]).to_numpy())
+        return shard[["event_type", "x", "y"]].rename(
+            columns={"event_type": "source"})
+
+    joined = sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "bucket_start", attach_total)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            x = g["x"].to_numpy(dtype=np.float64)
+            y = g["y"].to_numpy(dtype=np.float64)
+            n = float(x.size)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rho = ((float((x * y).sum()) - x.sum() * y.sum() / n)
+                       / math.sqrt((float((x * x).sum())
+                                    - x.sum() * x.sum() / n)
+                                   * (float((y * y).sum())
+                                      - y.sum() * y.sum() / n)))
+            rows.append({
+                "source": src, "n_buckets": int(x.size),
+                "pearson_vs_total": round(rho, 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "pearson_vs_total"])
+
+    return sharded_map_groups(joined, "source", fold)
+
+
+_REF_CORR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT bucket_start, round(sum(x), 4) AS y FROM r GROUP BY 1
+), j AS (
+  SELECT r.source, r.x, t.y FROM r JOIN t USING (bucket_start)
+), s AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY source
+)
+SELECT source, n AS n_buckets,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS pearson_vs_total
+FROM s
+"""
+
+
 def seasonality_strength(sf_dir: str):
     """Hour-of-day seasonality strength per source: the fraction of the
     hourly series' variance explained by the 24-slot hour-of-day profile
@@ -4594,6 +4665,7 @@ def queries():
         "updown_transitions": updown_transitions,
         "interarrival_stats": interarrival_stats,
         "source_correlation": source_correlation,
+        "reference_correlation": reference_correlation,
         "seasonality_strength": seasonality_strength,
         "winsorized_stats": winsorized_stats,
         "next_day_retention": next_day_retention,
@@ -4691,6 +4763,7 @@ def oracles():
         "updown_transitions": _UPDOWN_ORACLE,
         "interarrival_stats": _INTERARRIVAL_ORACLE,
         "source_correlation": _SOURCE_CORR_ORACLE,
+        "reference_correlation": _REF_CORR_ORACLE,
         "seasonality_strength": _SEASONALITY_ORACLE,
         "winsorized_stats": _WINSOR_ORACLE,
         "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,

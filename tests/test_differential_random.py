@@ -48,6 +48,7 @@ FUZZ_QUERIES = [
     "updown_transitions",
     "interarrival_stats",
     "source_correlation",
+    "reference_correlation",
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",

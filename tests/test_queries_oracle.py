@@ -47,6 +47,7 @@ SUBSET = [
     "updown_transitions",
     "interarrival_stats",
     "source_correlation",
+    "reference_correlation",
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",
