@@ -2664,6 +2664,108 @@ FROM u GROUP BY d
 """
 
 
+def dau_wau_stickiness(sf_dir: str):
+    """Sliding-window distinct users: daily actives (DAU), trailing-7-day
+    actives (WAU) and the DAU/WAU stickiness ratio per (source, day) —
+    the canonical hard-to-distribute engagement metric (COUNT DISTINCT
+    over a sliding window does not pre-aggregate).  Distribution: a
+    user's WAU contribution is the union of [a, a+6] intervals over
+    their active days, computed per user inside a USER-keyed exchange
+    (where the (source, day, user) dedup is complete) with a bounded
+    ≤7× day-expansion; per-(source, day) integer partials then fold in
+    a second exchange, where covered days outside the source's observed
+    grid are dropped.  Counts are integers; the ratio is the unrounded
+    bit-deterministic divide (rational-rate rule)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "user_id"])
+
+    def triples(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": batch["event_type"],
+            "day": batch["ts"].dt.floor("D"),
+            "user_id": batch["user_id"],
+        })
+        return out.drop_duplicates()
+
+    partials = ds.map_batches(triples, batch_format="pandas")
+
+    def per_user(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates().sort_values(
+            ["source", "user_id", "day"], kind="stable")
+        out = []
+        for (src, _uid), g in shard.groupby(["source", "user_id"],
+                                            sort=False):
+            days = (g["day"].to_numpy().astype("datetime64[D]")
+                    .astype(np.int64))
+            # DAU contribution: each active day once
+            out.append(pd.DataFrame({
+                "source": src, "day": days, "dau": np.int64(1),
+                "wau": np.int64(0)}))
+            # WAU contribution: union of [a, a+6] over active days —
+            # merge overlapping intervals, then expand (bounded <=7x)
+            starts, ends = [days[0]], [days[0] + 6]
+            for a in days[1:]:
+                if a <= ends[-1]:
+                    ends[-1] = a + 6
+                else:
+                    starts.append(a)
+                    ends.append(a + 6)
+            covered = np.concatenate([
+                np.arange(s, e + 1, dtype=np.int64)
+                for s, e in zip(starts, ends)])
+            out.append(pd.DataFrame({
+                "source": src, "day": covered, "dau": np.int64(0),
+                "wau": np.int64(1)}))
+        if not out:
+            return pd.DataFrame(columns=["source", "day", "dau", "wau"])
+        agg = pd.concat(out, ignore_index=True)
+        return agg.groupby(["source", "day"], as_index=False).sum()
+
+    counts = sharded_map_groups(partials, "user_id", per_user)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        agg = shard.groupby(["source", "day"], as_index=False).sum()
+        # the output grid is the source's OBSERVED days (dau > 0);
+        # covered-only days (a user's trailing window reaching past the
+        # source's activity) are dropped
+        agg = agg[agg["dau"] > 0]
+        return pd.DataFrame({
+            "source": agg["source"],
+            "day": pd.to_datetime(agg["day"].to_numpy(), unit="D"),
+            "dau": agg["dau"].astype(np.int64),
+            "wau": agg["wau"].astype(np.int64),
+            "stickiness": agg["dau"].to_numpy(dtype=np.float64)
+            / agg["wau"].to_numpy(dtype=np.float64),
+        })
+
+    return sharded_map_groups(counts, "source", fold)
+
+
+_DAU_WAU_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT event_type AS source, date_trunc('day', ts) AS day,
+         user_id
+  FROM events
+), g AS (SELECT DISTINCT source, day FROM u)
+SELECT g.source, g.day,
+       (SELECT count(DISTINCT user_id) FROM u
+        WHERE u.source = g.source AND u.day = g.day) AS dau,
+       (SELECT count(DISTINCT user_id) FROM u
+        WHERE u.source = g.source
+          AND u.day BETWEEN g.day - INTERVAL 6 DAY AND g.day) AS wau,
+       CAST((SELECT count(DISTINCT user_id) FROM u
+             WHERE u.source = g.source AND u.day = g.day) AS DOUBLE)
+         / (SELECT count(DISTINCT user_id) FROM u
+            WHERE u.source = g.source
+              AND u.day BETWEEN g.day - INTERVAL 6 DAY AND g.day)
+         AS stickiness
+FROM g
+"""
+
+
 _NEXT_DAY_RETENTION_ORACLE = """
 WITH a AS (
   SELECT DISTINCT event_type AS source, date_trunc('day', ts) AS d,
@@ -4669,6 +4771,7 @@ def queries():
         "seasonality_strength": seasonality_strength,
         "winsorized_stats": winsorized_stats,
         "next_day_retention": next_day_retention,
+        "dau_wau_stickiness": dau_wau_stickiness,
         "funnel_view_click": funnel_view_click,
         "gini_by_source": gini_by_source,
         "percentile_rank_1h": percentile_rank_1h,
@@ -4767,6 +4870,7 @@ def oracles():
         "seasonality_strength": _SEASONALITY_ORACLE,
         "winsorized_stats": _WINSOR_ORACLE,
         "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,
+        "dau_wau_stickiness": _DAU_WAU_ORACLE,
         "funnel_view_click": _FUNNEL_ORACLE,
         "gini_by_source": _GINI_ORACLE,
         "percentile_rank_1h": _PCT_RANK_ORACLE,

@@ -52,6 +52,7 @@ FUZZ_QUERIES = [
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",
+    "dau_wau_stickiness",
     "gini_by_source",
     "percentile_rank_1h",
     "classic_decompose_1h",

@@ -51,6 +51,7 @@ SUBSET = [
     "seasonality_strength",
     "winsorized_stats",
     "next_day_retention",
+    "dau_wau_stickiness",
     "funnel_view_click",
     "gini_by_source",
     "percentile_rank_1h",
