@@ -2642,6 +2642,87 @@ FROM e GROUP BY source
 """
 
 
+def time_to_click_stats(sf_dir: str):
+    """Conversion-latency distribution: for every distinct view that
+    converts (first click strictly after it, within 1h, same user), the
+    view→click delay — reported per view-day as count, mean and
+    p50/p90 (the latency histogram behind funnel SLOs).  Same user-keyed
+    exchange + searchsorted first-after probe as ``funnel_view_click``;
+    delays are exact µs integers, the mean is the unrounded integer
+    divide (rational-rate rule) and the quantile lerp of integers has
+    ≤1 decimal, so no rounding is needed anywhere."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "user_id"],
+    ).filter(expr="event_type == 'view' or event_type == 'click'")
+
+    def per_user(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        shard = shard.sort_values(["user_id", "ts"], kind="stable")
+        for uid, g in shard.groupby("user_id", sort=False):
+            us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            is_view = (g["event_type"] == "view").to_numpy()
+            views = np.unique(us[is_view])  # dedup identical view ts
+            clicks = np.sort(us[~is_view])
+            if not views.size or not clicks.size:
+                continue
+            idx = np.searchsorted(clicks, views, side="right")
+            ok = idx < clicks.size
+            delay = np.where(ok, clicks[np.minimum(idx, clicks.size - 1)]
+                             - views, np.int64(-1))
+            keep = ok & (delay <= 3_600_000_000)
+            if not keep.any():
+                continue
+            day = (views[keep] // 86_400_000_000) * 86_400_000_000
+            out.append(pd.DataFrame({"day": day, "delay": delay[keep]}))
+        if not out:
+            return pd.DataFrame(columns=["day", "delay"])
+        return pd.concat(out, ignore_index=True)
+
+    delays = sharded_map_groups(ds, "user_id", per_user)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for day, g in shard.groupby("day", sort=False):
+            d = g["delay"].to_numpy(dtype=np.int64)
+            q = quantile_cont(d.astype(np.float64), [0.5, 0.9])
+            rows.append({
+                "day": pd.Timestamp(int(day), unit="us"),
+                "n_conversions": int(d.size),
+                "mean_delay_s": float(d.sum()) / d.size / 1e6,
+                "p50_delay_s": float(q[0]) / 1e6,
+                "p90_delay_s": float(q[1]) / 1e6,
+            })
+        return pd.DataFrame(rows, columns=[
+            "day", "n_conversions", "mean_delay_s", "p50_delay_s",
+            "p90_delay_s"])
+
+    return sharded_map_groups(delays, "day", fold)
+
+
+_TIME_TO_CLICK_ORACLE = """
+WITH v AS (
+  SELECT DISTINCT user_id, ts, date_trunc('day', ts) AS d
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), dly AS (
+  SELECT v.d, date_diff('microsecond', v.ts, min(c.ts)) AS delay
+  FROM v JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+  GROUP BY v.user_id, v.ts, v.d
+  HAVING date_diff('microsecond', v.ts, min(c.ts)) <= 3600000000
+)
+SELECT d AS day, count(*) AS n_conversions,
+       CAST(sum(delay) AS DOUBLE) / count(*) / 1e6 AS mean_delay_s,
+       quantile_cont(delay, 0.5) / 1e6 AS p50_delay_s,
+       quantile_cont(delay, 0.9) / 1e6 AS p90_delay_s
+FROM dly GROUP BY d
+"""
+
+
 _FUNNEL_ORACLE = """
 WITH v AS (
   SELECT user_id, ts, date_trunc('day', ts) AS d
@@ -4773,6 +4854,7 @@ def queries():
         "next_day_retention": next_day_retention,
         "dau_wau_stickiness": dau_wau_stickiness,
         "funnel_view_click": funnel_view_click,
+        "time_to_click_stats": time_to_click_stats,
         "gini_by_source": gini_by_source,
         "percentile_rank_1h": percentile_rank_1h,
         "classic_decompose_1h": classic_decompose_1h,
@@ -4872,6 +4954,7 @@ def oracles():
         "next_day_retention": _NEXT_DAY_RETENTION_ORACLE,
         "dau_wau_stickiness": _DAU_WAU_ORACLE,
         "funnel_view_click": _FUNNEL_ORACLE,
+        "time_to_click_stats": _TIME_TO_CLICK_ORACLE,
         "gini_by_source": _GINI_ORACLE,
         "percentile_rank_1h": _PCT_RANK_ORACLE,
         "classic_decompose_1h": _CLASSIC_DECOMP_ORACLE,

@@ -53,6 +53,7 @@ SUBSET = [
     "next_day_retention",
     "dau_wau_stickiness",
     "funnel_view_click",
+    "time_to_click_stats",
     "gini_by_source",
     "percentile_rank_1h",
     "classic_decompose_1h",
