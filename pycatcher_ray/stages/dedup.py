@@ -211,13 +211,6 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
     exact-dedup stage's job.
     """
 
-    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["shard"] = (
-            batch["band_id"].to_numpy() * 1_000_003 + batch["band_hash"].to_numpy()
-        ) % num_shuffle_buckets
-        return batch
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         n_over, n_dropped = 0, 0
@@ -251,9 +244,13 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
             columns={"size": "n_bands"}
         )
 
-    cand = band_rows.map_batches(add_shard, batch_format="pandas").groupby(
-        "shard"
-    ).map_groups(pairs, batch_format="pandas")
+    # raw hash exchange on the bucket key — Ray's sort-based groupby
+    # carrier costs ~1-1.5 s fixed per exchange (verdict r3 item 4)
+    from .shard import sharded_map_groups
+
+    cand = sharded_map_groups(band_rows, ["band_id", "band_hash"], pairs,
+                              num_shards=num_shuffle_buckets,
+                              batch_format="pandas")
     if not unique:
         # pairs are deduped within each bucket shard only; a consumer
         # whose own exchange can dedup (verify_jaccard_pairs) skips the
@@ -725,13 +722,6 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     bands = docs_ds.map_batches(emit_fn, batch_format="pandas",
                                 batch_size=2048)
 
-    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["shard"] = (
-            batch["band_id"].to_numpy() * 1_000_003 + batch["band_val"].to_numpy()
-        ) % 64
-        return batch
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         n_over = 0
@@ -759,10 +749,12 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
         df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
         return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
 
-    cand = bands.map_batches(add_shard, batch_format="pandas").groupby(
-        "shard"
-    ).map_groups(pairs, batch_format="pandas")
-    from .shard import sharded_aggregate
+    # raw hash exchange on the bucket key, not Ray's sort-based groupby
+    # carrier (~1-1.5 s fixed per exchange; verdict r3 item 4)
+    from .shard import sharded_aggregate, sharded_map_groups
+
+    cand = sharded_map_groups(bands, ["band_id", "band_val"], pairs,
+                              num_shards=64, batch_format="pandas")
 
     return sharded_aggregate(cand, ["doc_a", "doc_b"],
                              {"hamming": "min"})

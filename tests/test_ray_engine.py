@@ -712,3 +712,58 @@ class TestQueryCLI:
                          sorted(glob.glob(f"{d}/*.parquet"))])
         assert set(got.columns) >= {"source", "is_weekend", "n_buckets"}
         assert len(got) == 10
+
+
+class TestTwoLevelExchange:
+    """The hierarchical exchange path (input blocks > _MAX_EXCHANGE_BLOCKS)
+    must produce results identical to a plain pandas groupby — no
+    repartition of the input (verdict r3 item 3)."""
+
+    def _many_block_ds(self, n_rows=60_000, n_blocks=160):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 997, n_rows),
+            "v": rng.standard_normal(n_rows),
+        })
+        ds = rd.from_pandas(df).repartition(n_blocks).materialize()
+        assert ds.num_blocks() > 128
+        return ds, df
+
+    def test_hash_mode_matches_pandas(self):
+        from pycatcher_ray.stages.shard import (drain_exchange_stats,
+                                                sharded_aggregate)
+
+        ds, df = self._many_block_ds()
+        drain_exchange_stats()
+        out = sharded_aggregate(ds, "k", {"v": "sum"}, num_shards=150
+                                ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False)["v"].sum().sort_values(
+            "k").reset_index(drop=True)
+        assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+        assert np.allclose(out["v"], exp["v"])
+        stats = drain_exchange_stats()
+        assert stats and stats[-1]["levels"] == 2  # hierarchical path taken
+
+    def test_int_column_mode(self):
+        import ray.data as rd
+
+        from pycatcher_ray.stages.shard import exchange_by_int_column
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"b": rng.integers(0, 41, 30_000).astype(np.int64),
+                           "v": rng.standard_normal(30_000)})
+        ds = rd.from_pandas(df).repartition(140).materialize()
+
+        def per_bucket(t: pa.Table):
+            d = t.to_pandas()
+            assert d["b"].nunique() == 1  # one bucket per reduce task
+            return pa.Table.from_pandas(
+                d.groupby("b", as_index=False)["v"].sum(),
+                preserve_index=False)
+
+        out = exchange_by_int_column(ds, "b", 41, per_bucket).to_pandas(
+            ).sort_values("b").reset_index(drop=True)
+        exp = df.groupby("b", as_index=False)["v"].sum()
+        assert np.allclose(out["v"], exp["v"]) and len(out) == len(exp)
