@@ -33,7 +33,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_chunk", "encode_chunk_vectorized", "decode_chunk"]
+__all__ = ["encode_chunk", "encode_chunk_batched",
+           "encode_chunk_vectorized", "decode_chunk"]
 
 _MAGIC = b"GOR1"
 
@@ -160,10 +161,10 @@ def encode_chunk_vectorized(timestamps: np.ndarray, values: np.ndarray
     expansion + ``np.packbits``, no Python loop over points.
 
     Measured on this VM the two encoders are on par warm (~80 ms per
-    43 200-point chunk; the numpy temporaries pay first-touch cost
-    cold), and the sequential form compresses ~5% tighter, so
-    ``encode_chunk`` remains the compress-stage default; this variant
-    exists for hosts where numpy streaming beats the interpreter.
+    43 200-point chunk) and the sequential form compresses ~5% tighter.
+    Superseded by ``encode_chunk_batched`` (bit-identical to
+    ``encode_chunk``, ~2× faster — the compress-stage default); kept as
+    the simplest all-numpy reference.
     """
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
@@ -274,6 +275,172 @@ def encode_chunk_vectorized(timestamps: np.ndarray, values: np.ndarray
     shifts = (all_bits[field_idx] - 1 - within).astype(np.uint64)
     bits = ((all_vals[field_idx] >> shifts) & np.uint64(1)).astype(np.uint8)
     return header + np.packbits(bits).tobytes()
+
+
+def _bit_lengths(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 → 0) via 6 halving passes."""
+    bl = np.zeros(x.size, dtype=np.int64)
+    r = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = r >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        r[m] >>= np.uint64(shift)
+    return bl + (r == 1)
+
+
+def encode_chunk_batched(timestamps: np.ndarray, values: np.ndarray
+                         ) -> bytes:
+    """Batched encoder, BIT-IDENTICAL to ``encode_chunk`` (same
+    ``10``-reuse window semantics, same blob, same compression ratio).
+
+    Everything is numpy-vectorized except one light state scan over the
+    nonzero-XOR indices (the (lead, trail) reuse window is an inherently
+    sequential recurrence, but its body is three int compares — ~50×
+    cheaper than the per-point ``_BitWriter`` calls it replaces).  Field
+    emission is a single bit-expansion + ``np.packbits``; temporaries
+    are O(total output bits), small at tier chunk sizes (verdict r3
+    item 7)."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    if ts.shape != vals.shape or ts.ndim != 1:
+        raise ValueError("timestamps and values must be equal-length 1-D arrays")
+    n = ts.size
+    header = _MAGIC + struct.pack("<I", n)
+    if n == 0:
+        return header
+    vb = vals.view(np.uint64)
+    if n == 1:
+        w = _BitWriter()
+        w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+        w.write(int(vb[0]), 64)
+        return header + w.getvalue()
+
+    m = n - 1
+    # --- timestamp fields: prefix+payload merged (fallback split) -------
+    deltas = np.diff(ts)
+    dod = np.diff(deltas, prepend=deltas[0:1]) if m > 1 else deltas[0:1].copy()
+    dod[0] = deltas[0]  # first delta-of-delta is vs prev_delta=0
+    c1 = dod == 0
+    c2 = (~c1) & (dod >= -64) & (dod <= 63)
+    c3 = (~c1) & (~c2) & (dod >= -256) & (dod <= 255)
+    c4 = (~c1) & (~c2) & (~c3) & (dod >= -2048) & (dod <= 2047)
+    c5 = ~(c1 | c2 | c3 | c4)
+    du = dod.view(np.uint64)
+    t_val = np.zeros(m, dtype=np.uint64)
+    t_bits = np.empty(m, dtype=np.int64)
+    t_bits[c1] = 1  # value 0b0
+    t_val[c2] = (np.uint64(0b10) << np.uint64(7)) | (du[c2] & np.uint64(0x7F))
+    t_bits[c2] = 9
+    t_val[c3] = (np.uint64(0b110) << np.uint64(9)) | (du[c3] & np.uint64(0x1FF))
+    t_bits[c3] = 12
+    t_val[c4] = (np.uint64(0b1110) << np.uint64(12)) | (du[c4] & np.uint64(0xFFF))
+    t_bits[c4] = 16
+    t_val[c5] = np.uint64(0b1111)
+    t_bits[c5] = 4
+
+    # --- value XOR geometry (vectorized) --------------------------------
+    x = vb[:-1] ^ vb[1:]
+    nz_idx = np.nonzero(x)[0]
+    v_hdr = np.zeros(m, dtype=np.uint64)
+    v_hdr_bits = np.ones(m, dtype=np.int64)  # '0' when zero XOR
+    v_pay = np.zeros(m, dtype=np.uint64)
+    v_pay_bits = np.zeros(m, dtype=np.int64)
+    if nz_idx.size:
+        xb = x[nz_idx]
+        lead = np.minimum(64 - _bit_lengths(xb), 31)  # 5-bit cap (paper)
+        trail = _bit_lengths(xb & (~xb + np.uint64(1))) - 1
+        # --- the one sequential piece: the (lead, trail) reuse window ---
+        ll = lead.tolist()
+        tt = trail.tolist()
+        reuse = np.zeros(nz_idx.size, dtype=bool)
+        eff_trail = np.empty(nz_idx.size, dtype=np.int64)
+        eff_len = np.empty(nz_idx.size, dtype=np.int64)
+        L = T = Ln = -1
+        for i in range(len(ll)):
+            li, ti = ll[i], tt[i]
+            if L >= 0 and li >= L and ti >= T:
+                reuse[i] = True
+                eff_trail[i] = T
+                eff_len[i] = Ln
+            else:
+                L, T = li, ti
+                Ln = 64 - li - ti
+                eff_trail[i] = ti
+                eff_len[i] = Ln
+        new = ~reuse
+        hdr = np.full(nz_idx.size, np.uint64(0b10), dtype=np.uint64)
+        hdr_bits = np.full(nz_idx.size, 2, dtype=np.int64)
+        mlen = eff_len[new]
+        hdr[new] = ((np.uint64(0b11) << np.uint64(11))
+                    | (lead[new].astype(np.uint64) << np.uint64(6))
+                    | (mlen.astype(np.uint64) & np.uint64(0x3F)))
+        hdr_bits[new] = 13
+        v_hdr[nz_idx] = hdr
+        v_hdr_bits[nz_idx] = hdr_bits
+        v_pay[nz_idx] = xb >> eff_trail.astype(np.uint64)
+        v_pay_bits[nz_idx] = eff_len
+
+    # --- interleave per point: t_hdr, (t_pay64?), v_hdr, (v_pay?) -------
+    fvals = np.empty(2 + m * 4, dtype=np.uint64)
+    fbits = np.zeros(2 + m * 4, dtype=np.int64)
+    fvals[0] = np.uint64(ts[0])
+    fvals[1] = vb[0]
+    fbits[0] = fbits[1] = 64
+    fvals[2::4] = t_val
+    fbits[2::4] = t_bits
+    fvals[3::4] = np.where(c5, du, np.uint64(0))
+    fbits[3::4] = np.where(c5, 64, 0)
+    fvals[4::4] = v_hdr
+    fbits[4::4] = v_hdr_bits
+    fvals[5::4] = v_pay
+    fbits[5::4] = v_pay_bits
+    keep = fbits > 0
+    all_vals = fvals[keep]
+    all_bits = fbits[keep]
+    return header + _pack_fields(all_vals, all_bits)
+
+
+def _pack_fields(all_vals: np.ndarray, all_bits: np.ndarray) -> bytes:
+    """Pack (value, bit-width) fields MSB-first into a byte stream —
+    word-level (no per-bit arrays): each ≤32-bit field touches at most
+    two 64-bit words; per-word contributions OR-combine with one
+    ``bitwise_or.reduceat`` since field order is stream order."""
+    # split >32-bit fields into (bits-32, 32) halves so a field spans ≤2
+    # words and the aligned value always fits in uint64
+    big = all_bits > 32
+    if big.any():
+        n_f = all_vals.size
+        first = np.arange(n_f, dtype=np.int64) + np.cumsum(big) - big
+        out_n = n_f + int(big.sum())
+        sv = np.empty(out_n, dtype=np.uint64)
+        sb = np.empty(out_n, dtype=np.int64)
+        sv[first] = np.where(big, all_vals >> np.uint64(32), all_vals)
+        sb[first] = np.where(big, all_bits - 32, all_bits)
+        sv[first[big] + 1] = all_vals[big] & np.uint64(0xFFFFFFFF)
+        sb[first[big] + 1] = 32
+        all_vals, all_bits = sv, sb
+    ends = np.cumsum(all_bits)
+    starts = ends - all_bits
+    total = int(ends[-1])
+    n_words = (total + 63) // 64
+    w0 = starts >> 6
+    off = starts & 63
+    end_off = off + all_bits
+    v = all_vals & ((np.uint64(1) << all_bits.astype(np.uint64))
+                    - np.uint64(1))  # mask to declared width
+    spill = end_off > 64
+    hi = np.where(spill,
+                  v >> np.minimum(end_off - 64, 63).astype(np.uint64),
+                  v << ((64 - np.minimum(end_off, 64)).astype(np.uint64)))
+    words = np.zeros(n_words, dtype=np.uint64)
+    runs = np.nonzero(np.diff(w0, prepend=-1))[0]
+    words[w0[runs]] = np.bitwise_or.reduceat(hi, runs)
+    if spill.any():
+        wl = w0[spill] + 1
+        lo = v[spill] << (np.uint64(128) - end_off[spill].astype(np.uint64))
+        runs2 = np.nonzero(np.diff(wl, prepend=-1))[0]
+        words[wl[runs2]] |= np.bitwise_or.reduceat(lo, runs2)
+    return words.byteswap().tobytes()[: (total + 7) // 8]
 
 
 def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:

@@ -94,14 +94,38 @@ def _round_cols(ds, cols: tuple[str, ...], ndigits: int = ROUND):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _events_rollup(sf_dir: str, tier: str):
-    """Cascaded rollup over events: 1m from raw, 1h from 1m, 1d from 1h."""
-    ds = rollup(_events(sf_dir), "event_type", "ts", "value", 60)
-    if tier in ("1h", "1d"):
-        ds = cascade(ds, "event_type", 3600)
-    if tier == "1d":
-        ds = cascade(ds, "event_type", 86400)
+# Per-process memo of shared intermediate Datasets (verdict r3 item 1:
+# the driver's correctness gate runs ~100 queries in one process and
+# most start from the same rollup — re-deriving it per query re-reads
+# the parquet and re-runs the exchange every time).  Datasets are
+# immutable and the sharded exchange executes eagerly, so a cached
+# entry is materialized blocks in the object store; consumers stack
+# their own lazy ops on top.  Keyed by (name, abspath) — tiny at gate
+# scale (a rollup tier is 10^3-10^5 rows).
+_DS_MEMO: dict[tuple, object] = {}
+
+
+def _memo_ds(key: tuple, build):
+    ds = _DS_MEMO.get(key)
+    if ds is None:
+        ds = _DS_MEMO[key] = build()
     return ds
+
+
+def _events_rollup(sf_dir: str, tier: str):
+    """Cascaded rollup over events: 1m from raw, 1h from 1m, 1d from 1h
+    (each tier built from the previous tier's memoized output)."""
+    sf_dir = os.path.abspath(sf_dir)
+    if tier == "1m":
+        return _memo_ds(("ev_roll", sf_dir, "1m"), lambda: rollup(
+            _events(sf_dir), "event_type", "ts", "value", 60))
+    if tier == "1h":
+        return _memo_ds(("ev_roll", sf_dir, "1h"), lambda: cascade(
+            _events_rollup(sf_dir, "1m"), "event_type", 3600))
+    if tier == "1d":
+        return _memo_ds(("ev_roll", sf_dir, "1d"), lambda: cascade(
+            _events_rollup(sf_dir, "1h"), "event_type", 86400))
+    raise ValueError(f"unknown tier {tier!r}")
 
 
 def _finalize_rollup(ds):
@@ -3596,16 +3620,27 @@ def tokens_rollup_1m(sf_dir: str):
     tests/test_ray_engine.py."""
     from .stages.ingest import ingest
 
-    ds = _rd().read_parquet(_tokens_paths(sf_dir))
-    slim = ingest(ds, checksum=False).select_columns(["source", "ts", "n_tok"])
-    return rollup(slim, "source", "ts", "n_tok", 60)
+    def build():
+        ds = _rd().read_parquet(_tokens_paths(sf_dir))
+        slim = ingest(ds, checksum=False).select_columns(
+            ["source", "ts", "n_tok"])
+        return rollup(slim, "source", "ts", "n_tok", 60)
+
+    return _memo_ds(("tok_roll", os.path.abspath(sf_dir), "1m"), build)
+
+
+def _tokens_rollup_1h(sf_dir: str):
+    """Hourly cascade of the native rollup (shared by the flags/gapfill
+    family — memoized per process like the events tiers)."""
+    return _memo_ds(("tok_roll", os.path.abspath(sf_dir), "1h"),
+                    lambda: cascade(tokens_rollup_1m(sf_dir), "source", 3600))
 
 
 def tokens_flags_1h(sf_dir: str):
     """Native-input anomaly scan at the 1h tier (planted x10 spikes)."""
     cfg = EngineConfig(detect_concurrency=2,
                        detectors=("iqr", "mad", "zscore", "stl", "esd"))
-    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    roll = _tokens_rollup_1h(sf_dir)
     return detect(roll, "source", tier="1h", cfg=cfg)
 
 
@@ -3625,7 +3660,7 @@ def _cast_npoints_double(ds):
 
 def tokens_gapfill_1h(sf_dir: str):
     """Gap-filled hourly series with fill provenance."""
-    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    roll = _tokens_rollup_1h(sf_dir)
     return _cast_npoints_double(gapfill(roll, "source", 3600, method="linear"))
 
 
@@ -3642,7 +3677,7 @@ def tokens_gapfill_1m(sf_dir: str):
 
 
 def _tokens_flags(sf_dir: str, method: str):
-    roll = cascade(tokens_rollup_1m(sf_dir), "source", 3600)
+    roll = _tokens_rollup_1h(sf_dir)
     flags = detect(roll, "source", tier="1h",
                    cfg=EngineConfig(detect_concurrency=2), methods=(method,))
     return flags.select_columns(["key", "bucket_start", "value"])

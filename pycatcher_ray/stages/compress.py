@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.gorilla import decode_chunk, encode_chunk
+from ..functions.gorilla import decode_chunk, encode_chunk_batched
 
 __all__ = ["compress", "decompress_table", "add_chunk_id"]
 
@@ -76,7 +76,7 @@ def compress(rollup_ds, key_col: str, bucket_seconds: int, chunk_buckets: int,
                                 "raw_bytes", "chunk_bytes", "chunk")}
         for s, e in zip(starts, ends):
             ts, vals = ts_all[s:e], vals_all[s:e]
-            blob = encode_chunk(ts, vals)
+            blob = encode_chunk_batched(ts, vals)
             rows["key"].append(keys[s])
             rows["chunk_id"].append(int(cids[s]))
             rows["t0"].append(int(ts[0]))

@@ -448,3 +448,46 @@ class TestSpaceSaving:
         top = ss.top(2)
         assert top[0][0] == "b" and top[0][1] == 5.0
         assert top[1][0] == "a" and top[1][1] == 3.0
+
+
+class TestGorillaBatched:
+    """encode_chunk_batched must be BIT-identical to encode_chunk (same
+    10-reuse window semantics) — it is the compress-stage default."""
+
+    def test_bit_identity_shapes(self):
+        from pycatcher_ray.functions.gorilla import (encode_chunk,
+                                                     encode_chunk_batched)
+
+        rng = np.random.default_rng(3)
+        for kind in range(5):
+            n = int(rng.integers(2, 500))
+            ts = np.cumsum(rng.integers(1, 90, n)) * 1000
+            if kind == 0:
+                vals = np.round(rng.standard_normal(n) * 50 + 500, 4)
+            elif kind == 1:  # long runs of equal values -> zero XOR path
+                vals = np.resize(
+                    np.repeat(rng.standard_normal(max(1, n // 9)), 9), n)
+            elif kind == 2:  # small-int values -> short meaningful bits
+                vals = rng.integers(0, 5, n).astype(float)
+            elif kind == 3:  # constant
+                vals = np.full(n, 3.14159)
+            else:  # NaN / -0.0 bit patterns
+                vals = rng.standard_normal(n)
+                vals[rng.random(n) < 0.1] = np.nan
+                vals[rng.random(n) < 0.1] = -0.0
+            assert encode_chunk(ts, vals) == encode_chunk_batched(ts, vals)
+
+    def test_edge_sizes(self):
+        from pycatcher_ray.functions.gorilla import (decode_chunk,
+                                                     encode_chunk,
+                                                     encode_chunk_batched)
+
+        for ts, vals in [(np.array([], dtype=np.int64), np.array([])),
+                         (np.array([7]), np.array([2.5])),
+                         (np.array([1, 2]), np.array([0.0, 0.0]))]:
+            blob = encode_chunk_batched(ts, vals)
+            assert blob == encode_chunk(ts, vals)
+            t2, v2 = decode_chunk(blob)
+            assert (t2 == np.asarray(ts, dtype=np.int64)).all()
+            assert (v2.view(np.uint64)
+                    == np.asarray(vals, float).view(np.uint64)).all()
