@@ -173,15 +173,33 @@ def _run_bench() -> dict:
     n_rows = ds.count()
     tokens_total = int(ds.sum("n_tok"))
 
+    # per-exchange seconds (split-barrier cost of every sharded shuffle,
+    # stages/shard.py telemetry — verdict r3 item 2)
+    from pycatcher_ray.stages.shard import drain_exchange_stats
+
+    exchanges: dict[str, dict] = {}
+
+    def _capture_exchanges(name: str) -> None:
+        st = drain_exchange_stats()
+        if st:
+            exchanges[name] = {
+                "count": len(st),
+                "seconds": round(sum(s["seconds"] for s in st), 3),
+                "max_seconds": max(s["seconds"] for s in st),
+                "max_blocks": max(s["blocks"] for s in st),
+            }
+
     # ---- timed headline: flagship rollup + anomaly scan -----------------
     out_dir = f"/tmp/pycatcher_ray_bench/{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     probes = {"before": throttle_probe()}
+    drain_exchange_stats()
     t0 = time.time()
     flags, metrics = run_flagship(paths, out_dir, cfg_for(NUM_CPUS),
                                   checkpoint_intermediate=False)
     headline = round(time.time() - t0, 3)
+    _capture_exchanges("flagship_tokens")
     probes["after_flagship"] = throttle_probe()
     n_flags = flags.count()
     points = sum(
@@ -197,7 +215,16 @@ def _run_bench() -> dict:
         t1 = time.time()
         fn()
         timings[name] = round(time.time() - t1, 3)
+        _capture_exchanges(name)
 
+    # rollup_1m is measured COLD (memo cleared); the cascade and flags
+    # legs then reuse the memoized finer tiers — that reuse IS the
+    # continuous-aggregate execution model (and what the driver's gate
+    # process experiences), so their numbers measure the increment:
+    # 1d = re-aggregate 1h, flags = detector scan over the cached tier.
+    from pycatcher_ray.queries import _DS_MEMO
+
+    _DS_MEMO.clear()
     timed("rollup_1m_events", lambda: rollup_events(SF_DIR, "1m").count())
     timed("rollup_1d_cascade_events", lambda: rollup_events(SF_DIR, "1d").count())
     timed("iqr_flags_1h_events", lambda: iqr_flags_1h(SF_DIR).count())
@@ -237,6 +264,7 @@ def _run_bench() -> dict:
         "rows_per_s": round(n_rows / headline, 1) if headline else None,
         "stages": {k: v.get("seconds")
                    for k, v in metrics["stages"].items()},
+        "exchanges": exchanges,
         "host_ceiling": ceiling,
         "throttle_probes_gbps": probes,
     }
