@@ -193,7 +193,7 @@ def minhash_bands(ds, num_perm: int = 128, bands: int = 32, k: int = 3,
     return ds.map_batches(band_fn, batch_format="pandas", batch_size=2048)
 
 
-def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
+def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int | None = None,
                         max_bucket: int = 256, unique: bool = True):
     """LSH buckets → unordered candidate pairs (doc_a < doc_b).
 
@@ -201,6 +201,9 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
     Ray group per LSH bucket — Ray pays Python overhead per group, so
     millions of tiny buckets are processed as B vectorized pandas
     groupbys instead (same bucketed-combine pattern as the rollup).
+    ``num_shuffle_buckets=None`` right-sizes B from the band-row count
+    (a 64-way fan on a 500-doc corpus costs ~10× the actual work in
+    per-task overhead).
 
     **Bucket cap**: a bucket of b docs emits O(b²) pairs, so a
     boilerplate-heavy corpus (10^5 docs sharing one band hash) would
@@ -268,7 +271,7 @@ def lsh_candidate_pairs(band_rows, num_shuffle_buckets: int = 64,
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3,
-                         num_shards: int = 64):
+                         num_shards: int | None = None):
     """Exact shingle-Jaccard verification of candidate pairs — fully
     distributed; returns a Dataset of (doc_a, doc_b, jaccard).
 
@@ -754,7 +757,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 256):
     from .shard import sharded_aggregate, sharded_map_groups
 
     cand = sharded_map_groups(bands, ["band_id", "band_val"], pairs,
-                              num_shards=64, batch_format="pandas")
+                              num_shards=None, batch_format="pandas")
 
     return sharded_aggregate(cand, ["doc_a", "doc_b"],
                              {"hamming": "min"})

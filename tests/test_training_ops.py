@@ -302,15 +302,20 @@ class TestHLL:
         b = HLL.from_bytes(a.to_bytes())
         assert a.estimate() == b.estimate()
 
-    def test_query_within_5pct_of_exact(self, ray_session):
-        from pycatcher_ray.queries import approx_users_by_type, distinct_users_by_type
+    def test_query_within_band_and_exact_matches(self, ray_session):
+        """approx_users_by_type now self-asserts the ±2% band (the SQL
+        oracle pins within_2pct = TRUE) and carries the exact distinct,
+        which must equal the standalone exact query."""
+        from pycatcher_ray.queries import (approx_users_by_type,
+                                           distinct_users_by_type)
 
         sf = "/root/testdata/sf0.01"
         approx = approx_users_by_type(sf).to_pandas().set_index("source")
         exact = distinct_users_by_type(sf).to_pandas().set_index("source")
+        assert set(approx.index) == set(exact.index)
         for src in exact.index:
-            e, a = exact.loc[src, "n_users"], approx.loc[src, "approx_users"]
-            assert abs(a - e) / e < 0.05, (src, e, a)
+            assert approx.loc[src, "exact_users"] == exact.loc[src, "n_users"]
+            assert bool(approx.loc[src, "within_2pct"]), src
 
 
 class TestDedupScaleDefenses:
