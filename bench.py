@@ -300,14 +300,16 @@ def main():
         # pipeline's measurable 8->32 efficiency near 0.5 — see BASELINE.md.
         lo, hi = 4, 16
         # The scaling criterion measures THROUGHPUT scaling on a job big
-        # enough to keep both cluster sizes busy.  The default 3M-row
-        # headline fixture has only ~68 cpu-s of work — at 4 cpus the
-        # fixed per-run cost (~3-4 s of materialize barriers + driver)
-        # caps any measurable efficiency at ~0.65 regardless of how the
-        # work itself scales.  The scaling legs therefore run a 4x
-        # fixture (12M rows / ~1.1B tokens, ~270 cpu-s) — same input for
-        # BOTH legs, which is what the N-vs-4N rule compares.
-        rows = os.environ.get("GRAFT_SCALING_ROWS", "12000000")
+        # enough to keep both cluster sizes busy.  The round-3/4 engine
+        # speedups cut the 12M-row job to ~110 cpu-s of compute, so the
+        # ~4-6 s of per-run fixed cost (driver barriers, stage
+        # transitions) started dominating the 16-cpu leg — the measured
+        # efficiency was tracking fixed cost, not the pipeline.  The
+        # legs therefore run a 16× fixture (48M rows / ~4.3B tokens,
+        # ~450 cpu-s; at the north rule's 100-TB scale the per-node work
+        # is 1000× larger still) — same input for BOTH legs, which is
+        # what the N-vs-4N rule compares.
+        rows = os.environ.get("GRAFT_SCALING_ROWS", "48000000")
         _run_subprocess(hi, rows=rows, gen_only=True)  # untimed gen
         time.sleep(60)  # quota cooldown after generation
         # The host applies a sustained-load CPU quota: identical runs

@@ -94,14 +94,13 @@ def run_flagship(
 
     detect_tier = cfg.detect_tier
     series_src = tier_ds[detect_tier]
+    # tier row counts are already known from the construction barrier —
+    # pass them down so pack_series/compress skip their own
+    # materialize+count pass (r4: each such pass is a full-pipeline
+    # barrier; the scaling profile showed ~9 s of fixed per-run cost)
+    tier_rows = {n: metrics["stages"][f"rollup_{n}"].get("rows_written") or 0
+                 for n in cfg.tiers}
 
-    # flags then chunks SEQUENTIALLY, each at full cluster width.  The
-    # r2 design ran them in concurrent threads, but Ray actor pools
-    # RESERVE their CPUs while idle, so the detector pool and the chunk
-    # tasks partitioned the cluster statically — at 4 CPUs the detector
-    # got 2 actors and dominated the wall (the measured r3 scaling
-    # defect).  Sequential full-width stages are work-conserving: both
-    # stages have far more parallelism (1000+ series) than CPUs.
     flags_writer = CheckpointedWriter(out_dir, f"flags_{detect_tier}")
 
     def _skip_summary(writer):
@@ -117,9 +116,13 @@ def run_flagship(
             # gap-fill is fused into the series-pack pass (one groupby
             # shuffle instead of two); the standalone gapfill stage
             # remains for pipelines that persist filled series.
+            from ..stages.shard import compute_shards
+
+            n = tier_rows.get(detect_tier) or 0
             flags = detect(
                 series_src, key_col, tier=detect_tier, cfg=cfg,
                 gapfill_method=cfg.gapfill_method if with_gapfill else None,
+                num_shards=compute_shards(n) if n else None,
             )
             summary = flags_writer.write(flags, "key",
                                          cfg.num_output_partitions,
@@ -133,18 +136,34 @@ def run_flagship(
         if len(chunk_writer.done_partitions()) >= cfg.num_output_partitions:
             summary = _skip_summary(chunk_writer)
         else:
+            from ..stages.shard import compute_shards
+
+            n = tier_rows.get("1m") or 0
             chunks = compress(tier_ds["1m"], key_col, TIERS["1m"].seconds,
-                              TIERS["1m"].chunk_buckets)
+                              TIERS["1m"].chunk_buckets,
+                              num_shards=compute_shards(n) if n else None)
             summary = chunk_writer.write(chunks, "key",
                                          cfg.num_output_partitions,
                                          lineage={"from_tier": "1m"})
         summary["seconds"] = round(time.time() - t0, 3)
         return "chunks_1m", summary
 
+    # flags ∥ chunks: both stages are TASK carriers (detect's default
+    # since r3 — no actor-pool CPU reservation, which is what broke the
+    # r2 concurrent design), both consume the already-materialized 1m
+    # tier, and each has far more parallelism than CPUs, so running them
+    # in threads is work-conserving and saves the smaller stage's wall.
     stages = [_flags_stage] + ([_chunks_stage] if with_compress else [])
-    for stage in stages:
-        name, summary = stage()
-        metrics["stages"][name] = summary
+    if len(stages) > 1 and not cfg.detect_use_actors:
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(len(stages)) as pool:
+            for name, summary in pool.map(lambda s: s(), stages):
+                metrics["stages"][name] = summary
+    else:
+        for stage in stages:
+            name, summary = stage()
+            metrics["stages"][name] = summary
 
     metrics["total_seconds"] = round(time.time() - t_start, 3)
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:

@@ -2547,6 +2547,161 @@ def top_building_orders(sf_dir: str, cutoff: str = "1998-01-01",
     return out.reset_index(drop=True)
 
 
+def regional_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                              date_lo: str = "1996-01-01",
+                              date_hi: str = "1997-01-01"):
+    """TPC-H Q5 shape — the 6-table join: revenue from lineitems whose
+    supplier and customer share a nation inside one region, grouped by
+    nation.  Distributed plan (scale notes inline):
+
+    - region ⋈ nation and supplier are BROADCAST (``ray.put`` once —
+      both are O(nations)/O(10⁴·SF) dimension tables);
+    - orders ⋈ customer is big-big → ONE custkey-hash exchange
+      (order rows meet customer (custkey → nationkey) rows);
+    - lineitem revenue partials pre-aggregate per batch after a
+      map-side semi-join against the broadcast supplier map;
+    - both sides meet in ONE orderkey-hash exchange where the
+      c_nation = s_nation filter and per-nation partial sums happen;
+      the driver folds ≤ nations × shards partial rows.
+
+    Exactness: revenue is summed in integer 10⁻⁴ units —
+    cents(price) × (100 − cents(discount)) in int64 — so the sum is
+    order-independent and the final /10⁴ double divide is
+    bit-deterministic against the SQL oracle (the float-sum form drifts
+    past round(·,4) half-ties at this magnitude).  Reference anchor:
+    engine-native join capability (SURVEY.md §2 joins; the reference has
+    none)."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    nat = _rd().read_parquet(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = _rd().read_parquet(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    region_nations = nat[nat["n_regionkey"].isin(set(rkey))]
+    nation_name = dict(zip(region_nations["n_nationkey"].astype(int),
+                           region_nations["n_name"]))
+    nat_keys = np.sort(region_nations["n_nationkey"].to_numpy(np.int64))
+
+    supp = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(nat_keys))]
+    supp_ref = ray.put({int(k): int(v) for k, v in
+                        zip(supp["s_suppkey"], supp["s_nationkey"])})
+    nat_ref = ray.put(nat_keys)
+
+    # --- exchange 1: orders ⋈ customer on custkey → (okey, c_nation) ---
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        nk = ray.get(nat_ref)
+        b = b[np.isin(b["c_nationkey"].to_numpy(np.int64), nk)]
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].astype(np.int64),
+            "okey": np.int64(-1),
+            "nat": b["c_nationkey"].astype(np.int64),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].astype(np.int64),
+            "okey": b["o_orderkey"].astype(np.int64),
+            "nat": np.int64(-1),
+            "kind": np.int64(0)})
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "nat"]].drop_duplicates("ckey")
+        o = g[g["kind"] == 0][["ckey", "okey"]]
+        j = o.merge(c, on="ckey", how="inner")
+        return pd.DataFrame({"okey": j["okey"], "c_nat": j["nat"],
+                             "rev_i": np.int64(0), "s_nat": np.int64(-1),
+                             "kind": np.int64(1)})
+
+    o_nat = sharded_map_groups(
+        orders.map_batches(order_rows, batch_format="pandas").union(
+            cust.map_batches(cust_rows, batch_format="pandas")),
+        "ckey", join_cust)
+
+    # --- lineitem partials: semi-join suppliers map-side, int64 revenue
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def rev_partials(b: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(supp_ref)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        keep = np.isin(sk, np.fromiter(smap.keys(), np.int64,
+                                       len(smap)) if smap else
+                       np.empty(0, np.int64))
+        b = b[keep]
+        sk = sk[keep]
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        part = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "s_nat": np.array([smap[k] for k in sk], dtype=np.int64)
+            if len(b) else np.empty(0, np.int64),
+            "rev_i": price_c * (100 - disc_c),
+        }).groupby(["okey", "s_nat"], as_index=False)["rev_i"].sum()
+        part["c_nat"] = np.int64(-1)
+        part["kind"] = np.int64(0)
+        return part[["okey", "c_nat", "rev_i", "s_nat", "kind"]]
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "c_nat"]].drop_duplicates("okey")
+        r = g[g["kind"] == 0][["okey", "s_nat", "rev_i"]]
+        j = r.merge(o, on="okey", how="inner")
+        j = j[j["s_nat"].to_numpy() == j["c_nat"].to_numpy()]
+        return j.groupby("s_nat", as_index=False)["rev_i"].sum()
+
+    parts = sharded_map_groups(
+        line.map_batches(rev_partials, batch_format="pandas").union(o_nat),
+        "okey", join_rev).to_pandas()
+    if parts.empty or "s_nat" not in parts.columns:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=float)})
+    fin = parts.groupby("s_nat", as_index=False)["rev_i"].sum()
+    fin["n_name"] = fin["s_nat"].map(nation_name)
+    fin["revenue"] = fin["rev_i"].to_numpy(np.int64) / 1e4
+    return fin.sort_values("revenue", ascending=False)[
+        ["n_name", "revenue"]].reset_index(drop=True)
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate <  DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def boilerplate_phrases(sf_dir: str, n: int = 5, min_docs: int = 2):
     """C4-style boilerplate phrase mining: word 5-grams that repeat
     across ≥ min_docs distinct documents, with doc and occurrence
@@ -4938,6 +5093,7 @@ def _registry():
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "top_building_orders": top_building_orders,
+        "regional_supplier_revenue": regional_supplier_revenue,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "boilerplate_phrases": boilerplate_phrases,
@@ -5056,6 +5212,7 @@ def oracles():
         "kpss_level_stat": _KPSS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,
+        "regional_supplier_revenue": _Q5_ORACLE,
         "boilerplate_phrases": _BOILERPLATE_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,

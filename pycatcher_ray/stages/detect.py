@@ -348,7 +348,8 @@ def detect(rollup_ds, key_col: str, *, tier: str = "1h",
            methods: tuple[str, ...] | None = None,
            value_col: str = "sum_value",
            gapfill_method: str | None = None,
-           use_actors: bool | None = None):
+           use_actors: bool | None = None,
+           num_shards: int | None = None):
     """rollup table → flag rows, via pack (+fused gap-fill) + detector pool.
 
     Two execution carriers for the same ``detect_batch`` kernel:
@@ -369,9 +370,12 @@ def detect(rollup_ds, key_col: str, *, tier: str = "1h",
     cfg = cfg or EngineConfig()
     if use_actors is None:
         use_actors = cfg.detect_use_actors
+    # num_shards: callers that already know the tier's row count pass
+    # compute_shards(n) so pack_series skips its materialize+count pass
     packed = pack_series(rollup_ds, key_col, value_col,
                          gapfill_method=gapfill_method,
-                         bucket_seconds=TIERS[tier].seconds)
+                         bucket_seconds=TIERS[tier].seconds,
+                         num_shards=num_shards)
     if use_actors:
         return packed.map_batches(
             DetectorActor,

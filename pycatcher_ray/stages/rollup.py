@@ -133,7 +133,7 @@ def _combine_partials(t: pa.Table, key_col: str) -> pa.Table:
     )
 
 
-def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
+def _final_aggregate(partials, key_col: str, num_buckets: int | None = None):
     """Bucketed final combine.
 
     Ray's ``groupby().aggregate()`` runs a Python loop per output group
@@ -146,7 +146,10 @@ def _final_aggregate(partials, key_col: str, num_buckets: int = 64):
     keys — this is the salted two-stage aggregation of SURVEY.md §4.
     The exchange itself is the raw split/reduce hash shuffle
     (stages/shard.py) — Ray's sort-based groupby cost ~1-1.5 s fixed on
-    this path.
+    this path.  ``num_buckets=None`` (default) right-sizes B from the
+    partial-row count: a fixed 64-way fan cost ~0.5 s of pure task
+    overhead per CASCADE tier whose input is a few thousand rows, and
+    under-parallelized the 10⁶-partial 1m tier.
     """
 
     def combine(group: pa.Table) -> pa.Table:

@@ -174,12 +174,20 @@ def with_shard(ds, key_cols, num_shards: int | None = 64,
 _MAX_EXCHANGE_BLOCKS = 128
 
 
-def _shard_vector(tbl: pa.Table, cols, num_shards: int):
+def _shard_vector(tbl, cols, num_shards: int):
     """Final-shard id per row for every key-spec mode.  Returns
     ``(tbl, sv)`` — in fused-checkpoint mode the stable ``part`` column
     is appended here (carried through the shuffle), otherwise the table
     is untouched.  ``sv`` is None for blocks with no usable rows
-    (empty, or zero-column padding from Ray's sort-groupby)."""
+    (empty, or zero-column padding from Ray's sort-groupby).  Pandas
+    blocks (Ray keeps a block in whatever format the producing map
+    emitted — a union of a lazy pandas-map stage with a materialized
+    Arrow dataset hands both kinds to ``to_arrow_refs``) are coerced."""
+    if not isinstance(tbl, pa.Table):
+        import pandas as _pd
+
+        if isinstance(tbl, _pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     part_key = None
     if isinstance(cols, dict):  # fused checkpoint mode: {"part_key": col}
         part_key = cols["part_key"]

@@ -63,7 +63,10 @@ SUBSET = [
     "error_rate_hourly",
     "embedding_label_stats",
     "top_building_orders",
+    "regional_supplier_revenue",
     "boilerplate_phrases",
+    "stl_decomposition_1h",
+    "approx_users_by_type",
 ]
 
 
