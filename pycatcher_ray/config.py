@@ -95,7 +95,10 @@ class EngineConfig:
     mc_resamples: int = 10000
     seed: int = 42
     # physical knobs
-    read_batch_size: int = 65536
+    # None = whole read blocks -> the ingest/partial maps FUSE with the
+    # parquet read (an explicit batch size forces an operator boundary
+    # and ships the tokens column through the object store)
+    read_batch_size: int | None = None
     detect_use_actors: bool = False       # task carrier by default; see
     # stages/detect.detect for the measured tradeoff (actor pool only
     # pays off when per-worker state is heavy, e.g. MC null matrices)

@@ -48,7 +48,9 @@ def run_flagship(
     t_start = time.time()
     metrics: dict = {"input_paths": list(map(str, input_paths)), "stages": {}}
 
-    ds = rd.read_parquet(input_paths)
+    from ..stages.ingest import read_parquet_fused
+
+    ds = read_parquet_fused(input_paths)
     ingested = ingest(ds, batch_size=cfg.read_batch_size)
     # prune: the rollup only needs (source, ts, n_tok) — tokens stay behind
     slim = ingested.select_columns([key_col, "ts", "n_tok"])

@@ -206,7 +206,9 @@ def update_tiers(
     uid = update_id_for(inputs)
     metrics: dict = {"new_inputs": inputs, "update_id": uid, "tiers": {}}
 
-    ds = rd.read_parquet(new_input_paths)
+    from ..stages.ingest import read_parquet_fused
+
+    ds = read_parquet_fused(new_input_paths)
     slim = ingest(ds, batch_size=cfg.read_batch_size).select_columns(
         [key_col, "ts", "n_tok"]
     )

@@ -3798,7 +3798,10 @@ def tokens_rollup_1m(sf_dir: str):
     from .stages.ingest import ingest
 
     def build():
-        ds = _rd().read_parquet(_tokens_paths(sf_dir))
+        from .stages.ingest import read_parquet_fused
+
+        _rd()
+        ds = read_parquet_fused(_tokens_paths(sf_dir))
         slim = ingest(ds, checksum=False).select_columns(
             ["source", "ts", "n_tok"])
         return rollup(slim, "source", "ts", "n_tok", 60)

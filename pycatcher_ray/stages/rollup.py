@@ -167,7 +167,7 @@ def _final_aggregate(partials, key_col: str, num_buckets: int | None = None):
 
 
 def rollup(ds, key_col: str, ts_col: str, value_col: str, bucket_seconds: int,
-           batch_size: int = 65536):
+           batch_size: int | None = None):
     """Raw rows → per-(key, bucket) aggregate (partial + final)."""
     partials = ds.map_batches(
         lambda b: _partial(b, key_col, ts_col, value_col, bucket_seconds),
@@ -179,7 +179,7 @@ def rollup(ds, key_col: str, ts_col: str, value_col: str, bucket_seconds: int,
 
 
 def cascade(rollup_ds, key_col: str, bucket_seconds: int,
-            batch_size: int = 65536):
+            batch_size: int | None = None):
     """Re-aggregate a finer rollup into a coarser tier (sum of sums)."""
     partials = rollup_ds.map_batches(
         lambda b: _partial_from_rollup(b, key_col, bucket_seconds),
@@ -192,7 +192,7 @@ def cascade(rollup_ds, key_col: str, bucket_seconds: int,
 
 def hopping_rollup(ds, key_col: str, ts_col: str, value_col: str,
                    window_seconds: int, hop_seconds: int,
-                   batch_size: int = 65536):
+                   batch_size: int | None = None):
     """Hopping (overlapping) windowed aggregate: per-(key, window_start)
     stats where windows of ``window_seconds`` start every ``hop_seconds``
     (window = hop is a plain tumbling rollup).
@@ -236,7 +236,7 @@ def hopping_rollup(ds, key_col: str, ts_col: str, value_col: str,
 
 
 def rollup_tiers(ds, key_col: str, ts_col: str, value_col: str,
-                 tier_seconds: dict[str, int], batch_size: int = 65536):
+                 tier_seconds: dict[str, int], batch_size: int | None = None):
     """Compute all tiers as a cascade keyed by ascending bucket width.
 
     Returns {tier_name: Dataset}.  The finest tier aggregates raw rows;
