@@ -264,6 +264,7 @@ def _run_bench() -> dict:
         "rows_per_s": round(n_rows / headline, 1) if headline else None,
         "stages": {k: v.get("seconds")
                    for k, v in metrics["stages"].items()},
+        "wall_marks": metrics.get("wall_marks", {}),
         "exchanges": exchanges,
         "host_ceiling": ceiling,
         "throttle_probes_gbps": probes,

@@ -379,11 +379,74 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, threshold: float = 0.7, k: int = 3,
                               num_shards=num_shards)
 
 
+def _cc_single_task(*parts):
+    """Bounded one-task connected components over the (src, dst) edge
+    pieces: factorize nodes, renumber into sorted-node-id space so the
+    min label IS the min doc_id, then vectorized min-propagation with
+    full pointer-jump compression (O(E+V) numpy per outer round,
+    O(log diameter) rounds).  Runs as ONE Ray task — never on the
+    driver — and only below ``small_edge_cap`` edges, so its memory is
+    bounded by the cap (~16 B/edge + ~24 B/node), not the corpus."""
+    import pandas as _pd
+    import pyarrow as _pa
+
+    tables = [
+        _pa.Table.from_pandas(p, preserve_index=False)
+        if isinstance(p, _pd.DataFrame) else p
+        for p in parts
+    ]  # to_arrow_refs hands back pandas blocks from pandas-map stages
+    tables = [p for p in tables if p.num_rows]
+    if not tables:
+        return _pa.table({"doc_id": _pa.array([], type=_pa.string()),
+                          "cluster_id": _pa.array([], type=_pa.string())})
+    tbl = _pa.concat_tables(tables, promote_options="default")
+    df = tbl.select(["src", "dst"]).to_pandas()
+    codes, uniques = _pd.factorize(
+        _pd.concat([df["src"], df["dst"]], ignore_index=True))
+    uniques = np.asarray(uniques)
+    n, e = len(uniques), len(df)
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    a = rank[codes[:e]]
+    b = rank[codes[e:]]
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        low = np.minimum(label[a], label[b])
+        new = label.copy()
+        np.minimum.at(new, a, low)
+        np.minimum.at(new, b, low)
+        while True:  # pointer jumping: label(x) <- label(label(x))
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    node_vals = uniques[order]
+    return _pa.table({"doc_id": _pa.array(node_vals),
+                      "cluster_id": _pa.array(node_vals[label])})
+
+
 def cluster_pairs_distributed(verified_ds, num_shards: int = 64,
-                              max_rounds: int = 16):
+                              max_rounds: int = 16,
+                              small_edge_cap: int = 2_000_000):
     """Connected components over a verified-pair Dataset →
     Dataset of (doc_id, cluster_id) — min-label propagation carried by
     sharded groupby rounds, no driver union-find.
+
+    Below ``small_edge_cap`` edges the whole graph goes through ONE
+    bounded Ray task (``_cc_single_task``) instead of the round loop:
+    the verified near-dup edge set after LSH pruning + Jaccard
+    verification is orders of magnitude smaller than the corpus (it is
+    sized by the DUPLICATE count, not the doc count), and each
+    propagation round below costs 2-3 sharded exchanges + 2 materialize
+    barriers of pure fixed cost.  The cap bounds the task's memory
+    (~2M edges ≈ 40 MB working set); above it the distributed rounds
+    take over unchanged.  Both paths emit identical labels (min doc_id
+    per component — pinned by test_label_propagation_matches_union_find
+    at cap 0 and default).
 
     Each round: every node sends its current label along its edges
     (union of edge rows keyed by source with label rows, sharded
@@ -416,6 +479,14 @@ def cluster_pairs_distributed(verified_ds, num_shards: int = 64,
     # set is small (LSH-pruned + verified), and a round over hundreds of
     # tiny blocks pays per-task overhead ~100x the actual work
     n_edges = edges.count()
+    if n_edges <= small_edge_cap:
+        import ray
+        import ray.data as rd
+
+        refs = [r for r in edges.to_arrow_refs()]
+        out_ref = ray.remote(_cc_single_task).options(
+            num_cpus=1).remote(*refs)
+        return rd.from_arrow_refs([out_ref])
     n_blocks = max(2, min(64, n_edges // 50_000 + 2))
     eff_shards = max(4, min(num_shards, n_edges // 1_000 + 4))
     edges = edges.repartition(n_blocks).materialize()
@@ -480,18 +551,23 @@ def cluster_pairs_distributed(verified_ds, num_shards: int = 64,
         )
 
         def send(shard: pd.DataFrame) -> pd.DataFrame:
-            out_dst, out_label, out_kind = [], [], []
-            for _jk, grp in shard.groupby("jk", sort=False):
-                lab_rows = grp[grp["kind"] == 1]
-                if lab_rows.empty:
-                    continue
-                lab = lab_rows["label"].iloc[0]
-                for dst, kind in zip(grp["dst"], grp["kind"]):
-                    out_dst.append(dst)
-                    out_label.append(lab)
-                    out_kind.append(kind)  # kind 1 = the node's own label
-            return pd.DataFrame({"dst": out_dst, "label": out_label,
-                                 "kind": out_kind})
+            # vectorized: attach each jk-group's label row (kind 1) to
+            # every member; groups with no label row drop (this is the
+            # >cap scale path — no Python loop over nodes)
+            lab = shard.loc[shard["kind"] == 1].drop_duplicates(
+                "jk").set_index("jk")["label"]
+            got = shard["jk"].map(lab)
+            keep = got.notna()
+            labels_out = got[keep].to_numpy()
+            if labels_out.dtype != shard["label"].dtype:
+                # int64 labels upcast to float64 through the NaN-bearing
+                # map — restore the source dtype
+                labels_out = labels_out.astype(shard["label"].dtype)
+            return pd.DataFrame({
+                "dst": shard.loc[keep, "dst"].to_numpy(),
+                "label": labels_out,
+                "kind": shard.loc[keep, "kind"].to_numpy(),  # 1 = own label
+            })
 
         sent = sharded_map_groups(msgs_in, "jk", send, num_shards=eff_shards)
 

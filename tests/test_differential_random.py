@@ -68,6 +68,21 @@ def _synth_events(seed: int, n: int = 4000) -> pa.Table:
     base = np.datetime64("2024-03-01T00:00:00", "s")
     srcs, tss, vals, uids = [], [], [], []
 
+    # seed >= 300: DYADIC value regime — every value is k/16 (exactly
+    # representable in binary AND exact at 4 decimals), so every
+    # cross-engine SUM (rollup sums, corr/variance moment accumulators
+    # sxy/sxx/syy, ANOVA sums of squares) is bit-exact in BOTH engines
+    # regardless of accumulation order.  In this regime oracle parity is
+    # provable, not probabilistic: any mismatch is a formula or final-
+    # expression-op-order bug, never float noise.  (The realistic-decimal
+    # seeds below keep covering the round()-envelope behavior.)
+    dyadic = seed >= 300
+
+    def draw_vals(size, mu, sigma):
+        if dyadic:
+            return rng.integers(-1024, 1025, size) / 16.0
+        return np.round(rng.normal(mu, sigma, size), 3)  # negatives too
+
     # normal sources with bursts and gaps over ~40 days (spans 2 months)
     for s, frac in (("alpha", 0.45), ("beta", 0.3), ("gamma", 0.2)):
         m = int(n * frac)
@@ -76,18 +91,18 @@ def _synth_events(seed: int, n: int = 4000) -> pa.Table:
         t = t[(t < 12 * 86400) | (t > 15 * 86400)]
         srcs += [s] * t.size
         tss.append(t)
-        vals.append(np.round(rng.normal(50, 20, t.size), 3))  # negatives too
+        vals.append(draw_vals(t.size, 50, 20))
         uids.append(rng.integers(1, 80, t.size))
     # a source with exactly ONE event
     srcs += ["solo"]
     tss.append(np.array([86400]))
-    vals.append(np.array([123.456]))
+    vals.append(np.array([123.4375 if dyadic else 123.456]))
     uids.append(np.array([999]))
     # a source whose events all share ONE timestamp (duplicate buckets)
     k = 25
     srcs += ["tied"] * k
     tss.append(np.full(k, 7 * 86400 + 1800))
-    vals.append(np.round(rng.normal(0, 1, k), 3))
+    vals.append(draw_vals(k, 0, 1))
     uids.append(rng.integers(1, 5, k))
 
     ts = base + np.concatenate(tss).astype("timedelta64[s]")
@@ -105,7 +120,7 @@ def _synth_events(seed: int, n: int = 4000) -> pa.Table:
     )
 
 
-@pytest.fixture(scope="module", params=[101, 202])
+@pytest.fixture(scope="module", params=[101, 202, 303])
 def fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzz{request.param}")
     pq.write_table(_synth_events(request.param), str(d / "events.parquet"))

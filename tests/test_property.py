@@ -203,3 +203,72 @@ class TestPercentRank:
         want = (pd.Series(v).rank(method="min").to_numpy() - 1).astype(
             np.int64)
         np.testing.assert_array_equal(rank, want)
+
+
+class TestSingleTaskCC:
+    """The size-gated one-task connected-components kernel
+    (stages/dedup._cc_single_task) must match a plain union-find with
+    value-ordered representatives (min doc_id per component — the same
+    contract as the distributed label-propagation rounds) on arbitrary
+    graphs, including self-loops, duplicate edges and long chains."""
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=60),
+                      st.integers(min_value=0, max_value=60)),
+            min_size=1, max_size=120,
+        )
+    )
+    def test_matches_union_find_min_id(self, edges):
+        import pyarrow as pa
+
+        from pycatcher_ray.stages.dedup import _cc_single_task
+
+        a = np.array([e[0] for e in edges], dtype=np.int64)
+        b = np.array([e[1] for e in edges], dtype=np.int64)
+        # both directions, like the both_dir stage feeding the kernel
+        tbl = pa.table({"src": np.concatenate([a, b]),
+                        "dst": np.concatenate([b, a])})
+        got = _cc_single_task(tbl).to_pandas().set_index("doc_id")[
+            "cluster_id"].to_dict()
+
+        # reference: union-find, then min node VALUE per component
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in edges:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[rx] = ry
+        comp: dict = {}
+        for node in parent:
+            comp.setdefault(find(node), []).append(node)
+        want = {}
+        for members in comp.values():
+            lo = min(members)
+            for m in members:
+                want[m] = lo
+        assert got == want
+
+    def test_long_chain_converges(self):
+        """A 3000-hop chain: pointer jumping must converge (log rounds),
+        every node labeled by the chain head."""
+        import pyarrow as pa
+
+        from pycatcher_ray.stages.dedup import _cc_single_task
+
+        n = 3000
+        src = np.arange(n - 1, dtype=np.int64)
+        dst = src + 1
+        tbl = pa.table({"src": np.concatenate([src, dst]),
+                        "dst": np.concatenate([dst, src])})
+        out = _cc_single_task(tbl).to_pandas()
+        assert len(out) == n
+        assert (out["cluster_id"] == 0).all()

@@ -64,6 +64,7 @@ SUBSET = [
     "embedding_label_stats",
     "top_building_orders",
     "regional_supplier_revenue",
+    "large_order_customers",
     "boilerplate_phrases",
     "stl_decomposition_1h",
     "approx_users_by_type",
@@ -127,9 +128,13 @@ class TestApproxQuantileAccuracy:
 
         import numpy as np
 
-        from pycatcher_ray.queries import approx_p95_by_source
+        from pycatcher_ray.queries import _tdigest_quantiles_full
 
-        got = approx_p95_by_source("/root/testdata/sf0.001").to_pandas()
+        got = _tdigest_quantiles_full("/root/testdata/sf0.001").to_pandas()
+        # the query's own in-band booleans must agree (they feed the
+        # hard tolerance-band oracle)
+        assert bool(got["p50_in_rank_band"].all())
+        assert bool(got["p95_in_rank_band"].all())
         raw = duckdb.connect().execute(
             "SELECT event_type AS source, value FROM "
             "read_parquet('/root/testdata/sf0.001/events.parquet')"

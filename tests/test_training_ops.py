@@ -363,14 +363,18 @@ class TestDedupScaleDefenses:
             }
         )
         want = cluster_pairs(edges).set_index("doc_id")["cluster_id"]
-        got = (
-            cluster_pairs_distributed(rd.from_pandas(edges))
-            .to_pandas().set_index("doc_id")["cluster_id"]
-        )
-        assert set(got.index) == set(want.index)
-        # same partition structure (labels themselves both use min-id)
-        for d in want.index:
-            assert got[d] == want[d]
+        # both paths: the size-gated single-task CC (default cap) and
+        # the distributed label-propagation rounds (cap 0 forces them)
+        for cap in (2_000_000, 0):
+            got = (
+                cluster_pairs_distributed(rd.from_pandas(edges),
+                                          small_edge_cap=cap)
+                .to_pandas().set_index("doc_id")["cluster_id"]
+            )
+            assert set(got.index) == set(want.index)
+            # same partition structure (labels themselves both use min-id)
+            for d in want.index:
+                assert got[d] == want[d]
 
     def test_ngram_jaccard_exact_pairs(self, ray_session):
         """ngram_jaccard_pairs finds exactly the planted near-dup pair
