@@ -132,7 +132,7 @@ def throttle_probe(par: int = 8) -> float:
     return round(sum(ray.get([stream.remote() for _ in range(par)])), 2)
 
 
-def _run_bench() -> dict:
+def _run_bench(flagship_only: bool = False) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -211,6 +211,26 @@ def _run_bench() -> dict:
     # ---- per-operator timings on the driver sf dir ----------------------
     timings: dict[str, float] = {"flagship_tokens": headline}
 
+    if flagship_only:
+        # scaling-leg mode: the comparison metric is the flagship wall;
+        # running the operator queries + curation + ceiling microbench
+        # inside each leg burns the host's sustained-load CPU quota and
+        # contaminates the NEXT leg (measured: legs that follow a full
+        # bench read 2-3x slower at identical code — BASELINE.md round 4)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        result = {
+            "value": headline, "unit": "sec", "num_cpus": NUM_CPUS,
+            "input_rows": n_rows, "tokens_total": tokens_total,
+            "tokens_per_s": round(tokens_total / headline, 1),
+            "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            "stages": {k: v.get("seconds")
+                       for k, v in metrics["stages"].items()},
+            "wall_marks": metrics.get("wall_marks", {}),
+            "throttle_probes_gbps": probes,
+        }
+        ray.shutdown()
+        return result
+
     def timed(name, fn):
         t1 = time.time()
         fn()
@@ -274,13 +294,16 @@ def _run_bench() -> dict:
 
 
 def _run_subprocess(ncpu: int, rows: str | None = None,
-                    gen_only: bool = False) -> dict:
+                    gen_only: bool = False,
+                    flagship_only: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if rows is not None:
         env["GRAFT_BENCH_ROWS"] = rows
     args = [sys.executable, os.path.abspath(__file__)]
     if gen_only:
         args.append("--gen-only")
+    if flagship_only:
+        args.append("--flagship-only")
     out = subprocess.run(
         args, env=env, capture_output=True, text=True, check=True,
     ).stdout
@@ -311,18 +334,24 @@ def main():
         # is 1000× larger still) — same input for BOTH legs, which is
         # what the N-vs-4N rule compares.
         rows = os.environ.get("GRAFT_SCALING_ROWS", "48000000")
+        cooldown = int(os.environ.get("GRAFT_SCALING_COOLDOWN", "240"))
         _run_subprocess(hi, rows=rows, gen_only=True)  # untimed gen
-        time.sleep(60)  # quota cooldown after generation
+        time.sleep(cooldown)  # quota cooldown after generation
         # The host applies a sustained-load CPU quota: identical runs
-        # vary ~2.5x depending on what ran before them.  Take the
-        # minimum of two repetitions per level with cooldowns — min is
-        # the standard noise-robust estimator for benchmark wall time.
+        # vary ~2.5x depending on what ran before them.  Legs run
+        # flagship-only (the operator queries + ceiling microbench of a
+        # full bench leg burn the quota the NEXT leg needs — measured
+        # 2-3x leg-to-leg contamination, BASELINE.md round 4) with long
+        # cooldowns, and the minimum of two repetitions per level is
+        # taken — min is the standard noise-robust estimator.
         reps_hi, reps_lo = [], []
         for _ in range(2):
-            reps_hi.append(_run_subprocess(hi, rows=rows))
-            time.sleep(45)
-            reps_lo.append(_run_subprocess(lo, rows=rows))
-            time.sleep(45)
+            reps_hi.append(_run_subprocess(hi, rows=rows,
+                                           flagship_only=True))
+            time.sleep(cooldown)
+            reps_lo.append(_run_subprocess(lo, rows=rows,
+                                           flagship_only=True))
+            time.sleep(cooldown)
         r_hi = min(reps_hi, key=lambda r: r["value"])
         r_lo = min(reps_lo, key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -355,7 +384,8 @@ def main():
                              "hi": [r["value"] for r in reps_hi]},
         }))
     else:
-        print(json.dumps(_run_bench()))
+        print(json.dumps(_run_bench(
+            flagship_only="--flagship-only" in sys.argv)))
 
 
 if __name__ == "__main__":

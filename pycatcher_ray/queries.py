@@ -2819,6 +2819,373 @@ LIMIT 100
 """
 
 
+def late_shipment_priority(sf_dir: str, days: int = 90):
+    """TPC-H Q4 shape — EXISTS semi-join folded into one exchange:
+    count of orders per priority having at least one lineitem shipped
+    more than ``days`` days after the order date.  Distributed plan:
+    lineitem reduces to per-orderkey MAX(l_shipdate) partials per batch
+    (EXISTS(ship > cutoff) ≡ max(ship) > cutoff — the per-order state
+    is ONE timestamp, not the lineitem rows), meets the order rows in
+    one orderkey-hash exchange whose shard fn applies the lateness
+    predicate and emits per-priority integer count partials; a tiny
+    second exchange folds ≤ 5 × shards rows.  All-integer — bit-exact.
+    NOTE: the paired oracle SQL hardcodes days=90."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    lag = np.timedelta64(days, "D")
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "ts": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "kind": np.int64(1),
+        })
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partials(b: pd.DataFrame) -> pd.DataFrame:
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "ts": b["l_shipdate"],
+        }).groupby("okey", as_index=False)["ts"].max()
+        agg["o_orderpriority"] = ""
+        agg["kind"] = np.int64(0)
+        return agg[["okey", "ts", "o_orderpriority", "kind"]]
+
+    both = line.map_batches(ship_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def late_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ship = g[g["kind"] == 0].groupby("okey", as_index=False)["ts"].max()
+        o = g[g["kind"] == 1][["okey", "ts", "o_orderpriority"]].rename(
+            columns={"ts": "odate"})
+        j = o.merge(ship, on="okey", how="inner")
+        j = j[j["ts"].to_numpy() > (j["odate"].to_numpy() + lag)]
+        out = j.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n_late"})
+        out["n_late"] = out["n_late"].astype(np.int64)
+        return out
+
+    partials = sharded_map_groups(both, "okey", late_counts)
+    return sharded_aggregate(partials, "o_orderpriority",
+                             {"n_late": "sum"}, num_shards=4)
+
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+def inactive_customers(sf_dir: str, cutoff: str = "2000-01-01"):
+    """Distributed ANTI-join: customers with NO order on/after
+    ``cutoff``, counted per market segment (the churn screen).  Plan:
+    orders prune to (custkey) per-batch DISTINCT partials after the
+    date filter; customer rows union in and both meet in one
+    custkey-hash exchange whose shard fn drops every customer whose key
+    has an order row (set difference inside the shard — a key's rows
+    from both sides always co-locate); per-segment integer count
+    partials fold in a tiny second exchange.  All-integer — bit-exact.
+    NOTE: the paired oracle SQL hardcodes cutoff='2000-01-01'."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    cut = np.datetime64(cutoff)
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def active_partials(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(b.loc[b["o_orderdate"].to_numpy() >= cut,
+                               "o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"ckey": keys,
+                             "c_mktsegment": "",
+                             "kind": np.int64(0)})
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ckey": b["c_custkey"].astype(np.int64),
+                             "c_mktsegment": b["c_mktsegment"],
+                             "kind": np.int64(1)})
+
+    both = orders.map_batches(active_partials, batch_format="pandas").union(
+        cust.map_batches(tag_cust, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        active = g.loc[g["kind"] == 0, "ckey"].to_numpy(dtype=np.int64)
+        c = g[g["kind"] == 1]
+        c = c[~np.isin(c["ckey"].to_numpy(dtype=np.int64),
+                       np.unique(active))]
+        out = c.groupby("c_mktsegment", as_index=False).size().rename(
+            columns={"size": "n_inactive"})
+        out["n_inactive"] = out["n_inactive"].astype(np.int64)
+        return out
+
+    partials = sharded_map_groups(both, "ckey", anti)
+    return sharded_aggregate(partials, "c_mktsegment",
+                             {"n_inactive": "sum"}, num_shards=4)
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c.c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment
+"""
+
+
+def props_json_stats(sf_dir: str):
+    """Semi-structured column extraction: parse the JSON ``props``
+    payload on every event and aggregate its ``k`` field per event
+    type.  The hot path is ONE vectorized regex extract per batch over
+    the fixed-schema payload (no per-row ``json.loads`` — the schema is
+    validated by the null-count column instead: rows whose payload
+    doesn't yield an integer are counted, not crashed on).  Per-batch
+    integer partials → one small exchange.  All-integer — bit-exact."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        df = pd.DataFrame({"event_type": b["event_type"], "k": k})
+        ok = df[df["k"].notna()]
+        g = ok.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        bad = df[df["k"].isna()].groupby(
+            "event_type", as_index=False).size().rename(
+            columns={"size": "n_unparsed"})
+        g = g.merge(bad, on="event_type", how="outer")
+        for c in ("n_events", "sum_k", "n_unparsed"):
+            g[c] = g[c].fillna(0).astype(np.int64)
+        # identity elements, not 0 sentinels: a batch where a type has
+        # only unparsed rows must not pull the global min/max toward 0
+        g["min_k"] = g["min_k"].fillna(np.iinfo(np.int64).max).astype(
+            np.int64)
+        g["max_k"] = g["max_k"].fillna(np.iinfo(np.int64).min).astype(
+            np.int64)
+        return g
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+    folded = sharded_aggregate(parts, "event_type",
+                               {"n_events": "sum", "sum_k": "sum",
+                                "min_k": "min", "max_k": "max",
+                                "n_unparsed": "sum"}, num_shards=4)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        # a type with zero parsed rows anywhere: identity extremes →
+        # SQL-null min/max (matches the oracle's aggregate-over-empty)
+        none = b["n_events"].to_numpy() == 0
+        if none.any():
+            b = b.copy()
+            b.loc[none, ["sum_k", "min_k", "max_k"]] = pd.NA
+            for c in ("sum_k", "min_k", "max_k"):
+                b[c] = b[c].astype("Int64")
+        return b
+
+    return folded.map_batches(fin, batch_format="pandas")
+
+
+_PROPS_JSON_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) FILTER (
+         WHERE json_extract_string(props, '$.k') IS NULL) AS n_unparsed
+FROM events
+GROUP BY event_type
+"""
+
+
+def daily_event_pivot(sf_dir: str):
+    """Reshape/pivot: one row per day with the five event types as
+    integer count COLUMNS plus the row total (the wide activity matrix
+    BI layers ask for).  Per-batch (day, type) count partials → one
+    day-hash exchange whose shard fn folds and pivots (``pivot_table``
+    over the closed type vocabulary, zero-filled).  All-integer."""
+    from .stages.shard import sharded_map_groups
+
+    types = ("click", "error", "purchase", "signup", "view")
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b["ts"].to_numpy().astype("datetime64[D]")
+                   .astype("datetime64[us]"),
+            "event_type": b["event_type"],
+        }).groupby(["day", "event_type"], as_index=False).size().rename(
+            columns={"size": "c"})
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+
+    def pivot(shard: pd.DataFrame) -> pd.DataFrame:
+        wide = shard.pivot_table(index="day", columns="event_type",
+                                 values="c", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"day": wide.index})
+        total = np.zeros(len(wide), dtype=np.int64)
+        for t in types:
+            col = (wide[t].to_numpy(dtype=np.int64)
+                   if t in wide.columns else np.zeros(len(wide), np.int64))
+            out[f"n_{t}"] = col
+            total += col
+        out["n_total"] = total
+        return out
+
+    return sharded_map_groups(parts, "day", pivot)
+
+
+_PIVOT_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) AS n_total
+FROM events
+GROUP BY 1
+"""
+
+
+def lag_delta_1h(sf_dir: str):
+    """Window-function LAG: hour-over-hour change of each source's
+    hourly sum, over OBSERVED buckets (gaps don't interpolate — LAG
+    semantics).  Rides the memoized 1h rollup; one source-hash exchange
+    whose shard fn sorts each source's buckets and takes the vectorized
+    shifted difference (first bucket per source → null, as SQL LAG).
+    Exactness: both engines subtract the IDENTICAL 4-dp-rounded doubles
+    the rollup oracle already pins — one IEEE subtract each side, no
+    extra rounding."""
+    from .stages.shard import sharded_map_groups
+
+    roll = rollup_events(sf_dir, "1h").select_columns(
+        ["source", "bucket_start", "sum_value"])
+
+    def delta(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        prev = shard.groupby("source")["sum_value"].shift(1)
+        return pd.DataFrame({
+            "source": shard["source"],
+            "bucket_start": shard["bucket_start"],
+            "sum_value": shard["sum_value"],
+            "delta": shard["sum_value"] - prev,
+        })
+
+    return sharded_map_groups(roll, "source", delta)
+
+
+_LAG_DELTA_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT source, bucket_start, sum_value,
+       sum_value - LAG(sum_value) OVER (
+         PARTITION BY source ORDER BY bucket_start) AS delta
+FROM r
+"""
+
+
+def doc_repetition(sf_dir: str, n: int = 3):
+    """C4-style WITHIN-document repetition screen: per document, the
+    total and distinct word ``n``-gram counts and the repeated-gram
+    fraction (1 − distinct/total) — the quality feature curation
+    pipelines threshold to drop template/spam pages.  Entirely
+    map-side (a document never spans batches, so no exchange at all):
+    the same shifted-object-array gram build as boilerplate_phrases,
+    then one vectorized per-batch groupby.  Docs with fewer than ``n``
+    words emit no row (they have no grams), matching the oracle's join
+    semantics.  Exactness: counts are integers; rep_ratio is one IEEE
+    divide + subtract of identical values on both sides — bit-exact
+    with NO rounding step (round() at a fixed precision would reopen
+    the half-tie rule gap for power-of-two gram counts).
+    NOTE: the paired oracle SQL hardcodes n=3."""
+    ds = _documents(sf_dir)
+
+    def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        words, docs = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            ws = [w for w in (text or "").split(" ") if w]
+            words.append(np.asarray(ws, dtype=object))
+            docs.append(np.full(len(ws), did, dtype=np.int64))
+        cols = ["doc_id", "n_grams", "n_distinct", "rep_ratio"]
+        if not words:
+            return pd.DataFrame(columns=cols)
+        w = np.concatenate(words)
+        d = np.concatenate(docs)
+        if w.size < n:
+            return pd.DataFrame(columns=cols)
+        ok = d[: w.size - n + 1] == d[n - 1:]
+        gram = w[: w.size - n + 1].copy()
+        for k in range(1, n):
+            gram = gram + " "
+            gram = gram + w[k: w.size - n + k + 1]
+        df = pd.DataFrame({"doc_id": d[: w.size - n + 1][ok],
+                           "gram": gram[ok]})
+        g = df.groupby("doc_id").agg(
+            n_grams=("gram", "size"), n_distinct=("gram", "nunique"))
+        g = g.reset_index()
+        tot = g["n_grams"].to_numpy(dtype=np.int64)
+        uni = g["n_distinct"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_grams": tot,
+            "n_distinct": uni,
+            "rep_ratio": 1.0 - uni / tot,
+        })
+
+    return ds.map_batches(per_doc, batch_format="pandas")
+
+
+_DOC_REPETITION_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM raw WHERE w <> ''
+), g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+  FROM t a
+  JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+       1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS rep_ratio
+FROM g GROUP BY doc_id
+"""
+
+
 def boilerplate_phrases(sf_dir: str, n: int = 5, min_docs: int = 2):
     """C4-style boilerplate phrase mining: word 5-grams that repeat
     across ≥ min_docs distinct documents, with doc and occurrence
@@ -5313,6 +5680,12 @@ def _registry():
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
         "large_order_customers": large_order_customers,
+        "late_shipment_priority": late_shipment_priority,
+        "inactive_customers": inactive_customers,
+        "props_json_stats": props_json_stats,
+        "daily_event_pivot": daily_event_pivot,
+        "lag_delta_1h": lag_delta_1h,
+        "doc_repetition": doc_repetition,
         "asof_join_features": asof_join_features,
         "range_join_recent_flags": range_join_recent_flags,
         "boilerplate_phrases": boilerplate_phrases,
@@ -5434,6 +5807,12 @@ def oracles():
         "top_building_orders": _Q3_ORACLE,
         "regional_supplier_revenue": _Q5_ORACLE,
         "large_order_customers": _Q18_ORACLE,
+        "late_shipment_priority": _Q4_ORACLE,
+        "inactive_customers": _ANTI_JOIN_ORACLE,
+        "props_json_stats": _PROPS_JSON_ORACLE,
+        "daily_event_pivot": _PIVOT_ORACLE,
+        "lag_delta_1h": _LAG_DELTA_ORACLE,
+        "doc_repetition": _DOC_REPETITION_ORACLE,
         "boilerplate_phrases": _BOILERPLATE_ORACLE,
         "asof_join_features": _ASOF_ORACLE,
         "range_join_recent_flags": _RANGE_JOIN_ORACLE,

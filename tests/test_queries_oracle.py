@@ -68,6 +68,12 @@ SUBSET = [
     "boilerplate_phrases",
     "stl_decomposition_1h",
     "approx_users_by_type",
+    "late_shipment_priority",
+    "inactive_customers",
+    "props_json_stats",
+    "daily_event_pivot",
+    "lag_delta_1h",
+    "doc_repetition",
 ]
 
 
