@@ -344,6 +344,20 @@ def main():
         # 2-3x leg-to-leg contamination, BASELINE.md round 4) with long
         # cooldowns, and the minimum of two repetitions per level is
         # taken — min is the standard noise-robust estimator.
+        #
+        # CAVEAT the round-4 reps exposed: min-of-2 can PAIR LEGS FROM
+        # DIFFERENT CLOCK WINDOWS.  This host also has turbo windows
+        # where per-core clocks run ~1.6x their sustained rate; a
+        # 4-cpu leg that lands in one halves while a 16-cpu leg barely
+        # moves (16 cores saturate the shared budget), so a min-lo from
+        # a turbo window against a min-hi from a sustained window reads
+        # an efficiency that measures CLOCK ASYMMETRY, not the
+        # pipeline (r3 analysis, BASELINE.md).  The JSON therefore also
+        # reports every BACK-TO-BACK pair's efficiency with each leg's
+        # in-run throttle probes, and selects the pair whose legs'
+        # probes are flattest (closest per-core clock) as
+        # `efficiency_flat_window` — the window-comparable measurement
+        # the north rule's two-cluster-size criterion actually wants.
         reps_hi, reps_lo = [], []
         for _ in range(2):
             reps_hi.append(_run_subprocess(hi, rows=rows,
@@ -352,6 +366,26 @@ def main():
             reps_lo.append(_run_subprocess(lo, rows=rows,
                                            flagship_only=True))
             time.sleep(cooldown)
+
+        def _probe(r):
+            p = r.get("throttle_probes_gbps") or {}
+            vals = [v for v in p.values() if v]
+            return sum(vals) / len(vals) if vals else None
+
+        pairs = []
+        for r_h, r_l in zip(reps_hi, reps_lo):
+            p_h, p_l = _probe(r_h), _probe(r_l)
+            pairs.append({
+                "sec_hi": r_h["value"], "sec_lo": r_l["value"],
+                "probe_gbps_hi": p_h, "probe_gbps_lo": p_l,
+                "probe_ratio_lo_over_hi": (
+                    round(p_l / p_h, 3) if p_h and p_l else None),
+                "efficiency": round(
+                    (r_l["value"] / r_h["value"]) / (hi / lo), 3),
+            })
+        flat_i = min(
+            range(len(pairs)),
+            key=lambda i: abs((pairs[i]["probe_ratio_lo_over_hi"] or 9) - 1))
         r_hi = min(reps_hi, key=lambda r: r["value"])
         r_lo = min(reps_lo, key=lambda r: r["value"])
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -382,6 +416,13 @@ def main():
             "probes_gbps_hi": r_hi.get("throttle_probes_gbps"),
             "all_reps_sec": {"lo": [r["value"] for r in reps_lo],
                              "hi": [r["value"] for r in reps_hi]},
+            "pairs": pairs,
+            "efficiency_flat_window": pairs[flat_i]["efficiency"],
+            "flat_pair_probe_ratio":
+                pairs[flat_i]["probe_ratio_lo_over_hi"],
+            "all_reps_probes_gbps": {
+                "lo": [r.get("throttle_probes_gbps") for r in reps_lo],
+                "hi": [r.get("throttle_probes_gbps") for r in reps_hi]},
         }))
     else:
         print(json.dumps(_run_bench(

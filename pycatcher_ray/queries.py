@@ -5625,6 +5625,351 @@ def media_features(sf_dir: str):
     return agg.map_batches(fin, batch_format="pandas")
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 (Steele et al., the JDK SplittableRandom
+    finalizer) over uint64 — the engine's deterministic row-hash for
+    consistent sampling.  Bit-exact reproducible in ANSI SQL via HUGEINT
+    mod-2^64 arithmetic (see _HASH_SAMPLE_ORACLE), so hash-derived
+    sampling decisions are oracle-checkable, not rows-only."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_sample_docs(sf_dir: str, rate_num: int = 1, rate_den: int = 8):
+    """Consistent deterministic sampling: keep a doc iff
+    splitmix64(doc_id) < rate × 2^64 — the web-pipeline sampling
+    primitive (stable across runs/partitions/cluster sizes, so a
+    resumed or re-sharded job draws the SAME sample; no RNG state).
+    Map-only: no shuffle, columns pruned at the read; the emitted h64
+    pins the full 64-bit hash value against the SQL reimplementation,
+    not just the kept-set."""
+    threshold = (2**64 * rate_num) // rate_den
+    ds = _documents(sf_dir, ("doc_id", "lang", "source"))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(ids)  # doc_id >= 0, so int64 == uint64 view
+        keep = h < np.uint64(threshold)
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "source": batch["source"],
+            # below the 1/8 threshold 2^61 the hash fits signed int64
+            "h64": pa.array(h.astype(np.int64)),
+        })
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_mulmod64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 in DuckDB HUGEINT without INT128 overflow:
+    split a into 32-bit halves so every product stays under 2^96."""
+    return (f"((({a}) % 4294967296) * {c} + "
+            f"(((({a}) // 4294967296) * {c}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616")
+
+
+_HASH_SAMPLE_ORACLE = f"""
+WITH s1 AS (
+  SELECT doc_id, lang, source,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS z
+  FROM documents
+), s2 AS (
+  SELECT doc_id, lang, source,
+         {_sql_mulmod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s1
+), s3 AS (
+  SELECT doc_id, lang, source,
+         {_sql_mulmod64("xor(z, z // 134217728)", 0x94D049BB133111EB)} AS z
+  FROM s2
+), h AS (
+  SELECT doc_id, lang, source, xor(z, z // 2147483648) AS h FROM s3
+)
+SELECT doc_id, lang, source, CAST(h AS BIGINT) AS h64
+FROM h WHERE h < 2305843009213693952
+"""
+
+
+def per_source_doc_cap(sf_dir: str, cap: int = 20):
+    """Per-domain quota (CommonCrawl-style per-source cap): keep the
+    ``cap`` lowest-doc_id documents of each source.  Partial top-k: each
+    batch locally keeps ≤ cap rows per source BEFORE the exchange, so
+    the all-to-all moves O(cap × sources × batches) rows — never the
+    corpus — and the final per-source rank is assigned in one
+    source-keyed exchange over that bounded set (the Q18/top-k pattern
+    applied to curation quotas)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _documents(sf_dir, ("doc_id", "lang", "source", "n_chars"))
+
+    def local_cap(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["source", "doc_id"], kind="stable")
+        return b[b.groupby("source", sort=False).cumcount() < cap]
+
+    part = ds.map_batches(local_cap, batch_format="pandas")
+
+    def final_rank(shard: pd.DataFrame) -> pd.DataFrame:
+        s = shard.sort_values(["source", "doc_id"], kind="stable")
+        s = s.assign(rk=s.groupby("source", sort=False).cumcount() + 1)
+        return s[s["rk"] <= cap]
+
+    return sharded_map_groups(part, "source", final_rank)
+
+
+_DOC_CAP_ORACLE = """
+SELECT source, doc_id, lang, n_chars, rk FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def vocab_stats_by_source(sf_dir: str):
+    """Corpus vocabulary profile per source: document count, token
+    count, DISTINCT word count and type-token ratio — the Heaps/Zipf
+    health check of a crawl slice (a collapsing TTR flags boilerplate
+    or spam floods).  ONE corpus pass emits a tagged union — batch-local
+    distinct (source, word) rows plus per-source token/doc counter
+    rows — through a (source, word)-keyed exchange that finishes the
+    global distinct; a second tiny source-keyed fold sums the three
+    integer partials.  Words cross the exchange as strings here (exact
+    = the oracle's contract); the 100-TB path swaps in the 128-bit
+    content digest of dedup_exact with the same shape."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        tok: dict = {}
+        n_docs: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            tok[s] = tok.get(s, 0) + len(ws)
+            n_docs[s] = n_docs.get(s, 0) + 1
+            srcs.append(s)
+            words.append(ws)
+        flat = pd.DataFrame({
+            "source": np.repeat(np.asarray(srcs, dtype=object),
+                                [len(w) for w in words]),
+            "w": np.concatenate([np.asarray(w, dtype=object)
+                                 for w in words]) if words else
+                 np.array([], dtype=object),
+        }).drop_duplicates()
+        flat["p_tok"] = 0
+        flat["p_docs"] = 0
+        counters = pd.DataFrame({
+            "source": list(tok),
+            "w": "",  # the word regex never matches empty — no collision
+            "p_tok": [tok[s] for s in tok],
+            "p_docs": [n_docs[s] for s in tok],
+        })
+        return pd.concat([flat, counters], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def shard_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        wrows = shard[shard["w"] != ""].drop_duplicates(["source", "w"])
+        dist = wrows.groupby("source", as_index=False).size().rename(
+            columns={"size": "p_distinct"})
+        dist[["p_tok", "p_docs"]] = 0
+        crows = shard[shard["w"] == ""].groupby(
+            "source", as_index=False)[["p_tok", "p_docs"]].sum()
+        crows["p_distinct"] = 0
+        return pd.concat([dist, crows], ignore_index=True)[
+            ["source", "p_distinct", "p_tok", "p_docs"]]
+
+    partials = sharded_map_groups(tagged, ["source", "w"], shard_fold)
+    agg = sharded_aggregate(partials, ["source"],
+                            {"p_distinct": "sum", "p_tok": "sum",
+                             "p_docs": "sum"}, num_shards=4)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        tokn = b["p_tok"].to_numpy(dtype=np.int64)
+        dist = b["p_distinct"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_docs": b["p_docs"].astype(np.int64),
+            "n_tokens": tokn,
+            "n_distinct_words": dist,
+            # ONE int/int divide — bit-deterministic in both engines
+            "ttr": np.where(tokn > 0, dist / np.where(tokn > 0, tokn, 1),
+                            0.0),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_VOCAB_STATS_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), agg AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+  FROM words GROUP BY source
+), d AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.n_distinct, 0) AS n_distinct_words,
+       CASE WHEN coalesce(agg.n_tokens, 0) > 0
+            THEN CAST(agg.n_distinct AS DOUBLE) / agg.n_tokens
+            ELSE 0.0 END AS ttr
+FROM d LEFT JOIN agg USING (source)
+"""
+
+
+def sax_daily_words(sf_dir: str):
+    """SAX symbolization (Lin et al. 2003) of the hourly tier: each
+    source's hourly sums z-normalize against the source's own
+    mean/stddev and discretize into a 4-letter alphabet at the Gaussian
+    breakpoints ±0.6745/0, then concatenate into one motif WORD per
+    (source, day) — the standard symbolic index for motif/novelty
+    mining over fleets of series.  Cross-engine determinism: sums work
+    in integer 1e-4 units, so the z<0 comparison is INTEGER-exact
+    (D = v4·n − S), and the ±0.6745·σ comparisons put float drift
+    (~1e-16) against an irrational boundary — the same argument as the
+    zscore family.  Shape: per-batch integer moment partials → tiny
+    source fold → broadcast to a map stage → one (source, day)-keyed
+    exchange builds the words."""
+    import ray
+
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+
+    def v4_of(batch: pd.DataFrame) -> np.ndarray:
+        v = _round_exact(batch["sum_value"].to_numpy(dtype=np.float64))
+        return np.rint(v * 1e4).astype(np.int64)
+
+    def moment_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        v4 = v4_of(batch)
+        g = pd.DataFrame({"source": batch["event_type"], "v4": v4,
+                          "q": v4.astype(np.float64) ** 2})
+        out = g.groupby("source", as_index=False).agg(
+            n=("v4", "size"), S=("v4", "sum"), Qf=("q", "sum"))
+        return out
+
+    moments = sharded_aggregate(
+        roll.map_batches(moment_partials, batch_format="pandas"),
+        ["source"], {"n": "sum", "S": "sum", "Qf": "sum"}, num_shards=4,
+    ).to_pandas().set_index("source")  # one row per source — driver-sized
+    mom_ref = ray.put(moments)
+
+    def symbolize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mom_ref)
+        src = batch["event_type"]
+        n = src.map(m["n"]).to_numpy(dtype=np.int64)
+        S = src.map(m["S"]).to_numpy(dtype=np.int64)
+        Qf = src.map(m["Qf"]).to_numpy(dtype=np.float64)
+        v4 = v4_of(batch)
+        D = (v4 * n - S).astype(np.float64)  # exact ints < 2^53
+        sigma2 = n.astype(np.float64) * Qf - S.astype(np.float64) * \
+            S.astype(np.float64)
+        T = 0.6745 * np.sqrt(np.maximum(sigma2, 0.0))
+        sym = np.full(len(v4), "d", dtype=object)
+        sym[D < T] = "c"
+        sym[D < 0] = "b"
+        sym[D < -T] = "a"
+        sym[sigma2 <= 0] = "c"
+        return pd.DataFrame({
+            "source": src.to_numpy(),
+            "bucket_start": batch["bucket_start"],
+            "day": batch["bucket_start"].dt.floor("D"),
+            "sym": sym,
+        })
+
+    syms = roll.map_batches(symbolize, batch_format="pandas")
+
+    def words(shard: pd.DataFrame) -> pd.DataFrame:
+        s = shard.sort_values(["source", "day", "bucket_start"],
+                              kind="stable")
+        g = s.groupby(["source", "day"], sort=False)
+        out = g.agg(n_obs=("sym", "size"),
+                    word=("sym", "".join)).reset_index()
+        return out
+
+    return sharded_map_groups(syms, ["source", "day"], words)
+
+
+_SAX_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT source, count(*) AS n, sum(v4) AS S,
+         sum(CAST(v4 AS DOUBLE) * v4) AS Qf
+  FROM r GROUP BY source
+), sy AS (
+  SELECT r.source, r.bucket_start,
+         CASE
+           WHEN CAST(m.n AS DOUBLE) * m.Qf
+                - CAST(m.S AS DOUBLE) * CAST(m.S AS DOUBLE) <= 0 THEN 'c'
+           WHEN r.v4 * m.n - m.S
+                < -(0.6745 * sqrt(CAST(m.n AS DOUBLE) * m.Qf
+                    - CAST(m.S AS DOUBLE) * CAST(m.S AS DOUBLE))) THEN 'a'
+           WHEN r.v4 * m.n - m.S < 0 THEN 'b'
+           WHEN r.v4 * m.n - m.S
+                < 0.6745 * sqrt(CAST(m.n AS DOUBLE) * m.Qf
+                    - CAST(m.S AS DOUBLE) * CAST(m.S AS DOUBLE)) THEN 'c'
+           ELSE 'd'
+         END AS sym
+  FROM r JOIN m USING (source)
+)
+SELECT source, date_trunc('day', bucket_start) AS day,
+       count(*) AS n_obs,
+       string_agg(sym, '' ORDER BY bucket_start) AS word
+FROM sy GROUP BY 1, 2
+"""
+
+
+def ngram_containment(sf_dir: str, threshold: float = 0.9):
+    """EXACT word-trigram containment pairs (co / min set size ≥ 0.9)
+    over documents — the asymmetric near-dup detector for a short doc
+    embedded in a longer one, which Jaccard dilutes as the length ratio
+    grows.  Same distributed inverted-index join as ngram_jaccard; the
+    score is ONE unrounded int/int divide (bit-equal across engines)."""
+    from .stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(sf_dir), k=3,
+                               threshold=threshold, metric="containment")
+
+
+_NGRAM_CONTAINMENT_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        w -> lower(w)) AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+       co.c * 1.0 / least(sa.n, sb.n) AS containment
+FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+        JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE co.c * 1.0 / least(sa.n, sb.n) >= 0.9
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -5675,6 +6020,11 @@ def _registry():
         "p95_hourly_by_source": p95_hourly_by_source,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
+        "ngram_containment": ngram_containment,
+        "hash_sample_docs": hash_sample_docs,
+        "per_source_doc_cap": per_source_doc_cap,
+        "vocab_stats_by_source": vocab_stats_by_source,
+        "sax_daily_words": sax_daily_words,
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "top_building_orders": top_building_orders,
@@ -5831,6 +6181,11 @@ def oracles():
         "moving_average_flags_1d": _MA_ORACLE,
         "stl_recon_1h": _STL_RECON_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "ngram_containment": _NGRAM_CONTAINMENT_ORACLE,
+        "hash_sample_docs": _HASH_SAMPLE_ORACLE,
+        "per_source_doc_cap": _DOC_CAP_ORACLE,
+        "vocab_stats_by_source": _VOCAB_STATS_ORACLE,
+        "sax_daily_words": _SAX_ORACLE,
         "chunks_downsample_1h": _CHUNKS_DOWNSAMPLE_ORACLE,
         "gapfill_locf_1h": _GAPFILL_ORACLE,
         "monthwise_box_stats": _MONTHWISE_BOX_ORACLE,

@@ -647,7 +647,8 @@ def minhash_dedup(docs_ds, num_perm: int = 128, bands: int = 32, k: int = 3,
 
 
 def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
-                        num_shards: int = 64, df_cap: int | None = None):
+                        num_shards: int = 64, df_cap: int | None = None,
+                        metric: str = "jaccard"):
     """EXACT word-k-gram Jaccard similar pairs via a distributed
     inverted-index join — no all-pairs scan, no LSH approximation.
 
@@ -666,7 +667,14 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     ``df_cap`` optionally drops grams whose document frequency exceeds
     the cap (stop-gram pruning — a gram in 10^5 docs contributes O(df²)
     pairs and ~nothing to near-dup evidence).  Default None = exact,
-    matching the SQL oracle."""
+    matching the SQL oracle.
+
+    ``metric="containment"`` scores co / min(n_a, n_b) instead — the
+    containment coefficient catches a short doc embedded inside a long
+    one (quote farms, boilerplate wrappers), which symmetric Jaccard
+    dilutes toward 0 as the length ratio grows.  The score is the exact
+    rational co/min emitted as ONE unrounded int/int divide, bit-equal
+    across engines regardless of accumulation order."""
     from .shard import sharded_aggregate, sharded_map_groups
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -735,11 +743,16 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        union = b["n_a"] + b["n_b"] - b["co"]
-        jac = b["co"] / union.where(union > 0, 1)
         out = b[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = jac.round(4)
-        return out[jac >= threshold]
+        if metric == "containment":
+            denom = np.minimum(b["n_a"].to_numpy(), b["n_b"].to_numpy())
+            score = b["co"].to_numpy() / np.where(denom > 0, denom, 1)
+            out["containment"] = score  # exact int/int divide, no round
+        else:
+            union = (b["n_a"] + b["n_b"] - b["co"]).to_numpy()
+            score = b["co"].to_numpy() / np.where(union > 0, union, 1)
+            out["jaccard"] = np.round(score, 4)
+        return out[score >= threshold]
 
     return co.map_batches(finish, batch_format="pandas")
 

@@ -60,6 +60,7 @@ FUZZ_QUERIES = [
     "seasonal_envelope",
     "error_rate_hourly",
     "rolling_zscore_flags_1h",
+    "sax_daily_words",
 ]
 
 
@@ -181,12 +182,15 @@ def _synth_docs(seed: int, n: int = 160) -> pa.Table:
             "text": pa.array(texts),
             "lang": pa.array(langs),
             "source": pa.array(srcs),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
         }
     )
 
 
 DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
-                    "ngram_jaccard", "boilerplate_phrases"]
+                    "ngram_jaccard", "boilerplate_phrases",
+                    "hash_sample_docs", "per_source_doc_cap",
+                    "vocab_stats_by_source", "ngram_containment"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -491,3 +491,32 @@ class TestGorillaBatched:
             assert (t2 == np.asarray(ts, dtype=np.int64)).all()
             assert (v2.view(np.uint64)
                     == np.asarray(vals, float).view(np.uint64)).all()
+
+
+class TestSplitmix64:
+    def test_known_answers(self):
+        """Published splitmix64 outputs (SplittableRandom finalizer):
+        the first three outputs for seed 0 are the de-facto reference
+        vector (e.g. the xoshiro/splitmix64 reference C code)."""
+        import numpy as np
+
+        from pycatcher_ray.queries import _splitmix64
+
+        got = _splitmix64(np.array([0, 1, 2], dtype=np.int64))
+        assert got.tolist() == [16294208416658607535,
+                                10451216379200822465,
+                                10905525725756348110]
+
+    def test_matches_pure_python(self):
+        import numpy as np
+
+        from pycatcher_ray.queries import _splitmix64
+
+        def ref(x: int) -> int:
+            z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            return z ^ (z >> 31)
+
+        xs = np.array([0, 5, 123456789, 2**62, 2**63 - 1], dtype=np.uint64)
+        assert _splitmix64(xs).tolist() == [ref(int(x)) for x in xs]

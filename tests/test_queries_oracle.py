@@ -74,6 +74,11 @@ SUBSET = [
     "daily_event_pivot",
     "lag_delta_1h",
     "doc_repetition",
+    "hash_sample_docs",
+    "per_source_doc_cap",
+    "vocab_stats_by_source",
+    "sax_daily_words",
+    "ngram_containment",
 ]
 
 
