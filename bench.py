@@ -358,11 +358,45 @@ def main():
         # probes are flattest (closest per-core clock) as
         # `efficiency_flat_window` — the window-comparable measurement
         # the north rule's two-cluster-size criterion actually wants.
+        # Clock-state standardization: the turbo credits that refill
+        # during a cooldown boost a 4-core leg far more than a 16-core
+        # leg (shared power budget), which is the asymmetry above.  An
+        # optional full-width streaming burn IMMEDIATELY before each
+        # timed leg drains those credits so both legs start from the
+        # same sustained-clock state; the cooldown before the burn has
+        # already refilled the sustained-load quota the leg needs.
+        burn_s = int(os.environ.get("GRAFT_SCALING_BURN", "45"))
+
+        def _burn(seconds: int, workers: int = 16) -> None:
+            if seconds <= 0:
+                return
+            import multiprocessing as mp
+
+            def _spin(stop_t: float) -> None:
+                import numpy as _np
+                import time as _t
+
+                x = _np.ones(4 * 1024 * 1024)
+                y = _np.ones(4 * 1024 * 1024)
+                while _t.time() < stop_t:
+                    _np.add(x, y, out=y)
+                    _np.multiply(y, 0.5, out=y)
+
+            stop_t = time.time() + seconds
+            procs = [mp.Process(target=_spin, args=(stop_t,))
+                     for _ in range(workers)]
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join()
+
         reps_hi, reps_lo = [], []
         for _ in range(2):
+            _burn(burn_s)
             reps_hi.append(_run_subprocess(hi, rows=rows,
                                            flagship_only=True))
             time.sleep(cooldown)
+            _burn(burn_s)
             reps_lo.append(_run_subprocess(lo, rows=rows,
                                            flagship_only=True))
             time.sleep(cooldown)

@@ -5970,6 +5970,204 @@ WHERE co.c * 1.0 / least(sa.n, sb.n) >= 0.9
 """
 
 
+# per-language keep rates for mixture_sample_docs — powers of two so the
+# thresholds rate×2^64 are exact integers in BOTH engines
+_MIXTURE_RATES = {"en": (1, 2), "zh": (1, 4), "es": (1, 8), "de": (1, 8),
+                  "fr": (1, 16)}
+_MIXTURE_DEFAULT = (1, 16)
+
+
+def mixture_sample_docs(sf_dir: str):
+    """Training-mix reweighting: keep each doc at its LANGUAGE's target
+    rate (en 1/2, zh 1/4, es/de 1/8, others 1/16) using the same
+    splitmix64(doc_id) coin as hash_sample_docs — the deterministic
+    mixture-sampling primitive behind corpus reweighting (a doc's
+    keep/drop decision is a pure function of (doc_id, lang): stable
+    across runs, partitionings and cluster sizes, and composable with
+    other hash-gated stages because the SAME hash value is compared to
+    per-key thresholds).  Map-only, no shuffle."""
+    ds = _documents(sf_dir, ("doc_id", "lang", "source"))
+    thr = {k: np.uint64((2**64 * a) // b)
+           for k, (a, b) in _MIXTURE_RATES.items()}
+    default = np.uint64((2**64 * _MIXTURE_DEFAULT[0]) // _MIXTURE_DEFAULT[1])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(batch["doc_id"].to_numpy())
+        t = batch["lang"].map(thr).fillna(default).to_numpy(dtype=np.uint64)
+        return batch[h < t]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _mixture_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {(2**64 * a) // b}"
+        for k, (a, b) in _MIXTURE_RATES.items())
+    dflt = (2**64 * _MIXTURE_DEFAULT[0]) // _MIXTURE_DEFAULT[1]
+    return f"CASE lang {cases} ELSE {dflt} END"
+
+
+_MIXTURE_SAMPLE_ORACLE = f"""
+WITH s1 AS (
+  SELECT doc_id, lang, source,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS z
+  FROM documents
+), s2 AS (
+  SELECT doc_id, lang, source,
+         {_sql_mulmod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s1
+), s3 AS (
+  SELECT doc_id, lang, source,
+         {_sql_mulmod64("xor(z, z // 134217728)", 0x94D049BB133111EB)} AS z
+  FROM s2
+)
+SELECT doc_id, lang, source
+FROM s3 WHERE xor(z, z // 2147483648) < {_mixture_threshold_sql()}
+"""
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5):
+    """Collocation mining: adjacent word-pair counts with a PMI-style
+    association ratio score = (co · n_tokens) / (c1 · c2) for bigrams
+    seen ≥ min_count times — the corpus-statistics pass behind tokenizer
+    merges and stock-phrase detection.  Distribution: vectorized
+    shifted-array bigram build per batch (the boilerplate_phrases gram
+    machinery at k=2) with batch-local count partials; word/bigram
+    count folds ride key-hashed exchanges; unigram counts attach to the
+    bigram table through two more word-keyed exchanges (tagged union —
+    no broadcast of the vocab, which is corpus-sized at 100 TB).  The
+    score is exact-int products converted once and divided once —
+    bit-deterministic in both engines (int64 products stay < 2^63 at
+    bench scale; the 100-TB path promotes to float products, losing
+    only last-ulp)."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("text",))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        w1s, w2s, unis = [], [], []
+        for t in batch["text"]:
+            ws = _WORD_RE.findall((t or "").lower())
+            if ws:
+                unis.append(np.asarray(ws, dtype=object))
+            if len(ws) >= 2:
+                a = np.asarray(ws, dtype=object)
+                w1s.append(a[:-1])
+                w2s.append(a[1:])
+        uni = (pd.Series(np.concatenate(unis)) if unis
+               else pd.Series([], dtype=object))
+        ucnt = uni.value_counts()
+        out_u = pd.DataFrame({
+            "w1": ucnt.index.to_numpy(dtype=object), "w2": "",
+            "p_n": ucnt.to_numpy(dtype=np.int64)})
+        if w1s:
+            bi = pd.DataFrame({"w1": np.concatenate(w1s),
+                               "w2": np.concatenate(w2s)})
+            out_b = bi.groupby(["w1", "w2"], as_index=False).size().rename(
+                columns={"size": "p_n"})
+        else:
+            out_b = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                  "w2": pd.Series([], dtype=object),
+                                  "p_n": pd.Series([], dtype=np.int64)})
+        return pd.concat([out_b, out_u], ignore_index=True)
+
+    counts = sharded_aggregate(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["w1", "w2"], {"p_n": "sum"})
+
+    # total token count rides the unigram rows (w2 == "")
+    def split_tag(b: pd.DataFrame) -> pd.DataFrame:
+        isu = (b["w2"] == "").to_numpy()
+        out = b.copy()
+        out["kind"] = np.where(isu, 1, 0)  # 1 = unigram count row
+        return out
+
+    # materialized once: both the c1/c2 attach chain and the corpus
+    # total below consume it, and it is vocab-sized (distinct unigrams
+    # + distinct bigrams), not corpus-sized
+    tagged = counts.map_batches(split_tag, batch_format="pandas").materialize()
+
+    def attach_c1(shard: pd.DataFrame) -> pd.DataFrame:
+        # key = w1: unigram rows provide c(w1); bigram rows consume
+        u = shard[shard["kind"] == 1].drop_duplicates("w1").set_index(
+            "w1")["p_n"]
+        b = shard[(shard["kind"] == 0) & (shard["p_n"] >= 1)].copy()
+        b["c1"] = b["w1"].map(u).fillna(0).astype(np.int64)
+        # re-emit the unigram rows too: they key the next exchange AND
+        # carry the corpus total
+        u_rows = shard[shard["kind"] == 1].copy()
+        u_rows["c1"] = 0
+        return pd.concat([b, u_rows], ignore_index=True)
+
+    step1 = sharded_map_groups(tagged, "w1", attach_c1)
+
+    def rekey(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        # unigram rows must land where bigrams look up their SECOND word
+        out["jk"] = np.where(out["kind"] == 1, out["w1"], out["w2"])
+        return out
+
+    step1k = step1.map_batches(rekey, batch_format="pandas")
+
+    def attach_c2(shard: pd.DataFrame) -> pd.DataFrame:
+        u = shard[shard["kind"] == 1].drop_duplicates("w1").set_index(
+            "w1")["p_n"]
+        b = shard[shard["kind"] == 0].copy()
+        b["c2"] = b["w2"].map(u).fillna(0).astype(np.int64)
+        return b[["w1", "w2", "p_n", "c1", "c2"]].rename(
+            columns={"p_n": "co"})
+
+    pairs = sharded_map_groups(step1k, "jk", attach_c2)
+
+    # corpus token total: tiny driver-side fold of the unigram counts
+    # (vocab-sized partials were already combined by the first
+    # exchange; summing ≤|vocab| ints is the same driver-sized pull as
+    # the broadcast small sides elsewhere)
+    total = tagged.map_batches(
+        lambda b: pd.DataFrame({"t": [int(b.loc[b["kind"] == 1,
+                                               "p_n"].sum())]}),
+        batch_format="pandas").to_pandas()["t"].sum()
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["co"] >= min_count].copy()
+        num = (b["co"].to_numpy(dtype=np.int64) * int(total)).astype(
+            np.float64)
+        den = (b["c1"].to_numpy(dtype=np.int64)
+               * b["c2"].to_numpy(dtype=np.int64)).astype(np.float64)
+        b["pmi_ratio"] = num / np.where(den > 0, den, 1)
+        return b
+
+    return pairs.map_batches(fin, batch_format="pandas")
+
+
+_BIGRAM_PMI_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        w -> lower(w)) AS ws
+  FROM documents
+), uni AS (
+  SELECT ws[i] AS w, count(*) AS c
+  FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)
+  GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM uni
+), bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS co
+  FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT bi.w1, bi.w2, bi.co, u1.c AS c1, u2.c AS c2,
+       CAST(bi.co * tot.n AS DOUBLE) / (u1.c * u2.c) AS pmi_ratio
+FROM bi, tot
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+WHERE bi.co >= 5
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6025,6 +6223,8 @@ def _registry():
         "per_source_doc_cap": per_source_doc_cap,
         "vocab_stats_by_source": vocab_stats_by_source,
         "sax_daily_words": sax_daily_words,
+        "mixture_sample_docs": mixture_sample_docs,
+        "bigram_pmi": bigram_pmi,
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "top_building_orders": top_building_orders,
@@ -6186,6 +6386,8 @@ def oracles():
         "per_source_doc_cap": _DOC_CAP_ORACLE,
         "vocab_stats_by_source": _VOCAB_STATS_ORACLE,
         "sax_daily_words": _SAX_ORACLE,
+        "mixture_sample_docs": _MIXTURE_SAMPLE_ORACLE,
+        "bigram_pmi": _BIGRAM_PMI_ORACLE,
         "chunks_downsample_1h": _CHUNKS_DOWNSAMPLE_ORACLE,
         "gapfill_locf_1h": _GAPFILL_ORACLE,
         "monthwise_box_stats": _MONTHWISE_BOX_ORACLE,

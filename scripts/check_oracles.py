@@ -19,7 +19,15 @@ def to_pandas(obj):
         return obj
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+    df = obj.to_pandas()  # ray Dataset
+    if not len(df.columns):
+        # Ray's to_pandas() on an empty dataset drops the columns even
+        # when schema() knows them — rebuild the empty frame from it
+        schema = obj.schema(fetch_if_missing=True)
+        if schema is not None and schema.names:
+            df = pd.DataFrame({n: pd.Series([], dtype=object)
+                               for n in schema.names})
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -190,7 +190,8 @@ def _synth_docs(seed: int, n: int = 160) -> pa.Table:
 DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "ngram_jaccard", "boilerplate_phrases",
                     "hash_sample_docs", "per_source_doc_cap",
-                    "vocab_stats_by_source", "ngram_containment"]
+                    "vocab_stats_by_source", "ngram_containment",
+                    "mixture_sample_docs", "bigram_pmi"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -79,6 +79,8 @@ SUBSET = [
     "vocab_stats_by_source",
     "sax_daily_words",
     "ngram_containment",
+    "mixture_sample_docs",
+    "bigram_pmi",
 ]
 
 
