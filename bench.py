@@ -189,11 +189,38 @@ def _run_bench(flagship_only: bool = False) -> dict:
                 "max_blocks": max(s["blocks"] for s in st),
             }
 
-    # ---- timed headline: flagship rollup + anomaly scan -----------------
+    # ---- timed headline: rollup + anomaly scan ---------------------------
     out_dir = f"/tmp/pycatcher_ray_bench/{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     probes = {"before": throttle_probe()}
+    recovery_wait_s = 0.0
+    if not flagship_only:
+        # Quota-recovery wait (capped, fully reported): the host applies a
+        # sustained-load CPU quota that the WORKLOAD RUN BEFORE this bench
+        # depletes — in driver conditions the ~100-query correctness gate
+        # runs immediately before bench.py, so the timed window starts
+        # 2-4x throttled and recovers over minutes (r3: probes ~54 GB/s
+        # flat in the driver run vs 125-135 healthy; this round: a bench
+        # right after the test suite read before=31 → after_queries=60,
+        # i.e. the quota was refilling DURING the run).  Waiting idle
+        # until the streaming probe recovers makes the timed number
+        # measure the code, not the preceding process's quota burn; the
+        # wait is capped and both the wait seconds and the full probe
+        # trace land in the JSON so a still-throttled run remains
+        # self-identifying.  Scaling legs skip this: their parent
+        # orchestrates burns/cooldowns and a recovery wait would undo the
+        # deliberate turbo-credit drain.
+        target = float(os.environ.get("GRAFT_BENCH_RECOVERY_GBPS", "95"))
+        max_wait = float(os.environ.get("GRAFT_BENCH_RECOVERY_MAX_S", "240"))
+        trace = [probes["before"]]
+        t_wait = time.time()
+        while trace[-1] < target and (time.time() - t_wait) < max_wait:
+            time.sleep(15)
+            trace.append(throttle_probe())
+        recovery_wait_s = round(time.time() - t_wait, 1)
+        probes["recovery_trace"] = trace
+        probes["before"] = trace[-1]
     drain_exchange_stats()
     t0 = time.time()
     flags, metrics = run_flagship(paths, out_dir, cfg_for(NUM_CPUS),
@@ -288,6 +315,7 @@ def _run_bench(flagship_only: bool = False) -> dict:
         "exchanges": exchanges,
         "host_ceiling": ceiling,
         "throttle_probes_gbps": probes,
+        "recovery_wait_s": recovery_wait_s,
     }
     ray.shutdown()
     return result

@@ -6168,6 +6168,341 @@ WHERE bi.co >= 5
 """
 
 
+# --------------------------------------------- trend / changepoint / runs
+
+
+def _hourly_int_units(shard: pd.DataFrame):
+    """Per-source iterator over the hourly tier in EXACT integer units:
+    yields (source, bucket_starts, x_hours int64, y4 int64) with y4 =
+    round(round(sum,4)·10⁴) — the same int-unit trick as
+    ``kpss_level_stat`` so engine and SQL window arithmetic are both
+    exact-integer and therefore bit-identical."""
+    shard = shard.sort_values(["event_type", "bucket_start"], kind="stable")
+    for src, g in shard.groupby("event_type", sort=False):
+        v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+        y4 = np.rint(v * 10000.0).astype(np.int64)
+        xs = (g["bucket_start"].to_numpy().astype("datetime64[s]")
+              .astype(np.int64) // 3600)
+        yield src, g["bucket_start"], xs, y4
+
+
+def ols_trend_by_source(sf_dir: str):
+    """Per-source OLS trend slope of the hourly sums vs time — the
+    drift detector behind capacity planning (does this source's volume
+    trend up?).  Exactness: with x = epoch-hours (int) and y = 10⁻⁴
+    units (int), slope = (nΣxy − ΣxΣy)/(nΣxx − ΣxΣx) has EXACT integer
+    numerator and denominator; the engine computes them in arbitrary-
+    precision Python ints over per-source shifted x (the identity
+    n·Σ(x+c)y − Σ(x+c)Σy = nΣxy − ΣxΣy holds exactly in ℤ, so shifting
+    never changes the integers) while the oracle uses HUGEINT on
+    absolute hours; both emit the identical double divide.  One
+    source-keyed exchange over the hourly tier; per-source series are
+    bounded (buckets), never the raw corpus."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            x = (xs - xs.min()).tolist()
+            y = y4.tolist()
+            n = len(y)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            rows.append({
+                "source": src, "n_buckets": n,
+                "slope_per_hour": (float(num) / float(den)) / 10000.0
+                if den > 0 else np.nan,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "slope_per_hour"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_OLS_TREND_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM r GROUP BY source
+)
+SELECT source, n AS n_buckets,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0
+       ELSE NULL END AS slope_per_hour
+FROM s
+"""
+
+
+def cusum_changepoint(sf_dir: str):
+    """CUSUM level-shift changepoint per source: the bucket where the
+    cumulative deviation from the series mean peaks (argmax of
+    |Σ_{j≤i} v_j − (i/n)·Σv|), plus the peak statistic — the classic
+    offline changepoint locator.  Scale-free int trick: multiplying
+    through by n makes every statistic n·P_i − i·T an EXACT integer
+    (Python bigint in the engine, HUGEINT window sums in the oracle);
+    ties on the max take the earliest bucket on both sides.  One
+    source-keyed exchange; series stay bounded per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            abs_sum = int(np.abs(y4).sum())
+            total = int(y4.sum())
+            if n * abs_sum < 2 ** 62:  # n·P_i and i·T bounded by n·Σ|y|
+                P = np.cumsum(y4)
+                stat_v = np.abs(
+                    n * P - np.arange(1, n + 1, dtype=np.int64) * total)
+                best_i = int(np.argmax(stat_v))  # first max = earliest tie
+                best = int(stat_v[best_i])
+            else:  # exact Python-int fallback (KPSS pattern)
+                best, best_i, acc = -1, 0, 0
+                for i, v in enumerate(y4.tolist(), start=1):
+                    acc += v
+                    stat = abs(n * acc - i * total)
+                    if stat > best:
+                        best, best_i = stat, i - 1
+            rows.append({
+                "source": src, "n_buckets": n,
+                "changepoint_bucket": bs.iloc[best_i],
+                "cusum_stat": float(best) / float(n) / 10000.0,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "changepoint_bucket", "cusum_stat"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_CUSUM_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT source, count(*) AS n, sum(CAST(y AS HUGEINT)) AS total
+  FROM r GROUP BY source
+), c AS (
+  SELECT r.source, r.bucket_start, t.n,
+         abs(t.n * sum(CAST(r.y AS HUGEINT)) OVER (
+               PARTITION BY r.source ORDER BY r.bucket_start
+               ROWS UNBOUNDED PRECEDING)
+             - row_number() OVER (
+               PARTITION BY r.source ORDER BY r.bucket_start) * t.total
+         ) AS stat
+  FROM r JOIN t USING (source)
+)
+SELECT source, n AS n_buckets, bucket_start AS changepoint_bucket,
+       CAST(stat AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS cusum_stat
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY stat DESC, bucket_start ASC) = 1
+"""
+
+
+def anomaly_run_lengths(sf_dir: str):
+    """Longest consecutive run of IQR-flagged hourly buckets per source
+    (gaps-and-islands over the flag set) — sustained incidents vs
+    one-bucket blips.  Rides the already-oracled IQR flag rule: the
+    detector's flag rows go through one source-keyed exchange and each
+    source's flags collapse to (longest run, earliest start on ties).
+    All-integer (hour indexes, counts), so parity is exact."""
+    from .stages.shard import sharded_map_groups
+
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "bucket_start"], kind="stable")
+        rows = []
+        for src, f in g.groupby("source", sort=False):
+            h = (f["bucket_start"].to_numpy().astype("datetime64[s]")
+                 .astype(np.int64) // 3600)
+            starts = np.flatnonzero(np.diff(h, prepend=h[0] - 2) != 1)
+            bounds = np.append(starts, h.size)
+            lens = np.diff(bounds)
+            best = int(np.argmax(lens))  # argmax: first max = earliest
+            rows.append({
+                "source": src, "run_hours": int(lens[best]),
+                "run_start": f["bucket_start"].iloc[int(starts[best])],
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "run_hours", "run_start"])
+
+    return sharded_map_groups(flags, "source", fold)
+
+
+_RUN_LENGTHS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start,
+         CAST(epoch(r.bucket_start) AS BIGINT) // 3600 AS h
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+), g AS (
+  SELECT source, bucket_start, h,
+         h - row_number() OVER (PARTITION BY source ORDER BY h) AS grp
+  FROM f
+), runs AS (
+  SELECT source, count(*) AS run_hours, min(bucket_start) AS run_start
+  FROM g GROUP BY source, grp
+)
+SELECT source, run_hours, run_start FROM runs
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY run_hours DESC, run_start ASC) = 1
+"""
+
+
+# --------------------------------------------- TPC-H Q6 / Q14 shapes
+
+
+def tpch_q6_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                    date_hi: str = "1997-01-01"):
+    """TPC-H Q6 shape — the pure filter-aggregate: forecast revenue
+    change from lineitems in a date window with discount 5-7 % and
+    quantity < 24.  Map-only: predicate + per-batch integer partials
+    (10⁻⁴ units, cents(price)·cents(discount)) with NO shuffle — the
+    driver folds one row per batch.  Columns are pruned at the read."""
+    lo = pa.scalar(pd.Timestamp(date_lo), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(date_hi), pa.timestamp("us"))
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_c = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(100.0))), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                    pc.less(b["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_c, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc_c, pa.scalar(7, pa.int64()))),
+                pc.less(b["l_quantity"], pa.scalar(24.0))))
+        b = b.filter(keep)
+        disc_c = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        rev = pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0
+        return pa.table({"rev_i": pa.array([rev], pa.int64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    rev_i = int(parts["rev_i"].sum())
+    return pd.DataFrame({
+        "revenue": [float(rev_i) / 10000.0 if n else None],
+        "n_lines": [n]})
+
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
+                        date_hi: str = "1996-04-01"):
+    """TPC-H Q14 shape — promo revenue share: % of discounted revenue
+    in a date window from parts of type PROMO.  The part side collapses
+    to a BITSET-sized broadcast (the sorted promo partkey array via
+    ``ray.put`` — O(parts/8) bytes, read once per task, never per
+    batch); lineitem partials are map-side ``np.isin`` tags + integer
+    sums, NO shuffle at all.  The share is one double divide of two
+    exact 10⁻⁴-unit integers (numerator ×100 for percent)."""
+    import ray
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"]).to_pandas()
+    promo = np.sort(part.loc[part["p_type"] == "PROMO",
+                             "p_partkey"].to_numpy(np.int64))
+    promo_ref = ray.put(promo)
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        is_promo = np.isin(b["l_partkey"].to_numpy(np.int64),
+                           ray.get(promo_ref))
+        return pd.DataFrame({
+            "promo_i": [int(rev[is_promo].sum())],
+            "total_i": [int(rev.sum())]})
+
+    parts = line.map_batches(partials, batch_format="pandas").to_pandas()
+    promo_i = int(parts["promo_i"].sum())
+    total_i = int(parts["total_i"].sum())
+    return pd.DataFrame({
+        "promo_revenue": [float(promo_i) / 10000.0],
+        "total_revenue": [float(total_i) / 10000.0],
+        "promo_share_pct": [
+            float(100 * promo_i) / float(total_i) if total_i else None]})
+
+
+_Q14_ORACLE = """
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_i,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT CAST(coalesce(sum(rev_i) FILTER (is_promo), 0) AS DOUBLE)
+         / 10000.0 AS promo_revenue,
+       CAST(coalesce(sum(rev_i), 0) AS DOUBLE) / 10000.0 AS total_revenue,
+       CASE WHEN coalesce(sum(rev_i), 0) <> 0 THEN
+         CAST(100 * coalesce(sum(rev_i) FILTER (is_promo), 0) AS DOUBLE)
+           / CAST(sum(rev_i) AS DOUBLE)
+       ELSE NULL END AS promo_share_pct
+FROM l
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -6211,6 +6546,9 @@ def _registry():
         "classic_decompose_1h": classic_decompose_1h,
         "seasonal_envelope": seasonal_envelope,
         "kpss_level_stat": kpss_level_stat,
+        "ols_trend_by_source": ols_trend_by_source,
+        "cusum_changepoint": cusum_changepoint,
+        "anomaly_run_lengths": anomaly_run_lengths,
         "dickey_fuller_by_source": dickey_fuller_by_source,
         "monthwise_box_stats": monthwise_box_stats,
         "gapfill_locf_1h": gapfill_locf_1h,
@@ -6248,6 +6586,8 @@ def _registry():
         "token_entropy_by_lang": token_entropy_by_lang,
         "embedding_label_stats": embedding_label_stats,
         "lineitem_pricing_summary": lineitem_pricing_summary,
+        "tpch_q6_revenue": tpch_q6_revenue,
+        "promo_revenue_share": promo_revenue_share,
         "stratified_sample_events": stratified_sample_events,
         "top_users_by_type": top_users_by_type,
         "distinct_users_by_type": distinct_users_by_type,
@@ -6353,6 +6693,9 @@ def oracles():
         "rolling_zscore_flags_1h": _ROLLING_ZSCORE_ORACLE,
         "error_rate_hourly": _ERROR_RATE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
+        "ols_trend_by_source": _OLS_TREND_ORACLE,
+        "cusum_changepoint": _CUSUM_ORACLE,
+        "anomaly_run_lengths": _RUN_LENGTHS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,
         "regional_supplier_revenue": _Q5_ORACLE,
@@ -6375,6 +6718,8 @@ def oracles():
         "context_packing": _PACKING_ORACLE,
         "ann_topk": _ANN_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
+        "tpch_q6_revenue": _Q6_ORACLE,
+        "promo_revenue_share": _Q14_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
         "stratified_sample_events": _STRATIFIED_ORACLE,
         "dickey_fuller_by_source": _DICKEY_FULLER_ORACLE,

@@ -61,6 +61,9 @@ FUZZ_QUERIES = [
     "error_rate_hourly",
     "rolling_zscore_flags_1h",
     "sax_daily_words",
+    "ols_trend_by_source",
+    "cusum_changepoint",
+    "anomaly_run_lengths",
 ]
 
 

@@ -81,6 +81,11 @@ SUBSET = [
     "ngram_containment",
     "mixture_sample_docs",
     "bigram_pmi",
+    "ols_trend_by_source",
+    "cusum_changepoint",
+    "anomaly_run_lengths",
+    "tpch_q6_revenue",
+    "promo_revenue_share",
 ]
 
 
