@@ -6376,6 +6376,169 @@ QUALIFY row_number() OVER (
 """
 
 
+def word_length_by_lang(sf_dir: str):
+    """Average word length per language — the cheap script/tokenizer
+    sanity check over a crawl slice (a lang bucket whose mean word
+    length jumps is mis-identified or machine-generated).  Map-only:
+    each batch emits per-lang (word count, char sum) integer partials —
+    langs are bounded, so the driver folds a handful of rows; nothing
+    shuffles.  The mean is ONE int/int double divide (rational-rate
+    rule); the word regex is the shared ``_WORD_RE`` convention of
+    vocab_stats_by_source / dedup (dedup.py:52)."""
+    from .stages.dedup import _WORD_RE
+
+    ds = _documents(sf_dir, ("lang", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words: dict = {}
+        chars: dict = {}
+        for lang, t in zip(batch["lang"], batch["text"]):
+            ws = _WORD_RE.findall(t or "")
+            words[lang] = words.get(lang, 0) + len(ws)
+            chars[lang] = chars.get(lang, 0) + sum(len(w) for w in ws)
+        return pd.DataFrame({
+            "lang": list(words),
+            "p_words": [words[k] for k in words],
+            "p_chars": [chars[k] for k in words]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "n_words": pd.Series([], dtype=np.int64),
+            "avg_word_len": pd.Series([], dtype=float)})
+    fin = parts.groupby("lang", as_index=False).sum()
+    fin = fin[fin["p_words"] > 0]  # a lang with zero words has no rows
+    nw = fin["p_words"].to_numpy(np.int64)  # in the oracle's words CTE
+    nc = fin["p_chars"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "lang": fin["lang"], "n_words": nw, "avg_word_len": nc / nw})
+
+
+_WORD_LEN_ORACLE = r"""
+WITH words AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[\w'']+')) AS w
+  FROM documents
+)
+SELECT lang, count(*) AS n_words,
+       CAST(sum(length(w)) AS DOUBLE) / count(*) AS avg_word_len
+FROM words GROUP BY lang
+"""
+
+
+def doc_length_quartiles(sf_dir: str):
+    """Per-source document-length quartiles (p25/p50/p75 of n_chars) —
+    the length-distribution profile behind curation gates.  One
+    source-keyed exchange of (source, n_chars) ints; quartiles via the
+    bit-pinned ``quantile_cont`` two-product lerp (hypothesis-verified
+    against DuckDB to the last ULP on integer inputs)."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "n_chars"))
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            v = np.sort(g["n_chars"].to_numpy(np.float64))
+            rows.append({
+                "source": src, "n_docs": int(v.size),
+                "p25": float(quantile_cont(v, 0.25)),
+                "p50": float(quantile_cont(v, 0.50)),
+                "p75": float(quantile_cont(v, 0.75))})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "p25", "p50", "p75"])
+
+    return sharded_map_groups(ds, "source", fold)
+
+
+_DOC_LEN_Q_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY source
+"""
+
+
+def dominant_acf_lag(sf_dir: str, max_lag: int = 48):
+    """Dominant seasonality period per source: the lag k ∈ [1, 48] that
+    maximizes the hourly series' autocovariance — period inference
+    behind the STL/MSTL period choice (daily-seasonal sources peak at
+    24).  EXACT argmax trick: with e_i = n·V_i − T (the KPSS integer
+    demeaning, V in 10⁻⁴ units), the autocovariance numerator
+    Σ e_i·e_{i+k} is an EXACT integer (Python bigint / HUGEINT — the
+    products reach ~10²⁶, past int64 by design), so the argmax and its
+    tie-break (smallest lag) are bit-deterministic on both engines; the
+    reported peak ACF is the one double divide num/den.  One
+    source-keyed exchange; O(n·max_lag) integer ops per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            if n < 2:
+                continue  # no lagged pairs at all — oracle emits no row
+            total = int(y4.sum())
+            e = [n * int(v) - total for v in y4.tolist()]
+            den = sum(x * x for x in e)
+            best_lag, best_num = 0, None
+            for k in range(1, min(max_lag, n - 1) + 1):
+                num = sum(a * b for a, b in zip(e[:-k], e[k:]))
+                if best_num is None or num > best_num:
+                    best_lag, best_num = k, num
+            rows.append({
+                "source": src, "lag_hours": best_lag,
+                "acf_peak": float(best_num) / float(den)
+                if den > 0 else np.nan,
+                "n_obs": n,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "lag_hours", "acf_peak", "n_obs"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_DOMINANT_ACF_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), t AS (
+  SELECT source, count(*) AS n, sum(CAST(V AS HUGEINT)) AS total
+  FROM r GROUP BY source
+), e AS (
+  SELECT r.source, r.idx, t.n, t.n * CAST(r.V AS HUGEINT) - t.total AS ev
+  FROM r JOIN t USING (source)
+), den AS (
+  SELECT source, sum(ev * ev) AS s2, any_value(n) AS n_obs
+  FROM e GROUP BY source
+), lags AS (
+  SELECT unnest(range(1, 49)) AS lag
+), nums AS (
+  SELECT a.source, lags.lag, sum(a.ev * b.ev) AS num
+  FROM e a CROSS JOIN lags
+  JOIN e b ON b.source = a.source AND b.idx = a.idx + lags.lag
+  GROUP BY a.source, lags.lag
+)
+SELECT nums.source, nums.lag AS lag_hours,
+       CASE WHEN den.s2 > 0 THEN
+         CAST(nums.num AS DOUBLE) / CAST(den.s2 AS DOUBLE)
+       ELSE NULL END AS acf_peak,
+       den.n_obs AS n_obs
+FROM nums JOIN den ON den.source = nums.source
+QUALIFY row_number() OVER (
+  PARTITION BY nums.source ORDER BY nums.num DESC, nums.lag ASC) = 1
+"""
+
+
 # --------------------------------------------- TPC-H Q6 / Q14 shapes
 
 
@@ -6483,6 +6646,79 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
             float(100 * promo_i) / float(total_i) if total_i else None]})
 
 
+def mktsegment_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                       date_hi: str = "1997-01-01"):
+    """Order revenue by customer market segment over a date window —
+    the big-big join shape (orders ⋈ customer) resolved with ONE
+    custkey-hash exchange (Q5's first leg): order rows and customer
+    (custkey → segment) rows meet in the same shard, segment partials
+    fold per shard, the driver sees ≤ segments × shards rows.  Revenue
+    is an exact integer cents sum; the /100 divide is the only float op."""
+    from .stages.shard import sharded_map_groups
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].astype(np.int64),
+            "seg": b["c_mktsegment"].astype(str),
+            "price_c": np.int64(0),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].astype(np.int64),
+            "seg": "",
+            "price_c": np.rint(b["o_totalprice"].to_numpy(np.float64)
+                               * 100).astype(np.int64),
+            "kind": np.int64(0)})
+
+    def join_seg(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "seg"]].drop_duplicates("ckey")
+        o = g[g["kind"] == 0][["ckey", "price_c"]]
+        j = o.merge(c, on="ckey", how="inner")
+        agg = j.groupby("seg", as_index=False).agg(
+            n_orders=("price_c", "size"), rev_c=("price_c", "sum"))
+        return agg
+
+    parts = sharded_map_groups(
+        orders.map_batches(order_rows, batch_format="pandas").union(
+            cust.map_batches(cust_rows, batch_format="pandas")),
+        "ckey", join_seg).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "segment": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=float)})
+    fin = parts.groupby("seg", as_index=False).agg(
+        n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum"))
+    return pd.DataFrame({
+        "segment": fin["seg"],
+        "n_orders": fin["n_orders"].astype(np.int64),
+        "revenue": fin["rev_c"].to_numpy(np.int64) / 100.0})
+
+
+_MKTSEG_ORACLE = """
+SELECT c_mktsegment AS segment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_mktsegment
+"""
+
+
 _Q14_ORACLE = """
 WITH l AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -6588,6 +6824,10 @@ def _registry():
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "tpch_q6_revenue": tpch_q6_revenue,
         "promo_revenue_share": promo_revenue_share,
+        "mktsegment_revenue": mktsegment_revenue,
+        "dominant_acf_lag": dominant_acf_lag,
+        "word_length_by_lang": word_length_by_lang,
+        "doc_length_quartiles": doc_length_quartiles,
         "stratified_sample_events": stratified_sample_events,
         "top_users_by_type": top_users_by_type,
         "distinct_users_by_type": distinct_users_by_type,
@@ -6720,6 +6960,10 @@ def oracles():
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "tpch_q6_revenue": _Q6_ORACLE,
         "promo_revenue_share": _Q14_ORACLE,
+        "mktsegment_revenue": _MKTSEG_ORACLE,
+        "dominant_acf_lag": _DOMINANT_ACF_ORACLE,
+        "word_length_by_lang": _WORD_LEN_ORACLE,
+        "doc_length_quartiles": _DOC_LEN_Q_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
         "stratified_sample_events": _STRATIFIED_ORACLE,
         "dickey_fuller_by_source": _DICKEY_FULLER_ORACLE,

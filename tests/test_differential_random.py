@@ -64,6 +64,7 @@ FUZZ_QUERIES = [
     "ols_trend_by_source",
     "cusum_changepoint",
     "anomaly_run_lengths",
+    "dominant_acf_lag",
 ]
 
 
@@ -194,7 +195,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "ngram_jaccard", "boilerplate_phrases",
                     "hash_sample_docs", "per_source_doc_cap",
                     "vocab_stats_by_source", "ngram_containment",
-                    "mixture_sample_docs", "bigram_pmi"]
+                    "mixture_sample_docs", "bigram_pmi",
+                    "word_length_by_lang", "doc_length_quartiles"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -86,6 +86,10 @@ SUBSET = [
     "anomaly_run_lengths",
     "tpch_q6_revenue",
     "promo_revenue_share",
+    "mktsegment_revenue",
+    "dominant_acf_lag",
+    "word_length_by_lang",
+    "doc_length_quartiles",
 ]
 
 
