@@ -6292,7 +6292,7 @@ def cusum_changepoint(sf_dir: str):
         "event_type", fold)
 
 
-_CUSUM_ORACLE = """
+_CUSUM_CHANGEPOINT_ORACLE = """
 WITH r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
          CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
@@ -6934,7 +6934,7 @@ def oracles():
         "error_rate_hourly": _ERROR_RATE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
         "ols_trend_by_source": _OLS_TREND_ORACLE,
-        "cusum_changepoint": _CUSUM_ORACLE,
+        "cusum_changepoint": _CUSUM_CHANGEPOINT_ORACLE,
         "anomaly_run_lengths": _RUN_LENGTHS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,
