@@ -728,6 +728,93 @@ WINDOW w AS (PARTITION BY source ORDER BY bucket_start
 """
 
 
+def hampel_flags_1h(sf_dir: str, half_window: int = 3,
+                    nsigma: float = 4.4478):
+    """Hampel filter over the hourly tier: each bucket compares against
+    the rolling MEDIAN of its ±3-bucket ROWS window and flags when
+    |v − med| > 4.4478 · MAD (3σ × the 1.4826 Gaussian consistency
+    constant folded into ONE literal so both engines do a single
+    multiply).  The robust windowed complement of
+    ``rolling_zscore_flags_1h``: a spike cannot inflate its own
+    rejection threshold because median/MAD ignore its magnitude.
+    Exactness: window medians/MADs are ``quantile_cont(0.5)`` over the
+    4-dp-rounded hourly sums — odd interior windows (7 rows) select an
+    element outright, even edge windows hit the bit-pinned two-product
+    lerp — and the flag comparison does the identical multiply on both
+    sides.  Per-series work is O(buckets × window), bounded by tier
+    retention; parallel across sources via the hash exchange."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def hampel(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            n = v.size
+            med = np.empty(n)
+            mad = np.empty(n)
+            for i in range(n):
+                w = v[max(0, i - half_window): i + half_window + 1]
+                m = float(quantile_cont(w, 0.5))
+                med[i] = m
+                mad[i] = float(quantile_cont(np.abs(w - m), 0.5))
+            keep = np.abs(v - med) > nsigma * mad
+            if not keep.any():
+                continue
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy()[keep],
+                "value": v[keep],
+                "rolling_med": med[keep],
+                "rolling_mad": mad[keep],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+                "rolling_med": pd.Series([], dtype=np.float64),
+                "rolling_mad": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", hampel,
+    )
+
+
+_HAMPEL_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS rn
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT a.source, a.rn, b.v AS nb
+  FROM r a JOIN r b ON a.source = b.source
+                   AND b.rn BETWEEN a.rn - 3 AND a.rn + 3
+), med AS (
+  SELECT source, rn, quantile_cont(nb, 0.5) AS med
+  FROM w GROUP BY source, rn
+), mad AS (
+  SELECT w.source, w.rn, quantile_cont(abs(w.nb - med.med), 0.5) AS mad
+  FROM w JOIN med ON w.source = med.source AND w.rn = med.rn
+  GROUP BY w.source, w.rn
+)
+SELECT r.source, r.bucket_start, r.v AS value,
+       med.med AS rolling_med, mad.mad AS rolling_mad
+FROM r
+JOIN med ON r.source = med.source AND r.rn = med.rn
+JOIN mad ON r.source = mad.source AND r.rn = mad.rn
+WHERE abs(r.v - med.med) > 4.4478 * mad.mad
+"""
+
+
 def theil_sen_trend(sf_dir: str):
     """Robust per-source trend: the Theil–Sen estimator (median of all
     pairwise slopes) over the hourly sums, with positional x (bucket
@@ -4473,6 +4560,88 @@ GROUP BY source
 """
 
 
+def token_length_drift(sf_dir: str):
+    """Training-mix drift monitor over the native tokens input: per
+    (source, n_tok-band of 64) document counts in the first vs second
+    day of the window, plus each band's share of its source-half total —
+    the per-band rows of a PSI / chi² distribution-shift check, kept
+    exact-int (ONE int/int divide per rate) instead of a float log-sum
+    so the driver hash is bit-stable.  Map-only partials (per-batch
+    groupby) → one tiny (source, band) fold → a source-keyed pass
+    attaches the half totals; reads only (doc_id→ts, source, n_tok) —
+    the tokens list column never leaves storage."""
+    from .stages.ingest import ingest, read_parquet_fused
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    _rd()
+    ds = read_parquet_fused(_tokens_paths(sf_dir))
+    slim = ingest(ds, checksum=False).select_columns(
+        ["source", "ts", "n_tok"])
+    mid = np.datetime64("2024-01-02T00:00:00")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        early = b["ts"].to_numpy() < mid
+        g = pd.DataFrame({
+            "source": b["source"],
+            "band": b["n_tok"].to_numpy(np.int64) // 64,
+            "n_early": early.astype(np.int64),
+            "n_late": (~early).astype(np.int64),
+        })
+        return g.groupby(["source", "band"], as_index=False)[
+            ["n_early", "n_late"]].sum()
+
+    parts = slim.map_batches(partials, batch_format="pandas")
+    agg = sharded_aggregate(parts, ["source", "band"],
+                            {"n_early": "sum", "n_late": "sum"},
+                            num_shards=4)
+
+    def rates(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, g in shard.groupby("source", sort=False):
+            ne = g["n_early"].to_numpy(np.int64)
+            nl = g["n_late"].to_numpy(np.int64)
+            te, tl = int(ne.sum()), int(nl.sum())
+            out.append(pd.DataFrame({
+                "source": src,
+                "band": g["band"].to_numpy(np.int64),
+                "n_early": ne,
+                "n_late": nl,
+                "rate_early": ne / te if te else np.zeros(ne.size),
+                "rate_late": nl / tl if tl else np.zeros(nl.size),
+            }))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "band": pd.Series([], dtype=np.int64),
+            "n_early": pd.Series([], dtype=np.int64),
+            "n_late": pd.Series([], dtype=np.int64),
+            "rate_early": pd.Series([], dtype=np.float64),
+            "rate_late": pd.Series([], dtype=np.float64)})
+
+    return sharded_map_groups(agg, "source", rates, num_shards=4)
+
+
+def _token_drift_oracle() -> str:
+    # 1704153600 = 2024-01-02T00:00Z, the midpoint of the synth's 2-day
+    # window (EPOCH_START_MINUTE + 1440 minutes)
+    return _tokens_oracle_cte() + """
+, g AS (
+  SELECT source, CAST(n_tok // 64 AS BIGINT) AS band,
+         count(*) FILTER (epoch_s < 1704153600) AS n_early,
+         count(*) FILTER (epoch_s >= 1704153600) AS n_late
+  FROM t GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(n_early) AS te, sum(n_late) AS tl
+  FROM g GROUP BY source
+)
+SELECT g.source, g.band, g.n_early, g.n_late,
+       CASE WHEN te > 0 THEN CAST(g.n_early AS DOUBLE) / te
+            ELSE 0.0 END AS rate_early,
+       CASE WHEN tl > 0 THEN CAST(g.n_late AS DOUBLE) / tl
+            ELSE 0.0 END AS rate_late
+FROM g JOIN tot USING (source)
+"""
+
+
 def tokens_audit(sf_dir: str):
     """Per-row token invariant proof: recompute the checksum twice (at
     ingest and after a pass-through projection) and report per-source
@@ -5828,6 +5997,103 @@ FROM d LEFT JOIN agg USING (source)
 """
 
 
+def vocab_jaccard_sources(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    near-dup / contamination check (two crawl slices sharing most of
+    their vocabulary are candidates for merge or exclusion).  BOUNDED-
+    PANEL operator like ``source_correlation``: output is O(sources²)
+    but the exchange work is O(distinct (source, word)) — per-batch
+    local distinct rows ride a word-keyed exchange that finishes the
+    global distinct, each shard self-merges its words into unordered
+    source-pair co-occurrence partials (Σ|sources(w)|² per word is
+    bounded by the panel width), and the driver folds only the tiny
+    pair/count table.  Jaccard = inter / (|A| + |B| − inter) as ONE
+    int/int divide — bit-deterministic; pairs with zero shared words
+    are omitted on both sides."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(batch["source"], batch["text"]):
+            srcs.append(s)
+            words.append(_WORD_RE.findall((t or "").lower()))
+        return pd.DataFrame({
+            "source": np.repeat(np.asarray(srcs, dtype=object),
+                                [len(w) for w in words]),
+            "w": (np.concatenate([np.asarray(w, dtype=object)
+                                  for w in words])
+                  if words else np.array([], dtype=object)),
+        }).drop_duplicates()
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates(["source", "w"])
+        cnt = shard.groupby("source", as_index=False).size().rename(
+            columns={"size": "n"})
+        cnt["source_b"] = ""  # sentinel: per-source vocab partial
+        cnt = cnt.rename(columns={"source": "source_a"})
+        m = shard.merge(shard, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = m.groupby(["source_x", "source_y"], as_index=False).size(
+        ).rename(columns={"source_x": "source_a", "source_y": "source_b",
+                          "size": "n"})
+        return pd.concat([pairs, cnt[["source_a", "source_b", "n"]]],
+                         ignore_index=True)
+
+    parts = sharded_map_groups(tagged, "w", fold).to_pandas()
+    # the panel table is O(sources²) rows × shards — driver-safe by the
+    # operator's documented bound, never corpus-sized
+    if parts.empty:
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "shared_words": pd.Series([], dtype=np.int64),
+            "vocab_a": pd.Series([], dtype=np.int64),
+            "vocab_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)})
+    counts = parts[parts["source_b"] == ""].groupby(
+        "source_a")["n"].sum()
+    pairs = parts[parts["source_b"] != ""].groupby(
+        ["source_a", "source_b"], as_index=False)["n"].sum()
+    inter = pairs["n"].to_numpy(np.int64)
+    va = pairs["source_a"].map(counts).to_numpy(np.int64)
+    vb = pairs["source_b"].map(counts).to_numpy(np.int64)
+    return pd.DataFrame({
+        "source_a": pairs["source_a"],
+        "source_b": pairs["source_b"],
+        "shared_words": inter,
+        "vocab_a": va,
+        "vocab_b": vb,
+        "jaccard": inter / (va + vb - inter),
+    })
+
+
+_VOCAB_JACCARD_ORACLE = r"""
+WITH words AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, count(*) AS n FROM words GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+  FROM words a JOIN words b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, inter AS shared_words,
+       ca.n AS vocab_a, cb.n AS vocab_b,
+       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+FROM pairs
+JOIN cnt ca ON source_a = ca.source
+JOIN cnt cb ON source_b = cb.source
+"""
+
+
 def sax_daily_words(sf_dir: str):
     """SAX symbolization (Lin et al. 2003) of the hourly tier: each
     source's hourly sums z-normalize against the source's own
@@ -6708,6 +6974,115 @@ def mktsegment_revenue(sf_dir: str, date_lo: str = "1996-01-01",
         "revenue": fin["rev_c"].to_numpy(np.int64) / 100.0})
 
 
+def returned_item_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — which customers returned the most revenue in a
+    quarter.  Plan: lineitem R-flag revenue partials pre-aggregate per
+    batch in integer 10⁻⁴ units (cents(price) × (100 − cents(discount))
+    in int64, order-independent sum), meet the date-filtered orders
+    projection in ONE orderkey-hash exchange, re-key to custkey, and a
+    second custkey exchange computes per-shard top-k — the driver sees
+    ≤ k·shards rows, never the customer-level table.  The customer
+    dimension attaches AFTER top-k by filtering the dimension read
+    against the ≤ k winning keys (a broadcast semi-join, not a shuffle).
+    Ties at rank k break on custkey in both engines.
+    NOTE: the paired oracle hardcodes the 1996Q1 window and k=20."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "custkey": b["o_custkey"].astype(np.int64),
+            "rev_i": np.zeros(len(b), dtype=np.int64),
+            "kind": np.ones(len(b), dtype=np.int64)})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def rev_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        rev = (np.round(b["l_extendedprice"].to_numpy(np.float64) * 100)
+               .astype(np.int64)
+               * (100 - np.round(b["l_discount"].to_numpy(np.float64) * 100)
+                  .astype(np.int64)))
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64), "rev_i": rev,
+        }).groupby("okey", as_index=False)["rev_i"].sum()
+        agg["custkey"] = np.int64(0)
+        agg["kind"] = np.int64(0)
+        return agg[["okey", "custkey", "rev_i", "kind"]]
+
+    both = line.map_batches(rev_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def join_orders(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "custkey"]]
+        r = g[g["kind"] == 0].groupby("okey", as_index=False)["rev_i"].sum()
+        return o.merge(r, on="okey", how="inner")[["custkey", "rev_i"]]
+
+    per_order = sharded_map_groups(both, "okey", join_orders)
+
+    def shard_topk(shard: pd.DataFrame) -> pd.DataFrame:
+        s = shard.groupby("custkey", as_index=False)["rev_i"].sum()
+        return s.sort_values(["rev_i", "custkey"],
+                             ascending=[False, True], kind="stable").head(k)
+
+    parts = sharded_map_groups(per_order, "custkey", shard_topk)
+    out = parts.to_pandas()
+    cols = ["c_custkey", "c_name", "revenue"]
+    if out.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype=np.float64)})
+    out = out.sort_values(["rev_i", "custkey"],
+                          ascending=[False, True], kind="stable").head(k)
+    win_ref = ray.put(np.sort(out["custkey"].to_numpy(np.int64)))
+
+    def pick_names(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(win_ref)
+        return b[np.isin(b["c_custkey"].to_numpy(np.int64), keys)]
+
+    names = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"]).map_batches(
+        pick_names, batch_format="pandas").to_pandas()
+    out = out.merge(names.rename(columns={"c_custkey": "custkey"}),
+                    on="custkey", how="left")
+    return pd.DataFrame({
+        "c_custkey": out["custkey"].astype(np.int64),
+        "c_name": out["c_name"],
+        "revenue": out["rev_i"].to_numpy(np.int64) / 10000.0})[cols]
+
+
+_Q10_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(rev_i AS DOUBLE) / 10000.0 AS revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+QUALIFY row_number() OVER (ORDER BY rev_i DESC, c_custkey) <= 20
+"""
+
+
 _MKTSEG_ORACLE = """
 SELECT c_mktsegment AS segment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
@@ -6765,6 +7140,7 @@ def _registry():
         "tokens_gapfill_1m": tokens_gapfill_1m,
         "tokens_audit": tokens_audit,
         "tokens_length_stats": tokens_length_stats,
+        "token_length_drift": token_length_drift,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
@@ -6796,6 +7172,7 @@ def _registry():
         "hash_sample_docs": hash_sample_docs,
         "per_source_doc_cap": per_source_doc_cap,
         "vocab_stats_by_source": vocab_stats_by_source,
+        "vocab_jaccard_sources": vocab_jaccard_sources,
         "sax_daily_words": sax_daily_words,
         "mixture_sample_docs": mixture_sample_docs,
         "bigram_pmi": bigram_pmi,
@@ -6825,6 +7202,7 @@ def _registry():
         "tpch_q6_revenue": tpch_q6_revenue,
         "promo_revenue_share": promo_revenue_share,
         "mktsegment_revenue": mktsegment_revenue,
+        "returned_item_customers": returned_item_customers,
         "dominant_acf_lag": dominant_acf_lag,
         "word_length_by_lang": word_length_by_lang,
         "doc_length_quartiles": doc_length_quartiles,
@@ -6839,6 +7217,7 @@ def _registry():
         "ewma_hourly": ewma_hourly,
         "sliding_p95_24h": sliding_p95_24h,
         "cusum_hourly": cusum_hourly,
+        "hampel_flags_1h": hampel_flags_1h,
         "theil_sen_trend": theil_sen_trend,
         "holt_linear_hourly": holt_linear_hourly,
         "rate_of_change_1h": rate_of_change_1h,
@@ -6904,6 +7283,7 @@ def oracles():
         "ewma_hourly": _EWMA_ORACLE,
         "sliding_p95_24h": _SLIDING_P95_ORACLE,
         "cusum_hourly": _CUSUM_ORACLE,
+        "hampel_flags_1h": _HAMPEL_ORACLE,
         "theil_sen_trend": _THEIL_SEN_ORACLE,
         "holt_linear_hourly": _HOLT_ORACLE,
         "rate_of_change_1h": _RATE_ORACLE,
@@ -6961,6 +7341,7 @@ def oracles():
         "tpch_q6_revenue": _Q6_ORACLE,
         "promo_revenue_share": _Q14_ORACLE,
         "mktsegment_revenue": _MKTSEG_ORACLE,
+        "returned_item_customers": _Q10_ORACLE,
         "dominant_acf_lag": _DOMINANT_ACF_ORACLE,
         "word_length_by_lang": _WORD_LEN_ORACLE,
         "doc_length_quartiles": _DOC_LEN_Q_ORACLE,
@@ -6974,6 +7355,7 @@ def oracles():
         "hash_sample_docs": _HASH_SAMPLE_ORACLE,
         "per_source_doc_cap": _DOC_CAP_ORACLE,
         "vocab_stats_by_source": _VOCAB_STATS_ORACLE,
+        "vocab_jaccard_sources": _VOCAB_JACCARD_ORACLE,
         "sax_daily_words": _SAX_ORACLE,
         "mixture_sample_docs": _MIXTURE_SAMPLE_ORACLE,
         "bigram_pmi": _BIGRAM_PMI_ORACLE,
@@ -6995,4 +7377,5 @@ def oracles():
         "tokens_gapfill_1m": _tokens_gapfill_oracle(60),
         "tokens_audit": _tokens_audit_oracle(),
         "tokens_length_stats": _tokens_length_stats_oracle(),
+        "token_length_drift": _token_drift_oracle(),
     }

@@ -58,6 +58,7 @@ FUZZ_QUERIES = [
     "classic_decompose_1h",
     "kpss_level_stat",
     "seasonal_envelope",
+    "hampel_flags_1h",
     "error_rate_hourly",
     "rolling_zscore_flags_1h",
     "sax_daily_words",
@@ -196,7 +197,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "hash_sample_docs", "per_source_doc_cap",
                     "vocab_stats_by_source", "ngram_containment",
                     "mixture_sample_docs", "bigram_pmi",
-                    "word_length_by_lang", "doc_length_quartiles"]
+                    "word_length_by_lang", "doc_length_quartiles",
+                    "vocab_jaccard_sources"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -31,6 +31,10 @@ SUBSET = [
     "sliding_p95_24h",
     "cusum_hourly",
     "theil_sen_trend",
+    "hampel_flags_1h",
+    "returned_item_customers",
+    "vocab_jaccard_sources",
+    "token_length_drift",
     "token_length_histogram",
     "context_packing",
     "holt_linear_hourly",
@@ -125,7 +129,10 @@ def duck():
 
 
 @pytest.mark.parametrize("name", SUBSET)
-def test_query_matches_oracle(name, duck, ray_session):
+def test_query_matches_oracle(name, duck, ray_session, monkeypatch):
+    # tokens-native oracles embed an absolute synthesized-input path
+    # derived from this env var (default sf0.01 — the driver's gate sf)
+    monkeypatch.setenv("GRAFT_ORACLE_SF_DIR", SF_DIR)
     from pycatcher_ray.queries import oracles, queries
 
     fn = queries()[name]
