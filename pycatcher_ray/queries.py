@@ -3798,6 +3798,138 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
     return sharded_map_groups(ds, "user_id", sessions_shard)
 
 
+def user_path_trigrams(sf_dir: str, gap_minutes: int = 30):
+    """Sequence mining over sessionized event streams: counts of every
+    consecutive event-type TRIGRAM inside a session (the n-gram view of
+    user journeys; the output is bounded by |event_types|³, not by the
+    stream).  Same session rule as ``session_windows`` (>30 min idle
+    closes), with (ts, event_id) ordering so concurrent events are
+    deterministic in both engines.  One user-keyed exchange computes
+    per-shard trigram partials fully vectorized (shift twice + one
+    groupby); a tiny final fold sums them.  All-integer — exact."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        sid = (user_change | (g["ts"].diff() > gap)).cumsum()
+        t = pd.DataFrame({
+            "e1": g["event_type"].to_numpy(),
+            "e2": g["event_type"].shift(-1).to_numpy(),
+            "e3": g["event_type"].shift(-2).to_numpy(),
+            "ok": (sid.shift(-1).to_numpy() == sid.to_numpy())
+                  & (sid.shift(-2).to_numpy() == sid.to_numpy()),
+        })
+        t = t[t["ok"]]
+        return t.groupby(["e1", "e2", "e3"], as_index=False).size().rename(
+            columns={"size": "n_occurrences"})
+
+    parts = sharded_map_groups(ds, "user_id", trigrams)
+    return sharded_aggregate(parts, ["e1", "e2", "e3"],
+                             {"n_occurrences": "sum"}, num_shards=2)
+
+
+_PATH_TRIGRAM_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), t AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w2 AS e2,
+         lead(event_type, 2) OVER w2 AS e3,
+         sid,
+         lead(sid, 1) OVER w2 AS sid2,
+         lead(sid, 2) OVER w2 AS sid3
+  FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*) AS n_occurrences
+FROM t WHERE sid2 = sid AND sid3 = sid
+GROUP BY 1, 2, 3
+"""
+
+
+def cohort_retention_matrix(sf_dir: str):
+    """Classic cohort-retention triangle: users grouped by their first
+    active day, distinct-user counts at each day offset, and the share
+    of the cohort still active — the aggregate behind every retention
+    dashboard.  ONE user-keyed exchange computes each user's cohort day
+    and distinct active days (per-shard, vectorized), emits integer
+    (cohort, offset) partials; a tiny cohort-keyed fold attaches the
+    offset-0 cohort size for the rate (ONE int/int divide).  Output is
+    O(days²) rows — bounded by the retention window, not the stream."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+
+    def per_user(shard: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": shard["user_id"],
+            "day": shard["ts"].dt.floor("D"),
+        }).drop_duplicates()
+        cohort = d.groupby("user_id")["day"].transform("min")
+        off = ((d["day"] - cohort).dt.total_seconds() // 86400).astype(
+            np.int64)
+        out = pd.DataFrame({"cohort_day": cohort, "day_offset": off})
+        return out.groupby(["cohort_day", "day_offset"],
+                           as_index=False).size().rename(
+            columns={"size": "n_users"})
+
+    parts = sharded_map_groups(ds, "user_id", per_user)
+    agg = sharded_aggregate(parts, ["cohort_day", "day_offset"],
+                            {"n_users": "sum"}, num_shards=2)
+
+    def rates(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for day, g in shard.groupby("cohort_day", sort=False):
+            size = int(g.loc[g["day_offset"] == 0, "n_users"].iloc[0])
+            n = g["n_users"].to_numpy(np.int64)
+            out.append(pd.DataFrame({
+                "cohort_day": day,
+                "day_offset": g["day_offset"].to_numpy(np.int64),
+                "n_users": n,
+                "retention_rate": n / size,
+            }))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            "cohort_day": pd.Series([], dtype="datetime64[us]"),
+            "day_offset": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64),
+            "retention_rate": pd.Series([], dtype=np.float64)})
+
+    return sharded_map_groups(agg, "cohort_day", rates, num_shards=2)
+
+
+_COHORT_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id
+), m AS (
+  SELECT cohort, date_diff('day', cohort, day) AS off, count(*) AS n
+  FROM d JOIN f USING (user_id) GROUP BY 1, 2
+), c AS (
+  SELECT cohort, n AS size FROM m WHERE off = 0
+)
+SELECT m.cohort AS cohort_day, CAST(m.off AS BIGINT) AS day_offset,
+       m.n AS n_users, CAST(m.n AS DOUBLE) / c.size AS retention_rate
+FROM m JOIN c USING (cohort)
+"""
+
+
 _SESSION_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, value,
@@ -4618,6 +4750,107 @@ def token_length_drift(sf_dir: str):
             "rate_late": pd.Series([], dtype=np.float64)})
 
     return sharded_map_groups(agg, "source", rates, num_shards=4)
+
+
+def token_prefix_novelty(sf_dir: str):
+    """Temporal dedup signal over the native tokens input: the share of
+    documents per (source, day) whose 8-token PREFIX was never seen
+    earlier (first occurrence by (event time, doc_id)) — the cheap
+    leading indicator of a crawl turning repetitive.  Per batch the
+    prefix extracts fully vectorized from the Arrow list column into a
+    padded (n, 8) int32 matrix viewed as four uint64 key words (pad −1
+    cannot collide: tokens are non-negative); the 4-word key rides ONE
+    hash exchange where each shard picks the unique (epoch, doc_id)
+    argmin per prefix; integer (source, day) partials fold in a tiny
+    second exchange.  Novelty rate is ONE int/int divide.  The oracle
+    groups by the actual ``tokens[1:8]`` list — equal lists ⇔ equal
+    padded keys, so both sides count identical first-occurrences."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "tokens", "source"])
+
+    def emit(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy().astype(np.int32)
+        n = len(tb)
+        lens = off[1:] - off[:-1]
+        take = np.minimum(lens, 8)
+        M = np.full((n, 8), -1, dtype=np.int32)
+        rows = np.repeat(np.arange(n, dtype=np.int64), take)
+        cols = (np.arange(int(take.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(take) - take, take))
+        M[rows, cols] = vals[np.repeat(off[:-1], take) + cols]
+        key = M.view(np.uint64).astype(np.int64)  # (n, 4) words
+        doc_id = tb["doc_id"].to_pandas()
+        epoch_s = doc_id.str.split("|").str[1].astype(np.int64) * 60
+        return pd.DataFrame({
+            "k1": key[:, 0], "k2": key[:, 1],
+            "k3": key[:, 2], "k4": key[:, 3],
+            "epoch_s": epoch_s.to_numpy(),
+            "doc_id": doc_id.to_numpy(),
+            "source": tb["source"].to_pandas().to_numpy(),
+        })
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow")
+
+    def first_seen(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["k1", "k2", "k3", "k4", "epoch_s",
+                                   "doc_id"], kind="stable")
+        novel = ~shard.duplicated(["k1", "k2", "k3", "k4"])
+        day = (shard["epoch_s"].to_numpy(np.int64) // 86400) * 86400
+        g = pd.DataFrame({
+            "source": shard["source"].to_numpy(),
+            "day": day,
+            "n_docs": np.ones(len(shard), dtype=np.int64),
+            "n_novel": novel.to_numpy().astype(np.int64),
+        })
+        return g.groupby(["source", "day"], as_index=False)[
+            ["n_docs", "n_novel"]].sum()
+
+    parts = sharded_map_groups(tagged, ["k1", "k2", "k3", "k4"],
+                               first_seen)
+    agg = sharded_aggregate(parts, ["source", "day"],
+                            {"n_docs": "sum", "n_novel": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b["n_docs"].to_numpy(np.int64)
+        nv = b["n_novel"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "day": pd.to_datetime(b["day"].to_numpy(np.int64), unit="s"),
+            "n_docs": nd,
+            "n_novel": nv,
+            "novelty_rate": nv / nd,
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_prefix_novelty_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60 AS epoch_s,
+         tokens[1:8] AS pre
+  FROM read_parquet('{glob}')
+), r AS (
+  SELECT source, epoch_s,
+         row_number() OVER (PARTITION BY pre
+                            ORDER BY epoch_s, doc_id) = 1 AS novel
+  FROM t
+)
+SELECT source,
+       to_timestamp(epoch_s - (epoch_s % 86400)) AT TIME ZONE 'UTC' AS day,
+       count(*) AS n_docs,
+       count(*) FILTER (novel) AS n_novel,
+       CAST(count(*) FILTER (novel) AS DOUBLE) / count(*) AS novelty_rate
+FROM r GROUP BY 1, 2
+"""
 
 
 def _token_drift_oracle() -> str:
@@ -7141,6 +7374,7 @@ def _registry():
         "tokens_audit": tokens_audit,
         "tokens_length_stats": tokens_length_stats,
         "token_length_drift": token_length_drift,
+        "token_prefix_novelty": token_prefix_novelty,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
@@ -7212,6 +7446,8 @@ def _registry():
         "approx_users_by_type": approx_users_by_type,
         "duplicate_buckets": duplicate_buckets,
         "session_windows": session_windows,
+        "user_path_trigrams": user_path_trigrams,
+        "cohort_retention_matrix": cohort_retention_matrix,
         "sliding_avg_3h": sliding_avg_3h,
         "hopping_stats_2h": hopping_stats_2h,
         "ewma_hourly": ewma_hourly,
@@ -7274,6 +7510,8 @@ def oracles():
         "latest_iqr_flag_1h": _LATEST_IQR_ORACLE,
         "duplicate_buckets": _DUP_ORACLE,
         "session_windows": _SESSION_ORACLE,
+        "user_path_trigrams": _PATH_TRIGRAM_ORACLE,
+        "cohort_retention_matrix": _COHORT_ORACLE,
         "distinct_users_by_type": _DISTINCT_ORACLE,
         "approx_users_by_type": _APPROX_USERS_ORACLE,
         "approx_p95_by_source": _APPROX_P95_ORACLE,
@@ -7378,4 +7616,5 @@ def oracles():
         "tokens_audit": _tokens_audit_oracle(),
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
+        "token_prefix_novelty": _token_prefix_novelty_oracle(),
     }

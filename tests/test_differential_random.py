@@ -59,6 +59,8 @@ FUZZ_QUERIES = [
     "kpss_level_stat",
     "seasonal_envelope",
     "hampel_flags_1h",
+    "user_path_trigrams",
+    "cohort_retention_matrix",
     "error_rate_hourly",
     "rolling_zscore_flags_1h",
     "sax_daily_words",

@@ -35,6 +35,9 @@ SUBSET = [
     "returned_item_customers",
     "vocab_jaccard_sources",
     "token_length_drift",
+    "user_path_trigrams",
+    "cohort_retention_matrix",
+    "token_prefix_novelty",
     "token_length_histogram",
     "context_packing",
     "holt_linear_hourly",

@@ -491,3 +491,71 @@ class TestStdlibCodecs:
                 assert f[0] == 2.0 and f[1] == 8000.0
                 assert abs(f[3] - f[2] / 8000.0) < 1e-9
                 assert 0.3 < f[4] < 0.6  # sine RMS
+
+
+class TestTokenPrefixNovelty:
+    """Planted duplicate prefixes: the synthesized native input has
+    effectively-unique 8-token prefixes (novelty_rate 1.0 everywhere),
+    so the duplicate branch — argmin by (epoch, doc_id), short-prefix
+    padding, cross-day/cross-source dups — is pinned here against the
+    DuckDB oracle on a hand-built corpus."""
+
+    def test_planted_duplicates_match_oracle(self, ray_session, tmp_path,
+                                             monkeypatch):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = list(range(100, 108))  # one shared 8-token prefix
+        m0 = 28_401_120               # 2024-01-01T00:00 in epoch minutes
+        rows = [
+            # same prefix, same minute, different seq: novel = smaller
+            # doc_id lexicographically
+            ("a|{}|0".format(m0), base + [1, 2, 3], "srcA"),
+            ("a|{}|9".format(m0), base + [4], "srcA"),
+            # same prefix later same day and next day, other source
+            ("a|{}|1".format(m0 + 5), base + [9, 9], "srcA"),
+            ("b|{}|0".format(m0 + 1440), list(base), "srcB"),
+            # short docs: len-4 vs len-5 prefixes must stay distinct,
+            # len-4 dup across sources collapses
+            ("a|{}|2".format(m0), [5, 5, 5, 5], "srcA"),
+            ("b|{}|0".format(m0 + 1), [5, 5, 5, 5], "srcB"),
+            ("b|{}|1".format(m0 + 1), [5, 5, 5, 5, 7], "srcB"),
+            # single-token doc
+            ("b|{}|2".format(m0 + 2), [42], "srcB"),
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[2] for r in rows]),
+        })
+        d = tmp_path / "toks"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+
+        import pycatcher_ray.queries as q
+
+        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        got = q.token_prefix_novelty("ignored").to_pandas()
+        got = got.sort_values(["source", "day"]).reset_index(drop=True)
+        want = duckdb.connect().execute(
+            q._token_prefix_novelty_oracle()).fetchdf().sort_values(
+            ["source", "day"]).reset_index(drop=True)
+        got["day"] = got["day"].astype("datetime64[us]")
+        want["day"] = want["day"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        # hand-check the planted structure: srcA day1 has 4 docs of
+        # which 2 novel (the seq-0 prefix winner and the first len-4
+        # short doc; NOT seq-9 nor the later prefix dup); srcB day1:
+        # len-4 dup not novel, len-5 and single-token novel; srcB day2:
+        # the cross-day prefix dup is not novel
+        by = got.set_index(["source", "day"])
+        a1 = by.loc[("srcA", pd.Timestamp("2024-01-01"))]
+        assert a1["n_docs"] == 4 and a1["n_novel"] == 2
+        b1 = by.loc[("srcB", pd.Timestamp("2024-01-01"))]
+        assert b1["n_docs"] == 3 and b1["n_novel"] == 2
+        b2 = by.loc[("srcB", pd.Timestamp("2024-01-02"))]
+        assert b2["n_docs"] == 1 and b2["n_novel"] == 0
