@@ -1688,16 +1688,23 @@ def source_correlation(sf_dir: str):
             "source_a": j["event_type_a"].to_numpy(),
             "source_b": j["event_type_b"].to_numpy(),
             "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
-            "syy": y * y})
-        return out.groupby(["source_a", "source_b"],
-                           as_index=False).sum()
+            "syy": y * y, "mnx": x, "mxx": x, "mny": y, "mxy": y})
+        return out.groupby(["source_a", "source_b"], as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sxx=("sxx", "sum"), syy=("syy", "sum"),
+            mnx=("mnx", "min"), mxx=("mxx", "max"),
+            mny=("mny", "min"), mxy=("mxy", "max"))
 
     partials = sharded_map_groups(
         roll.select_columns(["event_type", "bucket_start", "sum_value"]),
         "bucket_start", pair_partials)
 
     def fold(shard: pd.DataFrame) -> pd.DataFrame:
-        agg = shard.groupby(["source_a", "source_b"], as_index=False).sum()
+        agg = shard.groupby(["source_a", "source_b"], as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sxx=("sxx", "sum"), syy=("syy", "sum"),
+            mnx=("mnx", "min"), mxx=("mxx", "max"),
+            mny=("mny", "min"), mxy=("mxy", "max"))
         n = agg["n"].to_numpy(dtype=np.float64)
         sx = agg["sx"].to_numpy(dtype=np.float64)
         sy = agg["sy"].to_numpy(dtype=np.float64)
@@ -1705,6 +1712,13 @@ def source_correlation(sf_dir: str):
             rho = ((agg["sxy"].to_numpy() - sx * sy / n)
                    / np.sqrt((agg["sxx"].to_numpy() - sx * sx / n)
                              * (agg["syy"].to_numpy() - sy * sy / n)))
+        # constancy guard: an EXACT min == max comparison (no float
+        # arithmetic, so bit-identical to the oracle's CASE) — a
+        # constant side has no defined correlation; the fuzz gate's
+        # stuck-sensor source pins this branch
+        const = ((agg["mnx"].to_numpy() == agg["mxx"].to_numpy())
+                 | (agg["mny"].to_numpy() == agg["mxy"].to_numpy()))
+        rho = np.where(const, np.nan, rho)
         return pd.DataFrame({
             "source_a": agg["source_a"], "source_b": agg["source_b"],
             "n_common": agg["n"].astype(np.int64),
@@ -1724,13 +1738,15 @@ WITH r AS (
     ON b.bucket_start = a.bucket_start AND a.source < b.source
 ), s AS (
   SELECT sa, sb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
   FROM j GROUP BY 1, 2
 )
 SELECT sa AS source_a, sb AS source_b, n AS n_common,
-       round((sxy - sx * sy / n)
-             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
-         AS pearson
+       CASE WHEN mnx = mxx OR mny = mxy THEN NULL ELSE
+         round((sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+       END AS pearson
 FROM s
 """
 
@@ -1768,15 +1784,21 @@ def reference_correlation(sf_dir: str):
             x = g["x"].to_numpy(dtype=np.float64)
             y = g["y"].to_numpy(dtype=np.float64)
             n = float(x.size)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                rho = ((float((x * y).sum()) - x.sum() * y.sum() / n)
-                       / math.sqrt((float((x * x).sum())
-                                    - x.sum() * x.sum() / n)
-                                   * (float((y * y).sum())
-                                      - y.sum() * y.sum() / n)))
+            if x.min() == x.max() or y.min() == y.max():
+                # constancy guard: EXACT min == max (no float
+                # arithmetic) — matches the oracle's CASE branch
+                rho = np.nan
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    rho = ((float((x * y).sum()) - x.sum() * y.sum() / n)
+                           / math.sqrt((float((x * x).sum())
+                                        - x.sum() * x.sum() / n)
+                                       * (float((y * y).sum())
+                                          - y.sum() * y.sum() / n)))
+                rho = round(rho, 6)
             rows.append({
                 "source": src, "n_buckets": int(x.size),
-                "pearson_vs_total": round(rho, 6),
+                "pearson_vs_total": rho,
             })
         return pd.DataFrame(rows, columns=[
             "source", "n_buckets", "pearson_vs_total"])
@@ -1795,13 +1817,15 @@ WITH r AS (
   SELECT r.source, r.x, t.y FROM r JOIN t USING (bucket_start)
 ), s AS (
   SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
   FROM j GROUP BY source
 )
 SELECT source, n AS n_buckets,
-       round((sxy - sx * sy / n)
-             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
-         AS pearson_vs_total
+       CASE WHEN mnx = mxx OR mny = mxy THEN NULL ELSE
+         round((sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+       END AS pearson_vs_total
 FROM s
 """
 
@@ -7347,6 +7371,781 @@ FROM l
 """
 
 
+# ------------------------------------------- local structure detectors
+
+
+def peak_hours(sf_dir: str):
+    """Local-maximum detection over the hourly tier: buckets strictly
+    greater than BOTH sequence neighbors per source (reference parity:
+    the spike candidates the decompose-and-detect family flags;
+    catch.py's detectors score deviations — this is the shape primitive
+    under them).  Neighbors are the previous/next OBSERVED bucket in
+    bucket order (the same windows the oracle's lag/lead see), so the
+    comparison is exact-integer on 10⁻⁴-unit values and parity is
+    bit-for-bit.  One source-keyed exchange; vectorized per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            if y4.size < 3:
+                continue
+            mid = y4[1:-1]
+            mask = (mid > y4[:-2]) & (mid > y4[2:])
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask) + 1
+            frames.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": bs.to_numpy()[idx],
+                "value": y4[idx] / 10000.0}))
+        if not frames:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[ns]"),
+                "value": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_PEAK_HOURS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, y,
+         lag(y) OVER win AS yp, lead(y) OVER win AS yn
+  FROM r WINDOW win AS (PARTITION BY source ORDER BY bucket_start)
+)
+SELECT source, bucket_start, CAST(y AS DOUBLE) / 10000.0 AS value
+FROM w
+WHERE yp IS NOT NULL AND yn IS NOT NULL AND y > yp AND y > yn
+"""
+
+
+def variance_ratio_by_day(sf_dir: str):
+    """Per-(source, day) heteroscedasticity screen: the ratio of the
+    day's population variance of hourly sums to the source's overall
+    variance — days whose ratio spikes carry regime shifts or bursts
+    the mean-based detectors miss.  Exactness: with y in 10⁻⁴ integer
+    units, var = (nΣy² − (Σy)²)/n², so the ratio's numerator
+    (n_d·S2_d − S1_d²)·N² and denominator n_d²·(N·S2 − S1²) are EXACT
+    integers (Python bigints in the engine, HUGEINT in the oracle) and
+    the single double divide is bit-identical.  One source-keyed
+    exchange; per-source series bounded by bucket count."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            y = [int(v) for v in y4.tolist()]
+            n_all = len(y)
+            s1 = sum(y)
+            s2 = sum(v * v for v in y)
+            den_src = n_all * s2 - s1 * s1
+            days = bs.dt.floor("D")
+            dfd = pd.DataFrame({"day": days.to_numpy(), "y": y})
+            for day, g in dfd.groupby("day", sort=False):
+                gy = g["y"].tolist()
+                nd = len(gy)
+                d1 = sum(gy)
+                d2 = sum(v * v for v in gy)
+                num = (nd * d2 - d1 * d1) * n_all * n_all
+                den = nd * nd * den_src
+                rows.append({
+                    "source": src, "day": day, "n_hours": nd,
+                    "var_ratio": float(num) / float(den)
+                    if den_src > 0 else np.nan})
+        return pd.DataFrame(rows, columns=[
+            "source", "day", "n_hours", "var_ratio"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_VAR_RATIO_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(y AS HUGEINT)) AS s1,
+         sum(CAST(y AS HUGEINT) * y) AS s2
+  FROM r GROUP BY source
+), d AS (
+  SELECT source, date_trunc('day', bucket_start) AS day,
+         count(*) AS nd,
+         sum(CAST(y AS HUGEINT)) AS d1,
+         sum(CAST(y AS HUGEINT) * y) AS d2
+  FROM r GROUP BY 1, 2
+)
+SELECT d.source, d.day, d.nd AS n_hours,
+       CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0 THEN
+         CAST((d.nd * d.d2 - d.d1 * d.d1) * s.n * s.n AS DOUBLE)
+           / CAST(d.nd * d.nd * (s.n * s.s2 - s.s1 * s.s1) AS DOUBLE)
+       ELSE NULL END AS var_ratio
+FROM d JOIN s USING (source)
+"""
+
+
+def longest_flat_run(sf_dir: str):
+    """Longest run of hour-adjacent buckets with an IDENTICAL value per
+    source (gaps-and-islands on both hour continuity and 10⁻⁴-unit
+    equality) — the stuck-sensor / pipeline-freeze data-quality check.
+    All-integer comparisons, earliest start on run-length ties; one
+    source-keyed exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            brk = (np.diff(xs) != 1) | (np.diff(y4) != 0)
+            starts = np.concatenate([[0], np.flatnonzero(brk) + 1])
+            bounds = np.append(starts, xs.size)
+            lens = np.diff(bounds)
+            best = int(np.argmax(lens))  # first max = earliest start
+            i0 = int(starts[best])
+            rows.append({
+                "source": src, "flat_hours": int(lens[best]),
+                "run_start": bs.iloc[i0],
+                "value": y4[i0] / 10000.0})
+        return pd.DataFrame(rows, columns=[
+            "source", "flat_hours", "run_start", "value"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_FLAT_RUN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, bucket_start, h, y,
+         CASE WHEN h - lag(h) OVER win = 1 AND y = lag(y) OVER win
+              THEN 0 ELSE 1 END AS brk
+  FROM r WINDOW win AS (PARTITION BY source ORDER BY h)
+), g AS (
+  SELECT source, bucket_start, y,
+         sum(brk) OVER (PARTITION BY source ORDER BY h
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM w
+), runs AS (
+  SELECT source, grp, count(*) AS flat_hours,
+         min(bucket_start) AS run_start, any_value(y) AS y
+  FROM g GROUP BY source, grp
+)
+SELECT source, flat_hours, run_start, CAST(y AS DOUBLE) / 10000.0 AS value
+FROM runs
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY flat_hours DESC, run_start ASC) = 1
+"""
+
+
+# ------------------------------------------- corpus-curation additions
+
+
+def zipf_head_coverage(sf_dir: str, k: int = 10):
+    """Zipf head coverage per source: the share of token occurrences
+    captured by the top-k most frequent words — the boilerplate / spam
+    flood detector (a healthy natural-language slice puts ~20-30 % in
+    its head; template floods push it toward 1).  One corpus pass emits
+    a tagged union of per-batch (source, word, count) partials and
+    per-source token counters through a (source, word)-keyed exchange;
+    each shard's per-source top-k candidates are sufficient for the
+    global top-k (shards hold disjoint (source, word) groups, so any
+    global head word is inside its shard's head), and a tiny
+    source-keyed fold finishes.  All counts integer-exact, ties at rank
+    k break (count DESC, word ASC) on both engines; coverage is ONE
+    int/int divide.
+    NOTE: the paired oracle hardcodes k=10."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict = {}
+        tok: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            tok[s] = tok.get(s, 0) + len(ws)
+            for w in ws:
+                key = (s, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        rows = pd.DataFrame({
+            "source": [s for s, _ in cnt],
+            "w": [w for _, w in cnt],
+            "c": list(cnt.values())})
+        counters = pd.DataFrame({
+            "source": list(tok),
+            "w": "",  # word regex never matches empty — no collision
+            "c": [tok[s] for s in tok]})
+        return pd.concat([rows, counters], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def shard_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        words = shard[shard["w"] != ""].groupby(
+            ["source", "w"], as_index=False)["c"].sum()
+        tops = []
+        for src, g in words.groupby("source", sort=False):
+            g = g.sort_values(["c", "w"], ascending=[False, True],
+                              kind="stable").head(k)
+            tops.append(g)
+        cand = (pd.concat(tops, ignore_index=True) if tops
+                else words.iloc[0:0])
+        totals = shard[shard["w"] == ""].groupby(
+            "source", as_index=False)["c"].sum()
+        totals["w"] = ""
+        return pd.concat([cand, totals], ignore_index=True)[
+            ["source", "w", "c"]]
+
+    cand = sharded_map_groups(tagged, ["source", "w"], shard_fold)
+
+    def fin(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            total = int(g.loc[g["w"] == "", "c"].sum())
+            words = g[g["w"] != ""].sort_values(
+                ["c", "w"], ascending=[False, True], kind="stable").head(k)
+            if total <= 0 or words.empty:
+                continue  # zero-token source: oracle emits no row
+            head = int(words["c"].sum())
+            rows.append({
+                "source": src, "n_tokens": total,
+                "head10_tokens": head,
+                "head10_coverage": head / total,
+                "top_word": words["w"].iloc[0]})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_tokens", "head10_tokens", "head10_coverage",
+            "top_word"])
+
+    return sharded_map_groups(cand, "source", fin, num_shards=4)
+
+
+_ZIPF_HEAD_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), c AS (
+  SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+), t AS (
+  SELECT source, count(*) AS n_tokens FROM words GROUP BY source
+), top AS (
+  SELECT source, w, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, w ASC) AS rn
+  FROM c
+)
+SELECT t.source, t.n_tokens,
+       sum(top.c) AS head10_tokens,
+       CAST(sum(top.c) AS DOUBLE) / t.n_tokens AS head10_coverage,
+       min(CASE WHEN rn = 1 THEN w END) AS top_word
+FROM top JOIN t USING (source)
+WHERE rn <= 10
+GROUP BY t.source, t.n_tokens
+"""
+
+
+_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    "or", "from", "not", "but", "have",
+)
+
+
+def stopword_density(sf_dir: str):
+    """Stopword share per source against a FIXED 25-word English list —
+    the C4/Gopher-style quality prior (near-zero density flags
+    non-linguistic or machine-generated slices; the reference's quality
+    gates are the per-series analog).  Map-only: per-batch per-source
+    (token, stopword) integer partials; sources are bounded so the
+    driver folds a handful of rows; NO shuffle.  The share is ONE
+    int/int divide."""
+    from .stages.dedup import _WORD_RE
+
+    stop = frozenset(_STOPWORDS)
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok: dict = {}
+        ns: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            tok[s] = tok.get(s, 0) + len(ws)
+            ns[s] = ns.get(s, 0) + sum(1 for w in ws if w in stop)
+        return pd.DataFrame({
+            "source": list(tok),
+            "p_tok": [tok[s] for s in tok],
+            "p_stop": [ns[s] for s in tok]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "n_stopwords": pd.Series([], dtype=np.int64),
+            "stopword_share": pd.Series([], dtype=np.float64)})
+    fin = parts.groupby("source", as_index=False).sum()
+    fin = fin[fin["p_tok"] > 0]  # zero-token source: oracle emits no row
+    nt = fin["p_tok"].to_numpy(np.int64)
+    st = fin["p_stop"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": fin["source"], "n_tokens": nt, "n_stopwords": st,
+        "stopword_share": st / nt})
+
+
+_STOPWORD_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+)
+SELECT source, count(*) AS n_tokens,
+       coalesce(sum(CASE WHEN w IN (
+         'the','of','and','a','to','in','is','it','that','for',
+         'on','with','as','was','at','by','an','be','this','are',
+         'or','from','not','but','have') THEN 1 ELSE 0 END), 0)
+         AS n_stopwords,
+       CAST(coalesce(sum(CASE WHEN w IN (
+         'the','of','and','a','to','in','is','it','that','for',
+         'on','with','as','was','at','by','an','be','this','are',
+         'or','from','not','but','have') THEN 1 ELSE 0 END), 0)
+         AS DOUBLE) / count(*) AS stopword_share
+FROM words GROUP BY source
+"""
+
+
+def cross_source_contamination(sf_dir: str, n: int = 5):
+    """Benchmark decontamination: train-split documents sharing at
+    least one word n-gram with the benchmark split (here: the
+    lexicographically-smallest source plays the held-out benchmark) —
+    the screen run before training so eval data doesn't leak into the
+    mix (the n-gram-overlap method of the GPT-3/PaLM decontamination
+    appendices).  Plan: per-batch vectorized gram build (the
+    boilerplate_phrases shifted-array form), per-doc-distinct
+    (gram, doc) partials through ONE gram-keyed exchange where a gram's
+    group emits its train docs only if a benchmark row is present, then
+    a doc-keyed exchange counts distinct shared grams per doc.  The
+    benchmark source label folds from per-batch minima (sources are
+    bounded); text never shuffles — only grams.
+    NOTE: the paired oracle hardcodes n=5."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"])
+
+    def src_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ms": [b["source"].min()]})
+
+    mins = ds.map_batches(src_partial, batch_format="pandas").to_pandas()
+    if mins.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+            "n_shared_grams": pd.Series([], dtype=np.int64)})
+    bench_src = mins["ms"].min()
+
+    def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        words, docs, srcs = [], [], []
+        for did, src, text in zip(batch["doc_id"], batch["source"],
+                                  batch["text"]):
+            ws = [w for w in (text or "").split(" ") if w]
+            words.append(np.asarray(ws, dtype=object))
+            docs.append(np.full(len(ws), did, dtype=np.int64))
+            srcs.append(np.full(len(ws), src, dtype=object))
+        if not words:
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=object)})
+        w = np.concatenate(words)
+        d = np.concatenate(docs)
+        s = np.concatenate(srcs)
+        if w.size < n:
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=object)})
+        ok = d[: w.size - n + 1] == d[n - 1:]
+        gram = w[: w.size - n + 1].copy()
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + w[j: w.size - n + j + 1]
+        df = pd.DataFrame({
+            "gram": gram[ok], "doc_id": d[: w.size - n + 1][ok],
+            "source": s[: w.size - n + 1][ok]})
+        # distinct per (gram, doc) — docs never span batches
+        return df.drop_duplicates(["gram", "doc_id"])
+
+    partials = ds.map_batches(gram_partials, batch_format="pandas")
+
+    def gram_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        is_bench = shard["source"].to_numpy() == bench_src
+        bench_grams = set(shard.loc[is_bench, "gram"])
+        train = shard[~is_bench]
+        hit = train[train["gram"].isin(bench_grams)]
+        if len(hit):
+            out.append(pd.DataFrame({
+                "doc_id": hit["doc_id"].to_numpy(np.int64),
+                "source": hit["source"].to_numpy(),
+                "one": np.ones(len(hit), dtype=np.int64)}))
+        if not out:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=object),
+                "one": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    hits = sharded_map_groups(partials, "gram", gram_fold)
+
+    def doc_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["doc_id", "source"], as_index=False)["one"].sum()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "source": g["source"],
+            "n_shared_grams": g["one"].astype(np.int64)})
+
+    return sharded_map_groups(hits, "doc_id", doc_fold, num_shards=4)
+
+
+_CONTAMINATION_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM raw WHERE w <> ''
+), g AS (
+  SELECT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w
+           AS gram
+  FROM t a
+  JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN t c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  JOIN t d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+  JOIN t e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+), dd AS (SELECT DISTINCT doc_id, gram FROM g),
+docs AS (SELECT doc_id, source FROM documents),
+m AS (SELECT min(source) AS ms FROM documents),
+bg AS (
+  SELECT DISTINCT gram FROM dd JOIN docs USING (doc_id), m
+  WHERE docs.source = m.ms
+)
+SELECT dd.doc_id, docs.source, count(*) AS n_shared_grams
+FROM dd JOIN bg USING (gram) JOIN docs USING (doc_id), m
+WHERE docs.source <> m.ms
+GROUP BY dd.doc_id, docs.source
+"""
+
+
+def tpch_q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_13",
+                            nation_b: str = "NATION_19",
+                            date_lo: str = "1996-01-01",
+                            date_hi: str = "1998-01-01"):
+    """TPC-H Q7 shape — volume shipping between two nations, both
+    directions, by year.  Distributed plan: nation + supplier broadcast
+    (dimension tables); orders ⋈ customer rides ONE custkey-hash
+    exchange (pre-filtered map-side to the two customer nations via the
+    broadcast customer-nation keys); lineitem revenue partials
+    pre-aggregate per (okey, supp_nation, year) after a map-side
+    semi-join against the broadcast supplier map; both sides meet in
+    ONE orderkey-hash exchange where the cross-nation pair filter and
+    the (supp, cust, year) partial sums happen — the driver folds
+    ≤ 2 × years × shards rows.  Revenue in integer 10⁻⁴ units (the Q5
+    order-independent-sum trick).
+    NOTE: the paired oracle hardcodes NATION_13/NATION_19, 1996-1997."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    nat = _rd().read_parquet(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    pair = nat[nat["n_name"].isin([nation_a, nation_b])]
+    nation_name = dict(zip(pair["n_nationkey"].astype(int),
+                           pair["n_name"]))
+    pair_keys = np.sort(pair["n_nationkey"].to_numpy(np.int64))
+
+    supp = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(pair_keys))]
+    supp_ref = ray.put({int(k): int(v) for k, v in
+                        zip(supp["s_suppkey"], supp["s_nationkey"])})
+    pair_ref = ray.put(pair_keys)
+
+    # --- exchange 1: orders ⋈ customer on custkey → (okey, c_nat) ---
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        nk = ray.get(pair_ref)
+        b = b[np.isin(b["c_nationkey"].to_numpy(np.int64), nk)]
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].astype(np.int64),
+            "okey": np.int64(-1),
+            "nat": b["c_nationkey"].astype(np.int64),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].astype(np.int64),
+            "okey": b["o_orderkey"].astype(np.int64),
+            "nat": np.int64(-1),
+            "kind": np.int64(0)})
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "nat"]].drop_duplicates("ckey")
+        o = g[g["kind"] == 0][["ckey", "okey"]]
+        j = o.merge(c, on="ckey", how="inner")
+        return pd.DataFrame({"okey": j["okey"], "c_nat": j["nat"],
+                             "rev_i": np.int64(0), "s_nat": np.int64(-1),
+                             "year": np.int64(-1), "kind": np.int64(1)})
+
+    o_nat = sharded_map_groups(
+        orders.map_batches(order_rows, batch_format="pandas").union(
+            cust.map_batches(cust_rows, batch_format="pandas")),
+        "ckey", join_cust)
+
+    # --- lineitem partials: shipdate window + broadcast supplier semi ---
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    def rev_partials(b: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(supp_ref)
+        d = b["l_shipdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        keys = (np.fromiter(smap.keys(), np.int64, len(smap)) if smap
+                else np.empty(0, np.int64))
+        keep = np.isin(sk, keys)
+        b = b[keep]
+        sk = sk[keep]
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        years = b["l_shipdate"].dt.year.to_numpy(np.int64)
+        part = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "s_nat": np.array([smap[k] for k in sk], dtype=np.int64)
+            if len(b) else np.empty(0, np.int64),
+            "year": years,
+            "rev_i": price_c * (100 - disc_c),
+        }).groupby(["okey", "s_nat", "year"], as_index=False)["rev_i"].sum()
+        part["c_nat"] = np.int64(-1)
+        part["kind"] = np.int64(0)
+        return part[["okey", "c_nat", "rev_i", "s_nat", "year", "kind"]]
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "c_nat"]].drop_duplicates("okey")
+        r = g[g["kind"] == 0][["okey", "s_nat", "year", "rev_i"]]
+        j = r.merge(o, on="okey", how="inner")
+        j = j[j["s_nat"].to_numpy() != j["c_nat"].to_numpy()]
+        return j.groupby(["s_nat", "c_nat", "year"],
+                         as_index=False)["rev_i"].sum()
+
+    parts = sharded_map_groups(
+        line.map_batches(rev_partials, batch_format="pandas").union(o_nat),
+        "okey", join_rev).to_pandas()
+    cols = ["supp_nation", "cust_nation", "l_year", "revenue"]
+    if parts.empty or "s_nat" not in parts.columns:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    fin = parts.groupby(["s_nat", "c_nat", "year"],
+                        as_index=False)["rev_i"].sum()
+    fin["supp_nation"] = fin["s_nat"].map(nation_name)
+    fin["cust_nation"] = fin["c_nat"].map(nation_name)
+    fin["l_year"] = fin["year"].astype(np.int64)
+    fin["revenue"] = fin["rev_i"].to_numpy(np.int64) / 1e4
+    return fin.sort_values(["supp_nation", "cust_nation", "l_year"])[
+        cols].reset_index(drop=True)
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def tpch_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive broadcast-join predicate: revenue
+    from lineitems matching ANY of three (brand, size-range,
+    quantity-range) branches.  The part dimension broadcasts once
+    (``ray.put`` of partkey → (brand-id, size) arrays); each lineitem
+    batch evaluates the whole disjunction vectorized map-side and emits
+    ONE integer partial row — NO shuffle at all.  Revenue in 10⁻⁴
+    integer units (order-independent).  Adapted to this schema's
+    columns (no containers/shipmode in the synth part/lineitem).
+    NOTE: the paired oracle hardcodes the three branches."""
+    import ray
+
+    branches = (  # (brand, size_hi, qty_lo, qty_hi)
+        ("Brand#12", 15, 1.0, 11.0),
+        ("Brand#23", 25, 10.0, 20.0),
+        ("Brand#3", 35, 20.0, 30.0),
+    )
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brand_id = {b: i for i, (b, *_rest) in enumerate(branches)}
+    part["bid"] = part["p_brand"].map(brand_id).fillna(-1).astype(np.int64)
+    part = part[part["bid"] >= 0]
+    part_ref = ray.put({
+        int(k): (int(b), int(s)) for k, b, s in
+        zip(part["p_partkey"], part["bid"], part["p_size"])})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pmap = ray.get(part_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        keys = (np.fromiter(pmap.keys(), np.int64, len(pmap)) if pmap
+                else np.empty(0, np.int64))
+        keep = np.isin(pk, keys)
+        b = b[keep]
+        pk = pk[keep]
+        if not len(b):
+            return pd.DataFrame({"rev_i": pd.Series([0], dtype=np.int64),
+                                 "n": pd.Series([0], dtype=np.int64)})
+        bid = np.array([pmap[k][0] for k in pk], dtype=np.int64)
+        size = np.array([pmap[k][1] for k in pk], dtype=np.int64)
+        qty = b["l_quantity"].to_numpy(np.float64)
+        mask = np.zeros(len(b), dtype=bool)
+        for i, (_brand, size_hi, qlo, qhi) in enumerate(branches):
+            mask |= ((bid == i) & (size >= 1) & (size <= size_hi)
+                     & (qty >= qlo) & (qty <= qhi))
+        b = b[mask]
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        rev = int((price_c * (100 - disc_c)).sum())
+        return pd.DataFrame({"rev_i": pd.Series([rev], dtype=np.int64),
+                             "n": pd.Series([len(b)], dtype=np.int64)})
+
+    parts = line.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    rev_i = int(parts["rev_i"].sum())
+    return pd.DataFrame({
+        "revenue": [float(rev_i) / 10000.0 if n else None],
+        "n_lines": [n]})
+
+
+_Q19_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def embedding_quantization_stats(sf_dir: str):
+    """Per-dimension int8-quantization calibration over the embedding
+    column: min, max and the symmetric-range scale (max−min)/255 — the
+    stats an ANN index computes before quantizing vectors for the
+    memory-bound scale path (IVF-PQ-style indexes at 100 TB).  Per-batch
+    numpy per-dim min/max partials (dims are bounded, the driver folds
+    a dims-sized frame); min/max involve NO accumulation, so float32 →
+    float64 lifts are exact and parity is bit-for-bit."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        dims = np.arange(1, mat.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "dim": dims,
+            "mn": mat.min(axis=0),
+            "mx": mat.max(axis=0)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "min_v": pd.Series([], dtype=np.float64),
+            "max_v": pd.Series([], dtype=np.float64),
+            "scale": pd.Series([], dtype=np.float64)})
+    fin = parts.groupby("dim", as_index=False).agg(
+        min_v=("mn", "min"), max_v=("mx", "max"))
+    fin["scale"] = (fin["max_v"] - fin["min_v"]) / 255.0
+    return fin.sort_values("dim").reset_index(drop=True)
+
+
+_EMB_QUANT_ORACLE = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT dim, min(x) AS min_v, max(x) AS max_v,
+       (max(x) - min(x)) / 255.0 AS scale
+FROM u GROUP BY dim ORDER BY dim
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -7407,11 +8206,15 @@ def _registry():
         "per_source_doc_cap": per_source_doc_cap,
         "vocab_stats_by_source": vocab_stats_by_source,
         "vocab_jaccard_sources": vocab_jaccard_sources,
+        "zipf_head_coverage": zipf_head_coverage,
+        "stopword_density": stopword_density,
+        "cross_source_contamination": cross_source_contamination,
         "sax_daily_words": sax_daily_words,
         "mixture_sample_docs": mixture_sample_docs,
         "bigram_pmi": bigram_pmi,
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
+        "embedding_quantization_stats": embedding_quantization_stats,
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
         "large_order_customers": large_order_customers,
@@ -7437,7 +8240,12 @@ def _registry():
         "promo_revenue_share": promo_revenue_share,
         "mktsegment_revenue": mktsegment_revenue,
         "returned_item_customers": returned_item_customers,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q19_disjunctive_revenue": tpch_q19_disjunctive_revenue,
         "dominant_acf_lag": dominant_acf_lag,
+        "peak_hours": peak_hours,
+        "variance_ratio_by_day": variance_ratio_by_day,
+        "longest_flat_run": longest_flat_run,
         "word_length_by_lang": word_length_by_lang,
         "doc_length_quartiles": doc_length_quartiles,
         "stratified_sample_events": stratified_sample_events,
@@ -7580,10 +8388,16 @@ def oracles():
         "promo_revenue_share": _Q14_ORACLE,
         "mktsegment_revenue": _MKTSEG_ORACLE,
         "returned_item_customers": _Q10_ORACLE,
+        "tpch_q7_volume_shipping": _Q7_ORACLE,
+        "tpch_q19_disjunctive_revenue": _Q19_ORACLE,
         "dominant_acf_lag": _DOMINANT_ACF_ORACLE,
+        "peak_hours": _PEAK_HOURS_ORACLE,
+        "variance_ratio_by_day": _VAR_RATIO_ORACLE,
+        "longest_flat_run": _FLAT_RUN_ORACLE,
         "word_length_by_lang": _WORD_LEN_ORACLE,
         "doc_length_quartiles": _DOC_LEN_Q_ORACLE,
         "embedding_neardup_exact": _NEARDUP_ORACLE,
+        "embedding_quantization_stats": _EMB_QUANT_ORACLE,
         "stratified_sample_events": _STRATIFIED_ORACLE,
         "dickey_fuller_by_source": _DICKEY_FULLER_ORACLE,
         "moving_average_flags_1d": _MA_ORACLE,
@@ -7594,6 +8408,9 @@ def oracles():
         "per_source_doc_cap": _DOC_CAP_ORACLE,
         "vocab_stats_by_source": _VOCAB_STATS_ORACLE,
         "vocab_jaccard_sources": _VOCAB_JACCARD_ORACLE,
+        "zipf_head_coverage": _ZIPF_HEAD_ORACLE,
+        "stopword_density": _STOPWORD_ORACLE,
+        "cross_source_contamination": _CONTAMINATION_ORACLE,
         "sax_daily_words": _SAX_ORACLE,
         "mixture_sample_docs": _MIXTURE_SAMPLE_ORACLE,
         "bigram_pmi": _BIGRAM_PMI_ORACLE,

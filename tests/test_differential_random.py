@@ -68,6 +68,9 @@ FUZZ_QUERIES = [
     "cusum_changepoint",
     "anomaly_run_lengths",
     "dominant_acf_lag",
+    "peak_hours",
+    "variance_ratio_by_day",
+    "longest_flat_run",
 ]
 
 
@@ -112,6 +115,13 @@ def _synth_events(seed: int, n: int = 4000) -> pa.Table:
     tss.append(np.full(k, 7 * 86400 + 1800))
     vals.append(draw_vals(k, 0, 1))
     uids.append(rng.integers(1, 5, k))
+    # a stuck-sensor source: one event per hour for 30 CONTIGUOUS hours
+    # with a CONSTANT value — exercises flat-run detection (runs >= 2),
+    # the constant-series guards (sigma2 <= 0), and zero-variance ratios
+    srcs += ["frozen"] * 30
+    tss.append(3 * 86400 + np.arange(30) * 3600 + 900)
+    vals.append(np.full(30, 7.25))
+    uids.append(np.full(30, 5))
 
     ts = base + np.concatenate(tss).astype("timedelta64[s]")
     v = np.concatenate(vals)
@@ -200,7 +210,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "vocab_stats_by_source", "ngram_containment",
                     "mixture_sample_docs", "bigram_pmi",
                     "word_length_by_lang", "doc_length_quartiles",
-                    "vocab_jaccard_sources"]
+                    "vocab_jaccard_sources", "zipf_head_coverage",
+                    "stopword_density", "cross_source_contamination"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

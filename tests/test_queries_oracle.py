@@ -97,6 +97,15 @@ SUBSET = [
     "dominant_acf_lag",
     "word_length_by_lang",
     "doc_length_quartiles",
+    "peak_hours",
+    "variance_ratio_by_day",
+    "longest_flat_run",
+    "zipf_head_coverage",
+    "stopword_density",
+    "cross_source_contamination",
+    "tpch_q7_volume_shipping",
+    "tpch_q19_disjunctive_revenue",
+    "embedding_quantization_stats",
 ]
 
 
