@@ -8146,6 +8146,433 @@ FROM u GROUP BY dim ORDER BY dim
 """
 
 
+def bollinger_breaks_1h(sf_dir: str, window: int = 24):
+    """Bollinger-band breaks over the hourly tier: buckets whose value
+    sits more than 2σ from the mean of the previous ``window`` OBSERVED
+    buckets (the rolling-control-chart cousin of the z-score detector,
+    reference parity: catch.py's moving-average family uses the same
+    trailing-window deviation idea).  Exactness: with y in 10⁻⁴ integer
+    units, |y − S1/w| > 2σ ⟺ (y·w − S1)² > 4·(w·S2 − S1²) — both sides
+    EXACT integers (Python bigints / HUGEINT; (y·w−S1)² overflows int64
+    at sf0.1 magnitudes, so the engine folds in arbitrary-precision
+    ints), zero float arithmetic, bit-for-bit parity.  Only full
+    windows flag (count == window, the oracle's ROWS frame).  One
+    source-keyed exchange; per-source rolling sums are O(n)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+    w = int(window)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            if y4.size <= w:
+                continue
+            y = [int(v) for v in y4.tolist()]
+            s1 = sum(y[:w])
+            s2 = sum(v * v for v in y[:w])
+            bsv = bs.to_numpy()
+            for i in range(w, len(y)):
+                d = y[i] * w - s1
+                if d * d > 4 * (w * s2 - s1 * s1):
+                    rows.append({
+                        "source": src,
+                        "bucket_start": bsv[i],
+                        "value": y[i] / 10000.0,
+                        "direction": 1 if d > 0 else -1})
+                out_v, in_v = y[i - w], y[i]
+                s1 += in_v - out_v
+                s2 += in_v * in_v - out_v * out_v
+        return pd.DataFrame(rows, columns=[
+            "source", "bucket_start", "value", "direction"]).astype(
+            {"direction": np.int64}) if rows else pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[ns]"),
+                "value": pd.Series([], dtype=np.float64),
+                "direction": pd.Series([], dtype=np.int64)})
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_BOLLINGER_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, y,
+         sum(CAST(y AS HUGEINT)) OVER win AS s1,
+         sum(CAST(y AS HUGEINT) * y) OVER win AS s2,
+         count(*) OVER win AS cnt
+  FROM r WINDOW win AS (PARTITION BY source ORDER BY bucket_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT source, bucket_start, CAST(y AS DOUBLE) / 10000.0 AS value,
+       CASE WHEN CAST(y AS HUGEINT) * 24 > s1 THEN 1 ELSE -1 END
+         AS direction
+FROM w
+WHERE cnt = 24
+  AND (CAST(y AS HUGEINT) * 24 - s1) * (CAST(y AS HUGEINT) * 24 - s1)
+      > 4 * (24 * s2 - s1 * s1)
+"""
+
+
+def mean_crossings(sf_dir: str):
+    """Mean-crossing count per source over the hourly tier — the
+    oscillation-rate screen (a series that rarely crosses its mean is
+    trending or stuck; one that crosses constantly is noise-dominated).
+    Exactness: the deviation d_i = y_i·n − S1 is an EXACT integer
+    (Python bigint / HUGEINT), and a crossing is d_i·d_{i+1} < 0
+    between consecutive OBSERVED buckets — zero floats, zero-deviation
+    buckets excluded by the strict product on both sides."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            y = [int(v) for v in y4.tolist()]
+            n = len(y)
+            s1 = sum(y)
+            d = [v * n - s1 for v in y]
+            rows.append({
+                "source": src, "n_buckets": n,
+                "crossings": sum(
+                    1 for a, b in zip(d[:-1], d[1:]) if a * b < 0)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "crossings"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MEAN_CROSSINGS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, count(*) AS n, sum(CAST(y AS HUGEINT)) AS s1
+  FROM r GROUP BY source
+), d AS (
+  SELECT r.source, s.n,
+         CAST(r.y AS HUGEINT) * s.n - s.s1 AS dev,
+         lag(CAST(r.y AS HUGEINT) * s.n - s.s1)
+           OVER (PARTITION BY r.source ORDER BY r.bucket_start) AS prev
+  FROM r JOIN s USING (source)
+)
+SELECT source, any_value(n) AS n_buckets,
+       count(*) FILTER (dev * prev < 0) AS crossings
+FROM d GROUP BY source
+"""
+
+
+def day_over_day_growth(sf_dir: str):
+    """Per-(source, day) daily volume + growth ratio vs the previous
+    OBSERVED day — the capacity-planning day-over-day monitor.  Daily
+    sums fold from the hourly tier's 10⁻⁴-unit integers (exact), the
+    growth ratio is ONE double divide of the two integer-unit values
+    (bit-identical across engines), NULL when there is no prior day or
+    the prior day sums to exactly zero."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            days = bs.dt.floor("D").to_numpy()
+            order = np.argsort(days, kind="stable")
+            days, yo = days[order], y4[order]
+            uniq, starts = np.unique(days, return_index=True)
+            bounds = np.append(starts, yo.size)
+            sums = [int(sum(int(v) for v in yo[bounds[i]:bounds[i + 1]]))
+                    for i in range(uniq.size)]
+            for i, (day, dsum) in enumerate(zip(uniq, sums)):
+                prev = sums[i - 1] if i > 0 else None
+                rows.append({
+                    "source": src, "day": day,
+                    "day_sum": dsum / 10000.0,
+                    "growth": (float(dsum) / float(prev)
+                               if prev not in (None, 0) else np.nan)})
+        return pd.DataFrame(rows, columns=[
+            "source", "day", "day_sum", "growth"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_DAY_GROWTH_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT source, date_trunc('day', bucket_start) AS day,
+         sum(CAST(y AS HUGEINT)) AS dsum
+  FROM r GROUP BY 1, 2
+), w AS (
+  SELECT source, day, dsum,
+         lag(dsum) OVER (PARTITION BY source ORDER BY day) AS prev
+  FROM d
+)
+SELECT source, day, CAST(dsum AS DOUBLE) / 10000.0 AS day_sum,
+       CASE WHEN prev IS NOT NULL AND prev != 0
+            THEN CAST(dsum AS DOUBLE) / CAST(prev AS DOUBLE)
+            ELSE NULL END AS growth
+FROM w
+"""
+
+
+def word_repetition_ratio(sf_dir: str):
+    """Per-document within-doc word-repetition ratio — the Gopher
+    repetition quality signal (Rae et al. 2021 §A1.1: documents whose
+    content is mostly repeated words/lines are boilerplate or spam):
+    dup_ratio = (n_words − n_distinct) / n_words on the same
+    space-split convention as ``doc_text_stats``.  Map-only (no
+    shuffle); the distinct count is a hash-based pandas drop_duplicates
+    over (row, word) — no Python loop over rows.  The ratio is ONE
+    int/int double divide (n_words ≥ 1 always: splitting '' yields
+    [''])."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"])
+
+    def fn(tb: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(tb["text"], " ").combine_chunks()
+        off = words.offsets.to_numpy().astype(np.int64)
+        n_words = off[1:] - off[:-1]
+        row_of = np.repeat(np.arange(len(tb), dtype=np.int64),
+                           n_words)
+        flat = pd.DataFrame({
+            "row": row_of,
+            "w": words.values.to_pandas().to_numpy()})
+        n_distinct = (flat.drop_duplicates(["row", "w"])
+                      .groupby("row", sort=True).size()
+                      .reindex(np.arange(len(tb)), fill_value=0)
+                      .to_numpy())
+        return pd.DataFrame({
+            "doc_id": tb["doc_id"].to_pandas().to_numpy(),
+            "source": tb["source"].to_pandas().to_numpy(),
+            "n_words": n_words,
+            "n_distinct": n_distinct,
+            "dup_ratio": (n_words - n_distinct) / n_words})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_WORD_REPETITION_ORACLE = """
+SELECT doc_id, source,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       CAST(len(string_split(text, ' '))
+            - len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS dup_ratio
+FROM documents
+"""
+
+
+def token_head_buckets(sf_dir: str, k: int = 10, vocab: int = 4096):
+    """Top-``k`` token-id buckets (id mod ``vocab``) per source over the
+    native tokens input — the vocabulary-head profile a tokenizer audit
+    reads (is one source dominated by a few token classes?).  Per batch
+    the Arrow list column flattens once and a single bincount over
+    source-offset bucket ids produces integer partials (no per-row
+    loop); partials ride ONE source-keyed exchange whose fold sums and
+    takes top-k (ties: count DESC, bucket ASC — pinned both sides).
+    Counts are exact ints."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+    v = int(vocab)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy().astype(np.int64) % v
+        src = tb["source"].to_pandas()
+        codes, uniq = pd.factorize(src, sort=False)
+        per_tok_code = np.repeat(codes.astype(np.int64),
+                                 off[1:] - off[:-1])
+        cnt = np.bincount(per_tok_code * v + vals,
+                          minlength=len(uniq) * v)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "source": uniq.take(nz // v),
+            "bucket": nz % v,
+            "cnt": cnt[nz]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "bucket"], as_index=False)[
+            "cnt"].sum()
+        g = g.sort_values(["source", "cnt", "bucket"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("source", sort=False).head(k).reset_index(
+            drop=True)
+
+    return sharded_map_groups(parts, "source", fold)
+
+
+def _token_head_buckets_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH u AS (
+  SELECT source, unnest(tokens) % 4096 AS bucket
+  FROM read_parquet('{glob}')
+), c AS (
+  SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+  FROM u GROUP BY 1, 2
+)
+SELECT source, bucket, cnt FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY cnt DESC, bucket ASC) <= 10
+"""
+
+
+def token_oov_rate(sf_dir: str, threshold: int = 1 << 30):
+    """Out-of-vocabulary-rate monitor over the native tokens input: per
+    (source, day), the share of token ids ≥ ``threshold`` — the cheap
+    canary for a tokenizer/vocab mismatch in a feed (a crawl source
+    suddenly emitting high-id bytes-fallback tokens).  Per batch the
+    list column flattens once; per-row high-id counts come from a
+    cumsum-difference (empty-row safe), then integer (source, day)
+    partials fold through one tiny exchange.  Rate is ONE int/int
+    divide."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "source", "tokens"])
+    thr = int(threshold)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy()
+        hi = np.concatenate([[0], np.cumsum(vals >= thr, dtype=np.int64)])
+        n_hi = hi[off[1:]] - hi[off[:-1]]
+        n_tok = off[1:] - off[:-1]
+        doc_id = tb["doc_id"].to_pandas()
+        day = (doc_id.str.split("|").str[1].astype(np.int64) * 60
+               // 86400) * 86400
+        g = pd.DataFrame({
+            "source": tb["source"].to_pandas().to_numpy(),
+            "day": day.to_numpy(),
+            "n_tokens": n_tok,
+            "n_oov": n_hi,
+        })
+        return g.groupby(["source", "day"], as_index=False)[
+            ["n_tokens", "n_oov"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = sharded_aggregate(parts, ["source", "day"],
+                            {"n_tokens": "sum", "n_oov": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "day": pd.to_datetime(b["day"].to_numpy(np.int64), unit="s"),
+            "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            "n_oov": b["n_oov"].to_numpy(np.int64),
+            "oov_rate": (b["n_oov"].to_numpy(np.int64)
+                         / b["n_tokens"].to_numpy(np.int64))})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_oov_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60 AS epoch_s,
+         len(tokens) AS n_tok,
+         len(list_filter(tokens, x -> x >= 1073741824)) AS n_hi
+  FROM read_parquet('{glob}')
+)
+SELECT source,
+       to_timestamp(epoch_s - (epoch_s % 86400)) AT TIME ZONE 'UTC' AS day,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_hi) AS BIGINT) AS n_oov,
+       CAST(sum(n_hi) AS DOUBLE) / sum(n_tok) AS oov_rate
+FROM t GROUP BY 1, 2
+"""
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the customer-distribution double aggregate:
+    how many customers placed exactly N orders, INCLUDING the
+    zero-order customers a plain join drops.  Distributed plan: orders
+    reduce to per-custkey integer count partials per batch; customers
+    tag (kind 1) and meet them in ONE custkey-hash exchange whose shard
+    fn left-attaches counts (missing → 0) and emits per-N histogram
+    partials; a tiny second exchange folds ≤ |distinct N| × shards
+    rows.  All-integer — bit-exact.  Reference cited in SURVEY §2
+    (TPC-H family)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].to_numpy(np.int64),
+            "cnt": np.int64(0),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def order_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b.groupby("o_custkey", as_index=False).size()
+             .rename(columns={"o_custkey": "ckey", "size": "cnt"}))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["kind"] = np.int64(0)
+        return g[["ckey", "cnt", "kind"]]
+
+    both = orders.map_batches(order_partials, batch_format="pandas").union(
+        cust.map_batches(tag_cust, batch_format="pandas"))
+
+    def histo(shard: pd.DataFrame) -> pd.DataFrame:
+        kinds = shard["kind"].to_numpy()
+        oc = (shard[kinds == 0].groupby("ckey", as_index=False)
+              ["cnt"].sum())
+        c = shard.loc[kinds == 1, ["ckey"]].merge(oc, on="ckey",
+                                                  how="left")
+        n_orders = c["cnt"].fillna(0).astype(np.int64)
+        out = (pd.DataFrame({"n_orders": n_orders})
+               .groupby("n_orders", as_index=False).size()
+               .rename(columns={"size": "n_customers"}))
+        out["n_customers"] = out["n_customers"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(both, "ckey", histo)
+    return sharded_aggregate(parts, "n_orders",
+                             {"n_customers": "sum"}, num_shards=2)
+
+
+_Q13_ORACLE = """
+WITH c AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT n_orders, count(*) AS n_customers FROM c GROUP BY n_orders
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -8215,6 +8642,13 @@ def _registry():
         "ann_topk": ann_topk,
         "embedding_neardup_exact": embedding_neardup_exact,
         "embedding_quantization_stats": embedding_quantization_stats,
+        "bollinger_breaks_1h": bollinger_breaks_1h,
+        "mean_crossings": mean_crossings,
+        "day_over_day_growth": day_over_day_growth,
+        "word_repetition_ratio": word_repetition_ratio,
+        "token_head_buckets": token_head_buckets,
+        "token_oov_rate": token_oov_rate,
+        "customer_order_distribution": customer_order_distribution,
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
         "large_order_customers": large_order_customers,
@@ -8434,4 +8868,11 @@ def oracles():
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
+        "token_head_buckets": _token_head_buckets_oracle(),
+        "token_oov_rate": _token_oov_oracle(),
+        "bollinger_breaks_1h": _BOLLINGER_ORACLE,
+        "mean_crossings": _MEAN_CROSSINGS_ORACLE,
+        "day_over_day_growth": _DAY_GROWTH_ORACLE,
+        "word_repetition_ratio": _WORD_REPETITION_ORACLE,
+        "customer_order_distribution": _Q13_ORACLE,
     }

@@ -71,6 +71,9 @@ FUZZ_QUERIES = [
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
+    "bollinger_breaks_1h",
+    "mean_crossings",
+    "day_over_day_growth",
 ]
 
 
@@ -211,7 +214,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "mixture_sample_docs", "bigram_pmi",
                     "word_length_by_lang", "doc_length_quartiles",
                     "vocab_jaccard_sources", "zipf_head_coverage",
-                    "stopword_density", "cross_source_contamination"]
+                    "stopword_density", "cross_source_contamination",
+                    "word_repetition_ratio"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -272,3 +272,106 @@ class TestSingleTaskCC:
         out = _cc_single_task(tbl).to_pandas()
         assert len(out) == n
         assert (out["cluster_id"] == 0).all()
+
+
+class TestCorrMomentsCrossEngine:
+    """The correlation/variance operators accumulate float moments across
+    shards in nondeterministic order and claim a 6-dp round absorbs the
+    drift (queries.source_correlation / variance-based kernels).  These
+    properties attack that claim directly: shard-order-permuted chunked
+    partial sums vs DuckDB's single-pass explicit-moment SQL must agree
+    at 6 dp for 4-dp-rounded inputs of pipeline magnitude."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        xy=st.lists(
+            st.tuples(
+                st.floats(min_value=-1e5, max_value=1e5,
+                          allow_nan=False, width=64),
+                st.floats(min_value=-1e5, max_value=1e5,
+                          allow_nan=False, width=64)),
+            min_size=2, max_size=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_pearson_round6_stable_under_shard_order(self, xy, seed):
+        import duckdb
+
+        x = np.round(np.array([p[0] for p in xy]), 4)
+        y = np.round(np.array([p[1] for p in xy]), 4)
+        # constancy guard is an exact min==max on both engines — the
+        # float path under test only runs on non-constant sides
+        if x.min() == x.max() or y.min() == y.max():
+            return
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(x.size)
+        # chunked partials in permuted order = shard fold simulation
+        cuts = np.unique(rng.integers(0, x.size, size=4))
+        chunks = np.split(order, cuts[(cuts > 0) & (cuts < x.size)])
+        n = float(x.size)
+        sx = sum(float(x[c].sum()) for c in chunks if c.size)
+        sy = sum(float(y[c].sum()) for c in chunks if c.size)
+        sxy = sum(float((x[c] * y[c]).sum()) for c in chunks if c.size)
+        sxx = sum(float((x[c] * x[c]).sum()) for c in chunks if c.size)
+        syy = sum(float((y[c] * y[c]).sum()) for c in chunks if c.size)
+        den = (sxx - sx * sx / n) * (syy - sy * sy / n)
+        if den <= 0:
+            return  # numerically-constant after rounding; guard covers it
+        got = round((sxy - sx * sy / n) / np.sqrt(den), 6)
+        want = duckdb.connect().execute(
+            """
+            WITH j AS (SELECT unnest(?) AS x, unnest(?) AS y),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x*y) AS sxy, sum(x*x) AS sxx,
+                         sum(y*y) AS syy FROM j)
+            SELECT round((sxy - sx*sy/n)
+                         / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6)
+            FROM s
+            """,
+            [x.tolist(), y.tolist()]).fetchone()[0]
+        assert want is not None
+        # 6-dp agreement modulo one ulp of the rounding grid: a true
+        # half-tie at 1e-6 may legally round apart — flag only real drift
+        assert abs(got - want) <= 1.0000001e-6, (got, want)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        vals=st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                                allow_nan=False, width=64),
+                      min_size=2, max_size=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_varpop_int_units_bitwise(self, vals, seed):
+        """ABSOLUTE-magnitude variances must use the 10⁻⁴-int-unit
+        exact-moment path (variance_ratio_by_day et al.): bigint
+        n·S2−S1² under any fold order == HUGEINT SQL, bit-for-bit after
+        the single divide.  (The float-moment form of this same
+        quantity FAILS round-6 at ~1e5 magnitudes — hypothesis found
+        [0, 1, 99998, 99999, 14747.2019, -1] drifting past the grid —
+        which is exactly why the operators don't use it.)"""
+        import duckdb
+
+        y4 = np.rint(np.round(np.array(vals), 4) * 10000.0).astype(
+            np.int64)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(y4.size)
+        cuts = np.unique(rng.integers(0, y4.size, size=4))
+        chunks = np.split(order, cuts[(cuts > 0) & (cuts < y4.size)])
+        n = y4.size
+        # Python-int partials in permuted chunk order — exact, so the
+        # fold order cannot matter
+        s1 = sum(int(sum(int(v) for v in y4[c])) for c in chunks)
+        s2 = sum(int(sum(int(v) * int(v) for v in y4[c]))
+                 for c in chunks)
+        got = float(n * s2 - s1 * s1) / float(n * n) / 1e8
+        want = duckdb.connect().execute(
+            """
+            WITH j AS (SELECT unnest(?) AS y)
+            SELECT CAST(count(*) * sum(CAST(y AS HUGEINT) * y)
+                        - sum(CAST(y AS HUGEINT))
+                          * sum(CAST(y AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) * count(*) AS DOUBLE) / 1e8 FROM j
+            """,
+            [y4.tolist()]).fetchone()[0]
+        if got == 0.0 and want == 0.0:
+            return
+        assert np.float64(got).tobytes() == np.float64(want).tobytes()

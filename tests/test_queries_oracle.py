@@ -106,6 +106,13 @@ SUBSET = [
     "tpch_q7_volume_shipping",
     "tpch_q19_disjunctive_revenue",
     "embedding_quantization_stats",
+    "bollinger_breaks_1h",
+    "mean_crossings",
+    "day_over_day_growth",
+    "word_repetition_ratio",
+    "token_head_buckets",
+    "token_oov_rate",
+    "customer_order_distribution",
 ]
 
 
