@@ -8573,6 +8573,169 @@ SELECT n_orders, count(*) AS n_customers FROM c GROUP BY n_orders
 """
 
 
+def burst_window_5m(sf_dir: str):
+    """Peak 5-minute burst per source: the sliding window of 5
+    consecutive minutes (anchored at each OBSERVED minute bucket) with
+    the largest event count — the rate-limiter / incident-triage view
+    the per-minute tier exists for.  Per source the sparse minute axis
+    is swept with ONE vectorized searchsorted over cumulative counts
+    (no dense grid, no per-window loop); all-integer, earliest window
+    start pinned on count ties both sides."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1m")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            g = g.sort_values("bucket_start", kind="stable")
+            m = (g["bucket_start"].to_numpy().astype("datetime64[s]")
+                 .astype(np.int64) // 60)
+            c = g["n_points"].to_numpy(dtype=np.int64)
+            cs = np.concatenate([[0], np.cumsum(c)])
+            j = np.searchsorted(m, m + 5, side="left")
+            win = cs[j] - cs[:-1]
+            best = int(np.argmax(win))  # first max = earliest start
+            rows.append({
+                "source": src,
+                "window_start": g["bucket_start"].to_numpy()[best],
+                "n_events_5m": int(win[best])})
+        return pd.DataFrame(rows, columns=[
+            "source", "window_start", "n_events_5m"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "n_points"]),
+        "event_type", fold)
+
+
+_BURST_5M_ORACLE = """
+WITH m AS (
+  SELECT event_type AS source,
+         date_trunc('minute', ts) AS bucket_start,
+         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS mm,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, bucket_start, mm,
+         sum(c) OVER (PARTITION BY source ORDER BY mm
+                      RANGE BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+  FROM m
+)
+SELECT source, bucket_start AS window_start,
+       CAST(s AS BIGINT) AS n_events_5m
+FROM w
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY s DESC, mm ASC) = 1
+"""
+
+
+def user_type_diversity(sf_dir: str):
+    """Distribution of per-user event-type diversity: how many users
+    touched exactly N distinct event types — the engagement-breadth
+    histogram (the Q13 double-aggregate shape on the events table).
+    Per batch rows dedup to distinct (user, type) partials BEFORE the
+    exchange; one user-keyed exchange finishes the global distinct and
+    emits per-N integer histogram partials; a tiny second exchange
+    folds them.  All-integer — bit-exact."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["user_id", "event_type"])
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+
+    def histo(shard: pd.DataFrame) -> pd.DataFrame:
+        u = shard.drop_duplicates(["user_id", "event_type"])
+        n_types = u.groupby("user_id", sort=False).size()
+        out = (pd.DataFrame({"n_types": n_types.to_numpy()})
+               .groupby("n_types", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        out["n_types"] = out["n_types"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(pairs, "user_id", histo)
+    return sharded_aggregate(parts, "n_types", {"n_users": "sum"},
+                             num_shards=2)
+
+
+_USER_DIVERSITY_ORACLE = """
+WITH u AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT n_types, count(*) AS n_users FROM u GROUP BY n_types
+"""
+
+
+def supplier_diversity_by_part(sf_dir: str):
+    """TPC-H Q16 shape adapted to this schema (no partsupp table):
+    distinct SUPPLIERS serving each (p_brand, p_size) part class,
+    counted through lineitem.  The part dimension broadcasts once
+    (``ray.put`` of partkey → (brand, size)); each lineitem batch
+    attaches it map-side and dedups to (brand, size, suppkey) partials
+    BEFORE the exchange (shuffle volume is bounded by
+    |classes|×|suppliers|×batches, never the lineitem row count); one
+    exchange on the class key finishes the global distinct count.
+    All-integer."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brands, bcodes = np.unique(part["p_brand"].to_numpy(), return_inverse=True)
+    part_ref = ray.put((
+        part["p_partkey"].to_numpy(np.int64),
+        bcodes.astype(np.int64),
+        part["p_size"].to_numpy(np.int64),
+        brands))
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk, bid, size, _brands = ray.get(part_ref)
+        order = np.argsort(pk, kind="stable")
+        pos = np.searchsorted(pk, b["l_partkey"].to_numpy(np.int64),
+                              sorter=order)
+        idx = order[np.clip(pos, 0, pk.size - 1)]
+        # every l_partkey exists in part (FK), but guard anyway
+        ok = pk[idx] == b["l_partkey"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "bid": bid[idx[ok]],
+            "p_size": size[idx[ok]],
+            "suppkey": b["l_suppkey"].to_numpy(np.int64)[ok]})
+        return out.drop_duplicates()
+
+    pairs = line.map_batches(partial, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        _pk, _bid, _size, brands = ray.get(part_ref)
+        u = shard.drop_duplicates()
+        g = (u.groupby(["bid", "p_size"], as_index=False)["suppkey"]
+             .nunique().rename(columns={"suppkey": "n_suppliers"}))
+        return pd.DataFrame({
+            "p_brand": brands[g["bid"].to_numpy(np.int64)],
+            "p_size": g["p_size"].astype(np.int64),
+            "n_suppliers": g["n_suppliers"].astype(np.int64)})
+
+    return sharded_map_groups(pairs, ["bid", "p_size"], fold)
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -8649,6 +8812,9 @@ def _registry():
         "token_head_buckets": token_head_buckets,
         "token_oov_rate": token_oov_rate,
         "customer_order_distribution": customer_order_distribution,
+        "burst_window_5m": burst_window_5m,
+        "user_type_diversity": user_type_diversity,
+        "supplier_diversity_by_part": supplier_diversity_by_part,
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
         "large_order_customers": large_order_customers,
@@ -8875,4 +9041,7 @@ def oracles():
         "day_over_day_growth": _DAY_GROWTH_ORACLE,
         "word_repetition_ratio": _WORD_REPETITION_ORACLE,
         "customer_order_distribution": _Q13_ORACLE,
+        "burst_window_5m": _BURST_5M_ORACLE,
+        "user_type_diversity": _USER_DIVERSITY_ORACLE,
+        "supplier_diversity_by_part": _Q16_ORACLE,
     }

@@ -74,6 +74,8 @@ FUZZ_QUERIES = [
     "bollinger_breaks_1h",
     "mean_crossings",
     "day_over_day_growth",
+    "burst_window_5m",
+    "user_type_diversity",
 ]
 
 

@@ -113,6 +113,9 @@ SUBSET = [
     "token_head_buckets",
     "token_oov_rate",
     "customer_order_distribution",
+    "burst_window_5m",
+    "user_type_diversity",
+    "supplier_diversity_by_part",
 ]
 
 
