@@ -8736,6 +8736,530 @@ GROUP BY 1, 2
 """
 
 
+def top_supplier_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01"):
+    """TPC-H Q15 shape — the top supplier(s) by revenue in a quarter
+    (ALL ties at the max, per spec).  Distributed plan: lineitem
+    filters the shipdate window and pre-aggregates per-suppkey integer
+    10⁻⁴-unit revenue partials per batch; ONE suppkey exchange
+    finishes the per-supplier sums; each shard emits only its own
+    max-tied rows, so the driver folds ≤ |shards| × ties rows (bounded
+    by the supplier dimension, never lineitem).  Supplier names attach
+    AFTER the max by a dimension read of only the winning keys' rows.
+    Revenue is an exact int64 sum → the global max / tie compare is
+    bit-deterministic; the one double divide happens at emit."""
+    from .stages.shard import sharded_map_groups
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        disc_c = np.rint(
+            b["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+        out = pd.DataFrame({
+            "skey": b["l_suppkey"].to_numpy(np.int64),
+            "rev_i": price_c * (100 - disc_c)})
+        return out.groupby("skey", as_index=False)["rev_i"].sum()
+
+    parts = line.map_batches(partial, batch_format="pandas")
+
+    def shard_max(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby("skey", as_index=False)["rev_i"].sum()
+        return g[g["rev_i"] == g["rev_i"].max()]
+
+    cand = sharded_map_groups(parts, "skey", shard_max).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype=np.float64)})
+    best = int(cand["rev_i"].max())
+    win = cand[cand["rev_i"] == best]
+
+    sup = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = win.merge(sup, left_on="skey", right_on="s_suppkey")
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64),
+        "s_name": out["s_name"],
+        "total_revenue": out["rev_i"].astype(np.float64) / 10000.0})
+
+
+_Q15_ORACLE = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev_i AS DOUBLE) / 10000.0 AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_i = (SELECT max(rev_i) FROM r)
+"""
+
+
+def small_qty_brand_revenue(sf_dir: str):
+    """TPC-H Q17 shape generalized per brand — the lost-revenue probe:
+    for each part, lineitems with quantity below 20 % of that part's
+    average quantity; their extended price summed per BRAND and
+    annualized (/7 per spec).  The quantity filter is INTEGER-exact:
+    q < 0.2·(S/N) ⟺ 5·q·N < S with q, S, N exact int64 (quantities
+    are integral; 5·50·N can't overflow).  Distributed plan: per batch
+    lineitem collapses to (partkey, q) partials carrying row count +
+    integer price-cents sums (cardinality ≤ parts × 50 distinct
+    quantities, NOT the lineitem row count); ONE partkey exchange
+    finishes per-part S, N and applies the compare; qualifying price
+    partials fold per-brand map-side against the broadcast part
+    dimension and a tiny brand exchange finishes.  One double divide
+    per brand at emit."""
+    import ray
+
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    brands, bcodes = np.unique(part["p_brand"].to_numpy(),
+                               return_inverse=True)
+    pk_sorted = np.sort(part["p_partkey"].to_numpy(np.int64))
+    order = np.argsort(part["p_partkey"].to_numpy(np.int64), kind="stable")
+    part_ref = ray.put((pk_sorted, bcodes.astype(np.int64)[order], brands))
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = (pd.DataFrame({
+            "pkey": b["l_partkey"].to_numpy(np.int64), "q": q,
+            "price_i": price_c, "n": np.int64(1)})
+            .groupby(["pkey", "q"], as_index=False).sum())
+        return g
+
+    parts = line.map_batches(partial, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["pkey", "q"], as_index=False).sum()
+        qn = g["q"].to_numpy() * g["n"].to_numpy()
+        s = pd.Series(qn).groupby(g["pkey"].to_numpy()).sum()
+        n = g.groupby("pkey")["n"].sum()
+        stats = pd.DataFrame({"pkey": s.index.to_numpy(np.int64),
+                              "s": s.to_numpy(np.int64),
+                              "nn": n.to_numpy(np.int64)})
+        m = g.merge(stats, on="pkey")
+        keep = 5 * m["q"].to_numpy() * m["nn"].to_numpy() < m["s"].to_numpy()
+        m = m[keep]
+        if not len(m):
+            return pd.DataFrame({"bid": pd.Series([], dtype=np.int64),
+                                 "price_i": pd.Series([], dtype=np.int64)})
+        pk_sorted, bid_sorted, _brands = ray.get(part_ref)
+        pos = np.searchsorted(pk_sorted, m["pkey"].to_numpy(np.int64))
+        out = pd.DataFrame({
+            "bid": bid_sorted[pos],
+            "price_i": m["price_i"].to_numpy(np.int64)})
+        return out.groupby("bid", as_index=False).sum()
+
+    per_brand = sharded_map_groups(parts, "pkey", fold)
+    agg = sharded_aggregate(per_brand, "bid", {"price_i": "sum"},
+                            num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "p_brand": brands[agg["bid"].to_numpy(np.int64)],
+        "avg_yearly": agg["price_i"].astype(np.float64) / 700.0})
+
+
+_Q17_ORACLE = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), a AS (
+  SELECT l_partkey, sum(q) AS s, count(*) AS n FROM l GROUP BY 1
+)
+SELECT p_brand, CAST(sum(price_c) AS DOUBLE) / 700.0 AS avg_yearly
+FROM l JOIN a USING (l_partkey) JOIN part ON p_partkey = l.l_partkey
+WHERE 5 * q * n < s
+GROUP BY 1
+"""
+
+
+def idle_balance_by_nation(sf_dir: str, cutoff: str = "2001-01-01"):
+    """TPC-H Q22 shape — the sales-opportunity screen: customers whose
+    account balance beats the average POSITIVE balance yet placed no
+    order since ``cutoff`` (in this synth EVERY customer has some
+    order, so the spec's never-ordered predicate is vacuous — the
+    dormancy cutoff keeps the anti-join real and the result non-empty
+    at every sf).  The above-average compare is
+    INTEGER-exact: bal > S/N ⟺ bal_c·N > S with bal_c cents int64.
+    Distributed plan: pass 1 is a map-only customer scan folding ONE
+    (Σ positive bal_c, count) row per batch on the driver; pass 2
+    unions qualifying customer rows (kind 1, carrying nation + bal_c)
+    with per-batch DISTINCT order-custkey partials (kind 0) into ONE
+    custkey exchange whose shard fn anti-drops every customer with an
+    order row and emits per-nation integer partials; a tiny nation
+    exchange finishes.  One double divide per nation at emit."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bal_c = np.rint(
+            b["c_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+        pos = bal_c[bal_c > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    stats = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    s_tot, n_tot = int(stats["s"].sum()), int(stats["n"].sum())
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        bal_c = np.rint(
+            b["c_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+        keep = bal_c * n_tot > s_tot
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].to_numpy(np.int64)[keep],
+            "nation": b["c_nationkey"].to_numpy(np.int64)[keep],
+            "bal_c": bal_c[keep],
+            "kind": np.int64(1)})
+
+    cut = np.datetime64(cutoff)
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"].to_numpy() >= cut]
+        u = np.unique(b["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "ckey": u, "nation": np.int64(0), "bal_c": np.int64(0),
+            "kind": np.int64(0)})
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(order_partial, batch_format="pandas"))
+
+    def anti(shard: pd.DataFrame) -> pd.DataFrame:
+        kinds = shard["kind"].to_numpy()
+        has_order = np.unique(shard.loc[kinds == 0, "ckey"].to_numpy())
+        c = shard[kinds == 1]
+        c = c[~np.isin(c["ckey"].to_numpy(), has_order)]
+        out = c.groupby("nation", as_index=False).agg(
+            n_customers=("ckey", "size"), bal_i=("bal_c", "sum"))
+        out["n_customers"] = out["n_customers"].astype(np.int64)
+        out["bal_i"] = out["bal_i"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(both, "ckey", anti)
+    agg = sharded_aggregate(parts, "nation",
+                            {"n_customers": "sum", "bal_i": "sum"},
+                            num_shards=2).to_pandas()
+    if "nation" not in agg.columns:  # empty Dataset drops columns
+        agg = pd.DataFrame({"nation": pd.Series([], dtype=np.int64),
+                            "n_customers": pd.Series([], dtype=np.int64),
+                            "bal_i": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({
+        "c_nationkey": agg["nation"].astype(np.int64),
+        "n_customers": agg["n_customers"].astype(np.int64),
+        "total_acctbal": agg["bal_i"].astype(np.float64) / 100.0})
+
+
+_Q22_ORACLE = """
+WITH s AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot,
+         count(*) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+), q AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer, s
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.n > s.tot
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(bal_c) AS DOUBLE) / 100.0 AS total_acctbal
+FROM q GROUP BY 1
+"""
+
+
+def token_bigram_ttr(sf_dir: str, head: int = 33):
+    """Bigram type-token ratio per source over the native tokens input
+    (first ``head`` tokens per doc): distinct adjacent token-id pairs /
+    total pairs — the sequence-level repetition screen (collapsing
+    bigram TTR flags TEMPLATED text that unigram TTR misses).  Per
+    batch the bigram keys build fully vectorized from the Arrow list
+    column (a·2³² + b in int64 — ids are int32 ≥ 0, no overflow, no
+    collision) and collapse to batch-local distinct (source, key) rows
+    plus per-source pair-count rows (key −1 — real keys are ≥ 0);
+    ONE (source, key)-hash exchange finishes the global distinct and a
+    tiny source fold sums the integer partials.  TTR is ONE int/int
+    divide.  Head-bounded so the oracle's unnest stays O(docs·head)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["tokens", "source"])
+
+    def emit(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy().astype(np.int64)
+        n = len(tb)
+        lens = off[1:] - off[:-1]
+        take = np.maximum(np.minimum(lens, head) - 1, 0)  # pairs per doc
+        rows = np.repeat(np.arange(n, dtype=np.int64), take)
+        cols = (np.arange(int(take.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(take) - take, take))
+        a_idx = np.repeat(off[:-1], take) + cols
+        key = vals[a_idx] * np.int64(2**32) + vals[a_idx + 1]
+        src = tb["source"].to_pandas().to_numpy()
+        flat = pd.DataFrame({"source": src[rows], "key": key,
+                             "p_n": np.int64(0)}).drop_duplicates(
+            ["source", "key"])
+        per_src = pd.DataFrame({"source": src, "p_n": take}).groupby(
+            "source", as_index=False)["p_n"].sum()
+        per_src["key"] = np.int64(-1)
+        return pd.concat([flat, per_src[["source", "key", "p_n"]]],
+                         ignore_index=True)
+
+    tagged = ds.map_batches(emit, batch_format="pyarrow")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        keys = shard["key"].to_numpy()
+        dist = (shard[keys >= 0].drop_duplicates(["source", "key"])
+                .groupby("source", as_index=False).size()
+                .rename(columns={"size": "p_distinct"}))
+        dist["p_n"] = np.int64(0)
+        cnt = (shard[keys < 0].groupby("source", as_index=False)
+               ["p_n"].sum())
+        cnt["p_distinct"] = np.int64(0)
+        return pd.concat([dist, cnt], ignore_index=True)[
+            ["source", "p_distinct", "p_n"]]
+
+    parts = sharded_map_groups(tagged, ["source", "key"], fold)
+    agg = sharded_aggregate(parts, ["source"],
+                            {"p_distinct": "sum", "p_n": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_n"].to_numpy(np.int64) > 0]
+        nb = b["p_n"].to_numpy(np.int64)
+        nd = b["p_distinct"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_bigrams": nb,
+            "n_distinct_bigrams": nd,
+            "bigram_ttr": nd / nb})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_bigram_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH tt AS (
+  SELECT doc_id, source,
+         generate_subscripts(tokens[1:33], 1) AS pos,
+         unnest(tokens[1:33]) AS tok
+  FROM read_parquet('{glob}')
+), bg AS (
+  SELECT doc_id, source, pos, CAST(tok AS BIGINT) * 4294967296
+           + CAST(lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS BIGINT) AS k
+  FROM tt
+)
+SELECT source, count(k) AS n_bigrams,
+       count(DISTINCT k) AS n_distinct_bigrams,
+       CAST(count(DISTINCT k) AS DOUBLE) / count(k) AS bigram_ttr
+FROM bg WHERE k IS NOT NULL GROUP BY source
+"""
+
+
+def kmeans_assign_step(sf_dir: str, k: int = 8):
+    """One exact k-means ASSIGNMENT step over the embedding table — the
+    clustering primitive of training-data curation (diversity sampling,
+    topic balance, IVF coarse quantizer training) with the seeding rule
+    pinned: centroids are the ``k`` lowest-vec_id vectors.  The whole
+    step is INTEGER-exact end to end: coordinates quantize as
+    floor(float64(e)·10⁶) int64 on BOTH engines (floor has no rounding
+    half-tie; float32→float64 is exact widening), squared distances are
+    pure int64 sums (|q|≤2·10⁶, 64 dims ⇒ ≪2⁶³), so the argmin — ties
+    → lowest centroid id — is bit-deterministic.  Distributed plan:
+    pass 1 folds per-batch k-smallest-vec_id partials into the ≤ k×64
+    int64 centroid matrix (broadcast via closure, ~4 KB); pass 2 is a
+    map-only assignment with per-batch (centroid, n, Σdist) integer
+    partials and one tiny centroid-keyed exchange.  The ONE double
+    divide (mean distance) happens at emit."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (k, dims)
+    cids = cand["vec_id"].to_numpy(np.int64)           # ascending
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.values.to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        # (n, k) exact integer squared distances
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)  # first min = lowest cid
+        best = d[np.arange(len(q)), choice]
+        g = pd.DataFrame({"centroid_id": cids[choice], "n_vecs": 1,
+                          "dist_i": best}).groupby(
+            "centroid_id", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        g["dist_i"] = g["dist_i"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "centroid_id",
+                            {"n_vecs": "sum", "dist_i": "sum"},
+                            num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "mean_sq_dist": agg["dist_i"].astype(np.float64)
+                        / agg["n_vecs"].to_numpy(np.int64)})
+
+
+_KMEANS_ASSIGN_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist_i
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid, dist_i, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist_i, cid) AS rn
+  FROM d
+)
+SELECT cid AS centroid_id, count(*) AS n_vecs,
+       CAST(sum(dist_i) AS DOUBLE) / count(*) AS mean_sq_dist
+FROM a WHERE rn = 1 GROUP BY 1
+"""
+
+
+def label_centroid_separation(sf_dir: str):
+    """Embedding-space class separation: squared distance between the
+    CENTROIDS of every label pair — the diagnostic that flags collapsed
+    or mislabeled classes before a model trains on them.  Exact by the
+    cross-multiplied-rational trick: with per-label quantized integer
+    coordinate sums S and counts n (floor(float64(e)·10⁶) int64, same
+    contract as kmeans_assign_step), ‖S_a/n_a − S_b/n_b‖² =
+    Σ_d (S_a·n_b − S_b·n_a)² / (n_a·n_b)² — numerator in Python bigint
+    (HUGEINT in the oracle, ~10³⁰), ONE double cast each of the exact
+    numerator and exact denominator, one divide.  Distributed plan:
+    map-only per-batch (label, dim) integer sum partials (bounded by
+    labels × dims, never the row count) folded on the driver; the
+    O(labels²) pair table is a bounded panel by construction."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.values.to_numpy().astype(np.float64)
+        lab = tb["label"].to_numpy().astype(np.int64)
+        dims = len(vals) // max(len(tb), 1)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        labs, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(labs), dims), dtype=np.int64)
+        np.add.at(S, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.concatenate([np.repeat(labs, dims), labs]),
+            "dim": np.concatenate([np.tile(
+                np.arange(dims, dtype=np.int64), len(labs)),
+                np.full(len(labs), -1, dtype=np.int64)]),
+            "s": np.concatenate([S.ravel(), cnt])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], as_index=False)["s"].sum()
+    counts = dict(zip(g.loc[g["dim"] < 0, "label"],
+                      g.loc[g["dim"] < 0, "s"]))
+    wide = g[g["dim"] >= 0].pivot(index="label", columns="dim",
+                                  values="s").sort_index()
+    labs = wide.index.to_numpy(np.int64)
+    S = wide.to_numpy(np.int64)
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            na, nb = int(counts[labs[i]]), int(counts[labs[j]])
+            num = sum((int(sa) * nb - int(sb) * na) ** 2
+                      for sa, sb in zip(S[i], S[j]))  # exact bigint
+            den = (na * nb) * (na * nb)
+            rows.append({
+                "label_a": int(labs[i]), "label_b": int(labs[j]),
+                "n_a": na, "n_b": nb,
+                "centroid_sq_dist": float(num) / float(den)})
+    return pd.DataFrame(rows, columns=[
+        "label_a", "label_b", "n_a", "n_b", "centroid_sq_dist"])
+
+
+_LABEL_SEPARATION_ORACLE = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), s AS (
+  SELECT label, dim, sum(qv) AS sv FROM u GROUP BY 1, 2
+), n AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+), p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         na.n AS n_a, nb.n AS n_b,
+         sum(CAST(a.sv * nb.n - b.sv * na.n AS HUGEINT)
+             * CAST(a.sv * nb.n - b.sv * na.n AS HUGEINT)) AS num
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  JOIN n na ON na.label = a.label
+  JOIN n nb ON nb.label = b.label
+  GROUP BY 1, 2, 3, 4
+)
+SELECT label_a, label_b, n_a, n_b,
+       CAST(num AS DOUBLE)
+         / CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) AS centroid_sq_dist
+FROM p
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -8815,6 +9339,12 @@ def _registry():
         "burst_window_5m": burst_window_5m,
         "user_type_diversity": user_type_diversity,
         "supplier_diversity_by_part": supplier_diversity_by_part,
+        "top_supplier_revenue": top_supplier_revenue,
+        "small_qty_brand_revenue": small_qty_brand_revenue,
+        "idle_balance_by_nation": idle_balance_by_nation,
+        "token_bigram_ttr": token_bigram_ttr,
+        "kmeans_assign_step": kmeans_assign_step,
+        "label_centroid_separation": label_centroid_separation,
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
         "large_order_customers": large_order_customers,
@@ -9044,4 +9574,10 @@ def oracles():
         "burst_window_5m": _BURST_5M_ORACLE,
         "user_type_diversity": _USER_DIVERSITY_ORACLE,
         "supplier_diversity_by_part": _Q16_ORACLE,
+        "top_supplier_revenue": _Q15_ORACLE,
+        "small_qty_brand_revenue": _Q17_ORACLE,
+        "idle_balance_by_nation": _Q22_ORACLE,
+        "token_bigram_ttr": _token_bigram_oracle(),
+        "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
+        "label_centroid_separation": _LABEL_SEPARATION_ORACLE,
     }

@@ -116,6 +116,12 @@ SUBSET = [
     "burst_window_5m",
     "user_type_diversity",
     "supplier_diversity_by_part",
+    "top_supplier_revenue",
+    "small_qty_brand_revenue",
+    "idle_balance_by_nation",
+    "token_bigram_ttr",
+    "kmeans_assign_step",
+    "label_centroid_separation",
 ]
 
 

@@ -559,3 +559,139 @@ class TestTokenPrefixNovelty:
         assert b1["n_docs"] == 3 and b1["n_novel"] == 2
         b2 = by.loc[("srcB", pd.Timestamp("2024-01-02"))]
         assert b2["n_docs"] == 1 and b2["n_novel"] == 0
+
+
+class TestKmeansAssignPlanted:
+    """Hand-built embeddings pin the kmeans_assign_step contract the
+    sf-oracle can't single out: the exact-integer tie rule (equidistant
+    point goes to the LOWEST centroid id) and the k-lowest-vec_id
+    seeding, cross-checked against the DuckDB oracle on the same file."""
+
+    def test_tie_goes_to_lowest_centroid(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        # 8 centroid seeds (vec_id 1..8) + one exact midpoint + one
+        # quantization clone of centroid 8.  Coordinates sit at
+        # (k + 0.5)·1e-6 — the float32 round-trip keeps ×1e6 safely
+        # inside the integer cell, so floor-quantization gives q = k
+        # deterministically (k·1e-6 itself would land AT the boundary
+        # after float32 rounding).
+        vecs = []
+        for i in range(8):
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[0] = (2 * i + 0.5) * 1e-6   # q = [2i, 0, 0, 0]
+            vecs.append((i + 1, v, 0))
+        vecs.append((9, [1.5e-6, 0.0, 0.0, 0.0], 0))   # q=1: dist 1 to c1 AND c2
+        vecs.append((10, [14.5e-6, 0.0, 0.0, 0.0], 1))  # q=14 = centroid 8
+        tbl = pa.table({
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+        got = q.kmeans_assign_step(str(tmp_path))
+        got = got.sort_values("centroid_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/embeddings.parquet')")
+        want = con.execute(q.oracles()["kmeans_assign_step"]).fetchdf()
+        want = want.sort_values("centroid_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index("centroid_id")
+        assert by.loc[1, "n_vecs"] == 2      # itself + the tie point
+        assert by.loc[1, "mean_sq_dist"] == 0.5
+        assert by.loc[8, "n_vecs"] == 2      # itself + the clone
+        assert by.loc[8, "mean_sq_dist"] == 0.0
+        assert 9 not in by.index and 10 not in by.index
+
+    def test_label_centroid_separation_exact(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        # label 0 centroid = (1e-6, 0); label 1 centroid = (4e-6, 0);
+        # label 2 = single point at (0, 2e-6)
+        tbl = pa.table({
+            "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [2.5e-6, 0.0],
+                 [3.5e-6, 0.0], [5.5e-6, 0.0],
+                 [0.0, 2.5e-6]], pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1, 2], pa.int32()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+        got = q.label_centroid_separation(str(tmp_path))
+        got = got.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/embeddings.parquet')")
+        want = con.execute(
+            q.oracles()["label_centroid_separation"]).fetchdf()
+        want = want.sort_values(["label_a", "label_b"]).reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index(["label_a", "label_b"])
+        assert by.loc[(0, 1), "centroid_sq_dist"] == 9.0   # (4-1)^2
+        assert by.loc[(0, 2), "centroid_sq_dist"] == 5.0   # 1^2 + 2^2
+
+
+class TestTokenBigramTTRPlanted:
+    """Hand-built token lists pin the head-33 window (a bigram past
+    position 33 must NOT count), within- and cross-doc dedup, and the
+    single-token edge, against the DuckDB oracle on the same file."""
+
+    def test_head_window_and_dedup(self, ray_session, tmp_path,
+                                   monkeypatch):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        m0 = 28_401_120
+        long_doc = list(range(1, 34)) + [777, 778]  # 35 tokens
+        rows = [
+            # head-33 ⇒ bigrams (1,2)..(32,33); (33,777),(777,778) cut
+            (f"a|{m0}|0", long_doc, "srcA"),
+            # repeats (1,2) twice within the doc and once vs the long doc
+            (f"a|{m0}|1", [1, 2, 1, 2], "srcA"),
+            (f"a|{m0}|2", [9], "srcA"),            # no bigram
+            (f"b|{m0}|0", [1, 2, 3], "srcB"),      # separate source
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "source": pa.array([r[2] for r in rows]),
+        })
+        d = tmp_path / "toks"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+
+        got = q.token_bigram_ttr("ignored").to_pandas()
+        got = got.sort_values("source").reset_index(drop=True)
+        want = duckdb.connect().execute(
+            q._token_bigram_oracle()).fetchdf().sort_values(
+            "source").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index("source")
+        # srcA: long doc 32 pairs + short doc 3 pairs = 35 total;
+        # distinct = 32 unique of the chain + (2,1) = 33
+        assert by.loc["srcA", "n_bigrams"] == 35
+        assert by.loc["srcA", "n_distinct_bigrams"] == 33
+        assert by.loc["srcB", "n_bigrams"] == 2
+        assert by.loc["srcB", "n_distinct_bigrams"] == 2
