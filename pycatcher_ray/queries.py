@@ -6763,8 +6763,8 @@ WITH r AS (
 )
 SELECT source, n AS n_buckets,
        CASE WHEN n * sxx - sx * sx > 0 THEN
-         CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 10000.0
        ELSE NULL END AS slope_per_hour
 FROM s
 """
@@ -6834,7 +6834,8 @@ WITH r AS (
   FROM r JOIN t USING (source)
 )
 SELECT source, n AS n_buckets, bucket_start AS changepoint_bucket,
-       CAST(stat AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS cusum_stat
+       CAST(CAST(stat AS VARCHAR) AS DOUBLE)
+         / CAST(n AS DOUBLE) / 10000.0 AS cusum_stat
 FROM c
 QUALIFY row_number() OVER (
   PARTITION BY source ORDER BY stat DESC, bucket_start ASC) = 1
@@ -7053,7 +7054,8 @@ WITH r AS (
 )
 SELECT nums.source, nums.lag AS lag_hours,
        CASE WHEN den.s2 > 0 THEN
-         CAST(nums.num AS DOUBLE) / CAST(den.s2 AS DOUBLE)
+         CAST(CAST(nums.num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den.s2 AS VARCHAR) AS DOUBLE)
        ELSE NULL END AS acf_peak,
        den.n_obs AS n_obs
 FROM nums JOIN den ON den.source = nums.source
@@ -7491,8 +7493,10 @@ WITH r AS (
 )
 SELECT d.source, d.day, d.nd AS n_hours,
        CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0 THEN
-         CAST((d.nd * d.d2 - d.d1 * d.d1) * s.n * s.n AS DOUBLE)
-           / CAST(d.nd * d.nd * (s.n * s.s2 - s.s1 * s.s1) AS DOUBLE)
+         CAST(CAST((d.nd * d.d2 - d.d1 * d.d1) * s.n * s.n
+                   AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(d.nd * d.nd * (s.n * s.s2 - s.s1 * s.s1)
+                       AS VARCHAR) AS DOUBLE)
        ELSE NULL END AS var_ratio
 FROM d JOIN s USING (source)
 """
@@ -9254,8 +9258,9 @@ WITH u AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT label_a, label_b, n_a, n_b,
-       CAST(num AS DOUBLE)
-         / CAST((n_a * n_b) * (n_a * n_b) AS DOUBLE) AS centroid_sq_dist
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST((n_a * n_b) * (n_a * n_b) AS VARCHAR) AS DOUBLE)
+         AS centroid_sq_dist
 FROM p
 """
 

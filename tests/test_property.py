@@ -347,7 +347,20 @@ class TestCorrMomentsCrossEngine:
         the single divide.  (The float-moment form of this same
         quantity FAILS round-6 at ~1e5 magnitudes — hypothesis found
         [0, 1, 99998, 99999, 14747.2019, -1] drifting past the grid —
-        which is exactly why the operators don't use it.)"""
+        which is exactly why the operators don't use it.)
+
+        DuckDB quirk this test documents (found by hypothesis,
+        2026-08-19): ``CAST(h AS DOUBLE)`` on a HUGEINT is NOT
+        correctly rounded — duckdb converts via per-half ldexp-style
+        float arithmetic (two roundings), so integers past ~2⁶⁴ (and
+        negative HUGEINTs past 2⁵³) can land 1 ulp off Python's
+        correctly-rounded ``float(int)`` (e.g. 19727111344750000000 →
+        0x…4670 vs 0x…466f).  ``CAST(h AS VARCHAR) → DOUBLE`` IS
+        correctly rounded (fast_float parser; 0/20k mismatches in a
+        127-bit fuzz), so every oracle that divides a HUGEINT-typed
+        exact moment routes through the VARCHAR bridge — and so does
+        this test.  BIGINT→DOUBLE is correctly rounded (0/20k fuzz)
+        and needs no bridge."""
         import duckdb
 
         y4 = np.rint(np.round(np.array(vals), 4) * 10000.0).astype(
@@ -366,9 +379,10 @@ class TestCorrMomentsCrossEngine:
         want = duckdb.connect().execute(
             """
             WITH j AS (SELECT unnest(?) AS y)
-            SELECT CAST(count(*) * sum(CAST(y AS HUGEINT) * y)
-                        - sum(CAST(y AS HUGEINT))
-                          * sum(CAST(y AS HUGEINT)) AS DOUBLE)
+            SELECT CAST(CAST(count(*) * sum(CAST(y AS HUGEINT) * y)
+                             - sum(CAST(y AS HUGEINT))
+                               * sum(CAST(y AS HUGEINT)) AS VARCHAR)
+                        AS DOUBLE)
                    / CAST(count(*) * count(*) AS DOUBLE) / 1e8 FROM j
             """,
             [y4.tolist()]).fetchone()[0]
