@@ -9265,6 +9265,184 @@ FROM p
 """
 
 
+def seasonal_naive_mase(sf_dir: str, period: int = 24):
+    """Per-source MASE-style seasonal-forecastability score: mean
+    |y_t − y_{t−24h}| over mean |y_t − y_{t−1h}| on the hourly tier
+    (<1 ⇒ the daily-seasonal naive forecast beats the random-walk
+    naive ⇒ strong daily seasonality).  Complements
+    ``seasonal_naive_error`` (that one reports the seasonal predictor's
+    absolute MAE/RMSE; this one is the SCALE-FREE Hyndman MASE ratio
+    against the random-walk naive, NULL on constant series — the
+    comparable-across-sources form).  Lags are by HOUR ARITHMETIC
+    (a term exists only when the bucket exactly 24/1 hours earlier
+    exists), so gaps contribute nothing.  Exactness: both sums are
+    exact integers in 10⁻⁴ units; the ratio (num·c1)/(den·c24) is ONE
+    double divide of two exact bigint products (Python int / HUGEINT
+    with the VARCHAR-bridge cast — see test_varpop_int_units_bitwise
+    for why the bridge).  NULL when the naive denominator is zero
+    (constant series — the frozen-sensor fuzz source pins this)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            out = {}
+            for lag, tag in ((period, "s"), (1, "n")):
+                prev_pos = np.searchsorted(xs, xs - lag)
+                has = (prev_pos < xs.size) & (
+                    xs[np.minimum(prev_pos, xs.size - 1)] == xs - lag)
+                d = np.abs(y4[has] - y4[prev_pos[has]])
+                out[tag] = (int(has.sum()),
+                            int(d.astype(object).sum()) if d.size else 0)
+            c24, num = out["s"]
+            c1, den = out["n"]
+            if c24 == 0 or c1 == 0:
+                continue
+            rows.append({
+                "source": src,
+                "n_seasonal_terms": c24, "n_naive_terms": c1,
+                "mase": float(num * c1) / float(den * c24)
+                if den > 0 else np.nan,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_seasonal_terms", "n_naive_terms", "mase"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MASE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT a.source, count(*) AS c24,
+         sum(CAST(abs(a.y - b.y) AS HUGEINT)) AS num
+  FROM r a JOIN r b ON b.source = a.source AND b.x = a.x - 24
+  GROUP BY 1
+), n AS (
+  SELECT a.source, count(*) AS c1,
+         sum(CAST(abs(a.y - b.y) AS HUGEINT)) AS den
+  FROM r a JOIN r b ON b.source = a.source AND b.x = a.x - 1
+  GROUP BY 1
+)
+SELECT s.source, s.c24 AS n_seasonal_terms, n.c1 AS n_naive_terms,
+       CASE WHEN n.den > 0 THEN
+         CAST(CAST(s.num * n.c1 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n.den * s.c24 AS VARCHAR) AS DOUBLE)
+       ELSE NULL END AS mase
+FROM s JOIN n USING (source)
+"""
+
+
+def gap_inventory_1h(sf_dir: str):
+    """Data-completeness inventory: one row per RUN of missing hourly
+    buckets per source — (gap_start, gap_hours, prev/next observed
+    bucket).  The DETAIL table under ``gap_analysis`` (that one emits
+    one summary row per source; this one lists each gap run for
+    targeted backfill).  Pure integer gaps-and-islands on
+    epoch-hours; one source-keyed exchange of the (already tiny)
+    hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, _y4 in _hourly_int_units(shard):
+            d = np.diff(xs)
+            at = np.flatnonzero(d > 1)
+            bsv = bs.to_numpy()
+            for i in at:
+                rows.append({
+                    "source": src,
+                    "gap_start": bsv[i] + np.timedelta64(1, "h"),
+                    "gap_hours": int(d[i] - 1),
+                    "prev_bucket": bsv[i],
+                    "next_bucket": bsv[i + 1],
+                })
+        return pd.DataFrame(rows, columns=[
+            "source", "gap_start", "gap_hours", "prev_bucket",
+            "next_bucket"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_GAP_INVENTORY_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, bucket_start, x,
+         lead(bucket_start) OVER win AS next_bucket,
+         lead(x) OVER win AS nx
+  FROM r WINDOW win AS (PARTITION BY source ORDER BY x)
+)
+SELECT source, bucket_start + INTERVAL 1 HOUR AS gap_start,
+       nx - x - 1 AS gap_hours, bucket_start AS prev_bucket, next_bucket
+FROM w WHERE nx - x > 1
+"""
+
+
+def hourly_profile_bands(sf_dir: str):
+    """Seasonal profile product: per (source, UTC hour-of-day) the
+    p25/p50/p75 of the hourly sums across days — the band chart behind
+    ``seasonal_envelope`` generalized to quartiles, and the hour-of-day
+    counterpart of ``weekday_profile``.  hour-of-day =
+    epoch-hours mod 24 (epoch hour 0 is midnight UTC, so this equals
+    extract(hour) on the naive timestamps); quantiles ride the
+    bit-pinned ``quantile_cont`` lerp.  Output bounded at
+    sources × 24."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            hod = xs % 24
+            for h in np.unique(hod):
+                v = np.sort(y4[hod == h].astype(np.float64))
+                rows.append({
+                    "source": src, "hour_of_day": int(h),
+                    "n_obs": int(v.size),
+                    "p25": float(quantile_cont(v, 0.25)) / 10000.0,
+                    "p50": float(quantile_cont(v, 0.50)) / 10000.0,
+                    "p75": float(quantile_cont(v, 0.75)) / 10000.0,
+                })
+        return pd.DataFrame(rows, columns=[
+            "source", "hour_of_day", "n_obs", "p25", "p50", "p75"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_HOURLY_PROFILE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 % 24
+           AS hour_of_day,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT source, hour_of_day, count(*) AS n_obs,
+       quantile_cont(y, 0.25) / 10000.0 AS p25,
+       quantile_cont(y, 0.50) / 10000.0 AS p50,
+       quantile_cont(y, 0.75) / 10000.0 AS p75
+FROM r GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -9436,6 +9614,9 @@ def _registry():
         "approx_p95_by_source": approx_p95_by_source,
         "approx_top_users_by_type": approx_top_users_by_type,
         "media_features": media_features,
+        "seasonal_naive_mase": seasonal_naive_mase,
+        "gap_inventory_1h": gap_inventory_1h,
+        "hourly_profile_bands": hourly_profile_bands,
     }
 
 
@@ -9585,4 +9766,7 @@ def oracles():
         "token_bigram_ttr": _token_bigram_oracle(),
         "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
         "label_centroid_separation": _LABEL_SEPARATION_ORACLE,
+        "seasonal_naive_mase": _MASE_ORACLE,
+        "gap_inventory_1h": _GAP_INVENTORY_ORACLE,
+        "hourly_profile_bands": _HOURLY_PROFILE_ORACLE,
     }
