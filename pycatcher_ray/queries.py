@@ -8399,7 +8399,10 @@ def token_head_buckets(sf_dir: str, k: int = 10, vocab: int = 4096):
     def partial(tb: pa.Table) -> pd.DataFrame:
         toks = tb["tokens"].combine_chunks()
         off = toks.offsets.to_numpy().astype(np.int64)
-        vals = toks.values.to_numpy().astype(np.int64) % v
+        # flatten() (NOT .values) trims to the logical slice: this path
+        # zips per-token values elementwise against a per-row repeat, so
+        # a sliced batch's list offset must not shift the buffer
+        vals = toks.flatten().to_numpy().astype(np.int64) % v
         src = tb["source"].to_pandas()
         codes, uniq = pd.factorize(src, sort=False)
         per_tok_code = np.repeat(codes.astype(np.int64),
@@ -9129,7 +9132,9 @@ def kmeans_assign_step(sf_dir: str, k: int = 8):
 
     def assign(tb: pa.Table) -> pd.DataFrame:
         e = tb["embedding"].combine_chunks()
-        vals = e.values.to_numpy().astype(np.float64)
+        # flatten() trims to the logical slice (sliced batches carry a
+        # nonzero list offset that .values would ignore)
+        vals = e.flatten().to_numpy().astype(np.float64)
         q = np.floor(vals * 1e6).astype(np.int64).reshape(
             len(tb), C.shape[1])
         # (n, k) exact integer squared distances
@@ -9199,7 +9204,9 @@ def label_centroid_separation(sf_dir: str):
 
     def partial(tb: pa.Table) -> pd.DataFrame:
         e = tb["embedding"].combine_chunks()
-        vals = e.values.to_numpy().astype(np.float64)
+        # flatten() trims to the logical slice (sliced batches carry a
+        # nonzero list offset that .values would ignore in the reshape)
+        vals = e.flatten().to_numpy().astype(np.float64)
         lab = tb["label"].to_numpy().astype(np.int64)
         dims = len(vals) // max(len(tb), 1)
         q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
@@ -9443,6 +9450,198 @@ FROM r GROUP BY 1, 2
 """
 
 
+def embedding_norm_outliers(sf_dir: str):
+    """Embedding-quality screen: vectors whose squared L2 norm exceeds
+    4× their label's median squared norm (norm > 2× median — the
+    exploding / degenerate-embedding signature that poisons cosine
+    near-dup and ANN recall).  INTEGER-exact core: coordinates quantize
+    floor(float64(e)·10⁶) (the ``kmeans_assign_step`` trick), squared
+    norms are exact int64 sums (≪2⁵³ so the DOUBLE casts are correctly
+    rounded on both engines); the per-label median rides the bit-pinned
+    ``quantile_cont`` lerp and the flag compare float(sq) > 4·med is
+    the identical IEEE expression on both sides.  Plan: ONE pass over
+    embeddings emits the tiny (vec_id, label, sq_norm) table; medians
+    come from a label-keyed exchange over it; the flag pass maps over
+    the NORMS table with the ≤|labels| median dict in the closure —
+    embeddings are read once and never re-shuffled."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    def norms(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() (NOT .values) trims to the logical slice — a batch
+        # that arrives as a zero-copy slice of a larger block has a
+        # nonzero list offset and .values would misalign the reshape
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), -1)
+        return pd.DataFrame({
+            "vec_id": tb["vec_id"].to_numpy(),
+            "label": tb["label"].to_pandas().to_numpy(),
+            "sq_norm": (q * q).sum(axis=1),
+        })
+
+    nt = ds.map_batches(norms, batch_format="pyarrow").materialize()
+
+    from .functions.stats import quantile_cont
+
+    def med(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in shard.groupby("label", sort=False):
+            v = np.sort(g["sq_norm"].to_numpy(np.float64))
+            rows.append({"label": lab,
+                         "med": float(quantile_cont(v, 0.5))})
+        return pd.DataFrame(rows, columns=["label", "med"])
+
+    meds = sharded_map_groups(nt, "label", med,
+                              num_shards=2).to_pandas()
+    med_by_label = dict(zip(meds["label"], meds["med"]))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["label"].map(med_by_label).to_numpy(np.float64)
+        sq = b["sq_norm"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "label": b["label"],
+            "sq_norm": sq,
+            "label_median_sq": m,
+            "is_outlier": sq.astype(np.float64) > 4.0 * m,
+        })
+
+    return nt.map_batches(flag, batch_format="pandas")
+
+
+_EMB_NORM_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), u AS (
+  SELECT vec_id, label, sum(qv * qv) AS sq_norm FROM x GROUP BY 1, 2
+), m AS (
+  SELECT label, quantile_cont(sq_norm, 0.5) AS med FROM u GROUP BY 1
+)
+SELECT u.vec_id, u.label,
+       -- BIGINT, not the HUGEINT sum: duckdb hands HUGEINT columns to
+       -- pandas as float64, and the driver-compare's round(6) at 1e12
+       -- magnitude is itself lossy (x*1e6 passes 2^53) — int dtype on
+       -- BOTH sides keeps the compare exact
+       CAST(u.sq_norm AS BIGINT) AS sq_norm, m.med AS label_median_sq,
+       CAST(u.sq_norm AS DOUBLE) > 4 * m.med AS is_outlier
+FROM u JOIN m USING (label)
+"""
+
+
+def token_loop_score(sf_dir: str, window: int = 8, loop_min: int = 3):
+    """Degenerate-repetition screen over the native tokens input: a doc
+    is LOOPY when some 8-token window repeats ≥ ``loop_min`` times
+    inside it (the stuck-sampler / boilerplate-loop signature that
+    per-WORD repetition ratios miss because loops repeat long spans,
+    not single words).  Per batch the flat token values become one
+    sliding (W, 8) int32 window matrix (doc-boundary windows excluded
+    by offset arithmetic), viewed as four uint64 words; per-doc window
+    multiplicities come from one lexsort + run-length scan — no Python
+    loop over docs.  Map-only partials (n_docs, n_loopy, max repeat per
+    source) fold in a tiny source exchange; the rate is ONE int/int
+    divide.  The oracle counts the actual ``tokens[i:i+7]`` list
+    windows — equal lists ⇔ equal packed keys (no padding: only full
+    windows exist).  The synth corpus is loop-free (rate 0, repeat 1),
+    so the loopy branch is pinned by a planted golden in
+    test_training_ops."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["tokens", "source"])
+    w = window
+
+    def emit(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy().astype(np.int32)
+        n = len(tb)
+        lens = off[1:] - off[:-1]
+        nw = np.maximum(lens - (w - 1), 0)
+        src = tb["source"].to_pandas().to_numpy()
+        has = nw > 0
+        if not has.any() or vals.size < w:
+            return pd.DataFrame({
+                "source": src[:0], "n_docs": np.zeros(0, np.int64),
+                "n_loopy": np.zeros(0, np.int64),
+                "max_repeat": np.zeros(0, np.int64)})
+        # valid window starts: off[d] .. off[d+1]-w for each doc
+        doc = np.repeat(np.arange(n, dtype=np.int64), nw)
+        starts = (np.arange(int(nw.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(nw) - nw, nw)
+                  + np.repeat(off[:-1], nw))
+        sw = np.lib.stride_tricks.sliding_window_view(vals, w)
+        M = np.ascontiguousarray(sw[starts])          # (W, 8) int32
+        key = M.view(np.uint64)                       # (W, 4) words
+        order = np.lexsort((key[:, 3], key[:, 2], key[:, 1],
+                            key[:, 0], doc))
+        kd, ks = doc[order], key[order]
+        brk = np.empty(kd.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (np.diff(kd) != 0) | (ks[1:] != ks[:-1]).any(axis=1)
+        run_id = np.cumsum(brk) - 1
+        counts = np.bincount(run_id)
+        run_doc = kd[brk]
+        max_mult = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_mult, run_doc, counts)
+        g = pd.DataFrame({
+            "source": src[has],
+            "n_docs": np.ones(int(has.sum()), dtype=np.int64),
+            "n_loopy": (max_mult[has] >= loop_min).astype(np.int64),
+            "max_repeat": max_mult[has],
+        })
+        return g.groupby("source", as_index=False).agg(
+            {"n_docs": "sum", "n_loopy": "sum", "max_repeat": "max"})
+
+    parts = ds.map_batches(emit, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "source",
+                            {"n_docs": "sum", "n_loopy": "sum",
+                             "max_repeat": "max"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b["n_docs"].to_numpy(np.int64)
+        nl = b["n_loopy"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n_docs": nd, "n_loopy": nl,
+            "max_window_repeat": b["max_repeat"].to_numpy(np.int64),
+            "loopy_rate": nl / nd,
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_loop_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens, len(tokens) AS n
+  FROM read_parquet('{glob}')
+), w AS (
+  SELECT doc_id, source, tokens[i.i:i.i + 7] AS win
+  FROM t CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, n - 7)) AS i) i
+  WHERE n >= 8
+), c AS (
+  SELECT doc_id, source, win, count(*) AS m FROM w GROUP BY 1, 2, 3
+), d AS (
+  SELECT doc_id, source, max(m) AS max_mult FROM c GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       count(*) FILTER (max_mult >= 3) AS n_loopy,
+       max(max_mult) AS max_window_repeat,
+       CAST(count(*) FILTER (max_mult >= 3) AS DOUBLE) / count(*)
+         AS loopy_rate
+FROM d GROUP BY source
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -9471,6 +9670,7 @@ def _registry():
         "tokens_length_stats": tokens_length_stats,
         "token_length_drift": token_length_drift,
         "token_prefix_novelty": token_prefix_novelty,
+        "token_loop_score": token_loop_score,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
@@ -9527,6 +9727,7 @@ def _registry():
         "idle_balance_by_nation": idle_balance_by_nation,
         "token_bigram_ttr": token_bigram_ttr,
         "kmeans_assign_step": kmeans_assign_step,
+        "embedding_norm_outliers": embedding_norm_outliers,
         "label_centroid_separation": label_centroid_separation,
         "top_building_orders": top_building_orders,
         "regional_supplier_revenue": regional_supplier_revenue,
@@ -9750,6 +9951,7 @@ def oracles():
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
+        "token_loop_score": _token_loop_oracle(),
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),
         "bollinger_breaks_1h": _BOLLINGER_ORACLE,
@@ -9765,6 +9967,7 @@ def oracles():
         "idle_balance_by_nation": _Q22_ORACLE,
         "token_bigram_ttr": _token_bigram_oracle(),
         "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
+        "embedding_norm_outliers": _EMB_NORM_ORACLE,
         "label_centroid_separation": _LABEL_SEPARATION_ORACLE,
         "seasonal_naive_mase": _MASE_ORACLE,
         "gap_inventory_1h": _GAP_INVENTORY_ORACLE,

@@ -122,6 +122,11 @@ SUBSET = [
     "token_bigram_ttr",
     "kmeans_assign_step",
     "label_centroid_separation",
+    "seasonal_naive_mase",
+    "gap_inventory_1h",
+    "hourly_profile_bands",
+    "token_loop_score",
+    "embedding_norm_outliers",
 ]
 
 

@@ -695,3 +695,61 @@ class TestTokenBigramTTRPlanted:
         assert by.loc["srcA", "n_distinct_bigrams"] == 33
         assert by.loc["srcB", "n_bigrams"] == 2
         assert by.loc["srcB", "n_distinct_bigrams"] == 2
+
+
+class TestTokenLoopScorePlanted:
+    """The synthesized corpus is loop-free (loopy_rate 0 everywhere), so
+    the loopy branch — window multiplicity >= 3, doc-boundary window
+    exclusion, sub-8-token docs dropping out — is pinned here against
+    the DuckDB list-slice oracle on a hand-built corpus."""
+
+    def test_planted_loops_match_oracle(self, ray_session, tmp_path,
+                                        monkeypatch):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        base = list(range(100, 108))
+        rows = [
+            # 3x repeated 8-window -> loopy (multiplicity 3)
+            ("a|0|0", base * 3, "srcA"),
+            # the same window only twice -> NOT loopy (multiplicity 2)
+            ("a|0|1", base + [1, 2, 3] + base, "srcA"),
+            # unique windows -> multiplicity 1
+            ("a|0|2", list(range(200, 216)), "srcA"),
+            # exactly 8 tokens: one window, multiplicity 1
+            ("b|0|0", base, "srcB"),
+            # shorter than the window: excluded from n_docs entirely
+            ("b|0|1", [7, 7, 7], "srcB"),
+            # degenerate constant doc: every window identical -> loopy,
+            # multiplicity = n_tok - 7 = 13
+            ("b|0|2", [9] * 20, "srcB"),
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[2] for r in rows]),
+        })
+        d = tmp_path / "toks"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+
+        got = q.token_loop_score("ignored").to_pandas()
+        got = got.sort_values("source").reset_index(drop=True)
+        want = duckdb.connect().execute(
+            q._token_loop_oracle()).fetchdf().sort_values(
+            "source").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index("source")
+        assert by.loc["srcA", "n_docs"] == 3
+        assert by.loc["srcA", "n_loopy"] == 1
+        assert by.loc["srcA", "max_window_repeat"] == 3
+        assert by.loc["srcB", "n_docs"] == 2  # the 3-token doc drops
+        assert by.loc["srcB", "n_loopy"] == 1
+        assert by.loc["srcB", "max_window_repeat"] == 13
