@@ -9535,6 +9535,87 @@ FROM u JOIN m USING (label)
 """
 
 
+def user_overlap_between_types(sf_dir: str):
+    """Pairwise AUDIENCE Jaccard between event types — which behaviors
+    share users (funnel adjacency / cannibalization screen).  Same
+    bounded-panel shape as ``vocab_jaccard_sources`` with users in
+    place of words: per-batch local distinct (event_type, user_id)
+    rows ride a user-keyed exchange that finishes the global distinct,
+    each shard self-merges its users into unordered type-pair
+    co-occurrence partials (Σ|types(u)|² per user is bounded by the
+    panel width), and the driver folds only the tiny pair/count table.
+    Jaccard = inter / (|A| + |B| − inter), ONE int/int divide; pairs
+    with zero shared users are omitted on both sides."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates(["event_type", "user_id"])
+        cnt = shard.groupby("event_type", as_index=False).size().rename(
+            columns={"size": "n", "event_type": "type_a"})
+        cnt["type_b"] = ""  # sentinel: per-type audience partial
+        m = shard.merge(shard, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size().rename(
+            columns={"event_type_x": "type_a", "event_type_y": "type_b",
+                     "size": "n"})
+        return pd.concat([pairs, cnt[["type_a", "type_b", "n"]]],
+                         ignore_index=True)
+
+    parts = sharded_map_groups(tagged, "user_id", fold).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "type_a": pd.Series([], dtype=object),
+            "type_b": pd.Series([], dtype=object),
+            "shared_users": pd.Series([], dtype=np.int64),
+            "users_a": pd.Series([], dtype=np.int64),
+            "users_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)})
+    counts = parts[parts["type_b"] == ""].groupby("type_a")["n"].sum()
+    pairs = parts[parts["type_b"] != ""].groupby(
+        ["type_a", "type_b"], as_index=False)["n"].sum()
+    inter = pairs["n"].to_numpy(np.int64)
+    ua = pairs["type_a"].map(counts).to_numpy(np.int64)
+    ub = pairs["type_b"].map(counts).to_numpy(np.int64)
+    return pd.DataFrame({
+        "type_a": pairs["type_a"],
+        "type_b": pairs["type_b"],
+        "shared_users": inter,
+        "users_a": ua,
+        "users_b": ub,
+        "jaccard": inter / (ua + ub - inter),
+    })
+
+
+_USER_OVERLAP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), c AS (
+  SELECT event_type, count(*) AS n FROM d GROUP BY 1
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS inter
+  FROM d a JOIN d b ON b.user_id = a.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.inter AS shared_users,
+       ca.n AS users_a, cb.n AS users_b,
+       CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+FROM p JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+"""
+
+
 def token_loop_score(sf_dir: str, window: int = 8, loop_min: int = 3):
     """Degenerate-repetition screen over the native tokens input: a doc
     is LOOPY when some 8-token window repeats ≥ ``loop_min`` times
@@ -9671,6 +9752,7 @@ def _registry():
         "token_length_drift": token_length_drift,
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
+        "user_overlap_between_types": user_overlap_between_types,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
@@ -9952,6 +10034,7 @@ def oracles():
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
         "token_loop_score": _token_loop_oracle(),
+        "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),
         "bollinger_breaks_1h": _BOLLINGER_ORACLE,

@@ -127,6 +127,7 @@ SUBSET = [
     "hourly_profile_bands",
     "token_loop_score",
     "embedding_norm_outliers",
+    "user_overlap_between_types",
 ]
 
 
