@@ -76,6 +76,10 @@ FUZZ_QUERIES = [
     "day_over_day_growth",
     "burst_window_5m",
     "user_type_diversity",
+    "seasonal_naive_mase",
+    "gap_inventory_1h",
+    "hourly_profile_bands",
+    "user_overlap_between_types",
 ]
 
 
