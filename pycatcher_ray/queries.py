@@ -9535,6 +9535,254 @@ FROM u JOIN m USING (label)
 """
 
 
+def large_volume_order_customers(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape — customers behind large-volume orders (order
+    quantity total > ``min_qty``).  Distributed plan: per-batch
+    (orderkey, qty) integer partials bound the exchange at orders×1
+    rows; the winner set after the HAVING filter is bounded by the
+    threshold (~1 % of orders at TPC-H quantity distributions — the
+    documented driver-size bound), broadcast via ``ray.put`` for
+    map-side semi-joins of orders then customers — neither dimension
+    ever shuffles.  Quantities are integral doubles; rint→int64 sums
+    make the HAVING decision exact on both engines."""
+    import ray
+
+    from .stages.shard import sharded_aggregate
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+
+    def qty_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "sum_qty": np.rint(
+                b["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+        }).groupby("okey", as_index=False)["sum_qty"].sum()
+
+    sums = sharded_aggregate(
+        line.map_batches(qty_partials, batch_format="pandas"),
+        "okey", {"sum_qty": "sum"})
+    win = sums.map_batches(
+        lambda b: b[b["sum_qty"] > min_qty],
+        batch_format="pandas").to_pandas()
+    cols = ["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty"]
+    if win.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype=np.float64),
+            "sum_qty": pd.Series([], dtype=np.int64)})[cols]
+    win_ref = ray.put(np.sort(win["okey"].to_numpy(np.int64)))
+
+    def pick_orders(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(win_ref)
+        return b[np.isin(b["o_orderkey"].to_numpy(np.int64), keys)]
+
+    ords = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        pick_orders, batch_format="pandas").to_pandas()
+    cust_ref = ray.put(np.sort(np.unique(
+        ords["o_custkey"].to_numpy(np.int64))))
+
+    def pick_cust(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cust_ref)
+        return b[np.isin(b["c_custkey"].to_numpy(np.int64),
+                         keys)][["c_custkey", "c_name"]]
+
+    names = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"]).map_batches(
+        pick_cust, batch_format="pandas").to_pandas()
+    out = ords.merge(win, left_on="o_orderkey", right_on="okey").merge(
+        names, left_on="o_custkey", right_on="c_custkey")
+    return out[cols].reset_index(drop=True)
+
+
+_Q18_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, s.sum_qty
+FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def nation_market_share(sf_dir: str, target_nation: str = "NATION_13",
+                        region: str = "ASIA", p_type: str = "PROMO"):
+    """TPC-H Q8 shape — the target nation's share of PROMO-part revenue
+    sold to ASIA customers, by order year.  Distributed plan: the three
+    small dims broadcast (partkeys of the type; suppkey→nation;
+    ASIA nationkey set); orders⋈customer region membership resolves in
+    ONE custkey exchange (the dimension never shuffles whole); lineitem
+    revenue partials — pre-filtered map-side by the broadcast partkey
+    set, supplier nation attached from the broadcast map — meet the
+    region-qualified (okey, year) rows in ONE orderkey exchange.  The
+    share is (Σ rev_target)/(Σ rev) per year: integer 10⁻⁴-unit sums,
+    ONE double divide via the VARCHAR-bridged HUGEINT casts (sums pass
+    2⁵³ at scale)."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_type"] == p_type,
+                             "p_partkey"].to_numpy(np.int64))
+    nat = _rd().read_parquet(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = _rd().read_parquet(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    region_nkeys = np.sort(nat.loc[nat["n_regionkey"] == rkey,
+                                   "n_nationkey"].to_numpy(np.int64))
+    sup = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation_by_key = dict(zip(nat["n_nationkey"].to_numpy(np.int64),
+                             nat["n_name"]))
+    sup_nation = dict(
+        (int(k), nation_by_key[int(v)])
+        for k, v in zip(sup["s_suppkey"], sup["s_nationkey"]))
+    pk_ref = ray.put(pkeys)
+    rn_ref = ray.put(region_nkeys)
+    sn_ref = ray.put(sup_nation)
+
+    # -- stage 1: orders ⋈ customer (region membership) in ONE exchange
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.DatetimeIndex(b["o_orderdate"]).year.to_numpy(np.int64)
+        return pd.DataFrame({
+            "custkey": b["o_custkey"].to_numpy(np.int64),
+            "okey": b["o_orderkey"].to_numpy(np.int64),
+            "yr": yr, "kind": np.ones(len(b), dtype=np.int64)})
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(b["c_nationkey"].to_numpy(np.int64),
+                       ray.get(rn_ref))
+        b = b[keep]
+        return pd.DataFrame({
+            "custkey": b["c_custkey"].to_numpy(np.int64),
+            "okey": np.zeros(len(b), dtype=np.int64),
+            "yr": np.zeros(len(b), dtype=np.int64),
+            "kind": np.zeros(len(b), dtype=np.int64)})
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        cust.map_batches(tag_cust, batch_format="pandas"))
+
+    def region_orders(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g.loc[g["kind"] == 0, "custkey"].to_numpy(np.int64)
+        o = g[g["kind"] == 1]
+        keep = np.isin(o["custkey"].to_numpy(np.int64), ok)
+        return pd.DataFrame({
+            "okey": o["okey"].to_numpy(np.int64)[keep],
+            "yr": o["yr"].to_numpy(np.int64)[keep],
+            "rev_i": np.zeros(int(keep.sum()), dtype=np.int64),
+            "nation": np.full(int(keep.sum()), "", dtype=object),
+            "kind": np.ones(int(keep.sum()), dtype=np.int64)})
+
+    region_ords = sharded_map_groups(both, "custkey", region_orders)
+
+    # -- stage 2: lineitem revenue partials meet orders in ONE exchange
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def rev_partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(b["l_partkey"].to_numpy(np.int64),
+                       ray.get(pk_ref))
+        b = b[keep]
+        rev = (np.round(b["l_extendedprice"].to_numpy(np.float64) * 100)
+               .astype(np.int64)
+               * (100 - np.round(
+                   b["l_discount"].to_numpy(np.float64) * 100)
+                  .astype(np.int64)))
+        sn = ray.get(sn_ref)
+        nation = b["l_suppkey"].map(sn).to_numpy(dtype=object)
+        g = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "nation": nation, "rev_i": rev,
+        }).groupby(["okey", "nation"], as_index=False)["rev_i"].sum()
+        g["yr"] = np.int64(0)
+        g["kind"] = np.int64(0)
+        return g[["okey", "yr", "rev_i", "nation", "kind"]]
+
+    both2 = line.map_batches(rev_partials, batch_format="pandas").union(
+        region_ords)
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 1][["okey", "yr"]]
+        r = g[g["kind"] == 0]
+        m = r.merge(o, on="okey", how="inner")
+        return m.groupby(["yr_y", "nation"], as_index=False)[
+            "rev_i"].sum().rename(columns={"yr_y": "yr"})
+
+    parts = sharded_map_groups(both2, "okey", join_rev).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "total_revenue": pd.Series([], dtype=np.float64),
+            "nation_revenue": pd.Series([], dtype=np.float64),
+            "mkt_share": pd.Series([], dtype=np.float64)})
+    per = parts.groupby(["yr", "nation"], as_index=False)["rev_i"].sum()
+    tot = per.groupby("yr")["rev_i"].sum()
+    tgt = per[per["nation"] == target_nation].set_index("yr")["rev_i"]
+    yrs = np.sort(tot.index.to_numpy(np.int64))
+    tv = tot.reindex(yrs).to_numpy(np.int64)
+    gv = tgt.reindex(yrs).fillna(0).astype(np.int64).to_numpy()
+    return pd.DataFrame({
+        "o_year": yrs,
+        "total_revenue": tv.astype(np.float64) / 1e4,
+        "nation_revenue": gv.astype(np.float64) / 1e4,
+        "mkt_share": np.array([float(int(g)) / float(int(t))
+                               for g, t in zip(gv, tv)]),
+    })
+
+
+_Q8_ORACLE = """
+WITH rev AS (
+  SELECT extract(year FROM o.o_orderdate) AS o_year, n.n_name AS nation,
+         sum(CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+)
+SELECT o_year,
+       CAST(CAST(sum(rev_i) AS VARCHAR) AS DOUBLE) / 10000.0
+         AS total_revenue,
+       CAST(CAST(coalesce(sum(rev_i) FILTER (nation = 'NATION_13'), 0)
+                 AS VARCHAR) AS DOUBLE) / 10000.0 AS nation_revenue,
+       CAST(CAST(coalesce(sum(rev_i) FILTER (nation = 'NATION_13'), 0)
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum(rev_i) AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM rev GROUP BY o_year
+"""
+
+
 def user_overlap_between_types(sf_dir: str):
     """Pairwise AUDIENCE Jaccard between event types — which behaviors
     share users (funnel adjacency / cannibalization screen).  Same
@@ -9753,6 +10001,8 @@ def _registry():
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
         "user_overlap_between_types": user_overlap_between_types,
+        "large_volume_order_customers": large_volume_order_customers,
+        "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
         "rollup_1d": lambda d: rollup_events(d, "1d"),
@@ -10035,6 +10285,8 @@ def oracles():
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
         "token_loop_score": _token_loop_oracle(),
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
+        "large_volume_order_customers": _Q18_ORACLE,
+        "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),
         "bollinger_breaks_1h": _BOLLINGER_ORACLE,
