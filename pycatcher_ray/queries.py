@@ -9535,87 +9535,6 @@ FROM u JOIN m USING (label)
 """
 
 
-def large_volume_order_customers(sf_dir: str, min_qty: int = 250):
-    """TPC-H Q18 shape — customers behind large-volume orders (order
-    quantity total > ``min_qty``).  Distributed plan: per-batch
-    (orderkey, qty) integer partials bound the exchange at orders×1
-    rows; the winner set after the HAVING filter is bounded by the
-    threshold (~1 % of orders at TPC-H quantity distributions — the
-    documented driver-size bound), broadcast via ``ray.put`` for
-    map-side semi-joins of orders then customers — neither dimension
-    ever shuffles.  Quantities are integral doubles; rint→int64 sums
-    make the HAVING decision exact on both engines."""
-    import ray
-
-    from .stages.shard import sharded_aggregate
-
-    line = _rd().read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_quantity"])
-
-    def qty_partials(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "okey": b["l_orderkey"].to_numpy(np.int64),
-            "sum_qty": np.rint(
-                b["l_quantity"].to_numpy(np.float64)).astype(np.int64),
-        }).groupby("okey", as_index=False)["sum_qty"].sum()
-
-    sums = sharded_aggregate(
-        line.map_batches(qty_partials, batch_format="pandas"),
-        "okey", {"sum_qty": "sum"})
-    win = sums.map_batches(
-        lambda b: b[b["sum_qty"] > min_qty],
-        batch_format="pandas").to_pandas()
-    cols = ["c_custkey", "c_name", "o_orderkey", "o_orderdate",
-            "o_totalprice", "sum_qty"]
-    if win.empty:
-        return pd.DataFrame({
-            "c_custkey": pd.Series([], dtype=np.int64),
-            "c_name": pd.Series([], dtype=object),
-            "o_orderkey": pd.Series([], dtype=np.int64),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-            "o_totalprice": pd.Series([], dtype=np.float64),
-            "sum_qty": pd.Series([], dtype=np.int64)})[cols]
-    win_ref = ray.put(np.sort(win["okey"].to_numpy(np.int64)))
-
-    def pick_orders(b: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(win_ref)
-        return b[np.isin(b["o_orderkey"].to_numpy(np.int64), keys)]
-
-    ords = _rd().read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate",
-                 "o_totalprice"]).map_batches(
-        pick_orders, batch_format="pandas").to_pandas()
-    cust_ref = ray.put(np.sort(np.unique(
-        ords["o_custkey"].to_numpy(np.int64))))
-
-    def pick_cust(b: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(cust_ref)
-        return b[np.isin(b["c_custkey"].to_numpy(np.int64),
-                         keys)][["c_custkey", "c_name"]]
-
-    names = _rd().read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name"]).map_batches(
-        pick_cust, batch_format="pandas").to_pandas()
-    out = ords.merge(win, left_on="o_orderkey", right_on="okey").merge(
-        names, left_on="o_custkey", right_on="c_custkey")
-    return out[cols].reset_index(drop=True)
-
-
-_Q18_ORACLE = """
-WITH s AS (
-  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
-  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
-)
-SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-       o.o_totalprice, s.sum_qty
-FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-"""
-
-
 def nation_market_share(sf_dir: str, target_nation: str = "NATION_13",
                         region: str = "ASIA", p_type: str = "PROMO"):
     """TPC-H Q8 shape — the target nation's share of PROMO-part revenue
@@ -10001,7 +9920,6 @@ def _registry():
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
         "user_overlap_between_types": user_overlap_between_types,
-        "large_volume_order_customers": large_volume_order_customers,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -10285,7 +10203,6 @@ def oracles():
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
         "token_loop_score": _token_loop_oracle(),
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
-        "large_volume_order_customers": _Q18_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

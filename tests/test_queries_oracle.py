@@ -128,7 +128,6 @@ SUBSET = [
     "token_loop_score",
     "embedding_norm_outliers",
     "user_overlap_between_types",
-    "large_volume_order_customers",
     "nation_market_share",
 ]
 
