@@ -9702,6 +9702,215 @@ FROM rev GROUP BY o_year
 """
 
 
+def lead_lag_vs_reference(sf_dir: str, max_lag: int = 24):
+    """Per-source LEAD/LAG inference against the fleet-total hourly
+    series: the shift k ∈ [−24, 24] that maximizes the cross-covariance
+    between a source's demeaned hourly sums and the demeaned fleet
+    total — the triage question "does this source move before or after
+    the fleet?".  Scale shape is the broadcast-reference path
+    (``reference_correlation``): the total series is O(hours) — tiny at
+    any corpus scale — built by ONE bucket-keyed integer aggregation,
+    collected once (the documented driver bound: #hours rows, never the
+    corpus), demeaned on the driver, and broadcast via ``ray.put``;
+    per-source work then rides ONE source-keyed exchange.  EXACT argmax
+    trick (same as ``dominant_acf_lag``): values in 10⁻⁴-unit int64,
+    ex = n·X_h − ΣX and ey = m·Y_h − ΣY exact integers, the lag-k
+    numerator Σ ex_h·ey_{h+k} an exact Python bigint / HUGEINT, so the
+    argmax and its (num DESC, lag ASC) tie-break are bit-deterministic;
+    the reported peak is ONE double expression num/√(dx·dy) over
+    correctly-rounded int→double casts (VARCHAR-bridged in SQL)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+    slim = roll.select_columns(["event_type", "bucket_start", "sum_value"])
+
+    def v4_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = _round_exact(b["sum_value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "h": (b["bucket_start"].to_numpy().astype("datetime64[s]")
+                  .astype(np.int64) // 3600),
+            "v4": np.rint(v * 10000.0).astype(np.int64)})
+
+    totals = sharded_aggregate(
+        slim.map_batches(v4_rows, batch_format="pandas"),
+        "h", {"v4": "sum"}, num_shards=2).to_pandas()
+    hs = totals["h"].to_numpy(np.int64)
+    ys = totals["v4"].to_numpy(np.int64)
+    m = int(hs.size)
+    ty = int(ys.sum(dtype=object)) if m else 0
+    ey = {int(h): m * int(y) - ty for h, y in zip(hs, ys)}
+    dy = sum(e * e for e in ey.values())
+    if dy <= 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "lead_lag_hours": pd.Series([], dtype=np.int64),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "xcov_peak": pd.Series([], dtype=np.float64)})
+    import ray
+
+    ey_ref = ray.put((ey, dy))
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        ey, dy = ray.get(ey_ref)
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            tx = int(y4.sum(dtype=object))
+            ex = [n * int(v) - tx for v in y4.tolist()]
+            dx = sum(x * x for x in ex)
+            if dx <= 0:
+                continue  # constant source — oracle's WHERE dx > 0
+            hsrc = xs.tolist()
+            best = None  # (num, -lag) max ⇔ (num DESC, lag ASC)
+            for k in range(-max_lag, max_lag + 1):
+                num, cnt = 0, 0
+                for h, e in zip(hsrc, ex):
+                    w = ey.get(h + k)
+                    if w is not None:
+                        num += e * w
+                        cnt += 1
+                if cnt and (best is None or (num, -k) > (best[0], -best[1])):
+                    best = (num, k, cnt)
+            if best is None:
+                continue
+            num, k, cnt = best
+            rows.append({
+                "source": src, "lead_lag_hours": k, "n_pairs": cnt,
+                "xcov_peak": float(num) / math.sqrt(float(dx) * float(dy)),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "lead_lag_hours", "n_pairs", "xcov_peak"])
+
+    return sharded_map_groups(slim, "event_type", fold)
+
+
+_LEAD_LAG_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT h, sum(CAST(V AS HUGEINT)) AS Y FROM r GROUP BY h
+), my AS (
+  SELECT count(*) AS m, sum(Y) AS ty FROM tot
+), ey AS (
+  SELECT tot.h, my.m * tot.Y - my.ty AS ey FROM tot, my
+), dy AS (
+  SELECT sum(ey * ey) AS dy FROM ey
+), tx AS (
+  SELECT source, count(*) AS n, sum(CAST(V AS HUGEINT)) AS t
+  FROM r GROUP BY source
+), ex AS (
+  SELECT r.source, r.h, tx.n * CAST(r.V AS HUGEINT) - tx.t AS ex
+  FROM r JOIN tx USING (source)
+), dx AS (
+  SELECT source, sum(ex * ex) AS dx FROM ex GROUP BY source
+), lags AS (
+  SELECT unnest(range(-24, 25)) AS lag
+), nums AS (
+  SELECT ex.source, lags.lag, sum(ex.ex * ey.ey) AS num,
+         count(*) AS n_pairs
+  FROM ex CROSS JOIN lags
+  JOIN ey ON ey.h = ex.h + lags.lag
+  GROUP BY 1, 2
+)
+SELECT nums.source, nums.lag AS lead_lag_hours, nums.n_pairs,
+       CAST(CAST(nums.num AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(dx.dx AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(dy.dy AS VARCHAR) AS DOUBLE)) AS xcov_peak
+FROM nums JOIN dx USING (source), dy
+WHERE dx.dx > 0 AND dy.dy > 0
+QUALIFY row_number() OVER (
+  PARTITION BY nums.source ORDER BY nums.num DESC, nums.lag ASC) = 1
+"""
+
+
+def token_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth over the NATIVE tokens input: per
+    (source, day), how many token ids appear for the FIRST time in that
+    source, plus the running vocabulary size — the saturation curve
+    that tells a crawl operator when a source stops contributing new
+    vocabulary.  Per batch the Arrow list column flattens ONCE and a
+    single vectorized groupby produces (source, token) → min-day
+    partials (the all-to-all moves at most vocab×sources×batches rows,
+    never the token stream); ONE (source, token)-keyed exchange
+    finishes the global min, a tiny second exchange counts first
+    occurrences per (source, day), and the cumulative sum folds over
+    the O(sources×days) result.  All counts exact ints; the oracle's
+    window SUM is the same integer arithmetic."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "tokens", "source"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.flatten().to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        doc_id = tb["doc_id"].to_pandas()
+        day = (doc_id.str.split("|").str[1].astype(np.int64) * 60
+               // 86400).to_numpy()
+        src = tb["source"].to_pandas()
+        codes, uniq = pd.factorize(src, sort=False)
+        g = pd.DataFrame({
+            "code": np.repeat(codes.astype(np.int64), lens),
+            "tok": vals,
+            "day": np.repeat(day, lens),
+        }).groupby(["code", "tok"], as_index=False)["day"].min()
+        g["source"] = uniq.take(g["code"].to_numpy())
+        return g[["source", "tok", "day"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    first = sharded_aggregate(parts, ["source", "tok"], {"day": "min"})
+
+    def day_rows(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "day"], as_index=False).size()
+        return g.rename(columns={"size": "new_tokens"})
+
+    per_day = sharded_aggregate(
+        first.map_batches(day_rows, batch_format="pandas"),
+        ["source", "day"], {"new_tokens": "sum"}, num_shards=2
+    ).to_pandas()  # O(sources × days) — the documented driver bound
+    per_day = per_day.sort_values(["source", "day"],
+                                  kind="stable").reset_index(drop=True)
+    return pd.DataFrame({
+        "source": per_day["source"],
+        "day": pd.to_datetime(
+            per_day["day"].to_numpy(np.int64) * 86400, unit="s"),
+        "new_tokens": per_day["new_tokens"].astype(np.int64),
+        "vocab_size": per_day.groupby("source")["new_tokens"].cumsum()
+        .astype(np.int64),
+    })
+
+
+def _token_vocab_growth_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60 // 86400 AS d,
+         tokens
+  FROM read_parquet('{glob}')
+), u AS (
+  SELECT source, d, unnest(tokens) AS tok FROM t
+), f AS (
+  SELECT source, tok, min(d) AS d FROM u GROUP BY 1, 2
+), n AS (
+  SELECT source, d, count(*) AS new_tokens FROM f GROUP BY 1, 2
+)
+SELECT source,
+       to_timestamp(d * 86400) AT TIME ZONE 'UTC' AS day,
+       new_tokens,
+       CAST(sum(new_tokens) OVER (
+         PARTITION BY source ORDER BY d) AS BIGINT) AS vocab_size
+FROM n
+"""
+
+
 def user_overlap_between_types(sf_dir: str):
     """Pairwise AUDIENCE Jaccard between event types — which behaviors
     share users (funnel adjacency / cannibalization screen).  Same
@@ -9920,6 +10129,8 @@ def _registry():
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
         "user_overlap_between_types": user_overlap_between_types,
+        "lead_lag_vs_reference": lead_lag_vs_reference,
+        "token_vocab_growth": token_vocab_growth,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -10203,6 +10414,8 @@ def oracles():
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
         "token_loop_score": _token_loop_oracle(),
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
+        "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
+        "token_vocab_growth": _token_vocab_growth_oracle(),
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -80,6 +80,7 @@ FUZZ_QUERIES = [
     "gap_inventory_1h",
     "hourly_profile_bands",
     "user_overlap_between_types",
+    "lead_lag_vs_reference",
 ]
 
 

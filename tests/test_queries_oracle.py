@@ -129,6 +129,8 @@ SUBSET = [
     "embedding_norm_outliers",
     "user_overlap_between_types",
     "nation_market_share",
+    "lead_lag_vs_reference",
+    "token_vocab_growth",
 ]
 
 

@@ -30,6 +30,7 @@ FUZZ_TOKEN_QUERIES = [
     "token_prefix_novelty",
     "token_loop_score",
     "token_length_drift",
+    "token_vocab_growth",
 ]
 
 M0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
