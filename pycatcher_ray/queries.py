@@ -9911,6 +9911,55 @@ FROM n
 """
 
 
+def winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprints over the documents corpus — the
+    first EXACT-ORACLED member of the fingerprint family: 5-word grams,
+    window 4, rightmost-min selection, md5-derived 64-bit hashes that
+    DuckDB reproduces bit-for-bit (see
+    stages/dedup.py:winnow_fingerprints_ds).  Map-only — no shuffle at
+    any corpus scale.  Output is the full (doc_id, pos, fp) fingerprint
+    table so the oracle value-checks every selected hash, not a
+    summary."""
+    from .stages.dedup import winnow_fingerprints_ds
+
+    return winnow_fingerprints_ds(
+        _documents(sf_dir).select_columns(["doc_id", "text"]))
+
+
+_WINNOW_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        w -> lower(w)) AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM words, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+), h AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS fp
+  FROM grams
+), wm AS (
+  SELECT doc_id, pos,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM h
+), sel AS (
+  SELECT a.doc_id, max(b.pos) AS pos, a.wmin AS fp
+  FROM wm a JOIN h b ON b.doc_id = a.doc_id
+                    AND b.pos BETWEEN a.pos AND a.pos + 3
+                    AND b.fp = a.wmin
+  WHERE a.wn = 4
+  GROUP BY a.doc_id, a.pos, a.wmin
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
 def user_overlap_between_types(sf_dir: str):
     """Pairwise AUDIENCE Jaccard between event types — which behaviors
     share users (funnel adjacency / cannibalization screen).  Same
@@ -10131,6 +10180,7 @@ def _registry():
         "user_overlap_between_types": user_overlap_between_types,
         "lead_lag_vs_reference": lead_lag_vs_reference,
         "token_vocab_growth": token_vocab_growth,
+        "winnow_fingerprints": winnow_fingerprints,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -10416,6 +10466,7 @@ def oracles():
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),
+        "winnow_fingerprints": _WINNOW_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

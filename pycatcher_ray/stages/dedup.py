@@ -915,3 +915,58 @@ def embedding_neardup(emb_ds, threshold: float = 0.95, n_planes: int = 12,
     from .shard import sharded_map_groups
 
     return sharded_map_groups(buckets, "bucket", bucket_pairs, num_shards=64)
+
+
+def winnow_fingerprints_ds(docs_ds, k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprint scheme): hash every word-k-gram,
+    slide a ``window``-wide frame over the hash sequence, and select
+    the RIGHTMOST minimum of each frame; the distinct selected
+    (position, hash) pairs are the document's fingerprints.  Winnowing
+    guarantees any shared substring of length ≥ k+window−1 words leaves
+    at least one common fingerprint, at expected density 2/(window+1).
+
+    MAP-ONLY at any corpus scale — each document fingerprints
+    independently, no shuffle; downstream near-dup joins group on the
+    fp column.  The gram hash is the first 8 bytes (big-endian) of
+    md5(gram) — chosen because both engines compute the identical
+    value (DuckDB ``md5()`` / hashlib), making the full fingerprint
+    table bit-comparable, unlike the engine-private rolling hash in
+    ``doc_fingerprints``.  Selection is vectorized per doc (sliding
+    window + reversed-argmax for the rightmost-tie rule); the per-gram
+    md5 loop is the oracle-parity cost, bounded by gram count.
+    Positions are 1-based to mirror SQL ``generate_series``."""
+    import hashlib
+
+    def fp_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_pos, out_fp = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            ws = _WORD_RE.findall((text or "").lower())
+            n = len(ws) - k + 1
+            if n < window:
+                continue  # no full window — no fingerprints (oracle wn=w)
+            fps = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(" ".join(ws[i:i + k]).encode()).digest()[:8],
+                    "big") for i in range(n)),
+                dtype=np.uint64, count=n)
+            win = np.lib.stride_tricks.sliding_window_view(fps, window)
+            wmin = win.min(axis=1)
+            right = (window - 1) - np.argmax(
+                win[:, ::-1] == wmin[:, None], axis=1)
+            pos = np.unique(
+                np.arange(win.shape[0], dtype=np.int64) + right)
+            out_doc.append(np.full(pos.size, doc_id, dtype=np.int64))
+            out_pos.append(pos + 1)
+            out_fp.append(fps[pos])
+        if not out_doc:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "pos": pd.Series([], dtype=np.int64),
+                "fp": pd.Series([], dtype=np.uint64)})
+        return pd.DataFrame({
+            "doc_id": np.concatenate(out_doc),
+            "pos": np.concatenate(out_pos),
+            "fp": np.concatenate(out_fp)})
+
+    return docs_ds.map_batches(fp_batch, batch_format="pandas")

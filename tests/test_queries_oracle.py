@@ -131,6 +131,7 @@ SUBSET = [
     "nation_market_share",
     "lead_lag_vs_reference",
     "token_vocab_growth",
+    "winnow_fingerprints",
 ]
 
 
