@@ -10148,6 +10148,441 @@ FROM d GROUP BY source
 """
 
 
+def record_highs(sf_dir: str):
+    """Record-high census per source: how many hourly buckets set a new
+    all-time volume high (strictly above every earlier bucket), plus
+    when the standing record was set and its value — the growth /
+    regime-change screen (a healthy growing source keeps printing
+    records; a capped one stops).  All compares on exact 10⁻⁴-unit
+    ints via ``_hourly_int_units``; the first bucket is a record by
+    definition.  One source-keyed exchange over the hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            rec = np.ones(y4.size, dtype=bool)
+            if y4.size > 1:
+                rec[1:] = y4[1:] > np.maximum.accumulate(y4)[:-1]
+            idx = np.flatnonzero(rec)
+            last = int(idx[-1])
+            rows.append({
+                "source": src, "n_records": int(idx.size),
+                "record_ts": bs.iloc[last],
+                "record_value": y4[last] / 10000.0})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_records", "record_ts", "record_value"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_RECORD_HIGHS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, bucket_start, y,
+         CASE WHEN row_number() OVER win = 1
+                   OR y > max(y) OVER (win ROWS BETWEEN UNBOUNDED
+                                       PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS rec
+  FROM r WINDOW win AS (PARTITION BY source ORDER BY h)
+)
+SELECT source, CAST(sum(rec) AS BIGINT) AS n_records,
+       max(CASE WHEN rec = 1 THEN bucket_start END) AS record_ts,
+       CAST(max(CASE WHEN rec = 1 THEN y END) AS DOUBLE) / 10000.0
+         AS record_value
+FROM w GROUP BY source
+"""
+
+
+def max_drawdown(sf_dir: str):
+    """Maximum peak-to-trough decline of each source's hourly volume —
+    the classic drawdown statistic (how far did the series fall from
+    its running high before recovering?).  dd_t = cummax(y)_t − y_t on
+    exact 10⁻⁴-unit ints; the reported trough is the EARLIEST bucket
+    attaining the max drawdown (np.argmax first-max ≡ QUALIFY ORDER BY
+    dd DESC, h ASC).  One source-keyed exchange over the hourly tier;
+    single-bucket series report drawdown 0 at their only bucket."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            peak = np.maximum.accumulate(y4)
+            dd = peak - y4
+            best = int(np.argmax(dd))  # first max = earliest trough
+            rows.append({
+                "source": src, "drawdown": dd[best] / 10000.0,
+                "trough_ts": bs.iloc[best],
+                "peak_value": peak[best] / 10000.0,
+                "trough_value": y4[best] / 10000.0})
+        return pd.DataFrame(rows, columns=[
+            "source", "drawdown", "trough_ts", "peak_value",
+            "trough_value"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MAX_DRAWDOWN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, bucket_start, h, y,
+         max(y) OVER (PARTITION BY source ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM r
+)
+SELECT source, CAST(peak - y AS DOUBLE) / 10000.0 AS drawdown,
+       bucket_start AS trough_ts,
+       CAST(peak AS DOUBLE) / 10000.0 AS peak_value,
+       CAST(y AS DOUBLE) / 10000.0 AS trough_value
+FROM w
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY peak - y DESC, h ASC) = 1
+"""
+
+
+def sole_late_suppliers(sf_dir: str, days: int = 90):
+    """TPC-H Q21 shape — suppliers who SOLELY held up a multi-supplier
+    order: per supplier, the number of orders with ≥ 2 distinct
+    suppliers where this supplier was the ONLY one whose latest line
+    shipped more than ``days`` days after the order date (the schema
+    has no commit/receipt dates, so lateness is vs o_orderdate — same
+    exists/not-exists group logic as Q21).  Distributed plan: lineitem
+    reduces to per-(orderkey, suppkey) MAX(l_shipdate) partials per
+    batch (the per-order state is one row per participating supplier,
+    never the lineitem rows); order rows tag in and meet them in ONE
+    orderkey-hash exchange whose shard fn applies the
+    n_suppliers ≥ 2 ∧ n_late = 1 gate and emits (suppkey, 1) winners;
+    a tiny suppkey fold counts, and the 10-row supplier dim attaches
+    names AFTER the fold.  All-integer — bit-exact.
+    NOTE: the paired oracle SQL hardcodes days=90."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    lag = np.timedelta64(days, "D")
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "skey": np.int64(-1),
+            "ts": b["o_orderdate"],
+            "kind": np.int64(1)})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def ship_partials(b: pd.DataFrame) -> pd.DataFrame:
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "skey": b["l_suppkey"].to_numpy(np.int64),
+            "ts": b["l_shipdate"],
+        }).groupby(["okey", "skey"], as_index=False)["ts"].max()
+        agg["kind"] = np.int64(0)
+        return agg[["okey", "skey", "ts", "kind"]]
+
+    both = line.map_batches(ship_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def sole_late(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"].to_numpy()
+        ship = g[kinds == 0].groupby(["okey", "skey"],
+                                     as_index=False)["ts"].max()
+        o = g[kinds == 1][["okey", "ts"]].rename(columns={"ts": "odate"})
+        j = ship.merge(o, on="okey", how="inner")
+        j["late"] = (j["ts"].to_numpy()
+                     > (j["odate"].to_numpy() + lag)).astype(np.int64)
+        st = j.groupby("okey").agg(n_supp=("skey", "size"),
+                                   n_late=("late", "sum"))
+        ok = st.index[(st["n_supp"] >= 2) & (st["n_late"] == 1)]
+        win = j[(j["late"] == 1) & j["okey"].isin(ok)]
+        return pd.DataFrame({"skey": win["skey"].to_numpy(np.int64),
+                             "numwait": np.ones(len(win), dtype=np.int64)})
+
+    partials = sharded_map_groups(both, "okey", sole_late)
+    counts = sharded_aggregate(partials, "skey", {"numwait": "sum"},
+                               num_shards=2).to_pandas()
+    sup = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(sup, left_on="skey", right_on="s_suppkey")
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64),
+        "s_name": out["s_name"],
+        "numwait": out["numwait"].astype(np.int64)})
+
+
+_Q21_ORACLE = """
+WITH ls AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey, max(l_shipdate) AS ship
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT ls.okey, ls.skey,
+         CASE WHEN ls.ship > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM ls JOIN orders o ON o.o_orderkey = ls.okey
+), f AS (
+  SELECT okey FROM j GROUP BY okey
+  HAVING count(*) >= 2 AND sum(late) = 1
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM j JOIN f USING (okey)
+JOIN supplier s ON s.s_suppkey = j.skey
+WHERE j.late = 1
+GROUP BY 1, 2
+"""
+
+
+def shipping_mix_by_status(sf_dir: str, date_lo: str = "1995-01-01",
+                           date_hi: str = "1997-01-01"):
+    """TPC-H Q12 shape — priority mix by line status: for lineitems
+    shipped inside the window, how many belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest, per l_linestatus (the schema has
+    no l_shipmode; linestatus plays its grouping role).  Distributed
+    plan: lineitem filters the window and reduces to per-(orderkey,
+    linestatus) integer count partials per batch; orders tag in
+    (okey → priority) and meet them in ONE orderkey-hash exchange
+    whose shard fn classifies and emits per-status (high, low) count
+    partials; a tiny 2-row fold finishes.  All-integer — bit-exact.
+    NOTE: the paired oracle SQL hardcodes the 1995-1997 window."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "l_linestatus": b["o_orderpriority"],  # carrier col, kind 1
+            "cnt": np.int64(0),
+            "kind": np.int64(1)})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def line_partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "l_linestatus": b["l_linestatus"].to_numpy(),
+        }).groupby(["okey", "l_linestatus"], as_index=False).size()
+        return pd.DataFrame({
+            "okey": agg["okey"], "l_linestatus": agg["l_linestatus"],
+            "cnt": agg["size"].astype(np.int64),
+            "kind": np.int64(0)})
+
+    both = line.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"].to_numpy()
+        o = g[kinds == 1][["okey", "l_linestatus"]].rename(
+            columns={"l_linestatus": "prio"})
+        li = g[kinds == 0].merge(o, on="okey", how="inner")
+        high = li["prio"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+        cnt = li["cnt"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "l_linestatus": li["l_linestatus"],
+            "high_line_count": np.where(high, cnt, 0),
+            "low_line_count": np.where(high, 0, cnt)})
+        return out.groupby("l_linestatus", as_index=False).sum()
+
+    partials = sharded_map_groups(both, "okey", classify)
+    return sharded_aggregate(partials, "l_linestatus",
+                             {"high_line_count": "sum",
+                              "low_line_count": "sum"}, num_shards=2)
+
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+def token_simpson_diversity(sf_dir: str):
+    """Simpson concentration λ = Σ_t c_t² / N² of each source's token-id
+    distribution over the native tokens input — the one-number
+    vocabulary-concentration screen (λ → 1/vocab for a balanced source;
+    a template flood or degenerate sampler pushes it up).  One corpus
+    pass emits per-batch (source, token, count) integer partials — the
+    token stream itself never shuffles — through a SOURCE-keyed
+    exchange; per-source state is vocab-bounded, Σc² is an exact Python
+    bigint, and λ is ONE IEEE divide of two correctly-rounded int→double
+    casts (the oracle routes its HUGEINT casts through the VARCHAR
+    bridge — see NOTES_ROUND4 on DuckDB's double-rounded HUGEINT→DOUBLE
+    cast)."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        n_tok = off[1:] - off[:-1]
+        g = pd.DataFrame({
+            "source": np.repeat(tb["source"].to_pandas().to_numpy(), n_tok),
+            "token": toks.values.to_numpy().astype(np.int64),
+        }).groupby(["source", "token"], as_index=False).size()
+        return pd.DataFrame({"source": g["source"], "token": g["token"],
+                             "cnt": g["size"].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            c = g.groupby("token")["cnt"].sum().to_numpy(np.int64)
+            n = int(c.sum())
+            sq = sum(int(x) * int(x) for x in c)  # exact bigint
+            rows.append({
+                "source": src, "n_tokens": n,
+                "distinct_tokens": int(c.size),
+                "simpson": float(sq) / float(n * n)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_tokens", "distinct_tokens", "simpson"])
+
+    return sharded_map_groups(parts, "source", fold, num_shards=2)
+
+
+def _token_simpson_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH u AS (
+  SELECT source, unnest(tokens) AS tok
+  FROM read_parquet('{glob}')
+), c AS (
+  SELECT source, tok, count(*) AS c FROM u GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS distinct_tokens,
+       CAST(CAST(sum(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(sum(c) AS HUGEINT) * sum(c) AS VARCHAR)
+                AS DOUBLE) AS simpson
+FROM c GROUP BY 1
+"""
+
+
+def token_content_dedup(sf_dir: str):
+    """EXACT duplicate-sequence census over the native tokens input:
+    per source, how many docs share an identical token SEQUENCE with
+    another doc — the tokenized twin of text dedup_exact (catches
+    byte-level near-identical pages that tokenize identically).  Per
+    batch, each doc's sequence reduces to two independent
+    position-mixed splitmix64 content hashes (order-sensitive:
+    pos+1 enters the mix; cumsum-difference per doc, empty docs pinned
+    to 0) plus its length — the token stream never shuffles, only
+    (source, h1, h2, n, count) partials ride ONE h1-keyed exchange
+    (a sequence's rows all co-locate), and per-source integer partials
+    fold in a tiny second exchange.  The oracle groups by the list
+    VALUE itself, so the engine's 128-bit key is checked against true
+    sequence equality; dup_rate is ONE int/int divide."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+    c2 = np.uint64(0xD1B54A32D192ED03)  # second-lane position constant
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        n_tok = off[1:] - off[:-1]
+        vals = toks.values.to_numpy().astype(np.uint64)
+        pos = (np.arange(vals.size, dtype=np.uint64)
+               - np.repeat(off[:-1].astype(np.uint64), n_tok)
+               + np.uint64(1))
+        with np.errstate(over="ignore"):
+            m1 = _splitmix64(vals + pos * np.uint64(0x9E3779B97F4A7C15))
+            m2 = _splitmix64(vals + pos * c2)
+            cs1 = np.concatenate([[np.uint64(0)], np.cumsum(m1)])
+            cs2 = np.concatenate([[np.uint64(0)], np.cumsum(m2)])
+            h1 = cs1[off[1:]] - cs1[off[:-1]]
+            h2 = cs2[off[1:]] - cs2[off[:-1]]
+        g = pd.DataFrame({
+            "source": tb["source"].to_pandas().to_numpy(),
+            "h1": h1.astype(np.int64), "h2": h2.astype(np.int64),
+            "n": n_tok,
+        }).groupby(["source", "h1", "h2", "n"], as_index=False).size()
+        return pd.DataFrame({
+            "source": g["source"], "h1": g["h1"], "h2": g["h2"],
+            "n": g["n"], "cnt": g["size"].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_seq(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "h1", "h2", "n"],
+                          as_index=False)["cnt"].sum()
+        out = pd.DataFrame({
+            "source": g["source"],
+            "n_docs": g["cnt"].to_numpy(np.int64),
+            "distinct_seqs": np.ones(len(g), dtype=np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    per_src = sharded_map_groups(parts, "h1", per_seq)
+    agg = sharded_aggregate(per_src, "source",
+                            {"n_docs": "sum", "distinct_seqs": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        nd = b["n_docs"].to_numpy(np.int64)
+        ds_ = b["distinct_seqs"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n_docs": nd, "distinct_seqs": ds_,
+            "dup_docs": nd - ds_, "dup_rate": (nd - ds_) / nd})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_content_dedup_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH g AS (
+  SELECT source, tokens, count(*) AS c
+  FROM read_parquet('{glob}') GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       count(*) AS distinct_seqs,
+       CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+       CAST(CAST(sum(c) - count(*) AS BIGINT) AS DOUBLE)
+         / CAST(sum(c) AS BIGINT) AS dup_rate
+FROM g GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10181,6 +10616,12 @@ def _registry():
         "lead_lag_vs_reference": lead_lag_vs_reference,
         "token_vocab_growth": token_vocab_growth,
         "winnow_fingerprints": winnow_fingerprints,
+        "record_highs": record_highs,
+        "max_drawdown": max_drawdown,
+        "sole_late_suppliers": sole_late_suppliers,
+        "shipping_mix_by_status": shipping_mix_by_status,
+        "token_simpson_diversity": token_simpson_diversity,
+        "token_content_dedup": token_content_dedup,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -10467,6 +10908,12 @@ def oracles():
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),
         "winnow_fingerprints": _WINNOW_ORACLE,
+        "record_highs": _RECORD_HIGHS_ORACLE,
+        "max_drawdown": _MAX_DRAWDOWN_ORACLE,
+        "sole_late_suppliers": _Q21_ORACLE,
+        "shipping_mix_by_status": _Q12_ORACLE,
+        "token_simpson_diversity": _token_simpson_oracle(),
+        "token_content_dedup": _token_content_dedup_oracle(),
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -81,6 +81,8 @@ FUZZ_QUERIES = [
     "hourly_profile_bands",
     "user_overlap_between_types",
     "lead_lag_vs_reference",
+    "record_highs",
+    "max_drawdown",
 ]
 
 

@@ -132,6 +132,12 @@ SUBSET = [
     "lead_lag_vs_reference",
     "token_vocab_growth",
     "winnow_fingerprints",
+    "record_highs",
+    "max_drawdown",
+    "sole_late_suppliers",
+    "shipping_mix_by_status",
+    "token_simpson_diversity",
+    "token_content_dedup",
 ]
 
 

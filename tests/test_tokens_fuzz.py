@@ -31,6 +31,8 @@ FUZZ_TOKEN_QUERIES = [
     "token_loop_score",
     "token_length_drift",
     "token_vocab_growth",
+    "token_simpson_diversity",
+    "token_content_dedup",
 ]
 
 M0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
@@ -68,6 +70,13 @@ def _synth_tokens(seed: int) -> pa.Table:
     rows.append((f"g|{M0 + 11}|9005", np.array([3, 3, 3], np.int32),
                  "gamma"))
     rows.append((f"g|{M0 + 12}|9006", pre.copy(), "gamma"))
+    # EXACT duplicate token sequences (token_content_dedup dup branch):
+    # same-source full dup, cross-source identical sequence (must NOT
+    # count — grouping is per source), and a second empty doc (empty
+    # sequences in one source are dups of each other)
+    rows.append((f"a|{M0 + 20}|9007", np.tile(base, 4), "alpha"))
+    rows.append((f"b|{M0 + 21}|9008", np.tile(base, 4), "beta"))
+    rows.append((f"g|{M0 + 22}|9009", np.array([], np.int32), "gamma"))
     return pa.table({
         "doc_id": pa.array([r[0] for r in rows]),
         "tokens": pa.array([r[1].tolist() for r in rows],
