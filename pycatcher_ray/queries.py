@@ -10583,6 +10583,146 @@ FROM g GROUP BY 1
 """
 
 
+def embedding_dim_variance(sf_dir: str):
+    """Per-dimension mean/variance calibration over the embedding
+    corpus — the whitening / dead-dimension screen (a collapsed dim has
+    ~zero variance; a scale-skewed dim dominates L2 distances).  Same
+    floor(float64·10⁶) int64 quantization as ``kmeans_assign_step`` ⇒
+    per-batch Σq / Σq² partials are exact integers, map-only and
+    bounded by dims; the driver folds dims rows in Python bigints.
+    mean = S1/(n·10⁶) and var = (n·S2 − S1²)/(n²·10¹²) are each ONE
+    IEEE divide of two correctly-rounded int→double casts (oracle
+    HUGEINTs route through the VARCHAR bridge)."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        dims = len(vals) // max(len(tb), 1)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        return pd.DataFrame({
+            "dim": np.arange(dims, dtype=np.int64),
+            "n": np.full(dims, len(tb), dtype=np.int64),
+            "s1": q.sum(axis=0, dtype=np.int64),
+            "s2": (q * q).sum(axis=0, dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for dim, g in parts.groupby("dim", sort=True):
+        n = int(g["n"].sum())
+        s1 = sum(int(x) for x in g["s1"])  # exact bigints
+        s2 = sum(int(x) for x in g["s2"])
+        rows.append({
+            "dim": int(dim), "n": n,
+            "mean": float(s1) / float(n * 10**6),
+            "variance": float(n * s2 - s1 * s1) / float(n * n * 10**12)})
+    return pd.DataFrame(rows, columns=["dim", "n", "mean", "variance"])
+
+
+_EMB_DIM_VAR_ORACLE = """
+WITH q AS (
+  SELECT gs.i - 1 AS dim,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+), m AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(q AS HUGEINT)) AS s1,
+         sum(CAST(q AS HUGEINT) * q) AS s2
+  FROM q GROUP BY 1
+)
+SELECT dim, CAST(n AS BIGINT) AS n,
+       CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * CAST(1000000 AS HUGEINT) AS VARCHAR)
+                AS DOUBLE) AS mean,
+       CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * n * CAST(1000000000000 AS HUGEINT) AS VARCHAR)
+                AS DOUBLE) AS variance
+FROM m
+"""
+
+
+def daily_peak_concentration(sf_dir: str):
+    """Peak-hour concentration per (source, day): the share of the
+    day's volume landing in its top-2 hours — the burst-vs-flat shape
+    screen that sizes per-day partition skew (a share near 1 means the
+    day is one spike; near 2/n_hours means flat load).  Top-2 selection
+    on exact 10⁻⁴-unit ints with ties (y DESC, hour ASC) pinned on
+    both engines; share is ONE int/int divide, NULL when the day's
+    exact total is 0 (the int compare makes the guard bit-identical —
+    numpy x/0 and SQL diverge otherwise).  One source-keyed exchange
+    over the hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            day = (xs // 24) * 86400
+            df = pd.DataFrame({"day": day, "h": xs, "y": y4})
+            df = df.sort_values(["day", "y", "h"],
+                                ascending=[True, False, True],
+                                kind="stable")
+            df["rk"] = df.groupby("day").cumcount()
+            g = df.groupby("day").agg(
+                n_hours=("y", "size"), total=("y", "sum"))
+            top2 = df[df["rk"] < 2].groupby("day")["y"].sum()
+            g["top2"] = top2
+            tot = g["total"].to_numpy(np.int64)
+            t2 = g["top2"].to_numpy(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                share = np.where(tot == 0, np.nan, t2 / tot)
+            out.append(pd.DataFrame({
+                "source": src,
+                "day": pd.to_datetime(g.index.to_numpy(np.int64),
+                                      unit="s"),
+                "n_hours": g["n_hours"].to_numpy(np.int64),
+                "total_value": tot / 10000.0,
+                "top2_value": t2 / 10000.0,
+                "peak_share": share}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "n_hours": pd.Series([], dtype=np.int64),
+                "total_value": pd.Series([], dtype=np.float64),
+                "top2_value": pd.Series([], dtype=np.float64),
+                "peak_share": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_PEAK_CONC_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+), w AS (
+  SELECT source, to_timestamp((h // 24) * 86400) AT TIME ZONE 'UTC'
+           AS day, h, y,
+         row_number() OVER (PARTITION BY source, h // 24
+                            ORDER BY y DESC, h ASC) AS rk
+  FROM r
+)
+SELECT source, day, count(*) AS n_hours,
+       CAST(sum(y) AS DOUBLE) / 10000.0 AS total_value,
+       CAST(sum(CASE WHEN rk <= 2 THEN y ELSE 0 END) AS DOUBLE)
+         / 10000.0 AS top2_value,
+       CASE WHEN sum(y) = 0 THEN NULL
+            ELSE CAST(sum(CASE WHEN rk <= 2 THEN y ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(y) AS BIGINT) END
+         AS peak_share
+FROM w GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10622,6 +10762,8 @@ def _registry():
         "shipping_mix_by_status": shipping_mix_by_status,
         "token_simpson_diversity": token_simpson_diversity,
         "token_content_dedup": token_content_dedup,
+        "embedding_dim_variance": embedding_dim_variance,
+        "daily_peak_concentration": daily_peak_concentration,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -10914,6 +11056,8 @@ def oracles():
         "shipping_mix_by_status": _Q12_ORACLE,
         "token_simpson_diversity": _token_simpson_oracle(),
         "token_content_dedup": _token_content_dedup_oracle(),
+        "embedding_dim_variance": _EMB_DIM_VAR_ORACLE,
+        "daily_peak_concentration": _PEAK_CONC_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -83,6 +83,7 @@ FUZZ_QUERIES = [
     "lead_lag_vs_reference",
     "record_highs",
     "max_drawdown",
+    "daily_peak_concentration",
 ]
 
 

@@ -24,6 +24,7 @@ FUZZ_EMB_QUERIES = [
     "embedding_quantization_stats",
     "embedding_norm_outliers",
     "label_centroid_separation",
+    "embedding_dim_variance",
 ]
 
 DIMS = 16

@@ -138,6 +138,8 @@ SUBSET = [
     "shipping_mix_by_status",
     "token_simpson_diversity",
     "token_content_dedup",
+    "embedding_dim_variance",
+    "daily_peak_concentration",
 ]
 
 
