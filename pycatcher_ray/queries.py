@@ -10723,6 +10723,101 @@ FROM w GROUP BY 1, 2
 """
 
 
+def rollup_7d(sf_dir: str):
+    """Weekly tier extending the 1m→1h→1d cascade one level: 7-day
+    epoch-aligned buckets re-aggregated from the memoized 1d tier (sum
+    of sums — the raw stream is never re-read).  Epoch-floor weeks, not
+    calendar ISO weeks, so the bucket rule is pure integer arithmetic
+    on both engines."""
+    ds = cascade(_events_rollup(sf_dir, "1d"), "event_type", 604800)
+    return _finalize_rollup(ds)
+
+
+_ROLLUP_7D_ORACLE = """
+SELECT event_type AS source,
+       to_timestamp((CAST(epoch(ts) AS BIGINT) // 604800) * 604800)
+         AT TIME ZONE 'UTC' AS bucket_start,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n_points,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value), 4) / count(*) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30):
+    """Bounce-rate series: per day (of session start), how many user
+    sessions contained exactly ONE event — the engagement-quality twin
+    of ``session_windows`` (same >30 min idle rule).  The user-keyed
+    exchange sessionizes each shard vectorized (one cumsum across all
+    its users) and reduces straight to per-day integer partials —
+    session rows never leave the shard; a tiny day fold finishes and
+    the rate is ONE int/int divide.
+    NOTE: the paired oracle SQL hardcodes gap=30min."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def day_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
+        sid = new_session.cumsum()
+        s = g.groupby(sid)["ts"].agg(["min", "size"])
+        day = s["min"].dt.floor("D")
+        out = pd.DataFrame({
+            "day": day.to_numpy(),
+            "n_sessions": np.ones(len(s), dtype=np.int64),
+            "n_bounces": (s["size"].to_numpy(np.int64) == 1)
+            .astype(np.int64)})
+        return out.groupby("day", as_index=False).sum()
+
+    parts = sharded_map_groups(ds, "user_id", day_partials)
+    agg = sharded_aggregate(parts, "day",
+                            {"n_sessions": "sum", "n_bounces": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        ns = b["n_sessions"].to_numpy(np.int64)
+        nb = b["n_bounces"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": b["day"], "n_sessions": ns, "n_bounces": nb,
+            "bounce_rate": nb / ns})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_BOUNCE_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM w
+), g AS (
+  SELECT user_id, sid, date_trunc('day', min(ts)) AS day,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT day, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS bounce_rate
+FROM g GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10764,6 +10859,8 @@ def _registry():
         "token_content_dedup": token_content_dedup,
         "embedding_dim_variance": embedding_dim_variance,
         "daily_peak_concentration": daily_peak_concentration,
+        "rollup_7d": rollup_7d,
+        "session_bounce_rate": session_bounce_rate,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11058,6 +11155,8 @@ def oracles():
         "token_content_dedup": _token_content_dedup_oracle(),
         "embedding_dim_variance": _EMB_DIM_VAR_ORACLE,
         "daily_peak_concentration": _PEAK_CONC_ORACLE,
+        "rollup_7d": _ROLLUP_7D_ORACLE,
+        "session_bounce_rate": _BOUNCE_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

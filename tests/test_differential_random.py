@@ -84,6 +84,8 @@ FUZZ_QUERIES = [
     "record_highs",
     "max_drawdown",
     "daily_peak_concentration",
+    "rollup_7d",
+    "session_bounce_rate",
 ]
 
 

@@ -140,6 +140,8 @@ SUBSET = [
     "token_content_dedup",
     "embedding_dim_variance",
     "daily_peak_concentration",
+    "rollup_7d",
+    "session_bounce_rate",
 ]
 
 
