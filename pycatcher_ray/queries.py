@@ -10818,6 +10818,33 @@ FROM g GROUP BY 1
 """
 
 
+def winnow_candidate_pairs(sf_dir: str):
+    """MOSS pairing step over the winnowing fingerprints: doc pairs
+    sharing ≥ 2 distinct selected fingerprints (boilerplate
+    fingerprints with posting lists over 64 docs dropped — mirrored
+    bit-for-bit by the oracle's HAVING).  See
+    stages/dedup.py:winnow_candidate_pairs_ds for the distributed
+    shape (fp-keyed inverted-index join, pair-count aggregate)."""
+    from .stages.dedup import winnow_candidate_pairs_ds
+
+    return winnow_candidate_pairs_ds(
+        _documents(sf_dir).select_columns(["doc_id", "text"]))
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH fp_tab AS ({_WINNOW_ORACLE}),
+f AS (SELECT DISTINCT doc_id, fp FROM fp_tab),
+ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN ok ON ok.fp = a.fp
+)
+SELECT doc_a, doc_b, count(*) AS n_shared
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10861,6 +10888,7 @@ def _registry():
         "daily_peak_concentration": daily_peak_concentration,
         "rollup_7d": rollup_7d,
         "session_bounce_rate": session_bounce_rate,
+        "winnow_candidate_pairs": winnow_candidate_pairs,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11157,6 +11185,7 @@ def oracles():
         "daily_peak_concentration": _PEAK_CONC_ORACLE,
         "rollup_7d": _ROLLUP_7D_ORACLE,
         "session_bounce_rate": _BOUNCE_ORACLE,
+        "winnow_candidate_pairs": _WINNOW_PAIRS_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -970,3 +970,77 @@ def winnow_fingerprints_ds(docs_ds, k: int = 5, window: int = 4):
             "fp": np.concatenate(out_fp)})
 
     return docs_ds.map_batches(fp_batch, batch_format="pandas")
+
+
+def winnow_candidate_pairs_ds(docs_ds, k: int = 5, window: int = 4,
+                              df_cap: int = 64, min_shared: int = 2,
+                              num_shards: int = 64):
+    """Near-dup candidate pairs from winnowing fingerprints: doc pairs
+    sharing ≥ ``min_shared`` distinct selected fingerprints — the MOSS
+    pairing step, and the scale-efficient sibling of the exact n-gram
+    join (winnowing keeps ~2/(window+1) of the grams, so the inverted
+    index is ~2.5× sparser at the same guarantee: any shared run of
+    ≥ k+window−1 words still leaves a common fingerprint).
+
+    Same distributed shape as ``ngram_jaccard_pairs``: fingerprint →
+    posting list via one fp-keyed exchange, per-fp pair partials
+    (``df_cap`` drops boilerplate fingerprints whose posting list
+    exceeds the cap — exactly mirrored by the oracle's HAVING), one
+    (doc_a, doc_b) aggregate.  All counts integer-exact."""
+    from .shard import sharded_aggregate, sharded_map_groups
+
+    fps = winnow_fingerprints_ds(docs_ds, k=k, window=window)
+
+    def distinct_fp(b: pd.DataFrame) -> pd.DataFrame:
+        # a doc's fingerprints are emitted from its single input row, so
+        # batch-level dedup makes (doc_id, fp) globally distinct; the
+        # uint64 fp rides the exchange as an int64 bit-view (same bits,
+        # signed carrier — grouping is bit-equality either way)
+        u = b.drop_duplicates(["doc_id", "fp"])
+        return pd.DataFrame({
+            "doc_id": u["doc_id"].to_numpy(),
+            "fp": u["fp"].to_numpy(dtype=np.uint64).view(np.int64)})
+
+    posting = fps.map_batches(distinct_fp,
+                              batch_format="pandas").materialize()
+    num_shards = max(4, min(num_shards, posting.count() // 50_000 + 4))
+
+    def fp_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        n_dropped = 0
+        for _fp, grp in shard.groupby("fp", sort=False):
+            if len(grp) < 2:
+                continue
+            if len(grp) > df_cap:
+                n_dropped += 1
+                continue
+            ids = np.sort(grp["doc_id"].to_numpy())
+            ii, jj = np.triu_indices(ids.size, 1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if n_dropped:
+            import sys
+
+            print(f"[winnow_candidate_pairs] dropped {n_dropped} "
+                  f"boilerplate fingerprint posting list(s) over "
+                  f"df_cap={df_cap}", file=sys.stderr)
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n_shared": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+        return df.groupby(["doc_a", "doc_b"],
+                          as_index=False).size().rename(
+            columns={"size": "n_shared"})
+
+    co = sharded_aggregate(
+        sharded_map_groups(posting, "fp", fp_pairs,
+                           num_shards=num_shards),
+        ["doc_a", "doc_b"], {"n_shared": "sum"}, num_shards=num_shards)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n_shared"].to_numpy() >= min_shared]
+
+    return co.map_batches(finish, batch_format="pandas")

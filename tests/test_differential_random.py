@@ -227,7 +227,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "word_length_by_lang", "doc_length_quartiles",
                     "vocab_jaccard_sources", "zipf_head_coverage",
                     "stopword_density", "cross_source_contamination",
-                    "word_repetition_ratio", "winnow_fingerprints"]
+                    "word_repetition_ratio", "winnow_fingerprints",
+                    "winnow_candidate_pairs"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -142,6 +142,7 @@ SUBSET = [
     "daily_peak_concentration",
     "rollup_7d",
     "session_bounce_rate",
+    "winnow_candidate_pairs",
 ]
 
 
