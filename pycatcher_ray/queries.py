@@ -10845,6 +10845,92 @@ FROM p GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def ks_distance_vs_fleet(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between each source's
+    hourly-volume distribution and the POOLED fleet distribution — the
+    distribution-drift screen behind 'does this feed look like the
+    fleet?'.  Exactness: with y in 10⁻⁴-unit ints, the statistic is
+    max over pooled distinct values of |cS·N − cF·nS| / (nS·N); the
+    numerator is an exact int64 max (counts are hourly-bucket counts,
+    products ≤ buckets²) and the divide is ONE IEEE op, so engine and
+    SQL agree bit-for-bit.  The sup of the CDF gap is attained at a
+    pooled data point, so evaluating at the pooled distinct values is
+    the exact statistic, not a grid approximation.  Scale shape: the
+    pooled value histogram is O(distinct hourly values) at ANY corpus
+    scale — ONE bounded driver collect + ray.put broadcast (the
+    lead_lag_vs_reference pattern); per-source work rides the
+    source-keyed exchange with one searchsorted against the broadcast
+    grid."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "sum_value"])
+
+    def val_partials(b: pd.DataFrame) -> pd.DataFrame:
+        v = _round_exact(b["sum_value"].to_numpy(dtype=np.float64))
+        y4 = np.rint(v * 10000.0).astype(np.int64)
+        g = pd.DataFrame({"y": y4}).groupby("y", as_index=False).size()
+        return pd.DataFrame({"y": g["y"],
+                             "c": g["size"].astype(np.int64)})
+
+    hist = roll.map_batches(val_partials, batch_format="pandas").to_pandas()
+    hist = hist.groupby("y", as_index=False)["c"].sum().sort_values("y")
+    vals = hist["y"].to_numpy(np.int64)
+    cum_f = np.cumsum(hist["c"].to_numpy(np.int64))
+    n_total = int(cum_f[-1]) if cum_f.size else 0
+    grid_ref = ray.put((vals, cum_f))
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        gvals, gcum = ray.get(grid_ref)
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            own = np.sort(y4)
+            c_s = np.searchsorted(own, gvals, side="right").astype(np.int64)
+            num = int(np.max(np.abs(c_s * n_total - gcum * own.size)))
+            rows.append({
+                "source": src, "n_buckets": int(own.size),
+                "ks_stat": float(num) / float(own.size * n_total)})
+        return pd.DataFrame(rows,
+                            columns=["source", "n_buckets", "ks_stat"])
+
+    return sharded_map_groups(
+        _events_rollup(sf_dir, "1h").select_columns(
+            ["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_KS_FLEET_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), tot AS (SELECT count(*) AS N FROM r),
+ns AS (SELECT source, count(*) AS nS FROM r GROUP BY 1),
+cnt AS (SELECT y, count(*) AS c FROM r GROUP BY 1),
+cf AS (SELECT y, sum(c) OVER (ORDER BY y) AS cF FROM cnt),
+scnt AS (SELECT source, y, count(*) AS c FROM r GROUP BY 1, 2),
+sv AS (
+  SELECT s.source, v.y, coalesce(sc.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM r) s
+  CROSS JOIN (SELECT y FROM cnt) v
+  LEFT JOIN scnt sc ON sc.source = s.source AND sc.y = v.y
+), cs AS (
+  SELECT source, y,
+         sum(c) OVER (PARTITION BY source ORDER BY y) AS cS
+  FROM sv
+)
+SELECT ns.source, CAST(ns.nS AS BIGINT) AS n_buckets,
+       CAST(max(abs(CAST(cs.cS AS BIGINT) * tot.N
+                    - CAST(cf.cF AS BIGINT) * ns.nS)) AS DOUBLE)
+         / CAST(ns.nS * tot.N AS BIGINT) AS ks_stat
+FROM cs JOIN cf USING (y) JOIN ns ON ns.source = cs.source
+CROSS JOIN tot
+GROUP BY 1, 2, ns.nS, tot.N
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10889,6 +10975,7 @@ def _registry():
         "rollup_7d": rollup_7d,
         "session_bounce_rate": session_bounce_rate,
         "winnow_candidate_pairs": winnow_candidate_pairs,
+        "ks_distance_vs_fleet": ks_distance_vs_fleet,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11186,6 +11273,7 @@ def oracles():
         "rollup_7d": _ROLLUP_7D_ORACLE,
         "session_bounce_rate": _BOUNCE_ORACLE,
         "winnow_candidate_pairs": _WINNOW_PAIRS_ORACLE,
+        "ks_distance_vs_fleet": _KS_FLEET_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

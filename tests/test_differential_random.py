@@ -86,6 +86,7 @@ FUZZ_QUERIES = [
     "daily_peak_concentration",
     "rollup_7d",
     "session_bounce_rate",
+    "ks_distance_vs_fleet",
 ]
 
 

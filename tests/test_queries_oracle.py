@@ -143,6 +143,7 @@ SUBSET = [
     "rollup_7d",
     "session_bounce_rate",
     "winnow_candidate_pairs",
+    "ks_distance_vs_fleet",
 ]
 
 
