@@ -10931,6 +10931,52 @@ GROUP BY 1, 2, ns.nS, tot.N
 """
 
 
+def anomaly_cooccurrence(sf_dir: str):
+    """Hours where ≥2 sources IQR-flag SIMULTANEOUSLY — the fleet-wide
+    incident screen (a bucket only one feed flags is that feed's
+    problem; a bucket several feeds flag is the platform's).  Rides the
+    same detector actor-pool output as ``iqr_flags_1h`` through ONE
+    bucket-keyed exchange; the flag table is already tiny relative to
+    the corpus (flags, not points), so the exchange moves almost
+    nothing at any scale.  Exactness: counting + string-joining of
+    already-exact flag rows — no new float ops."""
+    from .stages.shard import sharded_map_groups
+
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["bucket_start", "source"], kind="stable")
+        g = shard.groupby("bucket_start", sort=False)
+        out = g.agg(n_flagged=("source", "size"),
+                    sources=("source", ",".join)).reset_index()
+        out = out[out["n_flagged"] >= 2]
+        return pd.DataFrame({
+            "bucket_start": out["bucket_start"],
+            "n_flagged": out["n_flagged"].astype(np.int64),
+            "sources": out["sources"].astype(object)})
+
+    return sharded_map_groups(flags, "bucket_start", fold)
+
+
+_COOCCURRENCE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+)
+SELECT bucket_start, count(*) AS n_flagged,
+       string_agg(source, ',' ORDER BY source) AS sources
+FROM f GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -10976,6 +11022,7 @@ def _registry():
         "session_bounce_rate": session_bounce_rate,
         "winnow_candidate_pairs": winnow_candidate_pairs,
         "ks_distance_vs_fleet": ks_distance_vs_fleet,
+        "anomaly_cooccurrence": anomaly_cooccurrence,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11274,6 +11321,7 @@ def oracles():
         "session_bounce_rate": _BOUNCE_ORACLE,
         "winnow_candidate_pairs": _WINNOW_PAIRS_ORACLE,
         "ks_distance_vs_fleet": _KS_FLEET_ORACLE,
+        "anomaly_cooccurrence": _COOCCURRENCE_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -87,6 +87,7 @@ FUZZ_QUERIES = [
     "rollup_7d",
     "session_bounce_rate",
     "ks_distance_vs_fleet",
+    "anomaly_cooccurrence",
 ]
 
 

@@ -144,6 +144,7 @@ SUBSET = [
     "session_bounce_rate",
     "winnow_candidate_pairs",
     "ks_distance_vs_fleet",
+    "anomaly_cooccurrence",
 ]
 
 
@@ -189,7 +190,15 @@ def test_query_matches_oracle(name, duck, ray_session, monkeypatch):
     sql = oracles()[name]
     got = fn(SF_DIR)
     if hasattr(got, "to_pandas"):
-        got = got.to_pandas()
+        obj, got = got, got.to_pandas()
+        if not len(got.columns) and not isinstance(obj, pd.DataFrame):
+            # Ray's to_pandas() on an empty dataset drops the columns even
+            # when schema() knows them (same rebuild as the driver gate)
+            schema = getattr(obj, "schema", None)
+            schema = schema(fetch_if_missing=True) if callable(schema) else None
+            if schema is not None and schema.names:
+                got = pd.DataFrame({n: pd.Series([], dtype=object)
+                                    for n in schema.names})
     got = _canon(got)
     want = _canon(duck.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns)
