@@ -10977,6 +10977,117 @@ FROM f GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def bottomk_jaccard_sources(sf_dir: str, k: int = 256):
+    """Bottom-k sketch Jaccard between source vocabularies — the
+    EXACT-ORACLED sketch twin of ``vocab_jaccard_sources`` (which joins
+    the full vocabulary).  Bottom-k (KMV) keeps the k smallest distinct
+    word hashes per source; the pairwise estimate is
+    |bottom-k(A∪B) ∩ A ∩ B| / |bottom-k(A∪B)| and is EXACT Jaccard
+    whenever |A∪B| ≤ k.  Determinism: the hash is the first 8 bytes
+    (big-endian) of md5(word) — DuckDB computes the identical value
+    (the winnow_fingerprints trick) — and bottom-k is closed under
+    union, so per-batch partial bottom-k's combine exactly.
+
+    Scale shape: MAP-ONLY — per-batch distinct (source, word) → md5 →
+    per-source partial bottom-k caps every batch's contribution at
+    k×sources rows; the driver folds only that bounded table (no
+    word-keyed exchange at all, the sketch's whole point vs the exact
+    operator's posting-list join)."""
+    import hashlib
+
+    from .stages.dedup import _WORD_RE
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        seen: dict[str, set] = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            seen.setdefault(s, set()).update(
+                _WORD_RE.findall((t or "").lower()))
+        srcs, hvs = [], []
+        for s, words in seen.items():
+            hv = np.fromiter(
+                (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                 for w in words),
+                dtype=np.uint64, count=len(words))
+            hv = np.unique(hv)[:k]  # sorted distinct → k smallest
+            srcs.append(np.full(hv.size, s, dtype=object))
+            hvs.append(hv)
+        if not srcs:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "hv": pd.Series([], dtype=np.uint64)})
+        return pd.DataFrame({"source": np.concatenate(srcs),
+                             "hv": np.concatenate(hvs)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ["source_a", "source_b", "inter_bottomk", "union_bottomk",
+            "jaccard_est"]
+    if parts.empty:
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "inter_bottomk": pd.Series([], dtype=np.int64),
+            "union_bottomk": pd.Series([], dtype=np.int64),
+            "jaccard_est": pd.Series([], dtype=np.float64)})
+    sketches = {
+        s: np.unique(g["hv"].to_numpy(np.uint64))[:k]
+        for s, g in parts.groupby("source")}
+    rows = []
+    names = sorted(sketches)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            union = np.union1d(sketches[a], sketches[b])[:k]
+            inter = int(np.isin(union, sketches[a]).astype(np.int64).dot(
+                np.isin(union, sketches[b]).astype(np.int64)))
+            rows.append({
+                "source_a": a, "source_b": b,
+                "inter_bottomk": inter,
+                "union_bottomk": int(union.size),
+                "jaccard_est": inter / union.size})
+    return pd.DataFrame(rows, columns=cols)
+
+
+_BOTTOMK_JACCARD_ORACLE = r"""
+WITH words AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv
+  FROM words
+), rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS r
+  FROM h
+), sk AS (SELECT source, hv FROM rk WHERE r <= 256),
+pv AS (
+  SELECT a.source AS sa, b.source AS sb, s.hv
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+  JOIN sk s ON s.source = a.source OR s.source = b.source
+  GROUP BY 1, 2, 3
+), ur AS (
+  SELECT sa, sb, hv,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS r
+  FROM pv
+), uk AS (SELECT sa, sb, hv FROM ur WHERE r <= 256)
+SELECT uk.sa AS source_a, uk.sb AS source_b,
+       CAST(sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS inter_bottomk,
+       CAST(count(*) AS BIGINT) AS union_bottomk,
+       CAST(sum(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS jaccard_est
+FROM uk
+LEFT JOIN sk ia ON ia.source = uk.sa AND ia.hv = uk.hv
+LEFT JOIN sk ib ON ib.source = uk.sb AND ib.hv = uk.hv
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11023,6 +11134,7 @@ def _registry():
         "winnow_candidate_pairs": winnow_candidate_pairs,
         "ks_distance_vs_fleet": ks_distance_vs_fleet,
         "anomaly_cooccurrence": anomaly_cooccurrence,
+        "bottomk_jaccard_sources": bottomk_jaccard_sources,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11322,6 +11434,7 @@ def oracles():
         "winnow_candidate_pairs": _WINNOW_PAIRS_ORACLE,
         "ks_distance_vs_fleet": _KS_FLEET_ORACLE,
         "anomaly_cooccurrence": _COOCCURRENCE_ORACLE,
+        "bottomk_jaccard_sources": _BOTTOMK_JACCARD_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -230,7 +230,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "vocab_jaccard_sources", "zipf_head_coverage",
                     "stopword_density", "cross_source_contamination",
                     "word_repetition_ratio", "winnow_fingerprints",
-                    "winnow_candidate_pairs"]
+                    "winnow_candidate_pairs", "bottomk_jaccard_sources"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

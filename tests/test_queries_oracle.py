@@ -145,6 +145,7 @@ SUBSET = [
     "winnow_candidate_pairs",
     "ks_distance_vs_fleet",
     "anomaly_cooccurrence",
+    "bottomk_jaccard_sources",
 ]
 
 
