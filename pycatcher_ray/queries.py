@@ -11088,6 +11088,102 @@ GROUP BY 1, 2
 """
 
 
+def token_bucket_tv_drift(sf_dir: str, vocab: int = 4096):
+    """Total-variation distance between each source's token-id BUCKET
+    histogram (id mod ``vocab``, the ``token_head_buckets`` profile)
+    and the pooled fleet histogram — the fixed-width distribution-drift
+    screen for a feed's tokenizer output (raw ids are near-unique in a
+    large vocab, so the bucketed histogram is the standard bounded
+    sketch).  Exactness: TV = Σ_b |c_sb·N − c_b·n_s| / (2·n_s·N); the
+    numerator is an exact integer sum folded in arbitrary-precision
+    Python ints on the driver (no overflow at ANY corpus scale), and
+    engine float(int) / DuckDB's VARCHAR→DOUBLE bridge are both
+    correctly rounded, so the single final divide is bit-identical.
+    Scale shape: per-batch bincount partials → one tiny
+    (source, bucket) exchange; the folded table is bounded at
+    vocab×sources rows at ANY corpus scale — driver-safe by
+    construction."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+    v = int(vocab)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        # flatten() (NOT .values): see token_head_buckets
+        vals = toks.flatten().to_numpy().astype(np.int64) % v
+        src = tb["source"].to_pandas()
+        codes, uniq = pd.factorize(src, sort=False)
+        per_tok_code = np.repeat(codes.astype(np.int64),
+                                 off[1:] - off[:-1])
+        cnt = np.bincount(per_tok_code * v + vals,
+                          minlength=len(uniq) * v)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "source": uniq.take(nz // v),
+            "bucket": nz % v,
+            "cnt": cnt[nz]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hist = sharded_aggregate(parts, ["source", "bucket"], {"cnt": "sum"},
+                             num_shards=2).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "tv_drift": pd.Series([], dtype=np.float64)})
+    piv = hist.pivot_table(index="bucket", columns="source",
+                           values="cnt", aggfunc="sum",
+                           fill_value=0).sort_index()
+    c_b = piv.sum(axis=1).to_numpy(np.int64)
+    big_N = int(c_b.sum())
+    rows = []
+    for s in sorted(piv.columns):
+        c_sb = piv[s].to_numpy(np.int64)
+        n_s = int(c_sb.sum())
+        # arbitrary-precision: per-bucket terms as Python ints
+        num = sum(abs(int(a) * big_N - int(b) * n_s)
+                  for a, b in zip(c_sb, c_b))
+        rows.append({"source": s, "n_tokens": n_s,
+                     "tv_drift": float(num) / float(2 * n_s * big_N)})
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "tv_drift"])
+
+
+def _token_bucket_tv_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH u AS (
+  SELECT source, CAST(unnest(tokens) % 4096 AS BIGINT) AS bucket
+  FROM read_parquet('{glob}')
+), c AS (
+  SELECT source, bucket, count(*) AS c FROM u GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(sum(c) AS HUGEINT) AS n FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS N FROM c
+), cb AS (
+  SELECT bucket, CAST(sum(c) AS HUGEINT) AS cb FROM c GROUP BY 1
+), m AS (
+  SELECT s.source, b.bucket, b.cb, CAST(coalesce(c.c, 0) AS HUGEINT) AS cst
+  FROM (SELECT source FROM ns) s
+  CROSS JOIN cb b
+  LEFT JOIN c ON c.source = s.source AND c.bucket = b.bucket
+), num AS (
+  SELECT m.source, sum(abs(m.cst * tot.N - m.cb * ns.n)) AS num
+  FROM m CROSS JOIN tot JOIN ns ON ns.source = m.source
+  GROUP BY 1
+)
+SELECT num.source, CAST(ns.n AS BIGINT) AS n_tokens,
+       CAST(CAST(num.num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(2 * ns.n * tot.N AS VARCHAR) AS DOUBLE) AS tv_drift
+FROM num JOIN ns ON ns.source = num.source CROSS JOIN tot
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11135,6 +11231,7 @@ def _registry():
         "ks_distance_vs_fleet": ks_distance_vs_fleet,
         "anomaly_cooccurrence": anomaly_cooccurrence,
         "bottomk_jaccard_sources": bottomk_jaccard_sources,
+        "token_bucket_tv_drift": token_bucket_tv_drift,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11435,6 +11532,7 @@ def oracles():
         "ks_distance_vs_fleet": _KS_FLEET_ORACLE,
         "anomaly_cooccurrence": _COOCCURRENCE_ORACLE,
         "bottomk_jaccard_sources": _BOTTOMK_JACCARD_ORACLE,
+        "token_bucket_tv_drift": _token_bucket_tv_oracle(),
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

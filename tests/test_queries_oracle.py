@@ -146,6 +146,7 @@ SUBSET = [
     "ks_distance_vs_fleet",
     "anomaly_cooccurrence",
     "bottomk_jaccard_sources",
+    "token_bucket_tv_drift",
 ]
 
 
