@@ -11184,6 +11184,126 @@ FROM num JOIN ns ON ns.source = num.source CROSS JOIN tot
 """
 
 
+def lttb_downsample(sf_dir: str, m: int = 60):
+    """Largest-Triangle-Three-Buckets downsample (Steinarsson 2013) of
+    each source's hourly series to ``m`` points — the standard
+    shape-preserving downsample behind every monitoring UI (keeps
+    spikes a stride/average downsample flattens).  Exactness: with
+    x = epoch-hours (int) and y in 10⁻⁴ units (int), the triangle-area
+    comparison multiplies through by the next-bucket size so every
+    candidate score is an EXACT int64 — |(x₀·mₙ − Σx)(y − y₀) −
+    (x₀ − x)(Σy − y₀·mₙ)| — and argmax ties break to the smallest
+    index on both sides; bucket boundaries are pure floor arithmetic
+    (1 + ⌊k(n−2)/(m−2)⌋).  Series with n ≤ m pass through whole.
+    Scale shape: one source-keyed exchange over the hourly tier;
+    per-source series are bounded (buckets, not raw points), and the
+    sequential selection is O(n) per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+    m = int(m)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            n = xs.size
+            if n <= m:
+                idx = np.arange(n, dtype=np.int64)
+            else:
+                K = m - 2
+                bounds = 1 + (np.arange(K + 1, dtype=np.int64)
+                              * (n - 2)) // K
+                sel = [0]
+                x0, y0 = int(xs[0]), int(y4[0])
+                for k in range(K):
+                    lo, hi = int(bounds[k]), int(bounds[k + 1])
+                    if k < K - 1:
+                        nlo, nhi = int(bounds[k + 1]), int(bounds[k + 2])
+                        mn = nhi - nlo
+                        sx = int(xs[nlo:nhi].sum())
+                        sy = int(y4[nlo:nhi].sum())
+                    else:
+                        mn, sx, sy = 1, int(xs[n - 1]), int(y4[n - 1])
+                    area = np.abs((x0 * mn - sx) * (y4[lo:hi] - y0)
+                                  - (x0 - xs[lo:hi]) * (sy - y0 * mn))
+                    j = lo + int(np.argmax(area))  # first max = lowest idx
+                    sel.append(j)
+                    x0, y0 = int(xs[j]), int(y4[j])
+                sel.append(n - 1)
+                idx = np.asarray(sel, dtype=np.int64)
+            out.append(pd.DataFrame({
+                "source": np.full(idx.size, src, dtype=object),
+                "bucket_start": bs.to_numpy()[idx],
+                "value": y4[idx] / 10000.0}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(roll, "event_type", fold)
+
+
+_LTTB_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bs,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT source, bs, y,
+         CAST(epoch(bs) AS BIGINT) // 3600 AS x,
+         row_number() OVER (PARTITION BY source ORDER BY bs) - 1 AS idx,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM r
+), kb AS (
+  SELECT b.source, b.n, t.k,
+         1 + (t.k * (b.n - 2)) // 58 AS lo,
+         1 + ((t.k + 1) * (b.n - 2)) // 58 AS hi
+  FROM (SELECT DISTINCT source, n FROM p WHERE n > 60) b,
+       UNNEST(generate_series(0, 57)) AS t(k)
+), agg AS (
+  SELECT kb.source, kb.k, count(*) AS mn, sum(c.x) AS sx, sum(c.y) AS sy
+  FROM kb JOIN p c ON c.source = kb.source
+                  AND c.idx >= kb.lo AND c.idx < kb.hi
+  GROUP BY 1, 2
+), lastp AS (
+  SELECT source, x, y FROM p WHERE idx = n - 1
+), nxt AS (
+  SELECT kb.source, kb.k,
+         coalesce(a.mn, 1) AS mn,
+         coalesce(a.sx, lp.x) AS sx, coalesce(a.sy, lp.y) AS sy
+  FROM kb
+  LEFT JOIN agg a ON a.source = kb.source AND a.k = kb.k + 1
+  JOIN lastp lp ON lp.source = kb.source
+), sel AS (
+  SELECT source, CAST(-1 AS BIGINT) AS k, x AS x0, y AS y0, bs
+  FROM p WHERE idx = 0 AND n > 60
+  UNION ALL
+  SELECT source, k, x, y, bs FROM (
+    SELECT s.source, s.k + 1 AS k, c.x, c.y, c.bs,
+           row_number() OVER (
+             PARTITION BY s.source
+             ORDER BY abs((s.x0 * nx.mn - nx.sx) * (c.y - s.y0)
+                        - (s.x0 - c.x) * (nx.sy - s.y0 * nx.mn)) DESC,
+                      c.idx ASC) AS rn
+    FROM sel s
+    JOIN kb ON kb.source = s.source AND kb.k = s.k + 1
+    JOIN nxt nx ON nx.source = s.source AND nx.k = s.k + 1
+    JOIN p c ON c.source = s.source AND c.idx >= kb.lo AND c.idx < kb.hi
+  ) WHERE rn = 1
+)
+SELECT source, bs AS bucket_start, CAST(y0 AS DOUBLE) / 10000.0 AS value
+FROM sel
+UNION ALL
+SELECT source, bs, CAST(y AS DOUBLE) / 10000.0
+FROM p WHERE idx = n - 1 AND n > 60
+UNION ALL
+SELECT source, bs, CAST(y AS DOUBLE) / 10000.0 FROM p WHERE n <= 60
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11232,6 +11352,7 @@ def _registry():
         "anomaly_cooccurrence": anomaly_cooccurrence,
         "bottomk_jaccard_sources": bottomk_jaccard_sources,
         "token_bucket_tv_drift": token_bucket_tv_drift,
+        "lttb_downsample": lttb_downsample,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11533,6 +11654,7 @@ def oracles():
         "anomaly_cooccurrence": _COOCCURRENCE_ORACLE,
         "bottomk_jaccard_sources": _BOTTOMK_JACCARD_ORACLE,
         "token_bucket_tv_drift": _token_bucket_tv_oracle(),
+        "lttb_downsample": _LTTB_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -88,6 +88,7 @@ FUZZ_QUERIES = [
     "session_bounce_rate",
     "ks_distance_vs_fleet",
     "anomaly_cooccurrence",
+    "lttb_downsample",
 ]
 
 

@@ -147,6 +147,7 @@ SUBSET = [
     "anomaly_cooccurrence",
     "bottomk_jaccard_sources",
     "token_bucket_tv_drift",
+    "lttb_downsample",
 ]
 
 
