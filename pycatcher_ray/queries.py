@@ -11304,6 +11304,151 @@ SELECT source, bs, CAST(y AS DOUBLE) / 10000.0 FROM p WHERE n <= 60
 """
 
 
+def dup_cluster_sizes(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes — the dup-rate
+    profile a curation run reports (how much of the corpus is 1×, 2×,
+    N× repeated?).  Same digest-keyed shape as ``dedup_exact``: only
+    128-bit content digests + count partials enter the exchange; each
+    shard finishes its clusters and emits a per-shard size histogram,
+    so the driver folds a table bounded by (distinct cluster sizes ×
+    shards) — never corpus-sized.  Pure integer counts."""
+    import polars as pl
+
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("text").aggregate([("text", "count")])
+        g = g.rename_columns(["text", "p_n"])
+        s = pl.from_arrow(g["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        return pa.table({
+            "h1": pa.array(s.hash(seed=0x9E3779B9).to_numpy()
+                           .astype(np.int64)),
+            "h2": pa.array(s.hash(seed=0x85EBCA6B).to_numpy()
+                           .astype(np.int64)),
+            "p_n": g["p_n"],
+        })
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        sizes = shard.groupby(["h1", "h2"], as_index=False)["p_n"].sum()
+        h = sizes.groupby("p_n", as_index=False).size()
+        return pd.DataFrame({
+            "cluster_size": h["p_n"].astype(np.int64),
+            "n_clusters": h["size"].astype(np.int64)})
+
+    parts = sharded_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h1", "h2"], combine).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "cluster_size": pd.Series([], dtype=np.int64),
+            "n_clusters": pd.Series([], dtype=np.int64)})
+    return parts.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+
+
+_DUP_CLUSTER_SIZES_ORACLE = """
+WITH c AS (SELECT count(*) AS n FROM documents GROUP BY text)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY 1
+"""
+
+
+def rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic behavioral cut, emitted as the 27-cell segment census with
+    FIXED bucket edges (data-independent, so both engines bucket
+    identically; quantile-edged RFM is order-fragile by construction).
+    Recency is whole days between the user's last event and the
+    corpus max timestamp (integer epoch-day arithmetic); frequency is
+    the event count; monetary is the user's exact round(sum,4) in
+    10⁻⁴ integer units (the ``_round_exact`` contract, computed inside
+    the user-keyed exchange where all the user's rows co-locate).
+    Scale shape: one broadcast max-ts (map-only partial → ray.put) +
+    one user-keyed exchange emitting per-shard 27-cell partials; the
+    driver folds shards × 27 rows."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"])
+
+    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mx": [b["ts"].max()]})
+
+    mx = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    ).map_batches(max_partial, batch_format="pandas").to_pandas()["mx"].max()
+    max_day = int(np.datetime64(mx, "s").astype(np.int64) // 86400)
+    max_ref = ray.put(max_day)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        gmax = ray.get(max_ref)
+        day = (shard["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 86400)
+        g = shard.assign(day=day).groupby("user_id", sort=False)
+        last_day = g["day"].max()
+        freq = g["value"].size()
+        sums = g["value"].sum().to_numpy(np.float64)
+        m4 = np.rint(_round_exact(sums) * 10000.0).astype(np.int64)
+        rec = gmax - last_day.to_numpy(np.int64)
+        r_b = np.where(rec <= 0, 0, np.where(rec <= 1, 1, 2))
+        f_b = np.where(freq.to_numpy(np.int64) <= 60, 0,
+                       np.where(freq.to_numpy(np.int64) <= 75, 1, 2))
+        m_b = np.where(m4 <= 30_000_000, 0,
+                       np.where(m4 <= 40_000_000, 1, 2))
+        h = pd.DataFrame({"r_bucket": r_b, "f_bucket": f_b,
+                          "m_bucket": m_b}).groupby(
+            ["r_bucket", "f_bucket", "m_bucket"], as_index=False).size()
+        return pd.DataFrame({
+            "r_bucket": h["r_bucket"].astype(np.int64),
+            "f_bucket": h["f_bucket"].astype(np.int64),
+            "m_bucket": h["m_bucket"].astype(np.int64),
+            "n_users": h["size"].astype(np.int64)})
+
+    parts = sharded_map_groups(ds, "user_id", fold).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "r_bucket": pd.Series([], dtype=np.int64),
+            "f_bucket": pd.Series([], dtype=np.int64),
+            "m_bucket": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64)})
+    return parts.groupby(["r_bucket", "f_bucket", "m_bucket"],
+                         as_index=False)["n_users"].sum()
+
+
+_RFM_ORACLE = """
+WITH mx AS (
+  SELECT CAST(epoch(max(ts)) AS BIGINT) // 86400 AS gmax FROM events
+), u AS (
+  SELECT user_id,
+         max(CAST(epoch(ts) AS BIGINT) // 86400) AS last_day,
+         count(*) AS freq,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS m4
+  FROM events GROUP BY 1
+), b AS (
+  SELECT CASE WHEN mx.gmax - u.last_day <= 0 THEN 0
+              WHEN mx.gmax - u.last_day <= 1 THEN 1 ELSE 2 END AS r_bucket,
+         CASE WHEN u.freq <= 60 THEN 0
+              WHEN u.freq <= 75 THEN 1 ELSE 2 END AS f_bucket,
+         CASE WHEN u.m4 <= 30000000 THEN 0
+              WHEN u.m4 <= 40000000 THEN 1 ELSE 2 END AS m_bucket
+  FROM u CROSS JOIN mx
+)
+SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+       CAST(f_bucket AS BIGINT) AS f_bucket,
+       CAST(m_bucket AS BIGINT) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11353,6 +11498,8 @@ def _registry():
         "bottomk_jaccard_sources": bottomk_jaccard_sources,
         "token_bucket_tv_drift": token_bucket_tv_drift,
         "lttb_downsample": lttb_downsample,
+        "dup_cluster_sizes": dup_cluster_sizes,
+        "rfm_segments": rfm_segments,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11655,6 +11802,8 @@ def oracles():
         "bottomk_jaccard_sources": _BOTTOMK_JACCARD_ORACLE,
         "token_bucket_tv_drift": _token_bucket_tv_oracle(),
         "lttb_downsample": _LTTB_ORACLE,
+        "dup_cluster_sizes": _DUP_CLUSTER_SIZES_ORACLE,
+        "rfm_segments": _RFM_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -89,6 +89,7 @@ FUZZ_QUERIES = [
     "ks_distance_vs_fleet",
     "anomaly_cooccurrence",
     "lttb_downsample",
+    "rfm_segments",
 ]
 
 
@@ -231,7 +232,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "vocab_jaccard_sources", "zipf_head_coverage",
                     "stopword_density", "cross_source_contamination",
                     "word_repetition_ratio", "winnow_fingerprints",
-                    "winnow_candidate_pairs", "bottomk_jaccard_sources"]
+                    "winnow_candidate_pairs", "bottomk_jaccard_sources",
+                    "dup_cluster_sizes"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -148,6 +148,8 @@ SUBSET = [
     "bottomk_jaccard_sources",
     "token_bucket_tv_drift",
     "lttb_downsample",
+    "dup_cluster_sizes",
+    "rfm_segments",
 ]
 
 
