@@ -11449,6 +11449,124 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def holt_winters_additive(sf_dir: str, period: int = 24):
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level +
+    trend + 24-hour seasonal) of the hourly sums per source — the
+    seasonal forecasting primitive one step past ``holt_linear_hourly``.
+    Classic two-period init: ℓ₀ = mean of the first period, b₀ =
+    (mean₂ − mean₁)/m, sᵢ = yᵢ − ℓ₀ — computed from EXACT 10⁻⁴-unit
+    integer sums so the two init divides are single correctly-rounded
+    FP ops; then every step is the identical FP expression in both
+    engines (α=0.5, β=γ=0.25, all exactly-representable doubles):
+    ℓ_t = α(y_t − s_{t−m}) + (1−α)(ℓ+b); b_t = β(ℓ_t−ℓ) + (1−β)b;
+    s_t = γ(y_t − ℓ_t) + (1−γ)s_{t−m}.  The oracle replays the
+    recursion in a recursive CTE whose working row carries the rolling
+    m-slot seasonal state as a LIST column.  Sources shorter than 2m
+    are omitted (init needs two full periods) — both sides.
+    Sequential per series, parallel across series via the source-keyed
+    exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+    m = int(period)
+
+    def smooth(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            n = y4.size
+            if n < 2 * m:
+                continue
+            s1 = int(y4[:m].sum())
+            s2 = int(y4[m:2 * m].sum())
+            lev = float(s1) / float(m * 10000)
+            tr = float(s2 - s1) / float(m * m * 10000)
+            seas = [y4[i] / 10000.0 - lev for i in range(m)]
+            o_lev = np.empty(n - m)
+            o_tr = np.empty(n - m)
+            o_se = np.empty(n - m)
+            o_v = np.empty(n - m)
+            for t in range(m, n):
+                v = y4[t] / 10000.0
+                s_old = seas[0]
+                l_new = 0.5 * (v - s_old) + 0.5 * (lev + tr)
+                tr = 0.25 * (l_new - lev) + 0.75 * tr
+                s_new = 0.25 * (v - l_new) + 0.75 * s_old
+                lev = l_new
+                seas = seas[1:] + [s_new]
+                i = t - m
+                o_v[i], o_lev[i], o_tr[i], o_se[i] = v, lev, tr, s_new
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": bs.to_numpy()[m:],
+                "value": o_v, "level": o_lev, "trend": o_tr,
+                "seasonal": o_se}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+                "level": pd.Series([], dtype=np.float64),
+                "trend": pd.Series([], dtype=np.float64),
+                "seasonal": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(roll, "event_type", smooth)
+
+
+_HOLT_WINTERS_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events GROUP BY 1, 2
+), init AS (
+  SELECT source,
+         CAST(sum(CASE WHEN idx <= 24 THEN v4 ELSE 0 END) AS DOUBLE)
+           / 240000.0 AS l0,
+         CAST(sum(CASE WHEN idx > 24 THEN v4 ELSE 0 END)
+              - sum(CASE WHEN idx <= 24 THEN v4 ELSE 0 END) AS DOUBLE)
+           / 5760000.0 AS b0
+  FROM r WHERE idx <= 48 AND n >= 48 GROUP BY source
+), seas0 AS (
+  SELECT r.source,
+         list(r.v4 / 10000.0 - init.l0 ORDER BY r.idx) AS seas
+  FROM r JOIN init USING (source) WHERE r.idx <= 24
+  GROUP BY r.source
+), e AS (
+  SELECT init.source, CAST(24 AS BIGINT) AS idx,
+         CAST(NULL AS TIMESTAMP) AS bucket_start,
+         CAST(0 AS DOUBLE) AS v,
+         init.l0 AS level, init.b0 AS trend,
+         CAST(0 AS DOUBLE) AS s_out, seas0.seas AS seas
+  FROM init JOIN seas0 USING (source)
+  UNION ALL
+  SELECT e.source, r.idx, r.bucket_start,
+         r.v4 / 10000.0 AS v,
+         0.5 * (r.v4 / 10000.0 - e.seas[1]) + 0.5 * (e.level + e.trend)
+           AS level,
+         0.25 * ((0.5 * (r.v4 / 10000.0 - e.seas[1])
+                  + 0.5 * (e.level + e.trend)) - e.level)
+           + 0.75 * e.trend AS trend,
+         0.25 * (r.v4 / 10000.0
+                 - (0.5 * (r.v4 / 10000.0 - e.seas[1])
+                    + 0.5 * (e.level + e.trend)))
+           + 0.75 * e.seas[1] AS s_out,
+         e.seas[2:24]
+           || [0.25 * (r.v4 / 10000.0
+                       - (0.5 * (r.v4 / 10000.0 - e.seas[1])
+                          + 0.5 * (e.level + e.trend)))
+               + 0.75 * e.seas[1]] AS seas
+  FROM e JOIN r ON r.source = e.source AND r.idx = e.idx + 1
+)
+SELECT source, bucket_start, v AS value, level, trend,
+       s_out AS seasonal
+FROM e WHERE idx > 24
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11500,6 +11618,7 @@ def _registry():
         "lttb_downsample": lttb_downsample,
         "dup_cluster_sizes": dup_cluster_sizes,
         "rfm_segments": rfm_segments,
+        "holt_winters_additive": holt_winters_additive,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11804,6 +11923,7 @@ def oracles():
         "lttb_downsample": _LTTB_ORACLE,
         "dup_cluster_sizes": _DUP_CLUSTER_SIZES_ORACLE,
         "rfm_segments": _RFM_ORACLE,
+        "holt_winters_additive": _HOLT_WINTERS_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

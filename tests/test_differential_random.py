@@ -90,6 +90,7 @@ FUZZ_QUERIES = [
     "anomaly_cooccurrence",
     "lttb_downsample",
     "rfm_segments",
+    "holt_winters_additive",
 ]
 
 

@@ -150,6 +150,7 @@ SUBSET = [
     "lttb_downsample",
     "dup_cluster_sizes",
     "rfm_segments",
+    "holt_winters_additive",
 ]
 
 
