@@ -11567,6 +11567,171 @@ FROM e WHERE idx > 24
 """
 
 
+def centroid_confusion(sf_dir: str, k: int = 8):
+    """Label × nearest-centroid CONFUSION census over the embedding
+    table — does the label structure survive a k-means-style coarse
+    quantizer? (the eval behind IVF cluster balance and topic-label
+    agreement).  Reuses ``kmeans_assign_step``'s integer-exact
+    assignment contract verbatim: floor(float64(e)·10⁶) quantization,
+    pure-int64 squared distances, argmin ties → lowest centroid id,
+    centroids = the k lowest-vec_id vectors (broadcast as a ~4 KB
+    closure).  Map-only assignment with per-batch (label, centroid)
+    integer count partials and one tiny exchange."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (see kmeans_assign_step)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)  # first min = lowest cid
+        g = pd.DataFrame({
+            "label": tb["label"].to_numpy(),
+            "centroid_id": cids[choice],
+            "n_vecs": 1,
+        }).groupby(["label", "centroid_id"], as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["label", "centroid_id"],
+                            {"n_vecs": "sum"}, num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64)})
+
+
+_CENTROID_CONFUSION_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist_i
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist_i, cid) AS rn
+  FROM d
+)
+SELECT CAST(e.label AS BIGINT) AS label, a.cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM a JOIN embeddings e USING (vec_id)
+WHERE a.rn = 1 GROUP BY 1, 2
+"""
+
+
+def docs_length_audit(sf_dir: str):
+    """Metadata-integrity audit over the documents corpus: per source,
+    how many rows violate the ``n_chars == len(text)`` invariant (the
+    ``tokens_audit`` contract applied to the documents table — a feed
+    whose declared lengths drift from its payloads is corrupt
+    upstream).  Map-only integer partials + one tiny exchange; Python
+    len() and DuckDB length() both count Unicode codepoints."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ln = batch["text"].map(lambda t: len(t) if t is not None else 0)
+        bad = (ln.to_numpy(np.int64)
+               != batch["n_chars"].to_numpy(np.int64)).astype(np.int64)
+        g = pd.DataFrame({"source": batch["source"], "n_docs": 1,
+                          "n_mismatch": bad}).groupby(
+            "source", as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_mismatch"] = g["n_mismatch"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "source", {"n_docs": "sum", "n_mismatch": "sum"}, num_shards=2)
+
+
+_DOCS_LENGTH_AUDIT_ORACLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(coalesce(text, '')) <> n_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM documents GROUP BY 1
+"""
+
+
+def training_shard_assignment(sf_dir: str, n_shards: int = 64):
+    """Deterministic training-shard assignment census: every document
+    hashes to shard = md5_u64(doc_id) mod ``n_shards`` (first 8 bytes
+    of md5 of the DECIMAL doc_id string — DuckDB reproduces the hash
+    bit-for-bit), and the census reports per-shard doc and character
+    budgets — the balance check before a partitioned training-corpus
+    write (skewed shards starve data loaders).  Map-only integer
+    partials bounded at n_shards rows per batch + one tiny exchange;
+    the per-doc md5 loop is the oracle-parity cost, bounded by batch
+    row count (the winnow_fingerprints trade)."""
+    import hashlib
+
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    ns = int(n_shards)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        sh = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:8], "big") % ns
+             for i in ids),
+            dtype=np.int64, count=ids.size)
+        g = pd.DataFrame({
+            "shard": sh, "n_docs": 1,
+            "n_chars_total": batch["n_chars"].to_numpy(np.int64),
+        }).groupby("shard", as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_chars_total"] = g["n_chars_total"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "shard", {"n_docs": "sum", "n_chars_total": "sum"}, num_shards=2)
+
+
+_TRAINING_SHARD_ORACLE = """
+SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11619,6 +11784,9 @@ def _registry():
         "dup_cluster_sizes": dup_cluster_sizes,
         "rfm_segments": rfm_segments,
         "holt_winters_additive": holt_winters_additive,
+        "centroid_confusion": centroid_confusion,
+        "docs_length_audit": docs_length_audit,
+        "training_shard_assignment": training_shard_assignment,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -11924,6 +12092,9 @@ def oracles():
         "dup_cluster_sizes": _DUP_CLUSTER_SIZES_ORACLE,
         "rfm_segments": _RFM_ORACLE,
         "holt_winters_additive": _HOLT_WINTERS_ORACLE,
+        "centroid_confusion": _CENTROID_CONFUSION_ORACLE,
+        "docs_length_audit": _DOCS_LENGTH_AUDIT_ORACLE,
+        "training_shard_assignment": _TRAINING_SHARD_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

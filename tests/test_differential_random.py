@@ -234,7 +234,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "stopword_density", "cross_source_contamination",
                     "word_repetition_ratio", "winnow_fingerprints",
                     "winnow_candidate_pairs", "bottomk_jaccard_sources",
-                    "dup_cluster_sizes"]
+                    "dup_cluster_sizes", "docs_length_audit",
+                    "training_shard_assignment"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -25,6 +25,7 @@ FUZZ_EMB_QUERIES = [
     "embedding_norm_outliers",
     "label_centroid_separation",
     "embedding_dim_variance",
+    "centroid_confusion",
 ]
 
 DIMS = 16

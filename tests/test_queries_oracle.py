@@ -151,6 +151,9 @@ SUBSET = [
     "dup_cluster_sizes",
     "rfm_segments",
     "holt_winters_additive",
+    "centroid_confusion",
+    "docs_length_audit",
+    "training_shard_assignment",
 ]
 
 

@@ -753,3 +753,32 @@ class TestTokenLoopScorePlanted:
         assert by.loc["srcB", "n_docs"] == 2  # the 3-token doc drops
         assert by.loc["srcB", "n_loopy"] == 1
         assert by.loc["srcB", "max_window_repeat"] == 13
+
+
+class TestDocsLengthAudit:
+    def test_planted_mismatch_counted(self, ray_session, tmp_path):
+        """The n_chars != len(text) branch never fires on the synth sf
+        corpora (lengths are consistent by construction) — pin it with
+        a planted corruption."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pycatcher_ray.queries import docs_length_audit
+
+        texts = ["alpha beta", "gamma", "delta epsilon zeta", "eta"]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s1", "s1", "s2", "s2"]),
+            # s1 doc 2 and s2 doc 3 corrupted (off-by-one / truncated)
+            "n_chars": pa.array(
+                [len(texts[0]), len(texts[1]) + 1,
+                 len(texts[2]) - 5, len(texts[3])], type=pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = docs_length_audit(str(tmp_path)).to_pandas()
+        out = out.set_index("source").sort_index()
+        assert out.loc["s1", "n_docs"] == 2
+        assert out.loc["s1", "n_mismatch"] == 1
+        assert out.loc["s2", "n_mismatch"] == 1
