@@ -11732,6 +11732,151 @@ FROM documents GROUP BY 1
 """
 
 
+def embedding_dim_covariance(sf_dir: str, top: int = 20):
+    """Top-|covariance| embedding dimension PAIRS — the redundancy
+    screen behind dimensionality reduction and whitening (two highly
+    covarying dims carry one dim of information).  Exact by the
+    integer-moment trick: with q = floor(float64(e)·10⁶) int64
+    (the kmeans/dim-variance contract), the covariance numerator
+    n·Σq_iq_j − Σq_i·Σq_j is an exact integer; pairs RANK by |num|
+    (an exact total order — ties → (dim_a, dim_b) ASC) and the single
+    emitted divide bridges both engines' correctly-rounded
+    int→double casts.  Scale shape: map-only per-batch moment partials
+    (Σq per dim + the 64×64 q^Tq matmul — bounded by dims², never
+    rows); the driver folds them in arbitrary-precision Python ints."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (see kmeans_assign_step)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        d = vals.size // len(tb) if len(tb) else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), d)
+        sqq = q.T @ q                      # (d, d) exact int64
+        sq = q.sum(axis=0)                 # (d,)
+        iu, ju = np.triu_indices(d, k=1)
+        rows = {
+            "i": np.concatenate([iu, np.arange(d), [-1]]),
+            "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+            "v": np.concatenate([sqq[iu, ju], sq, [len(tb)]]),
+        }
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["dim_a", "dim_b", "cov"]
+    if parts.empty:
+        return pd.DataFrame({
+            "dim_a": pd.Series([], dtype=np.int64),
+            "dim_b": pd.Series([], dtype=np.int64),
+            "cov": pd.Series([], dtype=np.float64)})
+    # fold in Python ints: exact at any corpus scale
+    parts["v"] = parts["v"].map(int)
+    fold = parts.groupby(["i", "j"], as_index=False)["v"].sum()
+    n = int(fold.loc[(fold["i"] == -1) & (fold["j"] == -1), "v"].iloc[0])
+    sq = {int(r.i): int(r.v)
+          for r in fold[(fold["j"] == -1) & (fold["i"] >= 0)].itertuples()}
+    den = float(n * n * 10**12)
+    pairs = []
+    for r in fold[(fold["i"] >= 0) & (fold["j"] >= 0)].itertuples():
+        num = n * int(r.v) - sq[int(r.i)] * sq[int(r.j)]
+        pairs.append((abs(num), int(r.i) + 1, int(r.j) + 1, num))
+    pairs.sort(key=lambda t: (-t[0], t[1], t[2]))
+    pairs = pairs[:top]
+    return pd.DataFrame({
+        "dim_a": np.array([p[1] for p in pairs], dtype=np.int64),
+        "dim_b": np.array([p[2] for p in pairs], dtype=np.int64),
+        "cov": np.array([float(p[3]) / den for p in pairs],
+                        dtype=np.float64)}, columns=cols)
+
+
+_DIM_COVARIANCE_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+s AS (SELECT dim, CAST(sum(qv) AS HUGEINT) AS sq FROM q GROUP BY 1),
+p AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b,
+         CAST(sum(a.qv * b.qv) AS HUGEINT) AS sqq
+  FROM q a JOIN q b ON b.vec_id = a.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+), c AS (
+  SELECT p.dim_a, p.dim_b,
+         nn.n * p.sqq - sa.sq * sb.sq AS num
+  FROM p JOIN s sa ON sa.dim = p.dim_a JOIN s sb ON sb.dim = p.dim_b
+  CROSS JOIN nn
+)
+SELECT CAST(dim_a AS BIGINT) AS dim_a, CAST(dim_b AS BIGINT) AS dim_b,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(nn.n * nn.n * 1000000000000 AS VARCHAR) AS DOUBLE)
+         AS cov
+FROM c CROSS JOIN nn
+QUALIFY row_number() OVER (ORDER BY abs(num) DESC, dim_a, dim_b) <= 20
+"""
+
+
+def length_bucket_mix(sf_dir: str):
+    """Per-source document-length mix over power-of-two buckets
+    (bucket = ⌊log₂ n_chars⌋ — the curriculum/packing profile: does a
+    feed skew short?).  Bucketing is PURE INTEGER on the engine side
+    (bit_length−1) and floor(log2) in SQL — identical for every n ≥ 1
+    because the FP log error (~10⁻¹⁶ relative) is orders of magnitude
+    below the gap to the next integer boundary at any representable
+    length; n ≤ 0 clamps to bucket 0 on both sides.  Share is ONE
+    int/int divide.  Map-only partials bounded at ~17 buckets ×
+    sources per batch + one tiny exchange."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.maximum(batch["n_chars"].to_numpy(np.int64), 1)
+        # ⌊log₂⌋ via bit-length: exact integer, no FP anywhere
+        bucket = np.array([int(v).bit_length() - 1 for v in n],
+                          dtype=np.int64)
+        g = pd.DataFrame({"source": batch["source"], "bucket": bucket,
+                          "n_docs": 1}).groupby(
+            ["source", "bucket"], as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "bucket"], as_index=False)[
+            "n_docs"].sum()
+        tot = g.groupby("source")["n_docs"].transform("sum")
+        return pd.DataFrame({
+            "source": g["source"],
+            "bucket": g["bucket"].astype(np.int64),
+            "n_docs": g["n_docs"].astype(np.int64),
+            "share": g["n_docs"].to_numpy(np.int64)
+                     / tot.to_numpy(np.int64)})
+
+    return sharded_map_groups(parts, "source", fold)
+
+
+_LENGTH_BUCKET_MIX_ORACLE = """
+WITH b AS (
+  SELECT source,
+         CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket
+  FROM documents
+), c AS (
+  SELECT source, bucket, count(*) AS n_docs FROM b GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(n_docs) AS tot FROM c GROUP BY 1
+)
+SELECT c.source, c.bucket, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_docs AS DOUBLE) / t.tot AS share
+FROM c JOIN t USING (source)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11787,6 +11932,8 @@ def _registry():
         "centroid_confusion": centroid_confusion,
         "docs_length_audit": docs_length_audit,
         "training_shard_assignment": training_shard_assignment,
+        "embedding_dim_covariance": embedding_dim_covariance,
+        "length_bucket_mix": length_bucket_mix,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12095,6 +12242,8 @@ def oracles():
         "centroid_confusion": _CENTROID_CONFUSION_ORACLE,
         "docs_length_audit": _DOCS_LENGTH_AUDIT_ORACLE,
         "training_shard_assignment": _TRAINING_SHARD_ORACLE,
+        "embedding_dim_covariance": _DIM_COVARIANCE_ORACLE,
+        "length_bucket_mix": _LENGTH_BUCKET_MIX_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

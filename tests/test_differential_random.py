@@ -235,7 +235,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "word_repetition_ratio", "winnow_fingerprints",
                     "winnow_candidate_pairs", "bottomk_jaccard_sources",
                     "dup_cluster_sizes", "docs_length_audit",
-                    "training_shard_assignment"]
+                    "training_shard_assignment", "length_bucket_mix"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

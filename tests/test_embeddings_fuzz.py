@@ -26,6 +26,7 @@ FUZZ_EMB_QUERIES = [
     "label_centroid_separation",
     "embedding_dim_variance",
     "centroid_confusion",
+    "embedding_dim_covariance",
 ]
 
 DIMS = 16

@@ -154,6 +154,8 @@ SUBSET = [
     "centroid_confusion",
     "docs_length_audit",
     "training_shard_assignment",
+    "embedding_dim_covariance",
+    "length_bucket_mix",
 ]
 
 
