@@ -11877,6 +11877,101 @@ FROM c JOIN t USING (source)
 """
 
 
+def classic_residual_flags_1h(sf_dir: str):
+    """Decomposition-residual IQR flags — the reference's
+    ``decompose_and_detect`` additive shape (catch.py:628-647) with an
+    EXACT oracle end to end: residuals come from the bit-exact integer
+    classic decomposition (``classic_decompose_1h``), and the IQR fence
+    uses the bit-pinned two-product ``quantile_cont`` with the
+    identical comparison expression both sides — so unlike the
+    rows-only LOESS/STL flag paths, THIS decomposition detector
+    hash-matches DuckDB.  Same one-source-keyed-exchange shape."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            n = v.size
+            if n < 25:
+                continue
+            V = np.rint(v * 10000.0).astype(np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(V, 25)
+            trend_sum = win.sum(axis=1)
+            mid = slice(12, n - 12)
+            D = 25 * V[mid] - trend_sum
+            slot = pd.DatetimeIndex(
+                g["bucket_start"].to_numpy()[mid]).hour.to_numpy()
+            agg = pd.DataFrame({"slot": slot, "D": D}).groupby(
+                "slot")["D"].agg(["sum", "size"])
+            s2 = agg["sum"].reindex(slot).to_numpy()
+            n2 = agg["size"].reindex(slot).to_numpy().astype(np.int64)
+            res = (n2 * D - s2).astype(np.float64) / (n2 * 250000.0)
+            q1 = quantile_cont(res, 0.25)
+            q3 = quantile_cont(res, 0.75)
+            m = (res < q1 - 1.5 * (q3 - q1)) | (res > q3 + 1.5 * (q3 - q1))
+            if not m.any():
+                continue
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy()[mid][m],
+                "value": v[mid][m],
+                "residual": res[m]}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+                "residual": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_CLASSIC_RESIDUAL_FLAGS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, V,
+         sum(V) OVER (PARTITION BY source ORDER BY bucket_start
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS trend_sum,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_start
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+  FROM r
+), d AS (
+  SELECT source, bucket_start, V,
+         25 * V - trend_sum AS D, hour(bucket_start) AS slot
+  FROM w WHERE wn = 25
+), s AS (
+  SELECT source, slot, sum(D) AS s2, count(*) AS n2
+  FROM d GROUP BY 1, 2
+), res AS (
+  SELECT d.source, d.bucket_start,
+         CAST(d.V AS DOUBLE) / 10000.0 AS value,
+         CAST(s.n2 * d.D - s.s2 AS DOUBLE) / (s.n2 * 250000.0) AS residual
+  FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
+), q AS (
+  SELECT source, quantile_cont(residual, 0.25) AS q1,
+         quantile_cont(residual, 0.75) AS q3
+  FROM res GROUP BY 1
+)
+SELECT res.source, res.bucket_start, res.value, res.residual
+FROM res JOIN q USING (source)
+WHERE res.residual < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR res.residual > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -11934,6 +12029,7 @@ def _registry():
         "training_shard_assignment": training_shard_assignment,
         "embedding_dim_covariance": embedding_dim_covariance,
         "length_bucket_mix": length_bucket_mix,
+        "classic_residual_flags_1h": classic_residual_flags_1h,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12244,6 +12340,7 @@ def oracles():
         "training_shard_assignment": _TRAINING_SHARD_ORACLE,
         "embedding_dim_covariance": _DIM_COVARIANCE_ORACLE,
         "length_bucket_mix": _LENGTH_BUCKET_MIX_ORACLE,
+        "classic_residual_flags_1h": _CLASSIC_RESIDUAL_FLAGS_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -91,6 +91,7 @@ FUZZ_QUERIES = [
     "lttb_downsample",
     "rfm_segments",
     "holt_winters_additive",
+    "classic_residual_flags_1h",
 ]
 
 

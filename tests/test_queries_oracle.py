@@ -156,6 +156,7 @@ SUBSET = [
     "training_shard_assignment",
     "embedding_dim_covariance",
     "length_bucket_mix",
+    "classic_residual_flags_1h",
 ]
 
 
