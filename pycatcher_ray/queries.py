@@ -11972,6 +11972,231 @@ WHERE res.residual < q.q1 - 1.5 * (q.q3 - q.q1)
 """
 
 
+def trend_crossing_eta(sf_dir: str):
+    """Capacity-planning ETA: hours until each source's OLS volume
+    trend line crosses 2× its historical mean, extrapolated from the
+    last observed hour — 'when does this feed double?'.  EXACT by the
+    cross-multiplied-rational trick (the ols_trend/lead_lag family):
+    with x = epoch-hours and y in 10⁻⁴ units, eta =
+    (2Σy·D − n·(num_a + num_b·x_last)) / (n·num_b) where
+    num_a = ΣyΣxx − ΣxΣxy, num_b = nΣxy − ΣxΣy, D = nΣxx − (Σx)² —
+    numerator and denominator are exact Python bigints (HUGEINT in the
+    oracle) and the emit is ONE VARCHAR-bridged divide.  NULL when the
+    trend is flat or falling (num_b ≤ 0) — both sides; negative eta
+    means the threshold is already crossed.  One source-keyed exchange
+    over the hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            x = [int(v) for v in xs]
+            y = [int(v) for v in y4]
+            n = len(y)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            num_b = n * sxy - sx * sy
+            dd = n * sxx - sx * sx
+            eta = np.nan
+            if num_b > 0 and dd > 0:
+                num_a = sy * sxx - sx * sxy
+                num = 2 * sy * dd - n * (num_a + num_b * x[-1])
+                eta = float(num) / float(n * num_b)
+            rows.append({"source": src, "n_buckets": n,
+                         "eta_hours": eta})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "eta_hours"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_TREND_ETA_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT source, count(*) AS n, max(x) AS xl,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM r GROUP BY source
+), c AS (
+  SELECT source, n,
+         n * sxy - sx * sy AS num_b,
+         n * sxx - sx * sx AS dd,
+         sy * sxx - sx * sxy AS num_a,
+         sy, xl
+  FROM s
+)
+SELECT source, n AS n_buckets,
+       CASE WHEN num_b > 0 AND dd > 0 THEN
+         CAST(CAST(2 * sy * dd - n * (num_a + num_b * xl)
+                   AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n * num_b AS VARCHAR) AS DOUBLE)
+       ELSE NULL END AS eta_hours
+FROM c
+"""
+
+
+def token_window_dedup(sf_dir: str, window: int = 64):
+    """Sub-document duplicate-WINDOW census over the native tokens
+    input: stride-``window`` 64-token windows, counted exactly — the
+    within-corpus boilerplate/repetition screen one granularity below
+    ``token_content_dedup`` (whole sequences) and the exact sibling of
+    the approximate winnow family.  Same order-sensitive splitmix64
+    content keys with positions RELATIVE to the window start (so equal
+    contents collide wherever they sit), cumsum-difference per window;
+    only (source, h1, h2, count) partials ride the h1-keyed exchange.
+    The oracle groups by the token-slice VALUE itself.  dup_rate is
+    ONE int/int divide."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+    w = int(window)
+    c2 = np.uint64(0xD1B54A32D192ED03)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        n_tok = off[1:] - off[:-1]
+        vals = toks.values.to_numpy().astype(np.uint64)
+        pos_in_doc = (np.arange(vals.size, dtype=np.int64)
+                      - np.repeat(off[:-1], n_tok))
+        pos = (pos_in_doc % w + 1).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            m1 = _splitmix64(vals + pos * np.uint64(0x9E3779B97F4A7C15))
+            m2 = _splitmix64(vals + pos * c2)
+            cs1 = np.concatenate([[np.uint64(0)], np.cumsum(m1)])
+            cs2 = np.concatenate([[np.uint64(0)], np.cumsum(m2)])
+        # window starts: doc_start + k*w for k in 0..n_tok//w - 1
+        n_win = n_tok // w
+        starts = (np.repeat(off[:-1], n_win)
+                  + np.concatenate([np.arange(k, dtype=np.int64) * w
+                                    for k in n_win]) if n_win.sum()
+                  else np.array([], dtype=np.int64))
+        with np.errstate(over="ignore"):
+            h1 = (cs1[starts + w] - cs1[starts]).astype(np.int64)
+            h2 = (cs2[starts + w] - cs2[starts]).astype(np.int64)
+        src = np.repeat(tb["source"].to_pandas().to_numpy(), n_win)
+        g = pd.DataFrame({"source": src, "h1": h1, "h2": h2}).groupby(
+            ["source", "h1", "h2"], as_index=False).size()
+        return pd.DataFrame({
+            "source": g["source"], "h1": g["h1"], "h2": g["h2"],
+            "cnt": g["size"].astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_win(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "h1", "h2"],
+                          as_index=False)["cnt"].sum()
+        out = pd.DataFrame({
+            "source": g["source"],
+            "n_windows": g["cnt"].to_numpy(np.int64),
+            "distinct_windows": np.ones(len(g), dtype=np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    per_src = sharded_map_groups(parts, "h1", per_win)
+    agg = sharded_aggregate(per_src, "source",
+                            {"n_windows": "sum",
+                             "distinct_windows": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b["n_windows"].to_numpy(np.int64)
+        dw = b["distinct_windows"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n_windows": nw,
+            "distinct_windows": dw, "dup_windows": nw - dw,
+            "dup_rate": (nw - dw) / nw})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_window_dedup_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH wnd AS (
+  SELECT source, tokens[(t.k * 64 + 1):(t.k * 64 + 64)] AS w
+  FROM read_parquet('{glob}'),
+       UNNEST(generate_series(0, CAST(len(tokens) // 64 AS BIGINT) - 1))
+         AS t(k)
+  WHERE len(tokens) >= 64
+), g AS (
+  SELECT source, w, count(*) AS c FROM wnd GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_windows,
+       count(*) AS distinct_windows,
+       CAST(sum(c) - count(*) AS BIGINT) AS dup_windows,
+       CAST(CAST(sum(c) - count(*) AS BIGINT) AS DOUBLE)
+         / CAST(sum(c) AS BIGINT) AS dup_rate
+FROM g GROUP BY 1
+"""
+
+
+def hour_of_week_profile(sf_dir: str):
+    """168-cell hour-of-week activity heatmap per source (epoch-aligned
+    weeks: cell = epoch-hours mod 168 — pure integer arithmetic on
+    both engines, no calendar/dow-convention trap) with each cell's
+    share of the source's events — the weekly-shape fingerprint behind
+    seasonality-aware alert thresholds.  Map-only integer partials
+    bounded at 168 × sources per batch + one tiny exchange; share is
+    ONE int/int divide."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        how = (batch["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 3600) % 168
+        g = pd.DataFrame({"source": batch["event_type"], "how": how,
+                          "n_events": 1}).groupby(
+            ["source", "how"], as_index=False).sum()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "how"], as_index=False)[
+            "n_events"].sum()
+        tot = g.groupby("source")["n_events"].transform("sum")
+        return pd.DataFrame({
+            "source": g["source"],
+            "how": g["how"].astype(np.int64),
+            "n_events": g["n_events"].astype(np.int64),
+            "share": g["n_events"].to_numpy(np.int64)
+                     / tot.to_numpy(np.int64)})
+
+    return sharded_map_groups(parts, "source", fold)
+
+
+_HOUR_OF_WEEK_ORACLE = """
+WITH b AS (
+  SELECT event_type AS source,
+         (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) % 168
+           AS how
+  FROM events
+), c AS (
+  SELECT source, how, count(*) AS n_events FROM b GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(n_events) AS tot FROM c GROUP BY 1
+)
+SELECT c.source, c.how, CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(c.n_events AS DOUBLE) / t.tot AS share
+FROM c JOIN t USING (source)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -12030,6 +12255,9 @@ def _registry():
         "embedding_dim_covariance": embedding_dim_covariance,
         "length_bucket_mix": length_bucket_mix,
         "classic_residual_flags_1h": classic_residual_flags_1h,
+        "trend_crossing_eta": trend_crossing_eta,
+        "token_window_dedup": token_window_dedup,
+        "hour_of_week_profile": hour_of_week_profile,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12341,6 +12569,9 @@ def oracles():
         "embedding_dim_covariance": _DIM_COVARIANCE_ORACLE,
         "length_bucket_mix": _LENGTH_BUCKET_MIX_ORACLE,
         "classic_residual_flags_1h": _CLASSIC_RESIDUAL_FLAGS_ORACLE,
+        "trend_crossing_eta": _TREND_ETA_ORACLE,
+        "token_window_dedup": _token_window_dedup_oracle(),
+        "hour_of_week_profile": _HOUR_OF_WEEK_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

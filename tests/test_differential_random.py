@@ -92,6 +92,8 @@ FUZZ_QUERIES = [
     "rfm_segments",
     "holt_winters_additive",
     "classic_residual_flags_1h",
+    "trend_crossing_eta",
+    "hour_of_week_profile",
 ]
 
 

@@ -157,6 +157,9 @@ SUBSET = [
     "embedding_dim_covariance",
     "length_bucket_mix",
     "classic_residual_flags_1h",
+    "trend_crossing_eta",
+    "token_window_dedup",
+    "hour_of_week_profile",
 ]
 
 

@@ -34,6 +34,7 @@ FUZZ_TOKEN_QUERIES = [
     "token_simpson_diversity",
     "token_content_dedup",
     "token_bucket_tv_drift",
+    "token_window_dedup",
 ]
 
 M0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
