@@ -12197,6 +12197,207 @@ FROM c JOIN t USING (source)
 """
 
 
+def wow_change_1h(sf_dir: str):
+    """Week-over-week change per hourly bucket: each observed hour
+    joins the SAME hour one epoch-week earlier (x − 168 in epoch-hours
+    — integer key, no calendar arithmetic) and emits the exact delta
+    plus one ratio divide — the seasonal-aware growth screen a daily
+    rate-of-change misses.  Hours with no observation a week before
+    are omitted on both sides.  One source-keyed exchange; the
+    self-join happens inside the shard on integer hour keys."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            prev = {int(x): int(y) for x, y in zip(xs, y4)}
+            cur_i, prev_i = [], []
+            for i, x in enumerate(xs):
+                p = prev.get(int(x) - 168)
+                if p is not None:
+                    cur_i.append(i)
+                    prev_i.append(p)
+            if not cur_i:
+                continue
+            idx = np.asarray(cur_i, dtype=np.int64)
+            pv = np.asarray(prev_i, dtype=np.int64)
+            cv = y4[idx]
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": bs.to_numpy()[idx],
+                "value": cv / 10000.0,
+                "prev_week": pv / 10000.0,
+                "delta": (cv - pv) / 10000.0,
+                "ratio": np.where(pv != 0, cv / pv.astype(np.float64),
+                                  np.nan)}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "value": pd.Series([], dtype=np.float64),
+                "prev_week": pd.Series([], dtype=np.float64),
+                "delta": pd.Series([], dtype=np.float64),
+                "ratio": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_WOW_CHANGE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT a.source, a.bucket_start,
+       CAST(a.y AS DOUBLE) / 10000.0 AS value,
+       CAST(b.y AS DOUBLE) / 10000.0 AS prev_week,
+       CAST(a.y - b.y AS DOUBLE) / 10000.0 AS delta,
+       CASE WHEN b.y <> 0
+            THEN CAST(a.y AS DOUBLE) / CAST(b.y AS DOUBLE)
+            ELSE NULL END AS ratio
+FROM r a JOIN r b ON b.source = a.source AND b.x = a.x - 168
+"""
+
+
+def new_vs_returning_daily(sf_dir: str):
+    """New-vs-returning user split per day: a user is NEW on their
+    first-ever day, RETURNING on any later active day — the growth
+    composition metric next to DAU.  Shape: per-batch distinct
+    (user, day) partials ride the user-keyed exchange where each
+    user's first day resolves exactly; per-day integer partials fold
+    in a tiny second exchange.  Pure integer counts."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 86400)
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "day": day}).drop_duplicates()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates(["user_id", "day"])
+        first = shard.groupby("user_id")["day"].transform("min")
+        is_new = (shard["day"] == first).astype(np.int64)
+        g = pd.DataFrame({
+            "day": shard["day"].to_numpy(np.int64),
+            "n_new": is_new.to_numpy(),
+            "n_returning": 1 - is_new.to_numpy()}).groupby(
+            "day", as_index=False).sum()
+        g["n_new"] = g["n_new"].astype(np.int64)
+        g["n_returning"] = g["n_returning"].astype(np.int64)
+        return g
+
+    per_day = sharded_map_groups(parts, "user_id", fold)
+    agg = sharded_aggregate(per_day, "day",
+                            {"n_new": "sum", "n_returning": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": pd.to_datetime(b["day"].to_numpy(np.int64) * 86400,
+                                  unit="s"),
+            "n_new": b["n_new"].to_numpy(np.int64),
+            "n_returning": b["n_returning"].to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_NEW_RETURNING_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS first_day FROM d GROUP BY 1
+)
+SELECT to_timestamp(d.day * 86400) AT TIME ZONE 'UTC' AS day,
+       CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM d JOIN f USING (user_id)
+GROUP BY 1
+"""
+
+
+def minute_uniformity_tv(sf_dir: str):
+    """Intra-hour arrival uniformity per source: total-variation
+    distance between the minute-of-hour event histogram and the
+    uniform distribution — TV = Σ_m |c_m·60 − n| / (2·n·60), an exact
+    integer numerator with ONE final divide (a batch scheduler firing
+    on the minute shows up as TV → 59/60; organic traffic sits near
+    0).  Map-only integer partials bounded at 60 × sources per batch
+    + one tiny exchange; the driver folds sources × 60 rows."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        moh = (batch["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 60) % 60
+        g = pd.DataFrame({"source": batch["event_type"], "m": moh,
+                          "c": 1}).groupby(["source", "m"],
+                                           as_index=False).sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    hist = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "m"], {"c": "sum"}, num_shards=2).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype=np.int64),
+            "tv_uniform": pd.Series([], dtype=np.float64)})
+    rows = []
+    for s, g in hist.groupby("source"):
+        c = np.zeros(60, dtype=np.int64)
+        c[g["m"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        num = int(np.abs(c * 60 - n).sum())
+        rows.append({"source": s, "n_events": n,
+                     "tv_uniform": float(num) / float(2 * n * 60)})
+    return pd.DataFrame(rows, columns=["source", "n_events",
+                                       "tv_uniform"])
+
+
+_MINUTE_UNIFORMITY_ORACLE = """
+WITH b AS (
+  SELECT event_type AS source,
+         (CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60) % 60
+           AS m
+  FROM events
+), c AS (
+  SELECT source, m, count(*) AS c FROM b GROUP BY 1, 2
+), full_grid AS (
+  SELECT s.source, t.m, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS m) t
+  LEFT JOIN c ON c.source = s.source AND c.m = t.m
+), n AS (
+  SELECT source, sum(c) AS n FROM full_grid GROUP BY 1
+)
+SELECT f.source, CAST(n.n AS BIGINT) AS n_events,
+       CAST(CAST(sum(abs(CAST(f.c AS HUGEINT) * 60 - n.n))
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(2 * n.n * 60 AS VARCHAR) AS DOUBLE) AS tv_uniform
+FROM full_grid f JOIN n USING (source)
+GROUP BY 1, 2, n.n
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -12258,6 +12459,9 @@ def _registry():
         "trend_crossing_eta": trend_crossing_eta,
         "token_window_dedup": token_window_dedup,
         "hour_of_week_profile": hour_of_week_profile,
+        "wow_change_1h": wow_change_1h,
+        "new_vs_returning_daily": new_vs_returning_daily,
+        "minute_uniformity_tv": minute_uniformity_tv,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12572,6 +12776,9 @@ def oracles():
         "trend_crossing_eta": _TREND_ETA_ORACLE,
         "token_window_dedup": _token_window_dedup_oracle(),
         "hour_of_week_profile": _HOUR_OF_WEEK_ORACLE,
+        "wow_change_1h": _WOW_CHANGE_ORACLE,
+        "new_vs_returning_daily": _NEW_RETURNING_ORACLE,
+        "minute_uniformity_tv": _MINUTE_UNIFORMITY_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

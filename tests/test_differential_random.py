@@ -94,6 +94,9 @@ FUZZ_QUERIES = [
     "classic_residual_flags_1h",
     "trend_crossing_eta",
     "hour_of_week_profile",
+    "wow_change_1h",
+    "new_vs_returning_daily",
+    "minute_uniformity_tv",
 ]
 
 

@@ -160,6 +160,9 @@ SUBSET = [
     "trend_crossing_eta",
     "token_window_dedup",
     "hour_of_week_profile",
+    "wow_change_1h",
+    "new_vs_returning_daily",
+    "minute_uniformity_tv",
 ]
 
 
