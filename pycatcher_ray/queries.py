@@ -12398,6 +12398,153 @@ GROUP BY 1, 2, n.n
 """
 
 
+def ensemble_flags_1h(sf_dir: str):
+    """Detector-ENSEMBLE flags: hourly buckets flagged by ≥2 of the
+    three whole-series detectors (IQR, z-score, MAD) in ONE detector
+    pass (the actor/task pool evaluates all three per packed series —
+    the reference's dispatcher run as a vote, catch.py:321 family).
+    Exactness: each member detector already hash-matches its oracle;
+    the vote is counting + string-joining.  One source-keyed exchange
+    over the (tiny) flag table."""
+    from .config import auto_concurrency
+    from .stages.shard import sharded_map_groups
+
+    cfg = EngineConfig(detect_concurrency=auto_concurrency(cap=8),
+                       detect_batch_series=4)
+    roll = _events_rollup(sf_dir, "1h")
+    flags = detect(roll, "event_type", tier="1h", cfg=cfg,
+                   methods=("iqr", "zscore", "mad"))
+    flags = flags.select_columns(["key", "bucket_start", "value",
+                                  "method"]).rename_columns(
+        {"key": "source"})
+    flags = _round_cols(flags, ("value",))
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates(["source", "bucket_start", "method"])
+        shard = shard.sort_values(["source", "bucket_start", "method"],
+                                  kind="stable")
+        g = shard.groupby(["source", "bucket_start"], sort=False)
+        out = g.agg(value=("value", "first"),
+                    n_methods=("method", "size"),
+                    methods=("method", ",".join)).reset_index()
+        out = out[out["n_methods"] >= 2]
+        return pd.DataFrame({
+            "source": out["source"],
+            "bucket_start": out["bucket_start"],
+            "value": out["value"].astype(np.float64),
+            "n_methods": out["n_methods"].astype(np.int64),
+            "methods": out["methods"].astype(object)})
+
+    return sharded_map_groups(flags, "source", fold)
+
+
+_ENSEMBLE_FLAGS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), zs AS (
+  SELECT source, avg(v) AS mu, stddev_pop(v) AS sigma FROM r GROUP BY source
+), med AS (
+  SELECT source, median(v) AS m FROM r GROUP BY source
+), madt AS (
+  SELECT r.source, median(abs(r.v - med.m)) AS mad
+  FROM r JOIN med USING (source) GROUP BY r.source
+), f AS (
+  SELECT r.source, r.bucket_start, r.v, 'iqr' AS method
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+  UNION ALL
+  SELECT r.source, r.bucket_start, r.v, 'zscore'
+  FROM r JOIN zs USING (source)
+  WHERE abs((r.v - zs.mu) / zs.sigma) > 2
+  UNION ALL
+  SELECT r.source, r.bucket_start, r.v, 'mad'
+  FROM r JOIN med USING (source) JOIN madt USING (source)
+  WHERE r.v <> med.m AND abs(0.6745 * (r.v - med.m) / madt.mad) > 3.5
+)
+SELECT source, bucket_start, round(v, 4) AS value,
+       CAST(count(*) AS BIGINT) AS n_methods,
+       string_agg(method, ',' ORDER BY method) AS methods
+FROM f GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
+def user_value_outliers(sf_dir: str):
+    """Users whose exact lifetime value sits > 2 population σ above the
+    user mean — the whale/abuse screen, INTEGER-exact end to end: with
+    per-user m = round(sum,4)·10⁴ ints (computed inside the user-keyed
+    exchange), the flag test (n·m − S)² > 4·(n·S2 − S²) ∧ n·m > S is a
+    pure bigint comparison (the embedding_norm_outliers shape applied
+    to users); the emitted zscore is ONE VARCHAR-bridged divide of
+    exact ints — √ appears on BOTH sides as the same single sqrt.
+    Shape: user-keyed exchange → bounded (user, m4) table → driver
+    folds moments in Python bigints and filters."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "value"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        sums = shard.groupby("user_id", sort=False)["value"].sum()
+        m4 = np.rint(_round_exact(sums.to_numpy(np.float64))
+                     * 10000.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": sums.index.to_numpy(np.int64),
+            "m4": m4})
+
+    users = sharded_map_groups(ds, "user_id", fold).to_pandas()
+    if users.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "total_value": pd.Series([], dtype=np.float64),
+            "zscore": pd.Series([], dtype=np.float64)})
+    users = users.groupby("user_id", as_index=False)["m4"].first()
+    m = [int(v) for v in users["m4"]]
+    n, S = len(m), sum(m)
+    S2 = sum(v * v for v in m)
+    var_num = n * S2 - S * S  # n² · σ² · 10⁸ — exact
+    rows = []
+    for uid, v in zip(users["user_id"], m):
+        d = n * v - S
+        if d > 0 and d * d > 4 * var_num:
+            rows.append({
+                "user_id": int(uid),
+                "total_value": v / 10000.0,
+                "zscore": float(d) / math.sqrt(float(var_num))})
+    out = pd.DataFrame(rows, columns=["user_id", "total_value", "zscore"])
+    if out.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "total_value": pd.Series([], dtype=np.float64),
+            "zscore": pd.Series([], dtype=np.float64)})
+    return out
+
+
+_USER_VALUE_OUTLIERS_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS m4
+  FROM events GROUP BY 1
+), s AS (
+  SELECT count(*) AS n, sum(CAST(m4 AS HUGEINT)) AS S,
+         sum(CAST(m4 AS HUGEINT) * m4) AS S2
+  FROM u
+)
+SELECT u.user_id, CAST(u.m4 AS DOUBLE) / 10000.0 AS total_value,
+       CAST(CAST(s.n * u.m4 - s.S AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(s.n * s.S2 - s.S * s.S AS VARCHAR) AS DOUBLE))
+         AS zscore
+FROM u CROSS JOIN s
+WHERE s.n * u.m4 - s.S > 0
+  AND (s.n * u.m4 - s.S) * (s.n * u.m4 - s.S)
+        > 4 * (s.n * s.S2 - s.S * s.S)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -12462,6 +12609,8 @@ def _registry():
         "wow_change_1h": wow_change_1h,
         "new_vs_returning_daily": new_vs_returning_daily,
         "minute_uniformity_tv": minute_uniformity_tv,
+        "ensemble_flags_1h": ensemble_flags_1h,
+        "user_value_outliers": user_value_outliers,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12779,6 +12928,8 @@ def oracles():
         "wow_change_1h": _WOW_CHANGE_ORACLE,
         "new_vs_returning_daily": _NEW_RETURNING_ORACLE,
         "minute_uniformity_tv": _MINUTE_UNIFORMITY_ORACLE,
+        "ensemble_flags_1h": _ENSEMBLE_FLAGS_ORACLE,
+        "user_value_outliers": _USER_VALUE_OUTLIERS_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

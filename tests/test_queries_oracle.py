@@ -163,6 +163,8 @@ SUBSET = [
     "wow_change_1h",
     "new_vs_returning_daily",
     "minute_uniformity_tv",
+    "ensemble_flags_1h",
+    "user_value_outliers",
 ]
 
 
