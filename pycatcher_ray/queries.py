@@ -12545,6 +12545,203 @@ WHERE s.n * u.m4 - s.S > 0
 """
 
 
+def mann_kendall_trend(sf_dir: str):
+    """Mann-Kendall trend test per source over the hourly sums — the
+    nonparametric monotone-trend screen (robust where OLS is leverage-
+    fragile).  The statistic S = Σ_{i<j} sgn(y_j − y_i) is a PURE
+    INTEGER on the 10⁻⁴-unit values; Kendall's tau = S / (n(n−1)/2) is
+    ONE int/int divide.  Per-source O(n²) on the BOUNDED hourly series
+    (buckets, never raw rows — the theil_sen precedent); one
+    source-keyed exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            n = y4.size
+            if n < 2:
+                continue
+            diff = np.sign(y4[None, :] - y4[:, None])
+            s_stat = int(np.triu(diff, k=1).sum())
+            pairs = n * (n - 1) // 2
+            rows.append({
+                "source": src, "n_buckets": int(n),
+                "s_stat": s_stat,
+                "tau": float(s_stat) / float(pairs)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "s_stat", "tau"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MANN_KENDALL_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.source,
+         sum(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+         count(*) AS pairs
+  FROM r a JOIN r b ON b.source = a.source AND b.x > a.x
+  GROUP BY 1
+), n AS (
+  SELECT source, count(*) AS n FROM r GROUP BY 1
+)
+SELECT n.source, CAST(n.n AS BIGINT) AS n_buckets,
+       CAST(p.s_stat AS BIGINT) AS s_stat,
+       CAST(p.s_stat AS DOUBLE) / pairs AS tau
+FROM n JOIN p USING (source) WHERE n.n >= 2
+"""
+
+
+def event_transition_matrix(sf_dir: str):
+    """Global event-type transition counts: consecutive event pairs
+    within each user's timeline (ordered by ts, event_id to pin exact
+    ties) aggregated into the (from_type, to_type) Markov census with
+    each row's share of its from-type — the session-flow fingerprint
+    behind funnel design.  All of a user's events co-locate in the
+    user-keyed exchange where the sort + shift is vectorized; only
+    (from, to, count) integer partials leave it.  Share is ONE
+    int/int divide."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["user_id", "ts", "event_id"],
+                                  kind="stable")
+        same_user = (shard["user_id"].to_numpy()[1:]
+                     == shard["user_id"].to_numpy()[:-1])
+        et = shard["event_type"].to_numpy()
+        g = pd.DataFrame({
+            "from_type": et[:-1][same_user],
+            "to_type": et[1:][same_user],
+            "n": 1}).groupby(["from_type", "to_type"],
+                             as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = sharded_map_groups(ds, "user_id", fold)
+    agg = sharded_aggregate(parts, ["from_type", "to_type"],
+                            {"n": "sum"}, num_shards=2).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "share_of_from": pd.Series([], dtype=np.float64)})
+    tot = agg.groupby("from_type")["n"].transform("sum")
+    return pd.DataFrame({
+        "from_type": agg["from_type"],
+        "to_type": agg["to_type"],
+        "n": agg["n"].astype(np.int64),
+        "share_of_from": agg["n"].to_numpy(np.int64)
+                         / tot.to_numpy(np.int64)})
+
+
+_EVENT_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, sum(n) AS tot FROM c GROUP BY 1
+)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.tot AS share_of_from
+FROM c JOIN t USING (from_type)
+"""
+
+
+def good_turing_unseen(sf_dir: str):
+    """Good-Turing unseen-probability mass per source: the share of
+    word occurrences that are hapax legomena (seen exactly once in the
+    source) — the language-modeling estimate of how much vocabulary a
+    source has NOT shown yet (high mass ⇒ keep crawling it).  Shape:
+    per-batch (source, word) count partials ride one word-keyed
+    exchange that finishes the global counts; each shard emits only
+    (source, n_hapax, n_tokens) integer partials.  One int/int
+    divide."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            srcs.append(np.full(len(ws), s, dtype=object))
+            words.append(np.asarray(ws, dtype=object))
+        if not srcs:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "source": np.concatenate(srcs),
+            "w": np.concatenate(words),
+            "c": 1}).groupby(["source", "w"], as_index=False).sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(tag, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["source", "w"], as_index=False)["c"].sum()
+        out = pd.DataFrame({
+            "source": g["source"],
+            "n_hapax": (g["c"].to_numpy(np.int64) == 1).astype(np.int64),
+            "n_tokens": g["c"].to_numpy(np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    per_src = sharded_map_groups(parts, "w", fold)
+    agg = sharded_aggregate(per_src, "source",
+                            {"n_hapax": "sum", "n_tokens": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_tokens": b["n_tokens"].to_numpy(np.int64),
+            "n_hapax": b["n_hapax"].to_numpy(np.int64),
+            "unseen_mass": b["n_hapax"].to_numpy(np.int64)
+                           / b["n_tokens"].to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_GOOD_TURING_ORACLE = r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               x -> lower(x))) AS w
+  FROM documents
+), c AS (
+  SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(c) AS BIGINT) AS unseen_mass
+FROM c GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -12611,6 +12808,9 @@ def _registry():
         "minute_uniformity_tv": minute_uniformity_tv,
         "ensemble_flags_1h": ensemble_flags_1h,
         "user_value_outliers": user_value_outliers,
+        "mann_kendall_trend": mann_kendall_trend,
+        "event_transition_matrix": event_transition_matrix,
+        "good_turing_unseen": good_turing_unseen,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -12930,6 +13130,9 @@ def oracles():
         "minute_uniformity_tv": _MINUTE_UNIFORMITY_ORACLE,
         "ensemble_flags_1h": _ENSEMBLE_FLAGS_ORACLE,
         "user_value_outliers": _USER_VALUE_OUTLIERS_ORACLE,
+        "mann_kendall_trend": _MANN_KENDALL_ORACLE,
+        "event_transition_matrix": _EVENT_TRANSITION_ORACLE,
+        "good_turing_unseen": _GOOD_TURING_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

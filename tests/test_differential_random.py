@@ -99,6 +99,8 @@ FUZZ_QUERIES = [
     "minute_uniformity_tv",
     "ensemble_flags_1h",
     "user_value_outliers",
+    "mann_kendall_trend",
+    "event_transition_matrix",
 ]
 
 
@@ -243,7 +245,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "word_repetition_ratio", "winnow_fingerprints",
                     "winnow_candidate_pairs", "bottomk_jaccard_sources",
                     "dup_cluster_sizes", "docs_length_audit",
-                    "training_shard_assignment", "length_bucket_mix"]
+                    "training_shard_assignment", "length_bucket_mix",
+                    "good_turing_unseen"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

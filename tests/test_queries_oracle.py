@@ -165,6 +165,9 @@ SUBSET = [
     "minute_uniformity_tv",
     "ensemble_flags_1h",
     "user_value_outliers",
+    "mann_kendall_trend",
+    "event_transition_matrix",
+    "good_turing_unseen",
 ]
 
 
