@@ -12742,6 +12742,130 @@ FROM c GROUP BY 1
 """
 
 
+def seasonal_mann_kendall(sf_dir: str):
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack): the MK S
+    statistic computed WITHIN each hour-of-day stratum and summed —
+    the monotone-trend screen that a daily cycle cannot fool (plain MK
+    reads any seasonal series as trending).  S remains a PURE INTEGER;
+    tau normalizes by the summed per-stratum pair counts with ONE
+    divide.  Same bounded per-source O(Σ nₕ²) cost and source-keyed
+    exchange as ``mann_kendall_trend``."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, xs, y4 in _hourly_int_units(shard):
+            hour = (xs % 24).astype(np.int64)
+            s_stat, pairs = 0, 0
+            for h in range(24):
+                yh = y4[hour == h]
+                if yh.size < 2:
+                    continue
+                diff = np.sign(yh[None, :] - yh[:, None])
+                s_stat += int(np.triu(diff, k=1).sum())
+                pairs += yh.size * (yh.size - 1) // 2
+            if pairs == 0:
+                continue
+            rows.append({
+                "source": src, "n_pairs": pairs, "s_stat": s_stat,
+                "tau": float(s_stat) / float(pairs)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_pairs", "s_stat", "tau"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_SEASONAL_MK_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS x,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.source,
+         sum(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+         count(*) AS pairs
+  FROM r a JOIN r b ON b.source = a.source AND b.x > a.x
+                   AND a.x % 24 = b.x % 24
+  GROUP BY 1
+)
+SELECT source, CAST(pairs AS BIGINT) AS n_pairs,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(s_stat AS DOUBLE) / pairs AS tau
+FROM p
+"""
+
+
+def minhash_signatures_md5(sf_dir: str, k: int = 8):
+    """EXACT-ORACLED MinHash signatures — the hard-oracle anchor for
+    the otherwise rows-only MinHash/LSH family (the engine-private
+    multiply-shift hashes in stages/dedup are faster but not SQL-
+    reproducible; THIS variant's permutation hash is the first 8 bytes
+    of md5('<perm>|<word>'), which DuckDB computes bit-for-bit, so
+    every signature cell is value-checked).  Runs over the
+    deterministic 1-in-4 md5 document sample (the ``hash_sample_docs``
+    gate) to bound the per-word hashing cost — the documented
+    oracle-parity trade.  MAP-ONLY at any corpus scale."""
+    import hashlib
+
+    from .stages.dedup import _WORD_RE
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    kk = int(k)
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_perm, out_sig = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(hashlib.md5(str(doc_id).encode())
+                   .digest()[0]) % 4 != 0:
+                continue
+            words = set(_WORD_RE.findall((text or "").lower()))
+            if not words:
+                continue
+            for p in range(kk):
+                pref = f"{p}|"
+                sig = min(
+                    int.from_bytes(
+                        hashlib.md5((pref + w).encode()).digest()[:8],
+                        "big")
+                    for w in words)
+                out_doc.append(int(doc_id))
+                out_perm.append(p)
+                out_sig.append(sig)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype=np.int64),
+            "perm": pd.Series(out_perm, dtype=np.int64),
+            "sig": pd.Series(out_sig, dtype=np.uint64)})
+
+    return ds.map_batches(sig_batch, batch_format="pandas")
+
+
+_MINHASH_MD5_ORACLE = r"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+             AS INTEGER) % 4 = 0
+), words AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM sample
+), h AS (
+  SELECT doc_id, t.p AS perm,
+         CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR) || '|' || w),
+                              1, 16)) AS UBIGINT) AS hv
+  FROM words, UNNEST(generate_series(0, 7)) AS t(p)
+)
+SELECT doc_id, perm, min(hv) AS sig
+FROM h GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -12811,6 +12935,8 @@ def _registry():
         "mann_kendall_trend": mann_kendall_trend,
         "event_transition_matrix": event_transition_matrix,
         "good_turing_unseen": good_turing_unseen,
+        "seasonal_mann_kendall": seasonal_mann_kendall,
+        "minhash_signatures_md5": minhash_signatures_md5,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13133,6 +13259,8 @@ def oracles():
         "mann_kendall_trend": _MANN_KENDALL_ORACLE,
         "event_transition_matrix": _EVENT_TRANSITION_ORACLE,
         "good_turing_unseen": _GOOD_TURING_ORACLE,
+        "seasonal_mann_kendall": _SEASONAL_MK_ORACLE,
+        "minhash_signatures_md5": _MINHASH_MD5_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -101,6 +101,7 @@ FUZZ_QUERIES = [
     "user_value_outliers",
     "mann_kendall_trend",
     "event_transition_matrix",
+    "seasonal_mann_kendall",
 ]
 
 
@@ -246,7 +247,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "winnow_candidate_pairs", "bottomk_jaccard_sources",
                     "dup_cluster_sizes", "docs_length_audit",
                     "training_shard_assignment", "length_bucket_mix",
-                    "good_turing_unseen"]
+                    "good_turing_unseen", "minhash_signatures_md5"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -168,6 +168,8 @@ SUBSET = [
     "mann_kendall_trend",
     "event_transition_matrix",
     "good_turing_unseen",
+    "seasonal_mann_kendall",
+    "minhash_signatures_md5",
 ]
 
 
