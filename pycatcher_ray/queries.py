@@ -12869,16 +12869,45 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+# Driver-gate priority prefix (verdict r3 item 1): the driver samples a
+# PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
+# the §2-mapped north-rule core — tokens-native pipeline, events rollup
+# tiers, the detector family, decomposition/stationarity, the Gorilla
+# roundtrip — must come first, newest operators right after, everything
+# else behind.  Rows-only entries still sink to the back (partition in
+# queries()).
+_GATE_PRIORITY = [
+    # tokens-native north-rule core
+    "tokens_rollup_1m", "tokens_iqr_flags_1h", "tokens_zscore_flags_1h",
+    "tokens_mad_flags_1h", "tokens_gapfill_1h", "tokens_gapfill_1m",
+    "tokens_audit", "tokens_length_stats",
+    # events §2 core: rollup tiers, retention, detectors, windows
+    "rollup_1m", "rollup_1h", "rollup_1d", "rollup_monthly", "rollup_7d",
+    "rollup_1m_retained", "iqr_flags_1h", "iqr_flags_enriched_1h",
+    "zscore_flags_1h", "mad_flags_1h", "latest_iqr_flag_1h",
+    "moving_average_flags_1d", "rolling_zscore_flags_1h",
+    "stl_recon_1h", "stl_decomposition_1h", "classic_decompose_1h",
+    "classic_residual_flags_1h", "ensemble_flags_1h", "seasonal_envelope",
+    "kpss_level_stat", "dickey_fuller_by_source", "monthwise_box_stats",
+    "gapfill_locf_1h", "chunks_downsample_1h", "p95_hourly_by_source",
+    "approx_users_by_type",
+]
+
+
 def queries():
-    """Registry in driver-gate order: every exact-oracled entry precedes
-    every rows-only entry (the driver samples a prefix when its gate has
-    a budget — verdict r3 item 1), with the §2-mapped / north-rule core
-    first within each class.  The partition is computed from oracles()
-    so a new oracle automatically promotes its query."""
+    """Registry in driver-gate order: the §2-mapped north-rule core
+    (_GATE_PRIORITY) first, then the rest — newest operators lead the
+    registry dict by construction — and within it every exact-oracled
+    entry precedes every rows-only entry (the driver samples a prefix
+    when its gate has a budget — verdict r3 item 1).  The partition is
+    computed from oracles() so a new oracle automatically promotes its
+    query."""
     q = _registry()
     o = oracles()
-    out = {k: v for k, v in q.items() if k in o}
-    out.update((k, v) for k, v in q.items() if k not in o)
+    ordered = {k: q[k] for k in _GATE_PRIORITY if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    out = {k: v for k, v in ordered.items() if k in o}
+    out.update((k, v) for k, v in ordered.items() if k not in o)
     return out
 
 
