@@ -12869,6 +12869,92 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+def rollup_grouping_sets(sf_dir: str):
+    """Multi-level daily census in ONE pass — GROUPING SETS
+    ((source, day), (source), (day), ()) with counts and exact
+    round(sum,4) totals: the OLAP-cube shape a dashboard backend
+    issues, computed from a single finest-level partial table instead
+    of four scans.  Engine: per-batch (source, day) float-sum/int-count
+    partials → one tiny exchange finishes the finest level → the three
+    coarser levels re-aggregate THE SAME partials on the driver
+    (bounded by sources×days rows); every emitted sum applies
+    ``_round_exact`` to its own full-precision float total, matching
+    DuckDB's round(sum(value), 4) per grouping set (the rollup-tier
+    argument: 2-decimal inputs keep float drift orders below the 1e-4
+    quantum).  grouping_id: 0=cell, 1=source total, 2=day total,
+    3=grand total; NULL dims encode as '' / 1970-01-01 sentinels on
+    BOTH sides to keep the hash comparable."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 86400)
+        g = pd.DataFrame({
+            "source": batch["event_type"], "day": day,
+            "n_events": 1, "sv": batch["value"].to_numpy(np.float64),
+        }).groupby(["source", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), sv=("sv", "sum"))
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    cells = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "day"], {"n_events": "sum", "sv": "sum"},
+        num_shards=2).to_pandas()
+    cols = ["grouping_id", "source", "day", "n_events", "sum_value"]
+    if cells.empty:
+        return pd.DataFrame({
+            "grouping_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype=np.int64),
+            "sum_value": pd.Series([], dtype=np.float64)})
+
+    def emit(df, gid, with_src, with_day):
+        return pd.DataFrame({
+            "grouping_id": np.full(len(df), gid, dtype=np.int64),
+            "source": df["source"] if with_src
+            else np.full(len(df), "", dtype=object),
+            "day": pd.to_datetime(
+                (df["day"].to_numpy(np.int64) if with_day else
+                 np.zeros(len(df), dtype=np.int64)) * 86400, unit="s"),
+            "n_events": df["n_events"].to_numpy(np.int64),
+            "sum_value": _round_exact(df["sv"].to_numpy(np.float64))})
+
+    finest = cells.groupby(["source", "day"], as_index=False).agg(
+        n_events=("n_events", "sum"), sv=("sv", "sum"))
+    by_src = finest.groupby("source", as_index=False).agg(
+        n_events=("n_events", "sum"), sv=("sv", "sum"))
+    by_day = finest.groupby("day", as_index=False).agg(
+        n_events=("n_events", "sum"), sv=("sv", "sum"))
+    by_day["source"] = ""
+    grand = pd.DataFrame({
+        "source": [""], "day": [0],
+        "n_events": [finest["n_events"].sum()],
+        "sv": [finest["sv"].sum()]})
+    by_src["day"] = 0
+    return pd.concat([
+        emit(finest, 0, True, True), emit(by_src, 1, True, False),
+        emit(by_day, 2, False, True), emit(grand, 3, False, False),
+    ], ignore_index=True)[cols]
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT CASE WHEN event_type IS NULL AND d IS NULL THEN 3
+            WHEN event_type IS NULL THEN 2
+            WHEN d IS NULL THEN 1 ELSE 0 END AS grouping_id,
+       coalesce(event_type, '') AS source,
+       coalesce(d, TIMESTAMP '1970-01-01') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, date_trunc('day', ts) AS d, value FROM events)
+GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -12966,6 +13052,7 @@ def _registry():
         "good_turing_unseen": good_turing_unseen,
         "seasonal_mann_kendall": seasonal_mann_kendall,
         "minhash_signatures_md5": minhash_signatures_md5,
+        "rollup_grouping_sets": rollup_grouping_sets,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13290,6 +13377,7 @@ def oracles():
         "good_turing_unseen": _GOOD_TURING_ORACLE,
         "seasonal_mann_kendall": _SEASONAL_MK_ORACLE,
         "minhash_signatures_md5": _MINHASH_MD5_ORACLE,
+        "rollup_grouping_sets": _GROUPING_SETS_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

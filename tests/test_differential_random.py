@@ -102,6 +102,7 @@ FUZZ_QUERIES = [
     "mann_kendall_trend",
     "event_transition_matrix",
     "seasonal_mann_kendall",
+    "rollup_grouping_sets",
 ]
 
 

@@ -170,6 +170,7 @@ SUBSET = [
     "good_turing_unseen",
     "seasonal_mann_kendall",
     "minhash_signatures_md5",
+    "rollup_grouping_sets",
 ]
 
 
