@@ -12869,6 +12869,84 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+def shipping_delay_histogram(sf_dir: str):
+    """Order-to-ship latency distribution by priority — the
+    fulfillment-SLA histogram, as a FACT-FACT distributed join:
+    lineitem reduces to (orderkey, ship_day, count) integer partials
+    per batch, meets the order rows in one orderkey-hash exchange
+    whose shard fn computes delay_days = ship_day − order_day and
+    emits (priority, delay, count) partials; a tiny second exchange
+    folds the ≤ priorities × delays histogram.  Pure integer epoch-day
+    arithmetic — bit-exact."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "day": (b["o_orderdate"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+            "o_orderpriority": b["o_orderpriority"],
+            "cnt": np.int64(0),
+            "kind": np.int64(1),
+        })
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "day": (b["l_shipdate"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+        }).groupby(["okey", "day"], as_index=False).size()
+        return pd.DataFrame({
+            "okey": g["okey"], "day": g["day"],
+            "o_orderpriority": "", "cnt": g["size"].astype(np.int64),
+            "kind": np.int64(0)})
+
+    both = line.map_batches(ship_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def delays(g: pd.DataFrame) -> pd.DataFrame:
+        ship = g[g["kind"] == 0].groupby(["okey", "day"],
+                                         as_index=False)["cnt"].sum()
+        o = g[g["kind"] == 1][["okey", "day", "o_orderpriority"]].rename(
+            columns={"day": "oday"})
+        j = ship.merge(o, on="okey", how="inner")
+        j["delay_days"] = j["day"] - j["oday"]
+        out = j.groupby(["o_orderpriority", "delay_days"],
+                        as_index=False)["cnt"].sum()
+        return out.rename(columns={"cnt": "n_items"})
+
+    partials = sharded_map_groups(both, "okey", delays)
+    agg = sharded_aggregate(partials, ["o_orderpriority", "delay_days"],
+                            {"n_items": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "delay_days": b["delay_days"].astype(np.int64),
+            "n_items": b["n_items"].astype(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_SHIPPING_DELAY_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(epoch(date_trunc('day', l.l_shipdate)) AS BIGINT) // 86400
+         - CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT) // 86400
+         AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
 def rollup_grouping_sets(sf_dir: str):
     """Multi-level daily census in ONE pass — GROUPING SETS
     ((source, day), (source), (day), ()) with counts and exact
@@ -13053,6 +13131,7 @@ def _registry():
         "seasonal_mann_kendall": seasonal_mann_kendall,
         "minhash_signatures_md5": minhash_signatures_md5,
         "rollup_grouping_sets": rollup_grouping_sets,
+        "shipping_delay_histogram": shipping_delay_histogram,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13378,6 +13457,7 @@ def oracles():
         "seasonal_mann_kendall": _SEASONAL_MK_ORACLE,
         "minhash_signatures_md5": _MINHASH_MD5_ORACLE,
         "rollup_grouping_sets": _GROUPING_SETS_ORACLE,
+        "shipping_delay_histogram": _SHIPPING_DELAY_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

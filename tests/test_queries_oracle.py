@@ -171,6 +171,7 @@ SUBSET = [
     "seasonal_mann_kendall",
     "minhash_signatures_md5",
     "rollup_grouping_sets",
+    "shipping_delay_histogram",
 ]
 
 
