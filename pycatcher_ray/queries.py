@@ -4967,10 +4967,11 @@ _TOKENS_HOURLY = """, r AS (
 )"""
 
 
-def _tokens_rollup_oracle() -> str:
-    return _tokens_oracle_cte() + """
+def _tokens_rollup_oracle(bucket_seconds: int = 60) -> str:
+    return _tokens_oracle_cte() + f"""
 SELECT source,
-       to_timestamp(epoch_s - (epoch_s % 60)) AT TIME ZONE 'UTC' AS bucket_start,
+       to_timestamp(epoch_s - (epoch_s % {bucket_seconds}))
+         AT TIME ZONE 'UTC' AS bucket_start,
        CAST(sum(n_tok) AS DOUBLE) AS sum_value,
        count(*) AS n_points,
        CAST(min(n_tok) AS DOUBLE) AS min_value,
@@ -4978,6 +4979,30 @@ SELECT source,
        CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_value
 FROM t GROUP BY 1, 2
 """
+
+
+def tokens_rollup_1h(sf_dir: str):
+    """Hourly retention tier of the NATIVE tokens rollup, exact-oracled
+    — with ``tokens_rollup_1m`` and ``tokens_rollup_1d`` this
+    value-checks the north rule's 'match the rolled-up points at each
+    retention tier' on the native input: the cascade re-aggregates the
+    1m tier (raw stream never re-read), and every statistic is exact
+    (integer token counts in float64 ≪ 2⁵³; mean is ONE divide)."""
+    return _tokens_rollup_tier(sf_dir, "1h")
+
+
+def tokens_rollup_1d(sf_dir: str):
+    """Daily retention tier of the native tokens rollup (cascaded from
+    the memoized 1h tier) — see ``tokens_rollup_1h``."""
+    return _tokens_rollup_tier(sf_dir, "1d")
+
+
+def _tokens_rollup_tier(sf_dir: str, tier: str):
+    if tier == "1h":
+        return _tokens_rollup_1h(sf_dir)
+    return _memo_ds(("tok_roll", os.path.abspath(sf_dir), "1d"),
+                    lambda: cascade(_tokens_rollup_1h(sf_dir), "source",
+                                    86400))
 
 
 def _tokens_gapfill_oracle(bucket_seconds: int) -> str:
@@ -13042,7 +13067,8 @@ GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
 # queries()).
 _GATE_PRIORITY = [
     # tokens-native north-rule core
-    "tokens_rollup_1m", "tokens_iqr_flags_1h", "tokens_zscore_flags_1h",
+    "tokens_rollup_1m", "tokens_rollup_1h", "tokens_rollup_1d",
+    "tokens_iqr_flags_1h", "tokens_zscore_flags_1h",
     "tokens_mad_flags_1h", "tokens_gapfill_1h", "tokens_gapfill_1m",
     "tokens_audit", "tokens_length_stats",
     # events §2 core: rollup tiers, retention, detectors, windows
@@ -13078,6 +13104,8 @@ def queries():
 def _registry():
     return {
         "tokens_rollup_1m": tokens_rollup_1m,
+        "tokens_rollup_1h": tokens_rollup_1h,
+        "tokens_rollup_1d": tokens_rollup_1d,
         "tokens_iqr_flags_1h": tokens_iqr_flags_1h,
         "tokens_zscore_flags_1h": tokens_zscore_flags_1h,
         "tokens_mad_flags_1h": tokens_mad_flags_1h,
@@ -13404,6 +13432,8 @@ def oracles():
         # tokens_flags_1h (LOESS/ESD detectors) and tokens_chunks_1m
         # (Gorilla blobs) stay rows-only — not SQL-expressible.
         "tokens_rollup_1m": _tokens_rollup_oracle(),
+        "tokens_rollup_1h": _tokens_rollup_oracle(3600),
+        "tokens_rollup_1d": _tokens_rollup_oracle(86400),
         "tokens_iqr_flags_1h": _tokens_iqr_oracle(),
         "tokens_zscore_flags_1h": _tokens_zscore_oracle(),
         "tokens_mad_flags_1h": _tokens_mad_oracle(),

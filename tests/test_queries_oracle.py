@@ -172,6 +172,8 @@ SUBSET = [
     "minhash_signatures_md5",
     "rollup_grouping_sets",
     "shipping_delay_histogram",
+    "tokens_rollup_1h",
+    "tokens_rollup_1d",
 ]
 
 

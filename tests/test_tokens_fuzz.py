@@ -22,6 +22,8 @@ from check_oracles import canon, to_pandas  # noqa: E402
 # every tokens-native oracle-paired query (reads _tokens_paths)
 FUZZ_TOKEN_QUERIES = [
     "tokens_rollup_1m",
+    "tokens_rollup_1h",
+    "tokens_rollup_1d",
     "tokens_length_stats",
     "tokens_audit",
     "token_bigram_ttr",
