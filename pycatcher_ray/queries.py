@@ -12894,6 +12894,145 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+def peak_concurrent_sessions(sf_dir: str):
+    """Peak CONCURRENT sessions over the whole stream — the capacity
+    number a connection-pool/serving planner asks for — via the classic
+    sweep line over session intervals: +1 at each session start, −1
+    just after each (inclusive) end, running-sum max.  Sessions come
+    out of the same >30-min-idle rule as ``session_windows`` inside
+    the user-keyed exchange; only the (start_us, end_us) interval
+    table leaves it — bounded by session count, orders of magnitude
+    below the event stream (the documented driver-fold bound).  Tie
+    rule pinned both sides: at equal timestamps +1 sorts before −1
+    (inclusive ends), and the earliest instant attaining the peak is
+    reported.  Pure integer microsecond arithmetic."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
+        sid = new_session.cumsum()
+        out = g.groupby(sid).agg(start=("ts", "min"), end=("ts", "max"))
+        return pd.DataFrame({
+            "start_us": out["start"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64),
+            "end_us": out["end"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64)})
+
+    iv = sharded_map_groups(ds, "user_id", sessions_shard).to_pandas()
+    if iv.empty:
+        return pd.DataFrame({
+            "peak_sessions": pd.Series([], dtype=np.int64),
+            "at_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_sessions": pd.Series([], dtype=np.int64)})
+    t = np.concatenate([iv["start_us"].to_numpy(np.int64),
+                        iv["end_us"].to_numpy(np.int64)])
+    d = np.concatenate([np.ones(len(iv), dtype=np.int64),
+                        -np.ones(len(iv), dtype=np.int64)])
+    # +1 before −1 at equal instants (inclusive ends): sort by (t, -d)
+    order = np.lexsort((-d, t))
+    run = np.cumsum(d[order])
+    peak = int(run.max())
+    at_us = int(t[order][int(np.argmax(run))])  # first max = earliest
+    return pd.DataFrame({
+        "peak_sessions": np.array([peak], dtype=np.int64),
+        "at_ts": pd.to_datetime([at_us], unit="us"),
+        "n_sessions": np.array([len(iv)], dtype=np.int64)})
+
+
+_PEAK_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sess AS (
+  SELECT epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM numbered GROUP BY user_id, session_id
+), pts AS (
+  SELECT s_us AS t, 1 AS d FROM sess
+  UNION ALL SELECT e_us, -1 FROM sess
+), run AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d DESC
+                         ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT CAST(c AS BIGINT) AS peak_sessions,
+       to_timestamp(CAST(t AS DOUBLE) / 1000000) AT TIME ZONE 'UTC'
+         AS at_ts,
+       (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+FROM run ORDER BY c DESC, t ASC LIMIT 1
+"""
+
+
+def embedding_dup_vectors(sf_dir: str):
+    """Exact duplicate-VECTOR census over the embedding table (group by
+    the raw float32 payload, bit-equality): repeated vectors are the
+    classic symptom of an upstream encoder cache bug or collapsed
+    inputs, and they silently distort ANN recall evals.  Per batch each
+    row's raw little-endian float32 bytes hash to a 128-bit md5 key —
+    DuckDB cannot reproduce THAT hash, so the oracle groups by the
+    list VALUE itself (true bit-equality), which checks the engine's
+    digest contract.  Only (keep_id, count) digest partials leave the
+    map; one digest-keyed exchange finishes groups."""
+    import hashlib
+
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float32)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        mat = vals.reshape(n, d)
+        ids = tb["vec_id"].to_numpy()
+        h1 = np.empty(n, dtype=np.int64)
+        h2 = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            dig = hashlib.md5(mat[i].tobytes()).digest()
+            h1[i] = int.from_bytes(dig[:8], "big", signed=True)
+            h2[i] = int.from_bytes(dig[8:], "big", signed=True)
+        g = pd.DataFrame({"h1": h1, "h2": h2, "vec_id": ids,
+                          "cnt": 1}).groupby(["h1", "h2"],
+                                             as_index=False).agg(
+            keep_id=("vec_id", "min"), cnt=("cnt", "sum"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["h1", "h2"], as_index=False).agg(
+            keep_id=("keep_id", "min"), n_dups=("cnt", "sum"))
+        g = g[g["n_dups"] >= 2]
+        return pd.DataFrame({
+            "keep_id": g["keep_id"].astype(np.int64),
+            "n_dups": g["n_dups"].astype(np.int64)})
+
+    return sharded_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h1", "h2"], combine)
+
+
+_EMBEDDING_DUP_ORACLE = """
+SELECT min(vec_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM embeddings GROUP BY embedding HAVING count(*) >= 2
+"""
+
+
 def shipping_delay_histogram(sf_dir: str):
     """Order-to-ship latency distribution by priority — the
     fulfillment-SLA histogram, as a FACT-FACT distributed join:
@@ -13160,6 +13299,8 @@ def _registry():
         "minhash_signatures_md5": minhash_signatures_md5,
         "rollup_grouping_sets": rollup_grouping_sets,
         "shipping_delay_histogram": shipping_delay_histogram,
+        "peak_concurrent_sessions": peak_concurrent_sessions,
+        "embedding_dup_vectors": embedding_dup_vectors,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13488,6 +13629,8 @@ def oracles():
         "minhash_signatures_md5": _MINHASH_MD5_ORACLE,
         "rollup_grouping_sets": _GROUPING_SETS_ORACLE,
         "shipping_delay_histogram": _SHIPPING_DELAY_ORACLE,
+        "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
+        "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

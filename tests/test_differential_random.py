@@ -103,6 +103,7 @@ FUZZ_QUERIES = [
     "event_transition_matrix",
     "seasonal_mann_kendall",
     "rollup_grouping_sets",
+    "peak_concurrent_sessions",
 ]
 
 

@@ -27,6 +27,7 @@ FUZZ_EMB_QUERIES = [
     "embedding_dim_variance",
     "centroid_confusion",
     "embedding_dim_covariance",
+    "embedding_dup_vectors",
 ]
 
 DIMS = 16

@@ -174,6 +174,8 @@ SUBSET = [
     "shipping_delay_histogram",
     "tokens_rollup_1h",
     "tokens_rollup_1d",
+    "peak_concurrent_sessions",
+    "embedding_dup_vectors",
 ]
 
 
