@@ -12894,6 +12894,74 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+def daily_hhi(sf_dir: str):
+    """Daily Herfindahl-Hirschman concentration of volume across
+    sources — 'is today's traffic one feed or the fleet?' (HHI → 1 is
+    a single-source day; → 1/k is even).  EXACT rational: with
+    per-(day, source) volume v = round(sum,4)·10⁴ ints, HHI =
+    Σ_s v_s² / (Σ_s v_s)² — bigint numerator and denominator folded in
+    Python ints over the bounded days×sources table, ONE
+    VARCHAR-bridged divide.  Days whose total volume is 0 are omitted
+    (both sides).  Map-only partials + one tiny exchange."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].to_numpy().astype("datetime64[s]")
+               .astype(np.int64) // 86400)
+        g = pd.DataFrame({
+            "source": batch["event_type"], "day": day,
+            "sv": batch["value"].to_numpy(np.float64),
+        }).groupby(["source", "day"], as_index=False)["sv"].sum()
+        return g
+
+    cells = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "day"], {"sv": "sum"}, num_shards=2).to_pandas()
+    if cells.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_sources": pd.Series([], dtype=np.int64),
+            "hhi": pd.Series([], dtype=np.float64)})
+    v4 = np.rint(_round_exact(cells["sv"].to_numpy(np.float64))
+                 * 10000.0).astype(np.int64)
+    cells = cells.assign(v4=v4)
+    rows = []
+    for day, g in cells.groupby("day"):
+        vs = [int(v) for v in g["v4"]]
+        tot = sum(vs)
+        if tot == 0:
+            continue
+        num = sum(v * v for v in vs)
+        rows.append({
+            "day": pd.Timestamp(int(day) * 86400, unit="s"),
+            "n_sources": len(vs),
+            "hhi": float(num) / float(tot * tot)})
+    return pd.DataFrame(rows, columns=["day", "n_sources", "hhi"])
+
+
+_DAILY_HHI_ORACLE = """
+WITH c AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT day, count(*) AS n_sources,
+         sum(CAST(v4 AS HUGEINT) * v4) AS num,
+         sum(CAST(v4 AS HUGEINT)) AS tot
+  FROM c GROUP BY 1
+)
+SELECT to_timestamp(day * 86400) AT TIME ZONE 'UTC' AS day,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tot * tot AS VARCHAR) AS DOUBLE) AS hhi
+FROM a WHERE tot <> 0
+"""
+
+
 def peak_concurrent_sessions(sf_dir: str):
     """Peak CONCURRENT sessions over the whole stream — the capacity
     number a connection-pool/serving planner asks for — via the classic
@@ -13301,6 +13369,7 @@ def _registry():
         "shipping_delay_histogram": shipping_delay_histogram,
         "peak_concurrent_sessions": peak_concurrent_sessions,
         "embedding_dup_vectors": embedding_dup_vectors,
+        "daily_hhi": daily_hhi,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13631,6 +13700,7 @@ def oracles():
         "shipping_delay_histogram": _SHIPPING_DELAY_ORACLE,
         "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
+        "daily_hhi": _DAILY_HHI_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -104,6 +104,7 @@ FUZZ_QUERIES = [
     "seasonal_mann_kendall",
     "rollup_grouping_sets",
     "peak_concurrent_sessions",
+    "daily_hhi",
 ]
 
 

@@ -176,6 +176,7 @@ SUBSET = [
     "tokens_rollup_1d",
     "peak_concurrent_sessions",
     "embedding_dup_vectors",
+    "daily_hhi",
 ]
 
 
