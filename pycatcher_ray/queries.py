@@ -12894,6 +12894,188 @@ FROM h GROUP BY 1, 2
 # ------------------------------------------------------------- registry
 
 
+def repeat_order_interval(sf_dir: str):
+    """Median reorder interval (days between a customer's consecutive
+    orders) per market segment — the repeat-purchase cadence behind
+    inventory planning.  Distributed plan: orders and customer
+    (custkey → segment) rows meet in ONE custkey-hash exchange
+    (the mktsegment_revenue shape); per-customer sorted day-gaps are
+    pure integers, and only (segment, gap_days) rows — bounded by the
+    ORDER count, not events — ride a tiny second exchange whose fold
+    applies the bit-pinned two-product quantile_cont."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].astype(np.int64),
+            "seg": b["c_mktsegment"].astype(str),
+            "day": np.int64(0),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].astype(np.int64),
+            "seg": "",
+            "day": (b["o_orderdate"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+            "kind": np.int64(0)})
+
+    both = orders.map_batches(order_rows, batch_format="pandas").union(
+        cust.map_batches(cust_rows, batch_format="pandas"))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "seg"]].drop_duplicates("ckey")
+        o = g[g["kind"] == 0][["ckey", "day"]].sort_values(
+            ["ckey", "day"], kind="stable")
+        same = o["ckey"].to_numpy()[1:] == o["ckey"].to_numpy()[:-1]
+        d = o["day"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "ckey": o["ckey"].to_numpy()[1:][same],
+            "gap_days": (d[1:] - d[:-1])[same]})
+        return out.merge(c, on="ckey")[["seg", "gap_days"]]
+
+    pairs = sharded_map_groups(both, "ckey", gaps)
+
+    def med(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, g in shard.groupby("seg"):
+            rows.append({
+                "segment": seg,
+                "n_gaps": len(g),
+                "median_gap_days": quantile_cont(
+                    g["gap_days"].to_numpy(np.float64), 0.5)})
+        return pd.DataFrame(rows, columns=[
+            "segment", "n_gaps", "median_gap_days"])
+
+    return sharded_map_groups(pairs, "seg", med)
+
+
+_REPEAT_INTERVAL_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS ckey,
+         CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+           AS day
+  FROM orders
+), g AS (
+  SELECT ckey,
+         day - lag(day) OVER (PARTITION BY ckey ORDER BY day) AS gap
+  FROM o
+), j AS (
+  SELECT c.c_mktsegment AS segment, g.gap
+  FROM g JOIN customer c ON c.c_custkey = g.ckey
+  WHERE g.gap IS NOT NULL
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_gaps,
+       quantile_cont(CAST(gap AS DOUBLE), 0.5) AS median_gap_days
+FROM j GROUP BY 1
+"""
+
+
+def brand_pareto(sf_dir: str):
+    """Revenue Pareto over part brands: how many brands cover ≥80% of
+    lineitem revenue — the assortment-concentration number.  EXACT by
+    the integer-units trick: per-brand revenue rounds to 10⁻⁴-unit
+    ints, brands sort by (revenue DESC, brand ASC), and the 80%
+    condition is the INTEGER comparison 5·cum ≥ 4·total (no float
+    threshold anywhere).  Shape: lineitem reduces per batch to
+    (partkey, rev) partials that meet the part (partkey → brand) rows
+    in one partkey-hash exchange; the ≤ brands × shards partial table
+    folds on the driver."""
+    from .stages.shard import sharded_map_groups
+
+    part = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"])
+
+    def part_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pkey": b["p_partkey"].astype(np.int64),
+            "brand": b["p_brand"].astype(str),
+            "rev": np.float64(0),
+            "kind": np.int64(1)})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        rev = (b["l_extendedprice"].to_numpy(np.float64)
+               * (1.0 - b["l_discount"].to_numpy(np.float64)))
+        g = pd.DataFrame({
+            "pkey": b["l_partkey"].to_numpy(np.int64),
+            "rev": rev}).groupby("pkey", as_index=False)["rev"].sum()
+        g["brand"] = ""
+        g["kind"] = np.int64(0)
+        return g[["pkey", "brand", "rev", "kind"]]
+
+    both = line.map_batches(line_rows, batch_format="pandas").union(
+        part.map_batches(part_rows, batch_format="pandas"))
+
+    def per_brand(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["kind"] == 1][["pkey", "brand"]].drop_duplicates("pkey")
+        l_ = g[g["kind"] == 0].groupby("pkey", as_index=False)[
+            "rev"].sum()
+        j = l_.merge(p, on="pkey", how="inner")
+        return j.groupby("brand", as_index=False)["rev"].sum()
+
+    parts_tbl = sharded_map_groups(both, "pkey", per_brand).to_pandas()
+    if parts_tbl.empty:
+        return pd.DataFrame({
+            "n_brands_80": pd.Series([], dtype=np.int64),
+            "n_brands_total": pd.Series([], dtype=np.int64),
+            "covered_share": pd.Series([], dtype=np.float64)})
+    br = parts_tbl.groupby("brand", as_index=False)["rev"].sum()
+    v4 = np.rint(_round_exact(br["rev"].to_numpy(np.float64))
+                 * 10000.0).astype(np.int64)
+    order = sorted(zip(br["brand"], v4),
+                   key=lambda t: (-t[1], t[0]))
+    total = sum(int(v) for _, v in order)
+    cum, k = 0, 0
+    for _, v in order:
+        cum += int(v)
+        k += 1
+        if 5 * cum >= 4 * total:
+            break
+    return pd.DataFrame({
+        "n_brands_80": np.array([k], dtype=np.int64),
+        "n_brands_total": np.array([len(order)], dtype=np.int64),
+        "covered_share": np.array([float(cum) / float(total)])})
+
+
+_BRAND_PARETO_ORACLE = """
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                    * 10000) AS BIGINT) AS v4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+), r AS (
+  SELECT brand, v4,
+         sum(v4) OVER (ORDER BY v4 DESC, brand ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(v4) OVER () AS tot,
+         row_number() OVER (ORDER BY v4 DESC, brand ASC) AS rk
+  FROM b
+), hit AS (
+  SELECT min(rk) AS k FROM r WHERE 5 * cum >= 4 * tot
+)
+SELECT CAST(hit.k AS BIGINT) AS n_brands_80,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_brands_total,
+       (SELECT CAST(r2.cum AS DOUBLE) / r2.tot FROM r r2
+        WHERE r2.rk = hit.k) AS covered_share
+FROM hit
+"""
+
+
 def daily_hhi(sf_dir: str):
     """Daily Herfindahl-Hirschman concentration of volume across
     sources — 'is today's traffic one feed or the fleet?' (HHI → 1 is
@@ -13370,6 +13552,8 @@ def _registry():
         "peak_concurrent_sessions": peak_concurrent_sessions,
         "embedding_dup_vectors": embedding_dup_vectors,
         "daily_hhi": daily_hhi,
+        "repeat_order_interval": repeat_order_interval,
+        "brand_pareto": brand_pareto,
         "nation_market_share": nation_market_share,
         "rollup_1m": lambda d: rollup_events(d, "1m"),
         "rollup_1h": lambda d: rollup_events(d, "1h"),
@@ -13701,6 +13885,8 @@ def oracles():
         "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "daily_hhi": _DAILY_HHI_ORACLE,
+        "repeat_order_interval": _REPEAT_INTERVAL_ORACLE,
+        "brand_pareto": _BRAND_PARETO_ORACLE,
         "nation_market_share": _Q8_ORACLE,
         "token_head_buckets": _token_head_buckets_oracle(),
         "token_oov_rate": _token_oov_oracle(),

@@ -177,6 +177,8 @@ SUBSET = [
     "peak_concurrent_sessions",
     "embedding_dup_vectors",
     "daily_hhi",
+    "repeat_order_interval",
+    "brand_pareto",
 ]
 
 
