@@ -13076,6 +13076,126 @@ FROM hit
 """
 
 
+def centroid_purity(sf_dir: str):
+    """Cluster-purity census per label: how many of a label's vectors
+    sit strictly CLOSER to some rival label's centroid than to their
+    own — the mislabel/collapse screen one step past
+    ``label_centroid_separation``.  EXACT by cross-multiplied integers:
+    with per-label quantized sums S and counts n (floor(float64·10⁶)
+    int64), dist²-to-centroid comparisons reduce to
+    D_a·n_b² vs D_b·n_a² where D_x = Σ_d (q_d·n_x − S_{x,d})² is a
+    pure bigint — no division, no float, ties are NOT violations on
+    both sides.  Scale shape: per-batch (label, dim) sum partials fold
+    to the labels×dims moment table (bounded, broadcast back via
+    closure); the violation pass is MAP-ONLY with per-batch
+    (label, n, viol) integer partials."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def moment_partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        lab = tb["label"].to_numpy()
+        df = pd.DataFrame({"label": np.repeat(lab, d),
+                           "dim": np.tile(np.arange(d), n),
+                           "s": q.ravel(), "cnt": 0})
+        g = df.groupby(["label", "dim"], as_index=False)["s"].sum()
+        cnt = pd.DataFrame({"label": lab}).groupby(
+            "label", as_index=False).size().rename(
+            columns={"size": "s"})
+        cnt["dim"] = -1
+        return pd.concat([g, cnt[["label", "dim", "s"]]],
+                         ignore_index=True)
+
+    mom = ds.map_batches(moment_partial,
+                         batch_format="pyarrow").to_pandas()
+    if mom.empty:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "n_violations": pd.Series([], dtype=np.int64)})
+    mom = mom.groupby(["label", "dim"], as_index=False)["s"].sum()
+    counts = {int(r.label): int(r.s)
+              for r in mom[mom["dim"] == -1].itertuples()}
+    labels = sorted(counts)
+    dims = int(mom["dim"].max()) + 1
+    S = {lb: np.zeros(dims, dtype=np.int64) for lb in labels}
+    for r in mom[mom["dim"] >= 0].itertuples():
+        S[int(r.label)][int(r.dim)] = int(r.s)
+
+    def violations(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        lab = tb["label"].to_numpy()
+        rows = []
+        for i in range(n):
+            a = int(lab[i])
+            qa = [int(v) for v in q[i]]
+            def dist_num(lb):
+                nb, sb = counts[lb], S[lb]
+                return sum((qv * nb - int(sv)) ** 2
+                           for qv, sv in zip(qa, sb))
+            da = dist_num(a)
+            na2 = counts[a] * counts[a]
+            viol = any(
+                dist_num(b) * na2 < da * counts[b] * counts[b]
+                for b in labels if b != a)
+            rows.append((a, 1, 1 if viol else 0))
+        out = pd.DataFrame(rows, columns=["label", "n_vecs",
+                                          "n_violations"])
+        return out.groupby("label", as_index=False).sum()
+
+    parts = ds.map_batches(violations, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label", as_index=False).sum()
+    return pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "n_violations": agg["n_violations"].astype(np.int64)})
+
+
+_CENTROID_PURITY_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), ls AS (
+  SELECT label, dim, CAST(sum(qv) AS HUGEINT) AS s FROM q GROUP BY 1, 2
+), ln AS (
+  SELECT label, CAST(count(*) AS HUGEINT) AS n FROM embeddings GROUP BY 1
+), dmat AS (
+  SELECT q.vec_id, q.label AS own_label, ls.label AS cand_label,
+         sum((CAST(q.qv AS HUGEINT) * ln.n - ls.s)
+             * (CAST(q.qv AS HUGEINT) * ln.n - ls.s)) AS dnum,
+         any_value(ln.n) AS cand_n
+  FROM q JOIN ls ON ls.dim = q.dim
+         JOIN ln ON ln.label = ls.label
+  GROUP BY 1, 2, 3
+), flag AS (
+  SELECT own.vec_id, own.own_label AS label,
+         max(CASE WHEN riv.dnum * own.cand_n * own.cand_n
+                       < own.dnum * riv.cand_n * riv.cand_n
+                  THEN 1 ELSE 0 END) AS viol
+  FROM dmat own
+  JOIN dmat riv ON riv.vec_id = own.vec_id
+               AND riv.cand_label <> own.own_label
+  WHERE own.cand_label = own.own_label
+  GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(viol) AS BIGINT) AS n_violations
+FROM flag GROUP BY 1
+"""
+
+
 def daily_hhi(sf_dir: str):
     """Daily Herfindahl-Hirschman concentration of volume across
     sources — 'is today's traffic one feed or the fleet?' (HHI → 1 is
@@ -13552,6 +13672,7 @@ def _registry():
         "peak_concurrent_sessions": peak_concurrent_sessions,
         "embedding_dup_vectors": embedding_dup_vectors,
         "daily_hhi": daily_hhi,
+        "centroid_purity": centroid_purity,
         "repeat_order_interval": repeat_order_interval,
         "brand_pareto": brand_pareto,
         "nation_market_share": nation_market_share,
@@ -13885,6 +14006,7 @@ def oracles():
         "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "daily_hhi": _DAILY_HHI_ORACLE,
+        "centroid_purity": _CENTROID_PURITY_ORACLE,
         "repeat_order_interval": _REPEAT_INTERVAL_ORACLE,
         "brand_pareto": _BRAND_PARETO_ORACLE,
         "nation_market_share": _Q8_ORACLE,

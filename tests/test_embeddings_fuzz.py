@@ -28,6 +28,7 @@ FUZZ_EMB_QUERIES = [
     "centroid_confusion",
     "embedding_dim_covariance",
     "embedding_dup_vectors",
+    "centroid_purity",
 ]
 
 DIMS = 16

@@ -179,6 +179,7 @@ SUBSET = [
     "daily_hhi",
     "repeat_order_interval",
     "brand_pareto",
+    "centroid_purity",
 ]
 
 
