@@ -13076,6 +13076,244 @@ FROM hit
 """
 
 
+def tokens_peak_24h(sf_dir: str):
+    """Peak sliding-24-observed-hour token throughput per source over
+    the NATIVE tokens hourly tier — the capacity headline ('what is
+    this feed's worst-case day?').  Window = 24 consecutive OBSERVED
+    hourly buckets (ROWS window, both sides); sums are exact integers
+    (token counts in float64 ≪ 2⁵³ per bucket; the window total
+    re-sums 24 exact ints).  One source-keyed exchange over the
+    memoized 1h tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir).select_columns(
+        ["source", "bucket_start", "sum_value"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            v = g["sum_value"].to_numpy(np.float64).astype(np.int64)
+            if v.size < 24:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(v, 24)
+            sums = win.sum(axis=1)
+            j = int(np.argmax(sums))  # first max = earliest window
+            rows.append({
+                "source": src,
+                "peak_tokens_24h": int(sums[j]),
+                "window_end": g["bucket_start"].to_numpy()[j + 23]})
+        return pd.DataFrame(rows, columns=[
+            "source", "peak_tokens_24h", "window_end"])
+
+    return sharded_map_groups(roll, "source", fold)
+
+
+def _tokens_peak_oracle() -> str:
+    return _tokens_oracle_cte() + """
+, r AS (
+  SELECT source,
+         to_timestamp(epoch_s - (epoch_s % 3600)) AT TIME ZONE 'UTC'
+           AS bucket_start,
+         sum(n_tok) AS v
+  FROM t GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start,
+         sum(v) OVER (PARTITION BY source ORDER BY bucket_start
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS s24,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_start
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS wn
+  FROM r
+)
+SELECT source, CAST(s24 AS BIGINT) AS peak_tokens_24h,
+       bucket_start AS window_end
+FROM w WHERE wn = 24
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY s24 DESC, bucket_start ASC) = 1
+"""
+
+
+def session_first_touch_purchases(sf_dir: str):
+    """First-touch attribution: for every session (>30-min-idle rule),
+    credit its FIRST event type with the session's purchase count and
+    purchase value — the acquisition-channel report.  Sessions resolve
+    inside the user-keyed exchange ((ts, event_id)-pinned ordering);
+    only per-(first_type) integer/round-exact partials leave it.
+    Purchase value is the exact round(sum,4) of each session's
+    purchase events summed AFTER rounding per session — both sides
+    apply the identical two-level rule."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    gap = pd.Timedelta(minutes=30)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
+        sid = new_session.cumsum()
+        g = g.assign(sid=sid)
+        first = g.groupby("sid", sort=False)["event_type"].first()
+        pur = g[g["event_type"] == "purchase"]
+        pn = pur.groupby("sid")["value"].agg(["size", "sum"])
+        out = pd.DataFrame({
+            "first_type": first,
+            "n_sessions": np.int64(1),
+            "n_purchases": pn["size"].reindex(first.index)
+            .fillna(0).astype(np.int64),
+            "purchase_value": _round_exact(
+                pn["sum"].reindex(first.index).fillna(0.0)
+                .to_numpy(np.float64)),
+        })
+        agg = out.groupby("first_type", as_index=False).agg(
+            n_sessions=("n_sessions", "sum"),
+            n_purchases=("n_purchases", "sum"),
+            purchase_value=("purchase_value", "sum"))
+        return agg
+
+    parts = sharded_map_groups(ds, "user_id", fold)
+    agg = sharded_aggregate(parts, "first_type",
+                            {"n_sessions": "sum", "n_purchases": "sum",
+                             "purchase_value": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "first_type": b["first_type"],
+            "n_sessions": b["n_sessions"].astype(np.int64),
+            "n_purchases": b["n_purchases"].astype(np.int64),
+            "purchase_value": _round_exact(
+                b["purchase_value"].to_numpy(np.float64))})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_FIRST_TOUCH_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN ts - lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), firsts AS (
+  SELECT user_id, session_id, event_type AS first_type
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, session_id
+          ORDER BY ts, event_id) AS rn
+        FROM numbered)
+  WHERE rn = 1
+), sess AS (
+  SELECT user_id, session_id,
+         count(*) FILTER (event_type = 'purchase') AS n_pur,
+         round(coalesce(sum(value) FILTER (event_type = 'purchase'),
+                        0), 4) AS pv
+  FROM numbered GROUP BY 1, 2
+)
+SELECT f.first_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(s.n_pur) AS BIGINT) AS n_purchases,
+       round(sum(s.pv), 4) AS purchase_value
+FROM sess s JOIN firsts f USING (user_id, session_id)
+GROUP BY 1
+"""
+
+
+def segment_order_value_cv(sf_dir: str):
+    """Order-value dispersion per market segment: exact integer-cents
+    moments (n·ΣX² − (ΣX)² is a pure bigint) emit mean and the
+    coefficient of variation with ONE sqrt and ONE divide written
+    identically both sides — the pricing-consistency screen.
+    Custkey-hash join (the mktsegment_revenue shape); per-segment
+    integer partials fold on the driver in Python bigints."""
+    from .stages.shard import sharded_map_groups
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def cust_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].astype(np.int64),
+            "seg": b["c_mktsegment"].astype(str),
+            "price_c": np.int64(0),
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].astype(np.int64),
+            "seg": "",
+            "price_c": np.rint(b["o_totalprice"].to_numpy(np.float64)
+                               * 100).astype(np.int64),
+            "kind": np.int64(0)})
+
+    both = orders.map_batches(order_rows, batch_format="pandas").union(
+        cust.map_batches(cust_rows, batch_format="pandas"))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "seg"]].drop_duplicates("ckey")
+        o = g[g["kind"] == 0][["ckey", "price_c"]]
+        j = o.merge(c, on="ckey", how="inner")
+        rows = []
+        for seg, gg in j.groupby("seg"):
+            x = [int(v) for v in gg["price_c"]]
+            rows.append({"seg": seg, "n": len(x), "s1": sum(x),
+                         "s2": sum(v * v for v in x)})
+        return pd.DataFrame(rows, columns=["seg", "n", "s1", "s2"])
+
+    parts = sharded_map_groups(both, "ckey", moments).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "segment": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype=np.int64),
+            "mean_price": pd.Series([], dtype=np.float64),
+            "cv": pd.Series([], dtype=np.float64)})
+    rows = []
+    for seg, g in parts.groupby("seg"):
+        n = int(g["n"].sum())
+        s1 = sum(int(v) for v in g["s1"])
+        s2 = sum(int(v) for v in g["s2"])
+        var_num = n * s2 - s1 * s1
+        rows.append({
+            "segment": seg, "n_orders": n,
+            "mean_price": float(s1) / float(n * 100),
+            "cv": math.sqrt(float(var_num)) / float(s1)
+            if s1 > 0 else np.nan})
+    return pd.DataFrame(rows, columns=["segment", "n_orders",
+                                       "mean_price", "cv"])
+
+
+_SEGMENT_CV_ORACLE = """
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), m AS (
+  SELECT segment, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s1,
+         sum(CAST(x AS HUGEINT) * x) AS s2
+  FROM o GROUP BY 1
+)
+SELECT segment, CAST(n AS BIGINT) AS n_orders,
+       CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * 100 AS VARCHAR) AS DOUBLE) AS mean_price,
+       CASE WHEN s1 > 0 THEN
+         sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+           / CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+       ELSE NULL END AS cv
+FROM m
+"""
+
+
 def centroid_purity(sf_dir: str):
     """Cluster-purity census per label: how many of a label's vectors
     sit strictly CLOSER to some rival label's centroid than to their
@@ -13673,6 +13911,9 @@ def _registry():
         "embedding_dup_vectors": embedding_dup_vectors,
         "daily_hhi": daily_hhi,
         "centroid_purity": centroid_purity,
+        "tokens_peak_24h": tokens_peak_24h,
+        "session_first_touch_purchases": session_first_touch_purchases,
+        "segment_order_value_cv": segment_order_value_cv,
         "repeat_order_interval": repeat_order_interval,
         "brand_pareto": brand_pareto,
         "nation_market_share": nation_market_share,
@@ -14007,6 +14248,9 @@ def oracles():
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "daily_hhi": _DAILY_HHI_ORACLE,
         "centroid_purity": _CENTROID_PURITY_ORACLE,
+        "tokens_peak_24h": _tokens_peak_oracle(),
+        "session_first_touch_purchases": _FIRST_TOUCH_ORACLE,
+        "segment_order_value_cv": _SEGMENT_CV_ORACLE,
         "repeat_order_interval": _REPEAT_INTERVAL_ORACLE,
         "brand_pareto": _BRAND_PARETO_ORACLE,
         "nation_market_share": _Q8_ORACLE,

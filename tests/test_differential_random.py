@@ -105,6 +105,7 @@ FUZZ_QUERIES = [
     "rollup_grouping_sets",
     "peak_concurrent_sessions",
     "daily_hhi",
+    "session_first_touch_purchases",
 ]
 
 

@@ -180,6 +180,9 @@ SUBSET = [
     "repeat_order_interval",
     "brand_pareto",
     "centroid_purity",
+    "tokens_peak_24h",
+    "session_first_touch_purchases",
+    "segment_order_value_cv",
 ]
 
 

@@ -37,6 +37,7 @@ FUZZ_TOKEN_QUERIES = [
     "token_content_dedup",
     "token_bucket_tv_drift",
     "token_window_dedup",
+    "tokens_peak_24h",
 ]
 
 M0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
