@@ -13076,6 +13076,140 @@ FROM hit
 """
 
 
+def lang_mix_tv_drift(sf_dir: str):
+    """Total-variation distance between each source's LANGUAGE mix and
+    the pooled corpus mix — the language-composition drift screen next
+    to ``token_bucket_tv_drift`` (same exact-integer TV formulation
+    over the bounded langs×sources table: numerator Σ|c_sl·N − c_l·n_s|
+    folds in Python bigints, ONE VARCHAR-bridged divide).  Map-only
+    count partials + one tiny exchange."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.assign(c=1).groupby(["source", "lang"],
+                                      as_index=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    hist = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "lang"], {"c": "sum"}, num_shards=2).to_pandas()
+    if hist.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "tv_drift": pd.Series([], dtype=np.float64)})
+    piv = hist.pivot_table(index="lang", columns="source", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    c_l = piv.sum(axis=1).to_numpy(np.int64)
+    big_n = int(c_l.sum())
+    rows = []
+    for s in sorted(piv.columns):
+        c_sl = piv[s].to_numpy(np.int64)
+        n_s = int(c_sl.sum())
+        num = sum(abs(int(a) * big_n - int(b) * n_s)
+                  for a, b in zip(c_sl, c_l))
+        rows.append({"source": s, "n_docs": n_s,
+                     "tv_drift": float(num) / float(2 * n_s * big_n)})
+    return pd.DataFrame(rows, columns=["source", "n_docs", "tv_drift"])
+
+
+_LANG_MIX_TV_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(sum(c) AS HUGEINT) AS n FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS N FROM c
+), cl AS (
+  SELECT lang, CAST(sum(c) AS HUGEINT) AS cl FROM c GROUP BY 1
+), m AS (
+  SELECT s.source, l.lang, l.cl,
+         CAST(coalesce(c.c, 0) AS HUGEINT) AS csl
+  FROM (SELECT source FROM ns) s
+  CROSS JOIN cl l
+  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+), num AS (
+  SELECT m.source, sum(abs(m.csl * tot.N - m.cl * ns.n)) AS num
+  FROM m CROSS JOIN tot JOIN ns ON ns.source = m.source
+  GROUP BY 1
+)
+SELECT num.source, CAST(ns.n AS BIGINT) AS n_docs,
+       CAST(CAST(num.num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(2 * ns.n * tot.N AS VARCHAR) AS DOUBLE) AS tv_drift
+FROM num JOIN ns ON ns.source = num.source CROSS JOIN tot
+"""
+
+
+def mom_growth(sf_dir: str):
+    """Month-over-month volume growth per source on the CALENDAR
+    monthly tier (the rollup_monthly cascade): exact delta of
+    10⁻⁴-unit integers between consecutive observed months plus one
+    ratio divide — the board-deck growth number next to the
+    day-over-day and week-over-week operators.  One source-keyed
+    exchange; consecutive = next observed month row (both sides)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = rollup_monthly(sf_dir).select_columns(
+        ["source", "bucket_start", "sum_value"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("source", sort=False):
+            v4 = np.rint(g["sum_value"].to_numpy(np.float64)
+                         * 10000.0).astype(np.int64)
+            if v4.size < 2:
+                continue
+            cur, prev = v4[1:], v4[:-1]
+            out.append(pd.DataFrame({
+                "source": src,
+                "month": g["bucket_start"].to_numpy()[1:],
+                "sum_value": cur / 10000.0,
+                "prev_month": prev / 10000.0,
+                "delta": (cur - prev) / 10000.0,
+                "ratio": np.where(prev != 0,
+                                  cur / prev.astype(np.float64),
+                                  np.nan)}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "month": pd.Series([], dtype="datetime64[us]"),
+                "sum_value": pd.Series([], dtype=np.float64),
+                "prev_month": pd.Series([], dtype=np.float64),
+                "delta": pd.Series([], dtype=np.float64),
+                "ratio": pd.Series([], dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(roll, "source", fold)
+
+
+_MOM_GROWTH_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('month', ts) AS month,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT source, month, v4,
+         lag(v4) OVER (PARTITION BY source ORDER BY month) AS pv4
+  FROM r
+)
+SELECT source, month,
+       CAST(v4 AS DOUBLE) / 10000.0 AS sum_value,
+       CAST(pv4 AS DOUBLE) / 10000.0 AS prev_month,
+       CAST(v4 - pv4 AS DOUBLE) / 10000.0 AS delta,
+       CASE WHEN pv4 <> 0
+            THEN CAST(v4 AS DOUBLE) / CAST(pv4 AS DOUBLE)
+            ELSE NULL END AS ratio
+FROM l WHERE pv4 IS NOT NULL
+"""
+
+
 def tokens_peak_24h(sf_dir: str):
     """Peak sliding-24-observed-hour token throughput per source over
     the NATIVE tokens hourly tier — the capacity headline ('what is
@@ -13912,6 +14046,8 @@ def _registry():
         "daily_hhi": daily_hhi,
         "centroid_purity": centroid_purity,
         "tokens_peak_24h": tokens_peak_24h,
+        "lang_mix_tv_drift": lang_mix_tv_drift,
+        "mom_growth": mom_growth,
         "session_first_touch_purchases": session_first_touch_purchases,
         "segment_order_value_cv": segment_order_value_cv,
         "repeat_order_interval": repeat_order_interval,
@@ -14249,6 +14385,8 @@ def oracles():
         "daily_hhi": _DAILY_HHI_ORACLE,
         "centroid_purity": _CENTROID_PURITY_ORACLE,
         "tokens_peak_24h": _tokens_peak_oracle(),
+        "lang_mix_tv_drift": _LANG_MIX_TV_ORACLE,
+        "mom_growth": _MOM_GROWTH_ORACLE,
         "session_first_touch_purchases": _FIRST_TOUCH_ORACLE,
         "segment_order_value_cv": _SEGMENT_CV_ORACLE,
         "repeat_order_interval": _REPEAT_INTERVAL_ORACLE,

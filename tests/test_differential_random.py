@@ -106,6 +106,7 @@ FUZZ_QUERIES = [
     "peak_concurrent_sessions",
     "daily_hhi",
     "session_first_touch_purchases",
+    "mom_growth",
 ]
 
 
@@ -251,7 +252,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "winnow_candidate_pairs", "bottomk_jaccard_sources",
                     "dup_cluster_sizes", "docs_length_audit",
                     "training_shard_assignment", "length_bucket_mix",
-                    "good_turing_unseen", "minhash_signatures_md5"]
+                    "good_turing_unseen", "minhash_signatures_md5",
+                    "lang_mix_tv_drift"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -183,6 +183,8 @@ SUBSET = [
     "tokens_peak_24h",
     "session_first_touch_purchases",
     "segment_order_value_cv",
+    "lang_mix_tv_drift",
+    "mom_growth",
 ]
 
 
