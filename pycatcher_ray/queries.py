@@ -13076,6 +13076,140 @@ FROM hit
 """
 
 
+def flag_tier_consistency(sf_dir: str):
+    """Cross-TIER detector agreement: per source, how many hourly IQR
+    flags fall inside a day that the DAILY IQR detector also flags —
+    the hierarchical-consistency check behind tiered alerting (a 1h
+    flag inside a flagged day is corroborated; one in a quiet day is
+    hour-local).  Both flag sets already hash-match their oracles;
+    the join is integer epoch-day equality inside one source-keyed
+    exchange over the two tiny flag tables.  Share is ONE int/int
+    divide."""
+    from .stages.shard import sharded_map_groups
+
+    h = _flags(sf_dir, "1h", "iqr")
+    d = _flags(sf_dir, "1d", "iqr")
+
+    def tag(b: pd.DataFrame, kind: int) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "day": (b["bucket_start"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+            "kind": np.int64(kind)})
+
+    both = h.map_batches(lambda b: tag(b, 0), batch_format="pandas").union(
+        d.map_batches(lambda b: tag(b, 1), batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, gg in g.groupby("source", sort=False):
+            hf = gg[gg["kind"] == 0]
+            dd = set(gg.loc[gg["kind"] == 1, "day"])
+            n = len(hf)
+            if n == 0:
+                continue
+            inside = int(hf["day"].isin(dd).sum())
+            rows.append({
+                "source": src, "n_hour_flags": n,
+                "n_corroborated": inside,
+                "corroborated_share": float(inside) / float(n)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_hour_flags", "n_corroborated",
+            "corroborated_share"])
+
+    return sharded_map_groups(both, "source", fold)
+
+
+_FLAG_TIER_ORACLE = """
+WITH rh AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), qh AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM rh GROUP BY source
+), fh AS (
+  SELECT rh.source,
+         CAST(epoch(date_trunc('day', rh.b)) AS BIGINT) // 86400 AS day
+  FROM rh JOIN qh USING (source)
+  WHERE rh.v < qh.q1 - 1.5 * (qh.q3 - qh.q1)
+     OR rh.v > qh.q3 + 1.5 * (qh.q3 - qh.q1)
+), rd AS (
+  SELECT event_type AS source, date_trunc('day', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), qd AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM rd GROUP BY source
+), fd AS (
+  SELECT rd.source,
+         CAST(epoch(rd.b) AS BIGINT) // 86400 AS day
+  FROM rd JOIN qd USING (source)
+  WHERE rd.v < qd.q1 - 1.5 * (qd.q3 - qd.q1)
+     OR rd.v > qd.q3 + 1.5 * (qd.q3 - qd.q1)
+)
+SELECT fh.source, CAST(count(*) AS BIGINT) AS n_hour_flags,
+       CAST(sum(CASE WHEN fd.day IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corroborated,
+       CAST(sum(CASE WHEN fd.day IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS corroborated_share
+FROM fh LEFT JOIN fd ON fd.source = fh.source AND fd.day = fh.day
+GROUP BY 1
+"""
+
+
+def session_depth_histogram(sf_dir: str):
+    """Session-depth histogram: count of sessions by events-per-session
+    (the engagement-depth profile over the same >30-min-idle sessions
+    as ``session_windows``; bucket = exact event count, capped at 20+
+    so the output is bounded).  Sessions resolve in the user-keyed
+    exchange; only (depth_bucket, n_sessions) integer partials leave
+    it."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        new_session = user_change | (g["ts"].diff() > gap)
+        sizes = new_session.cumsum().value_counts().to_numpy()
+        depth = np.minimum(sizes, 20).astype(np.int64)
+        h = pd.DataFrame({"depth_bucket": depth,
+                          "n_sessions": 1}).groupby(
+            "depth_bucket", as_index=False).sum()
+        h["n_sessions"] = h["n_sessions"].astype(np.int64)
+        return h
+
+    parts = sharded_map_groups(ds, "user_id", fold)
+    return sharded_aggregate(parts, "depth_bucket",
+                             {"n_sessions": "sum"}, num_shards=2)
+
+
+_SESSION_DEPTH_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sz AS (
+  SELECT user_id, session_id, count(*) AS n
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CAST(least(n, 20) AS BIGINT) AS depth_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM sz GROUP BY 1
+"""
+
+
 def lang_mix_tv_drift(sf_dir: str):
     """Total-variation distance between each source's LANGUAGE mix and
     the pooled corpus mix — the language-composition drift screen next
@@ -14048,6 +14182,8 @@ def _registry():
         "tokens_peak_24h": tokens_peak_24h,
         "lang_mix_tv_drift": lang_mix_tv_drift,
         "mom_growth": mom_growth,
+        "flag_tier_consistency": flag_tier_consistency,
+        "session_depth_histogram": session_depth_histogram,
         "session_first_touch_purchases": session_first_touch_purchases,
         "segment_order_value_cv": segment_order_value_cv,
         "repeat_order_interval": repeat_order_interval,
@@ -14387,6 +14523,8 @@ def oracles():
         "tokens_peak_24h": _tokens_peak_oracle(),
         "lang_mix_tv_drift": _LANG_MIX_TV_ORACLE,
         "mom_growth": _MOM_GROWTH_ORACLE,
+        "flag_tier_consistency": _FLAG_TIER_ORACLE,
+        "session_depth_histogram": _SESSION_DEPTH_ORACLE,
         "session_first_touch_purchases": _FIRST_TOUCH_ORACLE,
         "segment_order_value_cv": _SEGMENT_CV_ORACLE,
         "repeat_order_interval": _REPEAT_INTERVAL_ORACLE,

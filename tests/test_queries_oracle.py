@@ -185,6 +185,8 @@ SUBSET = [
     "segment_order_value_cv",
     "lang_mix_tv_drift",
     "mom_growth",
+    "flag_tier_consistency",
+    "session_depth_histogram",
 ]
 
 
