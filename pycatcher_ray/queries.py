@@ -6925,6 +6925,222 @@ QUALIFY row_number() OVER (
 """
 
 
+def pettitt_changepoint(sf_dir: str):
+    """Pettitt rank-based changepoint per source: the bucket where the
+    Mann-Whitney-style statistic U_t = Σ_{i≤t}Σ_{j>t} sgn(v_i − v_j)
+    peaks in absolute value — the non-parametric complement to
+    cusum_changepoint (level shifts that a mean-based CUSUM misses
+    under heavy tails).  ENTIRELY integer: with y in 10⁻⁴ units,
+    U_t = Σ_{s≤t} D_s where D_s = #{j: y_j < y_s} − #{j: y_j > y_s}
+    (two vectorized searchsorted passes), so the argmax — earliest
+    bucket on ties — and the peak |U| are bit-deterministic; no divide
+    at all.  One source-keyed exchange; per-source series bounded by
+    the bucket count, never the corpus."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            srt = np.sort(y4)
+            lt = np.searchsorted(srt, y4, side="left").astype(np.int64)
+            gt = n - np.searchsorted(srt, y4, side="right").astype(np.int64)
+            u = np.cumsum(lt - gt)          # |U| ≤ n²/4 ≪ 2⁶³
+            stat = np.abs(u)
+            best = int(np.argmax(stat))     # first max = earliest tie
+            rows.append({
+                "source": src, "n_buckets": n,
+                "changepoint_bucket": bs.iloc[best],
+                "u_stat": int(stat[best]),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "changepoint_bucket", "u_stat"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_PETTITT_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), nn AS (
+  SELECT source, count(*) AS n FROM r GROUP BY 1
+), cnt AS (
+  SELECT source, y, count(*) AS c FROM r GROUP BY 1, 2
+), cum AS (
+  SELECT source, y, c,
+         COALESCE(sum(c) OVER (PARTITION BY source ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+  FROM cnt
+), d AS (
+  SELECT r.source, r.bucket_start,
+         CAST(cum.lt - (nn.n - cum.lt - cum.c) AS BIGINT) AS dd
+  FROM r JOIN cum ON r.source = cum.source AND r.y = cum.y
+       JOIN nn ON r.source = nn.source
+), u AS (
+  SELECT source, bucket_start,
+         sum(dd) OVER (PARTITION BY source ORDER BY bucket_start
+                       ROWS UNBOUNDED PRECEDING) AS uu
+  FROM d
+)
+SELECT u.source, nn.n AS n_buckets, u.bucket_start AS changepoint_bucket,
+       CAST(abs(uu) AS BIGINT) AS u_stat
+FROM u JOIN nn ON u.source = nn.source
+QUALIFY row_number() OVER (
+  PARTITION BY u.source ORDER BY abs(uu) DESC, u.bucket_start ASC) = 1
+"""
+
+
+def spearman_trend(sf_dir: str):
+    """Spearman rank correlation of the hourly sums against time per
+    source — the monotonic-trend strength that complements the OLS
+    slope (magnitude-free) and Mann-Kendall (normalized to [−1, 1]).
+    Exactness: time ranks are 1..n (buckets are distinct) and value
+    ranks use average-rank ties DOUBLED so both rank vectors are
+    integers (avg-rank×2 = 2·minrank + tiecount − 1); the Pearson
+    moments over those integer ranks fold in Python bigints (HUGEINT
+    in the oracle), and ρ is the ONE shared IEEE expression
+    num / (√dx · √dy) over correctly-rounded casts (VARCHAR-bridged in
+    SQL past 2⁵³).  One source-keyed exchange, bounded series."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        import math
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            srt = np.sort(y4)
+            lt = np.searchsorted(srt, y4, side="left").astype(np.int64)
+            c = (np.searchsorted(srt, y4, side="right").astype(np.int64)
+                 - lt)
+            ry = (2 * lt + c + 1).tolist()       # avg-rank ×2, exact int
+            rx = [2 * (i + 1) for i in range(n)]  # time rank ×2
+            sx, sy = sum(rx), sum(ry)
+            sxy = sum(a * b for a, b in zip(rx, ry))
+            sxx = sum(a * a for a in rx)
+            syy = sum(b * b for b in ry)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            rho = (float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+                   if dx > 0 and dy > 0 else np.nan)
+            rows.append({"source": src, "n_buckets": n,
+                         "spearman_rho": rho})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "spearman_rho"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_SPEARMAN_TREND_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT source,
+         2 * row_number() OVER (
+             PARTITION BY source ORDER BY bucket_start) AS rx,
+         2 * rank() OVER (PARTITION BY source ORDER BY y)
+           + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+  FROM r
+), s AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM rk GROUP BY 1
+)
+SELECT source, n AS n_buckets,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+       ELSE NULL END AS spearman_rho
+FROM s
+"""
+
+
+def runs_test_by_source(sf_dir: str):
+    """Wald-Wolfowitz runs census per source: counts of hourly buckets
+    above / below the source median and the number of sign RUNS in
+    bucket order — few long runs = trending/regime-switching, many
+    short runs = oscillating.  Median-free exactness: the sign of each
+    point is decided by the PURE-INTEGER compare 2·y vs (m_lo + m_hi),
+    the two middle order statistics of the 10⁻⁴-unit values (no
+    quantile interpolation anywhere); exact-median points drop, and a
+    source whose every point equals the median emits no row (both
+    engines).  All outputs are integers.  One source-keyed exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            srt = np.sort(y4)
+            m2 = int(srt[(n - 1) // 2]) + int(srt[n // 2])
+            sg = np.sign(2 * y4 - m2)
+            nz = sg[sg != 0]
+            if nz.size == 0:
+                continue
+            rows.append({
+                "source": src,
+                "n_pos": int((nz > 0).sum()),
+                "n_neg": int((nz < 0).sum()),
+                "n_runs": 1 + int((np.diff(nz) != 0).sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_pos", "n_neg", "n_runs"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_RUNS_TEST_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT source, list_sort(list(y)) AS arr, count(*) AS n
+  FROM r GROUP BY 1
+), mm AS (
+  SELECT source,
+         arr[CAST((n - 1) // 2 AS BIGINT) + 1]
+           + arr[CAST(n // 2 AS BIGINT) + 1] AS m2
+  FROM m
+), s AS (
+  SELECT r.source, r.bucket_start,
+         CASE WHEN 2 * r.y > mm.m2 THEN 1
+              WHEN 2 * r.y < mm.m2 THEN -1 ELSE 0 END AS sg
+  FROM r JOIN mm ON r.source = mm.source
+), f AS (
+  SELECT source, bucket_start, sg FROM s WHERE sg <> 0
+), nz AS (
+  SELECT source, sg,
+         lag(sg) OVER (PARTITION BY source ORDER BY bucket_start) AS prev
+  FROM f
+)
+SELECT source,
+       count(*) FILTER (WHERE sg = 1) AS n_pos,
+       count(*) FILTER (WHERE sg = -1) AS n_neg,
+       1 + count(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev) AS n_runs
+FROM nz GROUP BY source
+"""
+
+
 def word_length_by_lang(sf_dir: str):
     """Average word length per language — the cheap script/tokenizer
     sanity check over a crawl slice (a lang bucket whose mean word
@@ -14208,6 +14424,9 @@ def _registry():
         "kpss_level_stat": kpss_level_stat,
         "ols_trend_by_source": ols_trend_by_source,
         "cusum_changepoint": cusum_changepoint,
+        "pettitt_changepoint": pettitt_changepoint,
+        "spearman_trend": spearman_trend,
+        "runs_test_by_source": runs_test_by_source,
         "anomaly_run_lengths": anomaly_run_lengths,
         "dickey_fuller_by_source": dickey_fuller_by_source,
         "monthwise_box_stats": monthwise_box_stats,
@@ -14396,6 +14615,9 @@ def oracles():
         "kpss_level_stat": _KPSS_ORACLE,
         "ols_trend_by_source": _OLS_TREND_ORACLE,
         "cusum_changepoint": _CUSUM_CHANGEPOINT_ORACLE,
+        "pettitt_changepoint": _PETTITT_ORACLE,
+        "spearman_trend": _SPEARMAN_TREND_ORACLE,
+        "runs_test_by_source": _RUNS_TEST_ORACLE,
         "anomaly_run_lengths": _RUN_LENGTHS_ORACLE,
         "embedding_label_stats": _EMB_LABEL_ORACLE,
         "top_building_orders": _Q3_ORACLE,

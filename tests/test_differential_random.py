@@ -66,6 +66,9 @@ FUZZ_QUERIES = [
     "sax_daily_words",
     "ols_trend_by_source",
     "cusum_changepoint",
+    "pettitt_changepoint",
+    "spearman_trend",
+    "runs_test_by_source",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",

@@ -90,6 +90,9 @@ SUBSET = [
     "bigram_pmi",
     "ols_trend_by_source",
     "cusum_changepoint",
+    "pettitt_changepoint",
+    "spearman_trend",
+    "runs_test_by_source",
     "anomaly_run_lengths",
     "tpch_q6_revenue",
     "promo_revenue_share",
