@@ -4716,6 +4716,63 @@ GROUP BY source
 """
 
 
+def padding_waste(sf_dir: str):
+    """Context-length padding efficiency over the native tokens input:
+    for each candidate context length (512 / 2048 / 8192), every doc
+    pads to ceil(n_tok/ctx)·ctx and the per-source waste share is
+    (padded − real) / padded — the number that decides whether a corpus
+    needs packing (cf. context_packing) before training at that context.
+    ALL integer until the one final divide; map-only per-(source, ctx)
+    partials (bounded by sources × 3 × batches, never the doc count),
+    tiny driver fold; reads ONLY (source, n_tok)."""
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "n_tok"])
+    ctxs = np.array([512, 2048, 8192], dtype=np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_tok"].to_numpy(dtype=np.int64)
+        rows = []
+        for src, idx in batch.groupby("source", sort=False).indices.items():
+            g = n[idx]
+            for ctx in ctxs:
+                padded = int((((g + ctx - 1) // ctx) * ctx).sum())
+                rows.append({"source": src, "ctx": int(ctx),
+                             "n_docs": int(g.size),
+                             "real_tokens": int(g.sum()),
+                             "padded_tokens": padded})
+        return pd.DataFrame(rows, columns=[
+            "source", "ctx", "n_docs", "real_tokens", "padded_tokens"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fin = parts.groupby(["source", "ctx"], as_index=False).sum()
+    padded = fin["padded_tokens"].to_numpy(np.int64)
+    real = fin["real_tokens"].to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        waste = np.where(padded > 0,
+                         (padded - real).astype(np.float64)
+                         / padded.astype(np.float64), np.nan)
+    fin["waste_share"] = waste
+    return fin[["source", "ctx", "n_docs", "real_tokens",
+                "padded_tokens", "waste_share"]]
+
+
+def _padding_waste_oracle() -> str:
+    return _tokens_oracle_cte() + """
+SELECT source, ctx, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(sum(((n_tok + ctx - 1) // ctx) * ctx) AS BIGINT)
+         AS padded_tokens,
+       CASE WHEN sum(((n_tok + ctx - 1) // ctx) * ctx) > 0 THEN
+         CAST(CAST(sum(((n_tok + ctx - 1) // ctx) * ctx)
+                   - sum(n_tok) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(((n_tok + ctx - 1) // ctx) * ctx) AS BIGINT)
+                AS DOUBLE)
+       ELSE NULL END AS waste_share
+FROM t CROSS JOIN (VALUES (512), (2048), (8192)) v(ctx)
+GROUP BY 1, 2
+"""
+
+
 def token_length_drift(sf_dir: str):
     """Training-mix drift monitor over the native tokens input: per
     (source, n_tok-band of 64) document counts in the first vs second
@@ -9423,6 +9480,95 @@ WITH q AS (
 SELECT cid AS centroid_id, count(*) AS n_vecs,
        CAST(sum(dist_i) AS DOUBLE) / count(*) AS mean_sq_dist
 FROM a WHERE rn = 1 GROUP BY 1
+"""
+
+
+def centroid_margin_census(sf_dir: str, k: int = 8):
+    """Assignment-confidence census on top of kmeans_assign_step's
+    integer-exact contract: per centroid, how many assigned vectors are
+    AMBIGUOUS — their second-nearest centroid sits within 1.25× of the
+    nearest squared distance, the Lowe-ratio-style margin that flags
+    cluster boundaries an IVF probe count must cover.  The margin test
+    is the PURE-INTEGER compare 4·d₂ < 5·d₁ (no ratio is ever
+    computed), distances and the argmin share kmeans_assign_step's
+    floor(·10⁶) int64 quantization, so the census is bit-deterministic.
+    Map-only per-batch (centroid, n, n_ambig) partials + one tiny
+    centroid-keyed fold."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)          # first min = lowest cid
+        rows = np.arange(len(q))
+        d1 = d[rows, choice]
+        d[rows, choice] = np.iinfo(np.int64).max
+        d2 = d.min(axis=1)                      # min over OTHER centroids
+        ambig = 4 * d2 < 5 * d1
+        g = pd.DataFrame({"centroid_id": cids[choice],
+                          "n_vecs": 1,
+                          "n_ambiguous": ambig.astype(np.int64)}).groupby(
+            "centroid_id", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        g["n_ambiguous"] = g["n_ambiguous"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "centroid_id",
+                            {"n_vecs": "sum", "n_ambiguous": "sum"},
+                            num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "n_ambiguous": agg["n_ambiguous"].astype(np.int64)})
+
+
+_CENTROID_MARGIN_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist_i
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid, dist_i, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist_i, cid) AS rn
+  FROM d
+), p AS (
+  SELECT a1.vec_id, a1.cid, a1.dist_i AS d1, a2.dist_i AS d2
+  FROM a a1 JOIN a a2 ON a1.vec_id = a2.vec_id
+  WHERE a1.rn = 1 AND a2.rn = 2
+)
+SELECT cid AS centroid_id, count(*) AS n_vecs,
+       count(*) FILTER (WHERE 4 * d2 < 5 * d1) AS n_ambiguous
+FROM p GROUP BY 1
 """
 
 
@@ -14464,6 +14610,8 @@ def _registry():
         "idle_balance_by_nation": idle_balance_by_nation,
         "token_bigram_ttr": token_bigram_ttr,
         "kmeans_assign_step": kmeans_assign_step,
+        "centroid_margin_census": centroid_margin_census,
+        "padding_waste": padding_waste,
         "embedding_norm_outliers": embedding_norm_outliers,
         "label_centroid_separation": label_centroid_separation,
         "top_building_orders": top_building_orders,
@@ -14767,6 +14915,8 @@ def oracles():
         "idle_balance_by_nation": _Q22_ORACLE,
         "token_bigram_ttr": _token_bigram_oracle(),
         "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
+        "centroid_margin_census": _CENTROID_MARGIN_ORACLE,
+        "padding_waste": _padding_waste_oracle(),
         "embedding_norm_outliers": _EMB_NORM_ORACLE,
         "label_centroid_separation": _LABEL_SEPARATION_ORACLE,
         "seasonal_naive_mase": _MASE_ORACLE,

@@ -124,6 +124,8 @@ SUBSET = [
     "idle_balance_by_nation",
     "token_bigram_ttr",
     "kmeans_assign_step",
+    "centroid_margin_census",
+    "padding_waste",
     "label_centroid_separation",
     "seasonal_naive_mase",
     "gap_inventory_1h",

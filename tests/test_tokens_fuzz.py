@@ -26,6 +26,7 @@ FUZZ_TOKEN_QUERIES = [
     "tokens_rollup_1d",
     "tokens_length_stats",
     "tokens_audit",
+    "padding_waste",
     "token_bigram_ttr",
     "token_head_buckets",
     "token_oov_rate",
