@@ -3885,6 +3885,63 @@ GROUP BY 1, 2, 3
 """
 
 
+def session_event_pairs(sf_dir: str, gap_minutes: int = 30):
+    """Within-session event-type co-occurrence: for every unordered
+    pair of DISTINCT event types, how many sessions contain both — the
+    market-basket view of user journeys (order-free, unlike the
+    trigram operator).  Same session rule as ``session_windows``
+    (>30 min idle closes, (ts, event_id) ordering).  One user-keyed
+    exchange sessionizes and dedups (session, type) per shard, then a
+    per-shard self-merge emits pair partials — bounded by
+    |event_types|² × sessions, with the fold output bounded by
+    |event_types|² alone.  All-integer counts — exact."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        sid = (user_change | (g["ts"].diff() > gap)).cumsum()
+        d = pd.DataFrame({"sid": sid.to_numpy(),
+                          "t": g["event_type"].to_numpy()}).drop_duplicates()
+        j = d.merge(d, on="sid")
+        j = j[j["t_x"] < j["t_y"]]
+        return j.groupby(["t_x", "t_y"], as_index=False).size().rename(
+            columns={"t_x": "type_a", "t_y": "type_b", "size": "n_sessions"})
+
+    parts = sharded_map_groups(ds, "user_id", pairs)
+    return sharded_aggregate(parts, ["type_a", "type_b"],
+                             {"n_sessions": "sum"}, num_shards=2)
+
+
+_SESSION_EVENT_PAIRS_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), p AS (
+  SELECT DISTINCT user_id, sid, event_type FROM s
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_sessions
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.sid = b.sid
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def cohort_retention_matrix(sf_dir: str):
     """Classic cohort-retention triangle: users grouped by their first
     active day, distinct-user counts at each day offset, and the share
@@ -14349,6 +14406,94 @@ GROUP BY 1, 2
 """
 
 
+def orders_backlog_daily(sf_dir: str):
+    """Open-order backlog over time — the fulfillment work-in-progress
+    curve: an order opens on its o_orderdate and closes on its LAST
+    lineitem ship day; the operator emits the running open count at
+    every day the backlog CHANGES (a sweep line, the
+    peak_concurrent_sessions shape on TPC-H facts).  Distributed plan:
+    lineitem folds to per-order max ship-day integer partials in one
+    orderkey exchange that also meets the order row and emits ±1 day
+    deltas; the delta table is bounded by 2·orders collapsing to
+    O(distinct days), so the driver cumsum is over a tiny frame.
+    Orders with no lineitem never open (inner join semantics on both
+    sides).  Pure integer epoch days — exact."""
+    from .stages.shard import sharded_map_groups
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "day": (b["o_orderdate"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+            "kind": np.int64(1),
+        })
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "day": (b["l_shipdate"].to_numpy()
+                    .astype("datetime64[s]").astype(np.int64) // 86400),
+        }).groupby("okey", as_index=False).max()
+        g["kind"] = np.int64(0)
+        return g
+
+    both = line.map_batches(ship_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        close = g[g["kind"] == 0].groupby("okey", as_index=False)[
+            "day"].max()
+        open_ = g[g["kind"] == 1][["okey", "day"]].rename(
+            columns={"day": "oday"})
+        j = close.merge(open_, on="okey", how="inner")
+        d = pd.DataFrame({
+            "day": np.concatenate([j["oday"].to_numpy(np.int64),
+                                   j["day"].to_numpy(np.int64) + 1]),
+            "delta": np.concatenate([
+                np.ones(len(j), dtype=np.int64),
+                -np.ones(len(j), dtype=np.int64)])})
+        return d.groupby("day", as_index=False)["delta"].sum()
+
+    parts = sharded_map_groups(both, "okey", deltas).to_pandas()
+    fin = parts.groupby("day", as_index=False)["delta"].sum()
+    fin = fin.sort_values("day", kind="stable").reset_index(drop=True)
+    return pd.DataFrame({
+        "epoch_day": fin["day"].astype(np.int64),
+        "backlog": fin["delta"].cumsum().astype(np.int64)})
+
+
+_ORDERS_BACKLOG_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey AS okey,
+         max(CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT)
+             // 86400) AS close_day
+  FROM lineitem GROUP BY 1
+), o AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+           AS open_day, c.close_day
+  FROM orders JOIN c ON o_orderkey = c.okey
+), d AS (
+  SELECT open_day AS day, 1 AS delta FROM o
+  UNION ALL
+  SELECT close_day + 1 AS day, -1 AS delta FROM o
+), g AS (
+  SELECT day, sum(delta) AS delta FROM d GROUP BY 1
+)
+SELECT day AS epoch_day,
+       CAST(sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS backlog
+FROM g
+"""
+
+
 def rollup_grouping_sets(sf_dir: str):
     """Multi-level daily census in ONE pass — GROUPING SETS
     ((source, day), (source), (day), ()) with counts and exact
@@ -14537,6 +14682,8 @@ def _registry():
         "minhash_signatures_md5": minhash_signatures_md5,
         "rollup_grouping_sets": rollup_grouping_sets,
         "shipping_delay_histogram": shipping_delay_histogram,
+        "orders_backlog_daily": orders_backlog_daily,
+        "session_event_pairs": session_event_pairs,
         "peak_concurrent_sessions": peak_concurrent_sessions,
         "embedding_dup_vectors": embedding_dup_vectors,
         "daily_hhi": daily_hhi,
@@ -14886,6 +15033,8 @@ def oracles():
         "minhash_signatures_md5": _MINHASH_MD5_ORACLE,
         "rollup_grouping_sets": _GROUPING_SETS_ORACLE,
         "shipping_delay_histogram": _SHIPPING_DELAY_ORACLE,
+        "orders_backlog_daily": _ORDERS_BACKLOG_ORACLE,
+        "session_event_pairs": _SESSION_EVENT_PAIRS_ORACLE,
         "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "daily_hhi": _DAILY_HHI_ORACLE,

@@ -60,6 +60,7 @@ FUZZ_QUERIES = [
     "seasonal_envelope",
     "hampel_flags_1h",
     "user_path_trigrams",
+    "session_event_pairs",
     "cohort_retention_matrix",
     "error_rate_hourly",
     "rolling_zscore_flags_1h",

@@ -177,6 +177,8 @@ SUBSET = [
     "minhash_signatures_md5",
     "rollup_grouping_sets",
     "shipping_delay_histogram",
+    "orders_backlog_daily",
+    "session_event_pairs",
     "tokens_rollup_1h",
     "tokens_rollup_1d",
     "peak_concurrent_sessions",
