@@ -9629,6 +9629,85 @@ FROM p GROUP BY 1
 """
 
 
+def cosine_pair_histogram(sf_dir: str):
+    """Background cosine-similarity histogram over DETERMINISTIC vector
+    pairs — the calibration curve an ANN / near-dup threshold is read
+    against (what does 'unrelated' score in this embedding space?).
+    The pairing rule is local by construction: vec_id 2m pairs with
+    2m+1, so ONE (vec_id//2)-keyed exchange co-locates every pair and
+    nothing global is needed.  Coordinates quantize floor(·10⁶) int64
+    (kmeans_assign_step contract) making dot and the two squared norms
+    exact integers; cosine is the ONE shared IEEE expression
+    dot/(√na·√nb) over correctly-rounded casts (VARCHAR-bridged in
+    SQL), and the bucket floor(20·cos) of identically-computed doubles
+    is identical on both engines.  Zero-norm vectors drop (both
+    sides)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def with_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["vec_id", "embedding"]].copy()
+        b["pk"] = b["vec_id"].to_numpy(np.int64) // 2
+        return b
+
+    keyed = ds.map_batches(with_pk, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values("vec_id", kind="stable")
+        ids = shard["vec_id"].to_numpy(np.int64)
+        if ids.size < 2:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        emb = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in shard["embedding"]])
+        q = np.floor(emb * 1e6).astype(np.int64)
+        m = (ids[:-1] % 2 == 0) & (ids[1:] == ids[:-1] + 1)
+        a, b = q[:-1][m], q[1:][m]
+        dot = (a * b).sum(axis=1)          # exact int64 (|q| ≤ ~10⁷)
+        na = (a * a).sum(axis=1)
+        nb = (b * b).sum(axis=1)
+        keep = (na > 0) & (nb > 0)
+        c = (dot[keep].astype(np.float64)
+             / (np.sqrt(na[keep].astype(np.float64))
+                * np.sqrt(nb[keep].astype(np.float64))))
+        out = pd.DataFrame({
+            "bucket": np.floor(20.0 * c).astype(np.int64)})
+        return out.groupby("bucket", as_index=False).size().rename(
+            columns={"size": "n_pairs"})
+
+    parts = sharded_map_groups(keyed, "pk", fold)
+    return sharded_aggregate(parts, "bucket", {"n_pairs": "sum"},
+                             num_shards=2)
+
+
+_COSINE_PAIR_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id // 2 AS pk,
+         sum(a.qv * b.qv) AS dot,
+         sum(a.qv * a.qv) AS na, sum(b.qv * b.qv) AS nb
+  FROM q a JOIN q b
+    ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0 AND a.dim = b.dim
+  GROUP BY 1
+)
+SELECT CAST(floor(20.0 * (
+         CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(na AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(nb AS VARCHAR) AS DOUBLE))))) AS BIGINT)
+         AS bucket,
+       count(*) AS n_pairs
+FROM p WHERE na > 0 AND nb > 0
+GROUP BY 1
+"""
+
+
 def label_centroid_separation(sf_dir: str):
     """Embedding-space class separation: squared distance between the
     CENTROIDS of every label pair — the diagnostic that flags collapsed
@@ -9891,6 +9970,73 @@ SELECT source, hour_of_day, count(*) AS n_obs,
        quantile_cont(y, 0.50) / 10000.0 AS p50,
        quantile_cont(y, 0.75) / 10000.0 AS p75
 FROM r GROUP BY 1, 2
+"""
+
+
+def value_quantile_drift(sf_dir: str):
+    """Distribution-shift screen on the monitored signal itself: per
+    source, p50/p90 of the hourly sums over the FIRST half of the
+    source's buckets (by bucket order) vs the second half — the
+    quantile counterpart of token_length_drift, catching level/tail
+    shifts a mean-based trend test smooths over.  The half split is
+    positional (early = first ⌊n/2⌋ buckets — no wall-clock boundary
+    to disagree on), quantiles ride the bit-pinned ``quantile_cont``
+    lerp, and sources with a single bucket drop on both sides.  One
+    source-keyed exchange, bounded series."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            if n < 2:
+                continue
+            k = n // 2
+            early = np.sort(y4[:k].astype(np.float64))
+            late = np.sort(y4[k:].astype(np.float64))
+            rows.append({
+                "source": src, "n_early": k, "n_late": n - k,
+                "p50_early": float(quantile_cont(early, 0.5)) / 10000.0,
+                "p50_late": float(quantile_cont(late, 0.5)) / 10000.0,
+                "p90_early": float(quantile_cont(early, 0.9)) / 10000.0,
+                "p90_late": float(quantile_cont(late, 0.9)) / 10000.0,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_early", "n_late", "p50_early", "p50_late",
+            "p90_early", "p90_late"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_VALUE_QUANTILE_DRIFT_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT source, y,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_start)
+           AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM r
+)
+SELECT source,
+       count(*) FILTER (WHERE 2 * rn <= n) AS n_early,
+       count(*) FILTER (WHERE 2 * rn > n) AS n_late,
+       quantile_cont(y, 0.5) FILTER (WHERE 2 * rn <= n) / 10000.0
+         AS p50_early,
+       quantile_cont(y, 0.5) FILTER (WHERE 2 * rn > n) / 10000.0
+         AS p50_late,
+       quantile_cont(y, 0.9) FILTER (WHERE 2 * rn <= n) / 10000.0
+         AS p90_early,
+       quantile_cont(y, 0.9) FILTER (WHERE 2 * rn > n) / 10000.0
+         AS p90_late
+FROM w GROUP BY source HAVING count(*) >= 2
 """
 
 
@@ -14494,6 +14640,61 @@ FROM g
 """
 
 
+def type_size_contingency(sf_dir: str):
+    """Chi-square contingency cells for part type × size — the
+    catalog-skew diagnostic (is size independent of type?), emitted
+    per cell so every number is exact-with-one-divide instead of an
+    order-dependent float total: observed count O, expected numerator
+    R·C (row total × column total; expected = R·C/N), and the cell's
+    chi² contribution (O·N − R·C)²/(N·R·C) — numerator and denominator
+    are EXACT integers (Python bigint engine-side, HUGEINT in the
+    oracle, VARCHAR-bridged casts), ONE divide per cell.  Map-only
+    per-batch (type, size) count partials; output bounded by
+    types × sizes."""
+    ds = _rd().read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_type", "p_size"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["p_type", "p_size"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "o"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = parts.groupby(["p_type", "p_size"], as_index=False)["o"].sum()
+    rtot = dict(cells.groupby("p_type")["o"].sum())
+    ctot = dict(cells.groupby("p_size")["o"].sum())
+    n = int(cells["o"].sum())
+    rows = []
+    for t, s, o in cells.itertuples(index=False):
+        r, c = int(rtot[t]), int(ctot[s])
+        num = (int(o) * n - r * c) ** 2
+        den = n * r * c
+        rows.append({"p_type": t, "p_size": int(s), "observed": int(o),
+                     "expected_num": r * c,
+                     "cell_chi2": float(num) / float(den)})
+    return pd.DataFrame(rows, columns=[
+        "p_type", "p_size", "observed", "expected_num", "cell_chi2"])
+
+
+_TYPE_SIZE_CONTINGENCY_ORACLE = """
+WITH o AS (
+  SELECT p_type, p_size, count(*) AS o FROM part GROUP BY 1, 2
+), r AS (
+  SELECT p_type, sum(o) AS r FROM o GROUP BY 1
+), c AS (
+  SELECT p_size, sum(o) AS c FROM o GROUP BY 1
+), nn AS (
+  SELECT sum(o) AS n FROM o
+)
+SELECT o.p_type, o.p_size, CAST(o.o AS BIGINT) AS observed,
+       CAST(r.r * c.c AS BIGINT) AS expected_num,
+       CAST(CAST((o.o * nn.n - r.r * c.c) * (o.o * nn.n - r.r * c.c)
+                 AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(nn.n * r.r * c.c AS VARCHAR) AS DOUBLE) AS cell_chi2
+FROM o JOIN r USING (p_type) JOIN c USING (p_size) CROSS JOIN nn
+"""
+
+
 def rollup_grouping_sets(sf_dir: str):
     """Multi-level daily census in ONE pass — GROUPING SETS
     ((source, day), (source), (day), ()) with counts and exact
@@ -14758,7 +14959,10 @@ def _registry():
         "token_bigram_ttr": token_bigram_ttr,
         "kmeans_assign_step": kmeans_assign_step,
         "centroid_margin_census": centroid_margin_census,
+        "cosine_pair_histogram": cosine_pair_histogram,
         "padding_waste": padding_waste,
+        "value_quantile_drift": value_quantile_drift,
+        "type_size_contingency": type_size_contingency,
         "embedding_norm_outliers": embedding_norm_outliers,
         "label_centroid_separation": label_centroid_separation,
         "top_building_orders": top_building_orders,
@@ -15065,7 +15269,10 @@ def oracles():
         "token_bigram_ttr": _token_bigram_oracle(),
         "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
         "centroid_margin_census": _CENTROID_MARGIN_ORACLE,
+        "cosine_pair_histogram": _COSINE_PAIR_ORACLE,
         "padding_waste": _padding_waste_oracle(),
+        "value_quantile_drift": _VALUE_QUANTILE_DRIFT_ORACLE,
+        "type_size_contingency": _TYPE_SIZE_CONTINGENCY_ORACLE,
         "embedding_norm_outliers": _EMB_NORM_ORACLE,
         "label_centroid_separation": _LABEL_SEPARATION_ORACLE,
         "seasonal_naive_mase": _MASE_ORACLE,

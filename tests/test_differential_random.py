@@ -70,6 +70,7 @@ FUZZ_QUERIES = [
     "pettitt_changepoint",
     "spearman_trend",
     "runs_test_by_source",
+    "value_quantile_drift",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",

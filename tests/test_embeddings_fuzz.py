@@ -21,6 +21,7 @@ from check_oracles import canon, to_pandas  # noqa: E402
 FUZZ_EMB_QUERIES = [
     "kmeans_assign_step",
     "centroid_margin_census",
+    "cosine_pair_histogram",
     "embedding_label_stats",
     "embedding_quantization_stats",
     "embedding_norm_outliers",

@@ -125,7 +125,10 @@ SUBSET = [
     "token_bigram_ttr",
     "kmeans_assign_step",
     "centroid_margin_census",
+    "cosine_pair_histogram",
     "padding_waste",
+    "value_quantile_drift",
+    "type_size_contingency",
     "label_centroid_separation",
     "seasonal_naive_mase",
     "gap_inventory_1h",
