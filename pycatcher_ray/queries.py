@@ -4710,6 +4710,143 @@ def tokens_mad_flags_1h(sf_dir: str):
     return _tokens_flags(sf_dir, "mad")
 
 
+def tokens_classic_decompose_1h(sf_dir: str):
+    """Classic additive decomposition of the NATIVE hourly n_tok series
+    — the north-rule signal run through the same bit-exact integer
+    pipeline as ``classic_decompose_1h``: centered 25-point moving-
+    average trend, hour-of-day seasonal means of the detrended series,
+    residual, emitted only where the full window exists.  Token sums
+    are already integers, so V needs no 10⁻⁴ scaling; every
+    intermediate (trend_sum, D = 25·V − trend_sum, per-slot ΣD) is an
+    exact integer and each output is ONE integer→double divide written
+    identically on both engines."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("source", sort=False):
+            V = np.rint(g["sum_value"].to_numpy(
+                dtype=np.float64)).astype(np.int64)
+            n = V.size
+            if n < 25:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(V, 25)
+            trend_sum = win.sum(axis=1)
+            mid = slice(12, n - 12)
+            D = 25 * V[mid] - trend_sum
+            slot = pd.DatetimeIndex(
+                g["bucket_start"].to_numpy()[mid]).hour.to_numpy()
+            df = pd.DataFrame({"slot": slot, "D": D})
+            agg = df.groupby("slot")["D"].agg(["sum", "size"])
+            s2 = agg["sum"].reindex(slot).to_numpy()
+            n2 = agg["size"].reindex(slot).to_numpy().astype(np.int64)
+            out.append(pd.DataFrame({
+                "source": src,
+                "bucket_start": g["bucket_start"].to_numpy()[mid],
+                "value": V[mid].astype(np.float64),
+                "trend": trend_sum.astype(np.float64) / 25.0,
+                "seasonal": s2.astype(np.float64) / (n2 * 25.0),
+                "residual": (n2 * D - s2).astype(np.float64) / (n2 * 25.0),
+            }))
+        if not out:
+            return pd.DataFrame(columns=[
+                "source", "bucket_start", "value", "trend", "seasonal",
+                "residual"])
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["source", "bucket_start", "sum_value"]),
+        "source", fold)
+
+
+def _tokens_classic_decompose_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source,
+         to_timestamp(epoch_s - (epoch_s % 3600)) AT TIME ZONE 'UTC'
+           AS bucket_start,
+         CAST(sum(n_tok) AS BIGINT) AS V
+  FROM t GROUP BY 1, 2
+), w AS (
+  SELECT source, bucket_start, V,
+         sum(V) OVER (PARTITION BY source ORDER BY bucket_start
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           AS trend_sum,
+         count(*) OVER (PARTITION BY source ORDER BY bucket_start
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wn
+  FROM r
+), d AS (
+  SELECT source, bucket_start, V, trend_sum,
+         25 * V - trend_sum AS D, hour(bucket_start) AS slot
+  FROM w WHERE wn = 25
+), s AS (
+  SELECT source, slot, sum(D) AS s2, count(*) AS n2
+  FROM d GROUP BY 1, 2
+)
+SELECT d.source, d.bucket_start,
+       CAST(d.V AS DOUBLE) AS value,
+       CAST(d.trend_sum AS DOUBLE) / 25.0 AS trend,
+       CAST(s.s2 AS DOUBLE) / (s.n2 * 25.0) AS seasonal,
+       CAST(s.n2 * d.D - s.s2 AS DOUBLE) / (s.n2 * 25.0) AS residual
+FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
+"""
+
+
+def tokens_hourly_profile(sf_dir: str):
+    """Hour-of-day p25/p50/p75 bands of the NATIVE hourly n_tok series
+    — the seasonal envelope of the north-rule signal (which hours does
+    this source emit tokens in?).  hour-of-day = epoch-hours mod 24;
+    quantiles ride the bit-pinned ``quantile_cont`` lerp over exact
+    integer token sums.  Output bounded at sources × 24."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            hod = (g["bucket_start"].to_numpy().astype("datetime64[s]")
+                   .astype(np.int64) // 3600) % 24
+            V = np.rint(g["sum_value"].to_numpy(
+                dtype=np.float64)).astype(np.int64)
+            for h in np.unique(hod):
+                v = np.sort(V[hod == h].astype(np.float64))
+                rows.append({
+                    "source": src, "hour_of_day": int(h),
+                    "n_obs": int(v.size),
+                    "p25": float(quantile_cont(v, 0.25)),
+                    "p50": float(quantile_cont(v, 0.50)),
+                    "p75": float(quantile_cont(v, 0.75)),
+                })
+        return pd.DataFrame(rows, columns=[
+            "source", "hour_of_day", "n_obs", "p25", "p50", "p75"])
+
+    return sharded_map_groups(
+        roll.select_columns(["source", "bucket_start", "sum_value"]),
+        "source", fold)
+
+
+def _tokens_hourly_profile_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source,
+         (epoch_s - (epoch_s % 3600)) // 3600 % 24 AS hour_of_day,
+         CAST(sum(n_tok) AS BIGINT) AS V
+  FROM t GROUP BY source, epoch_s - (epoch_s % 3600)
+)
+SELECT source, hour_of_day, count(*) AS n_obs,
+       quantile_cont(V, 0.25) AS p25,
+       quantile_cont(V, 0.50) AS p50,
+       quantile_cont(V, 0.75) AS p75
+FROM r GROUP BY 1, 2
+"""
+
+
 def tokens_chunks_1m(sf_dir: str):
     """Gorilla chunk table for the 1m tier (metadata only; blobs stay)."""
     from .stages.compress import compress
@@ -14794,6 +14931,7 @@ _GATE_PRIORITY = [
     "tokens_iqr_flags_1h", "tokens_zscore_flags_1h",
     "tokens_mad_flags_1h", "tokens_gapfill_1h", "tokens_gapfill_1m",
     "tokens_audit", "tokens_length_stats",
+    "tokens_classic_decompose_1h", "tokens_hourly_profile",
     # events §2 core: rollup tiers, retention, detectors, windows
     "rollup_1m", "rollup_1h", "rollup_1d", "rollup_monthly", "rollup_7d",
     "rollup_1m_retained", "iqr_flags_1h", "iqr_flags_enriched_1h",
@@ -14836,6 +14974,8 @@ def _registry():
         "tokens_gapfill_1m": tokens_gapfill_1m,
         "tokens_audit": tokens_audit,
         "tokens_length_stats": tokens_length_stats,
+        "tokens_classic_decompose_1h": tokens_classic_decompose_1h,
+        "tokens_hourly_profile": tokens_hourly_profile,
         "token_length_drift": token_length_drift,
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
@@ -15189,6 +15329,8 @@ def oracles():
         "tokens_gapfill_1h": _tokens_gapfill_oracle(3600),
         "tokens_gapfill_1m": _tokens_gapfill_oracle(60),
         "tokens_audit": _tokens_audit_oracle(),
+        "tokens_classic_decompose_1h": _tokens_classic_decompose_oracle(),
+        "tokens_hourly_profile": _tokens_hourly_profile_oracle(),
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),

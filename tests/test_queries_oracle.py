@@ -184,6 +184,8 @@ SUBSET = [
     "session_event_pairs",
     "tokens_rollup_1h",
     "tokens_rollup_1d",
+    "tokens_classic_decompose_1h",
+    "tokens_hourly_profile",
     "peak_concurrent_sessions",
     "embedding_dup_vectors",
     "daily_hhi",

@@ -27,6 +27,8 @@ FUZZ_TOKEN_QUERIES = [
     "tokens_length_stats",
     "tokens_audit",
     "padding_waste",
+    "tokens_classic_decompose_1h",
+    "tokens_hourly_profile",
     "token_bigram_ttr",
     "token_head_buckets",
     "token_oov_rate",
