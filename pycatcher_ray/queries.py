@@ -7442,6 +7442,81 @@ FROM words GROUP BY lang
 """
 
 
+def char_trigram_topk(sf_dir: str, k: int = 20):
+    """Top-k character trigrams per language — the cheap script /
+    language-model fingerprint (the character-n-gram profile behind
+    n-gram language ID, and a tokenizer-free contamination probe).
+    Vectorized: each doc's codepoints become one int64 key array
+    ((a<<42)|(b<<21)|(c) — codepoints < 2²¹, three fit in the 63
+    nonneg bits), per-batch np.unique folds (lang, key) count partials,
+    one (lang, key)-keyed exchange finishes global counts, and a tiny
+    lang-keyed top-k (count DESC, trigram ASC — UTF-8 byte order equals
+    codepoint order, so SQL binary collation and Python str compare
+    agree) decodes keys back to strings.  Docs shorter than 3 chars
+    contribute nothing (both sides)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("lang", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        per_lang: dict = {}
+        for lang, t in zip(batch["lang"], batch["text"]):
+            if not t or len(t) < 3:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            keys = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+            per_lang.setdefault(lang, []).append(keys)
+        rows = []
+        for lang, arrs in per_lang.items():
+            u, c = np.unique(np.concatenate(arrs), return_counts=True)
+            rows.append(pd.DataFrame({
+                "lang": lang, "key": u, "cnt": c.astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    counts = sharded_aggregate(parts, ["lang", "key"], {"cnt": "sum"})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, f in g.groupby("lang", sort=False):
+            keys = f["key"].to_numpy(np.int64)
+            tri = np.array([chr((x >> 42) & 0x1FFFFF)
+                            + chr((x >> 21) & 0x1FFFFF)
+                            + chr(x & 0x1FFFFF) for x in keys])
+            d = pd.DataFrame({"lang": lang, "tri": tri,
+                              "cnt": f["cnt"].to_numpy(np.int64)})
+            d = d.sort_values(["cnt", "tri"], ascending=[False, True],
+                              kind="stable").head(k)
+            out.append(d)
+        if not out:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "tri": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(counts, "lang", topk)
+
+
+_CHAR_TRIGRAM_ORACLE = """
+WITH tri AS (
+  SELECT lang, substr(text, CAST(i AS BIGINT), 3) AS tri
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - 2)) AS s(i)
+  WHERE length(text) >= 3
+), c AS (
+  SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2
+)
+SELECT lang, tri, cnt FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY cnt DESC, tri ASC) <= 20
+"""
+
+
 def doc_length_quartiles(sf_dir: str):
     """Per-source document-length quartiles (p25/p50/p75 of n_chars) —
     the length-distribution profile behind curation gates.  One
@@ -7553,6 +7628,90 @@ SELECT nums.source, nums.lag AS lag_hours,
 FROM nums JOIN den ON den.source = nums.source
 QUALIFY row_number() OVER (
   PARTITION BY nums.source ORDER BY nums.num DESC, nums.lag ASC) = 1
+"""
+
+
+def pacf_lag2_by_source(sf_dir: str):
+    """Partial autocorrelation at lag 2 per source (Durbin-Levinson
+    φ₂₂ = (r₂ − r₁²)/(1 − r₁²)) — the AR-order probe that separates a
+    true 2-hour memory from one-lag carry-over, complementing
+    dominant_acf_lag's period inference.  The three autocovariance
+    numerators c₀, c₁, c₂ over the integer-demeaned series
+    (e = n·V − ΣV, the KPSS trick) are EXACT (Python bigint / HUGEINT,
+    ~10²⁶); the degenerate guards are exact-integer compares (c₀ = 0
+    constant series; |c₁| = c₀ perfect lag-1 correlation — NOT c₀²=c₁²,
+    which would overflow HUGEINT); φ₂₂ itself is the identical IEEE
+    expression over VARCHAR-bridged correctly-rounded casts on both
+    engines.  One source-keyed exchange, bounded series."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            if n < 3:
+                continue
+            total = int(y4.sum())
+            e = [n * int(v) - total for v in y4.tolist()]
+            c0 = sum(x * x for x in e)
+            c1 = sum(a * b for a, b in zip(e[:-1], e[1:]))
+            c2 = sum(a * b for a, b in zip(e[:-2], e[2:]))
+            if c0 == 0 or abs(c1) == c0:
+                pacf = np.nan
+            else:
+                r1 = float(c1) / float(c0)
+                r2 = float(c2) / float(c0)
+                pacf = (r2 - r1 * r1) / (1.0 - r1 * r1)
+            rows.append({"source": src, "n_obs": n, "pacf_lag2": pacf})
+        return pd.DataFrame(rows, columns=["source", "n_obs", "pacf_lag2"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_PACF_LAG2_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), t AS (
+  SELECT source, count(*) AS n, sum(CAST(V AS HUGEINT)) AS total
+  FROM r GROUP BY source
+), e AS (
+  SELECT r.source, r.idx, t.n, t.n * CAST(r.V AS HUGEINT) - t.total AS ev
+  FROM r JOIN t USING (source)
+), c0 AS (
+  SELECT source, any_value(n) AS n, sum(ev * ev) AS c0
+  FROM e GROUP BY source
+), c1 AS (
+  SELECT a.source, sum(a.ev * b.ev) AS c1
+  FROM e a JOIN e b ON b.source = a.source AND b.idx = a.idx + 1
+  GROUP BY 1
+), c2 AS (
+  SELECT a.source, sum(a.ev * b.ev) AS c2
+  FROM e a JOIN e b ON b.source = a.source AND b.idx = a.idx + 2
+  GROUP BY 1
+)
+SELECT c0.source, c0.n AS n_obs,
+       CASE WHEN c0.c0 > 0 AND abs(c1.c1) <> c0.c0 THEN
+         ((CAST(CAST(c2.c2 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(c0.c0 AS VARCHAR) AS DOUBLE))
+          - (CAST(CAST(c1.c1 AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(c0.c0 AS VARCHAR) AS DOUBLE))
+            * (CAST(CAST(c1.c1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(c0.c0 AS VARCHAR) AS DOUBLE)))
+         / (1.0 - (CAST(CAST(c1.c1 AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(c0.c0 AS VARCHAR) AS DOUBLE))
+                  * (CAST(CAST(c1.c1 AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(c0.c0 AS VARCHAR) AS DOUBLE)))
+       ELSE NULL END AS pacf_lag2
+FROM c0 JOIN c1 USING (source) JOIN c2 USING (source)
+WHERE c0.n >= 3
 """
 
 
@@ -15059,6 +15218,8 @@ def _registry():
         "ols_trend_by_source": ols_trend_by_source,
         "cusum_changepoint": cusum_changepoint,
         "pettitt_changepoint": pettitt_changepoint,
+        "pacf_lag2_by_source": pacf_lag2_by_source,
+        "char_trigram_topk": char_trigram_topk,
         "spearman_trend": spearman_trend,
         "runs_test_by_source": runs_test_by_source,
         "anomaly_run_lengths": anomaly_run_lengths,
@@ -15255,6 +15416,8 @@ def oracles():
         "ols_trend_by_source": _OLS_TREND_ORACLE,
         "cusum_changepoint": _CUSUM_CHANGEPOINT_ORACLE,
         "pettitt_changepoint": _PETTITT_ORACLE,
+        "pacf_lag2_by_source": _PACF_LAG2_ORACLE,
+        "char_trigram_topk": _CHAR_TRIGRAM_ORACLE,
         "spearman_trend": _SPEARMAN_TREND_ORACLE,
         "runs_test_by_source": _RUNS_TEST_ORACLE,
         "anomaly_run_lengths": _RUN_LENGTHS_ORACLE,

@@ -71,6 +71,7 @@ FUZZ_QUERIES = [
     "spearman_trend",
     "runs_test_by_source",
     "value_quantile_drift",
+    "pacf_lag2_by_source",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",
@@ -258,7 +259,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "dup_cluster_sizes", "docs_length_audit",
                     "training_shard_assignment", "length_bucket_mix",
                     "good_turing_unseen", "minhash_signatures_md5",
-                    "lang_mix_tv_drift"]
+                    "lang_mix_tv_drift", "char_trigram_topk"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

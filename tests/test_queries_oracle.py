@@ -91,6 +91,8 @@ SUBSET = [
     "ols_trend_by_source",
     "cusum_changepoint",
     "pettitt_changepoint",
+    "pacf_lag2_by_source",
+    "char_trigram_topk",
     "spearman_trend",
     "runs_test_by_source",
     "anomaly_run_lengths",
