@@ -2027,6 +2027,86 @@ def next_day_retention(sf_dir: str):
     return sharded_map_groups(counts, "source", fold)
 
 
+def funnel_three_step(sf_dir: str, gap_minutes: int = 30):
+    """Three-step ordered funnel WITHIN a session: of all sessions, how
+    many contain a view, a click strictly after the first view, and a
+    purchase strictly after that first qualifying click — the
+    depth-wise conversion census product teams read before any rate.
+    Same session rule as ``session_windows``; step chaining uses the
+    strict min-timestamp recurrence t₁ = min ts(view),
+    t₂ = min ts(click > t₁), t₃ = min ts(purchase > t₂) — pure
+    µs-integer comparisons with no tie ambiguity (mins are
+    well-defined even under duplicate timestamps).  One user-keyed
+    exchange; per-shard counts fold to a single row."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user_change = g["user_id"].ne(g["user_id"].shift())
+        sid = (user_change | (g["ts"].diff() > gap)).cumsum()
+        d = pd.DataFrame({
+            "sid": sid.to_numpy(),
+            "t": g["event_type"].to_numpy(),
+            "us": g["ts"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64)})
+        n_sessions = int(d["sid"].nunique())
+        v = d[d["t"] == "view"].groupby("sid", as_index=False)["us"].min()
+        v = v.rename(columns={"us": "t1"})
+        c = d[d["t"] == "click"].merge(v, on="sid")
+        c = c[c["us"] > c["t1"]].groupby("sid", as_index=False)["us"].min()
+        c = c.rename(columns={"us": "t2"})
+        p = d[d["t"] == "purchase"].merge(c, on="sid")
+        p = p[p["us"] > p["t2"]].groupby("sid", as_index=False).size()
+        return pd.DataFrame({
+            "n_sessions": [n_sessions], "n_view": [len(v)],
+            "n_view_click": [len(c)], "n_full_funnel": [len(p)]})
+
+    parts = sharded_map_groups(ds, "user_id", fold).to_pandas()
+    tot = parts.sum()
+    return pd.DataFrame({
+        "n_sessions": [int(tot["n_sessions"])],
+        "n_view": [int(tot["n_view"])],
+        "n_view_click": [int(tot["n_view_click"])],
+        "n_full_funnel": [int(tot["n_full_funnel"])]})
+
+
+_FUNNEL_THREE_STEP_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), v AS (
+  SELECT user_id, sid, min(ts) AS t1 FROM s
+  WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT s.user_id, s.sid, min(s.ts) AS t2
+  FROM s JOIN v ON v.user_id = s.user_id AND v.sid = s.sid
+  WHERE s.event_type = 'click' AND s.ts > v.t1 GROUP BY 1, 2
+), p AS (
+  SELECT s.user_id, s.sid
+  FROM s JOIN c ON c.user_id = s.user_id AND c.sid = s.sid
+  WHERE s.event_type = 'purchase' AND s.ts > c.t2 GROUP BY 1, 2
+)
+SELECT (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM s))
+         AS n_sessions,
+       (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
 def funnel_view_click(sf_dir: str):
     """Time-windowed conversion funnel: per day, how many distinct users
     had a ``view`` event, and how many of those had a ``click`` strictly
@@ -4792,6 +4872,83 @@ SELECT d.source, d.bucket_start,
        CAST(s.s2 AS DOUBLE) / (s.n2 * 25.0) AS seasonal,
        CAST(s.n2 * d.D - s.s2 AS DOUBLE) / (s.n2 * 25.0) AS residual
 FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
+"""
+
+
+def tokens_dominant_acf_lag(sf_dir: str, max_lag: int = 48):
+    """Dominant seasonality period of the NATIVE hourly n_tok series —
+    dominant_acf_lag's exact-bigint argmax (e = n·V − ΣV demeaning,
+    Σ eᵢe₍ᵢ₊ₖ₎ in Python bigint / HUGEINT, smallest-lag ties) run on
+    the north-rule signal, answering 'what period should the tokens
+    STL use?'.  One source-keyed exchange over the hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["source", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            V = np.rint(g["sum_value"].to_numpy(
+                dtype=np.float64)).astype(np.int64)
+            n = int(V.size)
+            if n < 2:
+                continue
+            total = int(V.sum())
+            e = [n * int(v) - total for v in V.tolist()]
+            den = sum(x * x for x in e)
+            best_lag, best_num = 0, None
+            for k in range(1, min(max_lag, n - 1) + 1):
+                num = sum(a * b for a, b in zip(e[:-k], e[k:]))
+                if best_num is None or num > best_num:
+                    best_lag, best_num = k, num
+            rows.append({
+                "source": src, "lag_hours": best_lag,
+                "acf_peak": float(best_num) / float(den)
+                if den > 0 else np.nan,
+                "n_obs": n,
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "lag_hours", "acf_peak", "n_obs"])
+
+    return sharded_map_groups(
+        roll.select_columns(["source", "bucket_start", "sum_value"]),
+        "source", fold)
+
+
+def _tokens_dominant_acf_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS V,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY epoch_s - (epoch_s % 3600)) AS idx
+  FROM t GROUP BY source, epoch_s - (epoch_s % 3600)
+), tt AS (
+  SELECT source, count(*) AS n, sum(CAST(V AS HUGEINT)) AS total
+  FROM r GROUP BY source
+), e AS (
+  SELECT r.source, r.idx, tt.n, tt.n * CAST(r.V AS HUGEINT) - tt.total AS ev
+  FROM r JOIN tt USING (source)
+), den AS (
+  SELECT source, sum(ev * ev) AS s2, any_value(n) AS n_obs
+  FROM e GROUP BY source
+), lags AS (
+  SELECT unnest(range(1, 49)) AS lag
+), nums AS (
+  SELECT a.source, lags.lag, sum(a.ev * b.ev) AS num
+  FROM e a CROSS JOIN lags
+  JOIN e b ON b.source = a.source AND b.idx = a.idx + lags.lag
+  GROUP BY a.source, lags.lag
+)
+SELECT nums.source, nums.lag AS lag_hours,
+       CASE WHEN den.s2 > 0 THEN
+         CAST(CAST(nums.num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den.s2 AS VARCHAR) AS DOUBLE)
+       ELSE NULL END AS acf_peak,
+       den.n_obs AS n_obs
+FROM nums JOIN den ON den.source = nums.source
+QUALIFY row_number() OVER (
+  PARTITION BY nums.source ORDER BY nums.num DESC, nums.lag ASC) = 1
 """
 
 
@@ -15135,6 +15292,8 @@ def _registry():
         "tokens_length_stats": tokens_length_stats,
         "tokens_classic_decompose_1h": tokens_classic_decompose_1h,
         "tokens_hourly_profile": tokens_hourly_profile,
+        "tokens_dominant_acf_lag": tokens_dominant_acf_lag,
+        "funnel_three_step": funnel_three_step,
         "token_length_drift": token_length_drift,
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
@@ -15494,6 +15653,8 @@ def oracles():
         "tokens_audit": _tokens_audit_oracle(),
         "tokens_classic_decompose_1h": _tokens_classic_decompose_oracle(),
         "tokens_hourly_profile": _tokens_hourly_profile_oracle(),
+        "tokens_dominant_acf_lag": _tokens_dominant_acf_oracle(),
+        "funnel_three_step": _FUNNEL_THREE_STEP_ORACLE,
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),

@@ -61,6 +61,7 @@ FUZZ_QUERIES = [
     "hampel_flags_1h",
     "user_path_trigrams",
     "session_event_pairs",
+    "funnel_three_step",
     "cohort_retention_matrix",
     "error_rate_hourly",
     "rolling_zscore_flags_1h",

@@ -188,6 +188,8 @@ SUBSET = [
     "tokens_rollup_1d",
     "tokens_classic_decompose_1h",
     "tokens_hourly_profile",
+    "tokens_dominant_acf_lag",
+    "funnel_three_step",
     "peak_concurrent_sessions",
     "embedding_dup_vectors",
     "daily_hhi",

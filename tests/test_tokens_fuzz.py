@@ -29,6 +29,7 @@ FUZZ_TOKEN_QUERIES = [
     "padding_waste",
     "tokens_classic_decompose_1h",
     "tokens_hourly_profile",
+    "tokens_dominant_acf_lag",
     "token_bigram_ttr",
     "token_head_buckets",
     "token_oov_rate",
