@@ -4875,6 +4875,115 @@ FROM d JOIN s ON s.source = d.source AND s.slot = d.slot
 """
 
 
+def business_hours_share(sf_dir: str):
+    """Share of each source's tokens emitted during business hours
+    (Mon-Fri, 09:00-16:59 UTC) — the submission-cadence fingerprint
+    that separates scraped human forums from batch-generated corpora.
+    Pure integer calendar arithmetic (hour-of-day = epoch-hours mod 24,
+    day-of-week = (epoch-days + 4) mod 7 with 0 = Sunday — DuckDB's
+    dayofweek convention), map-only per-source partials, ONE final
+    divide."""
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "source", "n_tok"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = (b["doc_id"].str.split("|").str[1]
+                   .astype(np.int64) * 60)
+        hod = (epoch_s // 3600) % 24
+        dow = (epoch_s // 86400 + 4) % 7
+        n = b["n_tok"].to_numpy(np.int64)
+        biz = ((dow >= 1) & (dow <= 5) & (hod >= 9) & (hod < 17)
+               ).to_numpy()
+        g = pd.DataFrame({"source": b["source"], "tot": n,
+                          "biz": np.where(biz, n, 0)}).groupby(
+            "source", as_index=False).sum()
+        g["tot"] = g["tot"].astype(np.int64)
+        g["biz"] = g["biz"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fin = parts.groupby("source", as_index=False).sum()
+    return pd.DataFrame({
+        "source": fin["source"],
+        "total_tokens": fin["tot"].astype(np.int64),
+        "business_tokens": fin["biz"].astype(np.int64),
+        "business_share": fin["biz"].astype(np.float64)
+        / fin["tot"].astype(np.float64)})
+
+
+def _business_hours_oracle() -> str:
+    return _tokens_oracle_cte() + """
+SELECT source,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN (epoch_s // 86400 + 4) % 7 BETWEEN 1 AND 5
+                      AND (epoch_s // 3600) % 24 BETWEEN 9 AND 16
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS business_tokens,
+       CAST(CAST(sum(CASE WHEN (epoch_s // 86400 + 4) % 7 BETWEEN 1 AND 5
+                           AND (epoch_s // 3600) % 24 BETWEEN 9 AND 16
+                          THEN n_tok ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS business_share
+FROM t GROUP BY source
+"""
+
+
+def doc_token_concentration(sf_dir: str):
+    """Token-mass concentration per source: the minimum number of
+    documents (taken largest-first) that covers ≥ 90 % of the source's
+    tokens — the Lorenz-curve point that decides whether a per-doc cap
+    or a length filter reshapes the mix.  The 90 % cut is the exact
+    integer compare 10·cum ≥ 9·total (no float threshold); doc order
+    is (n_tok DESC, doc_id ASC) on both engines.  One source-keyed
+    exchange; the per-source sort is over that source's doc count (the
+    bounded-per-key contract of the detector family — at larger
+    per-key cardinality the scale path is a two-pass n_tok-histogram
+    cut).  Sources with zero tokens emit n_docs_90pct = 0."""
+    from .stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "source", "n_tok"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("source", sort=False):
+            g = g.sort_values(["n_tok", "doc_id"],
+                              ascending=[False, True], kind="stable")
+            n = g["n_tok"].to_numpy(np.int64)
+            tot = int(n.sum())
+            if tot == 0:
+                n90 = 0
+            else:
+                cum = np.cumsum(n)
+                n90 = int(np.argmax(10 * cum >= 9 * tot)) + 1
+            rows.append({"source": src, "n_docs": int(n.size),
+                         "total_tokens": tot, "n_docs_90pct": n90})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "total_tokens", "n_docs_90pct"])
+
+    return sharded_map_groups(ds, "source", fold)
+
+
+def _doc_token_concentration_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH w AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tok DESC, doc_id ASC) AS rn,
+         sum(CAST(n_tok AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY n_tok DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER (PARTITION BY source) AS n,
+         sum(CAST(n_tok AS BIGINT)) OVER (PARTITION BY source) AS tot
+  FROM read_parquet('{glob}')
+)
+SELECT source, n AS n_docs, CAST(tot AS BIGINT) AS total_tokens,
+       CASE WHEN tot = 0 THEN 0 ELSE min(rn) END AS n_docs_90pct
+FROM w WHERE 10 * cum >= 9 * tot OR tot = 0
+GROUP BY source, n, tot
+"""
+
+
 def tokens_dominant_acf_lag(sf_dir: str, max_lag: int = 48):
     """Dominant seasonality period of the NATIVE hourly n_tok series —
     dominant_acf_lag's exact-bigint argmax (e = n·V − ΣV demeaning,
@@ -15294,6 +15403,8 @@ def _registry():
         "tokens_hourly_profile": tokens_hourly_profile,
         "tokens_dominant_acf_lag": tokens_dominant_acf_lag,
         "funnel_three_step": funnel_three_step,
+        "business_hours_share": business_hours_share,
+        "doc_token_concentration": doc_token_concentration,
         "token_length_drift": token_length_drift,
         "token_prefix_novelty": token_prefix_novelty,
         "token_loop_score": token_loop_score,
@@ -15655,6 +15766,8 @@ def oracles():
         "tokens_hourly_profile": _tokens_hourly_profile_oracle(),
         "tokens_dominant_acf_lag": _tokens_dominant_acf_oracle(),
         "funnel_three_step": _FUNNEL_THREE_STEP_ORACLE,
+        "business_hours_share": _business_hours_oracle(),
+        "doc_token_concentration": _doc_token_concentration_oracle(),
         "tokens_length_stats": _tokens_length_stats_oracle(),
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),

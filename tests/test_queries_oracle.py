@@ -190,6 +190,8 @@ SUBSET = [
     "tokens_hourly_profile",
     "tokens_dominant_acf_lag",
     "funnel_three_step",
+    "business_hours_share",
+    "doc_token_concentration",
     "peak_concurrent_sessions",
     "embedding_dup_vectors",
     "daily_hhi",

@@ -30,6 +30,8 @@ FUZZ_TOKEN_QUERIES = [
     "tokens_classic_decompose_1h",
     "tokens_hourly_profile",
     "tokens_dominant_acf_lag",
+    "business_hours_share",
+    "doc_token_concentration",
     "token_bigram_ttr",
     "token_head_buckets",
     "token_oov_rate",
