@@ -10270,6 +10270,197 @@ GROUP BY 1
 """
 
 
+def pq_assign_step(sf_dir: str, k: int = 4, n_sub: int = 4):
+    """One exact Product-Quantization ASSIGNMENT step: the embedding
+    splits into ``n_sub`` contiguous subspaces, each with its own
+    ``k``-entry codebook (seeded, like kmeans_assign_step, from the k
+    lowest-vec_id vectors' subvectors), and every vector takes the
+    integer-exact argmin code per subspace — the compression primitive
+    behind IVF-PQ ANN indexes.  Same floor(·10⁶) int64 quantization
+    contract; ties → lowest codebook id; output is the bounded
+    (subspace, code) census with the EXACT integer distance sum (no
+    divide at all).  Map-only + one tiny (subspace, code) fold."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (k, dims)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    dims = C.shape[1]
+    ss = dims // n_sub
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        outs = []
+        for s in range(n_sub):
+            qs = q[:, s * ss:(s + 1) * ss]
+            Cs = C[:, s * ss:(s + 1) * ss]
+            d = qs @ (-2 * Cs.T)
+            d += (qs * qs).sum(axis=1, keepdims=True)
+            d += (Cs * Cs).sum(axis=1)
+            choice = np.argmin(d, axis=1)      # first min = lowest cid
+            best = d[np.arange(len(q)), choice]
+            g = pd.DataFrame({"subspace": np.int64(s),
+                              "code": cids[choice],
+                              "n_vecs": 1, "dist_i": best}).groupby(
+                ["subspace", "code"], as_index=False).sum()
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_vecs"] = out["n_vecs"].astype(np.int64)
+        out["dist_i"] = out["dist_i"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["subspace", "code"],
+                            {"n_vecs": "sum", "dist_i": "sum"},
+                            num_shards=2).to_pandas()
+    agg = agg.sort_values(["subspace", "code"], kind="stable")
+    return pd.DataFrame({
+        "subspace": agg["subspace"].astype(np.int64),
+        "code": agg["code"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "sum_sq_dist": agg["dist_i"].astype(np.int64)})
+
+
+_PQ_ASSIGN_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), ss AS (
+  SELECT len(embedding) // 4 AS s FROM embeddings LIMIT 1
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+), d AS (
+  SELECT q.vec_id, (q.dim - 1) // ss.s AS subspace, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist_i
+  FROM q CROSS JOIN ss JOIN c ON c.dim = q.dim
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT vec_id, subspace, cid, dist_i, row_number() OVER (
+      PARTITION BY vec_id, subspace ORDER BY dist_i, cid) AS rn
+  FROM d
+)
+SELECT subspace, cid AS code, count(*) AS n_vecs,
+       CAST(sum(dist_i) AS BIGINT) AS sum_sq_dist
+FROM a WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def embedding_doclen_correlation(sf_dir: str):
+    """Cross-table diagnostic: per source, the Pearson correlation
+    between a document's length (n_chars) and its embedding's squared
+    L2 norm — a high correlation means the encoder leaks length
+    instead of meaning, poisoning cosine near-dup thresholds.
+    Distributed plan: a tagged union of documents (doc_id, source,
+    n_chars) and embeddings (vec_id, squared-norm int — floor(·10⁶)
+    quantization, exact int64) meets in ONE id-keyed exchange; the
+    matched (source, x, y) rows ride a second source-keyed exchange
+    whose fold computes the Pearson moments in Python bigints (HUGEINT
+    in the oracle — y² sums pass int64 by design); ρ is the shared
+    IEEE expression num/(√dx·√dy) over VARCHAR-bridged casts."""
+    from .stages.shard import sharded_map_groups
+
+    docs = _rd().read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": b["doc_id"].astype(np.int64),
+            "source": b["source"],
+            "val": b["n_chars"].astype(np.int64),
+            "kind": np.int64(0)})
+
+    emb = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def tag_emb(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        dims = len(vals) // max(len(tb), 1)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        return pd.DataFrame({
+            "id": tb["vec_id"].to_numpy().astype(np.int64),
+            "source": "",
+            "val": (q * q).sum(axis=1),
+            "kind": np.int64(1)})
+
+    both = docs.map_batches(tag_docs, batch_format="pandas").union(
+        emb.map_batches(tag_emb, batch_format="pyarrow"))
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["kind"] == 0][["id", "source", "val"]].rename(
+            columns={"val": "x"})
+        e = g[g["kind"] == 1][["id", "val"]].rename(columns={"val": "y"})
+        return d.merge(e, on="id", how="inner")[["source", "x", "y"]]
+
+    matched = sharded_map_groups(both, "id", join)
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        rows = []
+        for src, f in g.groupby("source", sort=False):
+            x = f["x"].tolist()
+            y = f["y"].tolist()
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            rho = (float(num)
+                   / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+                   if dx > 0 and dy > 0 else np.nan)
+            rows.append({"source": src, "n_docs": n, "len_norm_corr": rho})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_docs", "len_norm_corr"])
+
+    return sharded_map_groups(matched, "source", moments)
+
+
+_EMB_DOCLEN_CORR_ORACLE = """
+WITH q AS (
+  SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS qv
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sum(CAST(qv AS HUGEINT) * qv) AS y FROM q GROUP BY 1
+), j AS (
+  SELECT d.source, CAST(d.n_chars AS HUGEINT) AS x, nrm.y
+  FROM documents d JOIN nrm ON nrm.vec_id = d.doc_id
+), s AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j GROUP BY 1
+)
+SELECT source, n AS n_docs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+       ELSE NULL END AS len_norm_corr
+FROM s
+"""
+
+
 def label_centroid_separation(sf_dir: str):
     """Embedding-space class separation: squared distance between the
     CENTROIDS of every label pair — the diagnostic that flags collapsed
@@ -15531,6 +15722,8 @@ def _registry():
         "kmeans_assign_step": kmeans_assign_step,
         "centroid_margin_census": centroid_margin_census,
         "cosine_pair_histogram": cosine_pair_histogram,
+        "pq_assign_step": pq_assign_step,
+        "embedding_doclen_correlation": embedding_doclen_correlation,
         "padding_waste": padding_waste,
         "value_quantile_drift": value_quantile_drift,
         "type_size_contingency": type_size_contingency,
@@ -15849,6 +16042,8 @@ def oracles():
         "kmeans_assign_step": _KMEANS_ASSIGN_ORACLE,
         "centroid_margin_census": _CENTROID_MARGIN_ORACLE,
         "cosine_pair_histogram": _COSINE_PAIR_ORACLE,
+        "pq_assign_step": _PQ_ASSIGN_ORACLE,
+        "embedding_doclen_correlation": _EMB_DOCLEN_CORR_ORACLE,
         "padding_waste": _padding_waste_oracle(),
         "value_quantile_drift": _VALUE_QUANTILE_DRIFT_ORACLE,
         "type_size_contingency": _TYPE_SIZE_CONTINGENCY_ORACLE,

@@ -22,6 +22,7 @@ FUZZ_EMB_QUERIES = [
     "kmeans_assign_step",
     "centroid_margin_census",
     "cosine_pair_histogram",
+    "pq_assign_step",
     "embedding_label_stats",
     "embedding_quantization_stats",
     "embedding_norm_outliers",

@@ -128,6 +128,8 @@ SUBSET = [
     "kmeans_assign_step",
     "centroid_margin_census",
     "cosine_pair_histogram",
+    "pq_assign_step",
+    "embedding_doclen_correlation",
     "padding_waste",
     "value_quantile_drift",
     "type_size_contingency",
