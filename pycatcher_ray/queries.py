@@ -7442,6 +7442,58 @@ QUALIFY row_number() OVER (
 """
 
 
+def debounced_flags_1h(sf_dir: str):
+    """Debounced alert stream: IQR-flagged hourly buckets kept only
+    when an ADJACENT hour is also flagged (the ≥2-consecutive rule that
+    turns a flappy detector into a pageable alert).  Rides the
+    already-oracled IQR flag rule; per source the flag hours are a tiny
+    set, so the adjacency test is one diff over one source-keyed
+    exchange.  Pure integer hour arithmetic."""
+    from .stages.shard import sharded_map_groups
+
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "bucket_start"], kind="stable")
+        out = []
+        for src, f in g.groupby("source", sort=False):
+            h = (f["bucket_start"].to_numpy().astype("datetime64[s]")
+                 .astype(np.int64) // 3600)
+            prev = np.concatenate([[False], np.diff(h) == 1])
+            nxt = np.concatenate([np.diff(h) == 1, [False]])
+            keep = prev | nxt
+            if keep.any():
+                out.append(f[keep])
+        if not out:
+            return pd.DataFrame(columns=["source", "bucket_start", "value"])
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(flags, "source", fold)
+
+
+_DEBOUNCED_FLAGS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start, round(r.v, 4) AS value,
+         CAST(epoch(r.bucket_start) AS BIGINT) // 3600 AS h
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+)
+SELECT source, bucket_start, value FROM (
+  SELECT source, bucket_start, value,
+         lag(h) OVER w = h - 1 AS adj_prev,
+         lead(h) OVER w = h + 1 AS adj_next
+  FROM f WINDOW w AS (PARTITION BY source ORDER BY h)
+) WHERE COALESCE(adj_prev, FALSE) OR COALESCE(adj_next, FALSE)
+"""
+
+
 def pettitt_changepoint(sf_dir: str):
     """Pettitt rank-based changepoint per source: the bucket where the
     Mann-Whitney-style statistic U_t = Σ_{i≤t}Σ_{j>t} sgn(v_i − v_j)
@@ -7780,6 +7832,57 @@ WITH tri AS (
 SELECT lang, tri, cnt FROM c
 QUALIFY row_number() OVER (
   PARTITION BY lang ORDER BY cnt DESC, tri ASC) <= 20
+"""
+
+
+def affix_fingerprint_dups(sf_dir: str):
+    """Cheap affix-fingerprint near-dup census: documents sharing
+    (first 32 chars, last 32 chars, n_chars) — the O(1)-per-doc
+    screen that catches template pages and trivially-edited copies
+    BEFORE the expensive MinHash pass, reported as a cluster-size
+    histogram (how many fingerprint groups of size 2, 3, …).  The
+    fingerprint is exact substring arithmetic (Python slicing ≡ SQL
+    substr with the greatest(len−31, 1) start); the fingerprint-keyed
+    exchange moves ≤ 64 chars + an int per doc, never the text, and
+    the histogram output is bounded by the max cluster size."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("text",))
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        return pd.DataFrame({
+            "pre": t.str.slice(0, 32),
+            "suf": t.str.slice(-32),
+            "n": t.str.len().astype(np.int64)})
+
+    keyed = ds.map_batches(fp, batch_format="pandas")
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["pre", "suf", "n"], as_index=False).size()
+        h = (c["size"].value_counts().rename_axis("cluster_size")
+             .reset_index(name="n_groups"))
+        return h.astype(np.int64)
+
+    parts = sharded_map_groups(keyed, ["pre", "suf", "n"], sizes)
+    out = sharded_aggregate(parts, "cluster_size", {"n_groups": "sum"},
+                            num_shards=2).to_pandas()
+    out = out[out["cluster_size"] >= 2]
+    return out.sort_values("cluster_size", kind="stable").reset_index(
+        drop=True)
+
+
+_AFFIX_FP_ORACLE = """
+WITH fp AS (
+  SELECT substr(text, 1, 32) AS pre,
+         substr(text, greatest(length(text) - 31, 1), 32) AS suf,
+         length(text) AS n
+  FROM documents
+), c AS (
+  SELECT pre, suf, n, count(*) AS cluster_size FROM fp GROUP BY 1, 2, 3
+)
+SELECT cluster_size, count(*) AS n_groups
+FROM c WHERE cluster_size >= 2 GROUP BY 1
 """
 
 
@@ -15679,6 +15782,8 @@ def _registry():
         "ols_trend_by_source": ols_trend_by_source,
         "cusum_changepoint": cusum_changepoint,
         "pettitt_changepoint": pettitt_changepoint,
+        "debounced_flags_1h": debounced_flags_1h,
+        "affix_fingerprint_dups": affix_fingerprint_dups,
         "pacf_lag2_by_source": pacf_lag2_by_source,
         "char_trigram_topk": char_trigram_topk,
         "spearman_trend": spearman_trend,
@@ -15879,6 +15984,8 @@ def oracles():
         "ols_trend_by_source": _OLS_TREND_ORACLE,
         "cusum_changepoint": _CUSUM_CHANGEPOINT_ORACLE,
         "pettitt_changepoint": _PETTITT_ORACLE,
+        "debounced_flags_1h": _DEBOUNCED_FLAGS_ORACLE,
+        "affix_fingerprint_dups": _AFFIX_FP_ORACLE,
         "pacf_lag2_by_source": _PACF_LAG2_ORACLE,
         "char_trigram_topk": _CHAR_TRIGRAM_ORACLE,
         "spearman_trend": _SPEARMAN_TREND_ORACLE,

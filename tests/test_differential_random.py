@@ -73,6 +73,7 @@ FUZZ_QUERIES = [
     "runs_test_by_source",
     "value_quantile_drift",
     "pacf_lag2_by_source",
+    "debounced_flags_1h",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",
@@ -260,7 +261,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "dup_cluster_sizes", "docs_length_audit",
                     "training_shard_assignment", "length_bucket_mix",
                     "good_turing_unseen", "minhash_signatures_md5",
-                    "lang_mix_tv_drift", "char_trigram_topk"]
+                    "lang_mix_tv_drift", "char_trigram_topk",
+                    "affix_fingerprint_dups"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -93,6 +93,8 @@ SUBSET = [
     "pettitt_changepoint",
     "pacf_lag2_by_source",
     "char_trigram_topk",
+    "debounced_flags_1h",
+    "affix_fingerprint_dups",
     "spearman_trend",
     "runs_test_by_source",
     "anomaly_run_lengths",
