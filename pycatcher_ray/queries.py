@@ -15408,6 +15408,117 @@ GROUP BY 1, 2
 """
 
 
+def copurchase_part_pairs(sf_dir: str, min_support: int = 2):
+    """Market-basket mining on TPC-H facts: unordered part pairs that
+    co-occur in at least ``min_support`` orders — the iceberg self-join
+    shape (a large candidate-pair space pruned by a support threshold
+    AFTER the global count).  One orderkey exchange builds per-order
+    distinct part sets and emits pair partials (bounded by
+    Σ k_order·(k_order−1)/2, k = lines per order — small per key); a
+    pair-keyed fold finishes counts and applies the threshold.  The
+    raw part table never broadcasts and no driver materialization
+    happens before the support cut.  All-integer — exact."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = d.merge(d, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        out = j.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size()
+        out.columns = ["part_a", "part_b", "n_orders"]
+        return out.astype(np.int64)
+
+    parts = sharded_map_groups(line, "l_orderkey", pairs)
+    agg = sharded_aggregate(parts, ["part_a", "part_b"],
+                            {"n_orders": "sum"}).to_pandas()
+    agg = agg[agg["n_orders"] >= min_support]
+    return agg.sort_values(["part_a", "part_b"],
+                           kind="stable").reset_index(drop=True)
+
+
+_COPURCHASE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def daily_peak_hour_mode(sf_dir: str):
+    """Peak-hour stability per source: each day's peak hour-of-day
+    (argmax hourly sum, ties → earliest hour) reduced to the MODAL
+    peak hour and its share of days — a stable mode near 1.0 means the
+    diurnal cycle is dependable enough for seasonal detectors; a flat
+    mode means the source has no reliable peak.  All selections are on
+    exact 10⁻⁴-unit ints with pinned tie orders ((y DESC, hour ASC)
+    within day; (days DESC, hour ASC) across days); the share is ONE
+    int/int divide.  One source-keyed exchange over the hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            day = xs // 24
+            hod = xs % 24
+            d = pd.DataFrame({"day": day, "hod": hod, "y": y4})
+            d = d.sort_values(["day", "y", "hod"],
+                              ascending=[True, False, True], kind="stable")
+            pk = d.groupby("day", as_index=False).first()
+            m = pk.groupby("hod", as_index=False).size()
+            m = m.sort_values(["size", "hod"], ascending=[False, True],
+                              kind="stable")
+            n_days = int(len(pk))
+            rows.append({
+                "source": src, "n_days": n_days,
+                "modal_peak_hour": int(m["hod"].iloc[0]),
+                "mode_days": int(m["size"].iloc[0]),
+                "mode_share": float(int(m["size"].iloc[0]))
+                / float(n_days)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_days", "modal_peak_hour", "mode_days",
+            "mode_share"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_DAILY_PEAK_MODE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pk AS (
+  SELECT source, h // 24 AS day, h % 24 AS peak_hour
+  FROM r
+  QUALIFY row_number() OVER (
+      PARTITION BY source, h // 24 ORDER BY y DESC, h % 24 ASC) = 1
+), m AS (
+  SELECT source, peak_hour, count(*) AS mode_days FROM pk GROUP BY 1, 2
+), n AS (
+  SELECT source, count(*) AS n_days FROM pk GROUP BY 1
+)
+SELECT m.source, n.n_days, m.peak_hour AS modal_peak_hour, m.mode_days,
+       CAST(m.mode_days AS DOUBLE) / CAST(n.n_days AS DOUBLE)
+         AS mode_share
+FROM m JOIN n ON n.source = m.source
+QUALIFY row_number() OVER (
+    PARTITION BY m.source ORDER BY m.mode_days DESC, m.peak_hour ASC) = 1
+"""
+
+
 def orders_backlog_daily(sf_dir: str):
     """Open-order backlog over time — the fulfillment work-in-progress
     curve: an order opens on its o_orderdate and closes on its LAST
@@ -15748,6 +15859,8 @@ def _registry():
         "shipping_delay_histogram": shipping_delay_histogram,
         "orders_backlog_daily": orders_backlog_daily,
         "session_event_pairs": session_event_pairs,
+        "copurchase_part_pairs": copurchase_part_pairs,
+        "daily_peak_hour_mode": daily_peak_hour_mode,
         "peak_concurrent_sessions": peak_concurrent_sessions,
         "embedding_dup_vectors": embedding_dup_vectors,
         "daily_hhi": daily_hhi,
@@ -16118,6 +16231,8 @@ def oracles():
         "shipping_delay_histogram": _SHIPPING_DELAY_ORACLE,
         "orders_backlog_daily": _ORDERS_BACKLOG_ORACLE,
         "session_event_pairs": _SESSION_EVENT_PAIRS_ORACLE,
+        "copurchase_part_pairs": _COPURCHASE_ORACLE,
+        "daily_peak_hour_mode": _DAILY_PEAK_MODE_ORACLE,
         "peak_concurrent_sessions": _PEAK_SESSIONS_ORACLE,
         "embedding_dup_vectors": _EMBEDDING_DUP_ORACLE,
         "daily_hhi": _DAILY_HHI_ORACLE,

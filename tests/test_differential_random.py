@@ -74,6 +74,7 @@ FUZZ_QUERIES = [
     "value_quantile_drift",
     "pacf_lag2_by_source",
     "debounced_flags_1h",
+    "daily_peak_hour_mode",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",

@@ -188,6 +188,8 @@ SUBSET = [
     "shipping_delay_histogram",
     "orders_backlog_daily",
     "session_event_pairs",
+    "copurchase_part_pairs",
+    "daily_peak_hour_mode",
     "tokens_rollup_1h",
     "tokens_rollup_1d",
     "tokens_classic_decompose_1h",
