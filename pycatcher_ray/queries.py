@@ -7442,6 +7442,153 @@ QUALIFY row_number() OVER (
 """
 
 
+def minute_spike_census(sf_dir: str):
+    """Spike census at the FINEST retention tier: per source, how many
+    1-minute buckets exceed 5× the source's median minute volume, plus
+    the largest spike ratio — the ingestion-burst profile that sizes
+    the 1m tier's skew handling.  The spike test is the PURE-INTEGER
+    compare 2·v > 5·(m_lo + m_hi) over the two middle order statistics
+    (no interpolated median, no float threshold); only the reported
+    max ratio is one divide.  One source-keyed exchange over the 1m
+    tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1m")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            y4 = np.rint(v * 10000.0).astype(np.int64)
+            n = int(y4.size)
+            srt = np.sort(y4)
+            m2 = int(srt[(n - 1) // 2]) + int(srt[n // 2])
+            spikes = 2 * y4 > 5 * m2
+            ratio = (float(2 * int(y4.max())) / float(m2)
+                     if m2 > 0 else np.nan)
+            rows.append({
+                "source": src, "n_minutes": n,
+                "n_spikes": int(spikes.sum()),
+                "max_over_median": ratio})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_minutes", "n_spikes", "max_over_median"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MINUTE_SPIKE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('minute', ts)
+), m AS (
+  SELECT source, list_sort(list(y)) AS arr, count(*) AS n,
+         max(y) AS mx
+  FROM r GROUP BY 1
+), mm AS (
+  SELECT source, n, mx,
+         arr[CAST((n - 1) // 2 AS BIGINT) + 1]
+           + arr[CAST(n // 2 AS BIGINT) + 1] AS m2
+  FROM m
+)
+SELECT mm.source, mm.n AS n_minutes,
+       (SELECT count(*) FROM r
+        WHERE r.source = mm.source AND 2 * r.y > 5 * mm.m2) AS n_spikes,
+       CASE WHEN mm.m2 > 0 THEN
+         CAST(2 * mm.mx AS DOUBLE) / CAST(mm.m2 AS DOUBLE)
+       ELSE NULL END AS max_over_median
+FROM mm
+"""
+
+
+def vocab_gini_by_source(sf_dir: str):
+    r"""Vocabulary-frequency Gini coefficient per source — the
+    inequality of the word-frequency distribution (near 1 = a few
+    words dominate, boilerplate/spam; lower = diverse prose), the
+    concentration complement to zipf_head_coverage's fixed top-10
+    mass.  EXACT by the sorted-rank identity
+    G = Σᵢ (2i − n − 1)·c₍ᵢ₎ / (n·Σc), which is invariant to how ties
+    order, so both engines sum identical integers; ONE final divide.
+    Pass 1: per-batch (source, word) count partials through a
+    (source, word)-keyed exchange (global counts); pass 2: counts drop
+    their word strings and ride a source-keyed exchange into the
+    per-source fold.  Word rule = the shared ``_WORD_RE`` + lower()
+    convention (vocab_stats_by_source contract)."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            srcs.append(s)
+            words.append(ws)
+        flat = pd.DataFrame({
+            "source": np.repeat(np.asarray(srcs, dtype=object),
+                                [len(w) for w in words]),
+            "w": np.concatenate([np.asarray(w, dtype=object)
+                                 for w in words]) if words else
+                 np.array([], dtype=object)})
+        g = flat.groupby(["source", "w"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    counts = sharded_aggregate(parts, ["source", "w"], {"c": "sum"})
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["source", "c"]]
+
+    vals = counts.map_batches(strip, batch_format="pandas")
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, f in g.groupby("source", sort=False):
+            c = np.sort(f["c"].to_numpy(np.int64))
+            n = int(c.size)
+            tot = int(c.sum())
+            if n == 0 or tot == 0:
+                continue
+            num = int(np.sum((2 * np.arange(1, n + 1, dtype=np.int64)
+                              - n - 1) * c))
+            rows.append({
+                "source": src, "n_distinct_words": n,
+                "n_tokens": tot,
+                "vocab_gini": float(num) / float(n * tot)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_distinct_words", "n_tokens", "vocab_gini"])
+
+    return sharded_map_groups(vals, "source", gini)
+
+
+_VOCAB_GINI_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), c AS (
+  SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+), r AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY source) AS n,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM c
+)
+SELECT source, n AS n_distinct_words, CAST(tot AS BIGINT) AS n_tokens,
+       CAST(CAST(sum((2 * rn - n - 1) * c) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(n * tot AS BIGINT) AS DOUBLE) AS vocab_gini
+FROM r GROUP BY source, n, tot
+"""
+
+
 def debounced_flags_1h(sf_dir: str):
     """Debounced alert stream: IQR-flagged hourly buckets kept only
     when an ADJACENT hour is also flagged (the ≥2-consecutive rule that
@@ -15897,6 +16044,8 @@ def _registry():
         "pettitt_changepoint": pettitt_changepoint,
         "debounced_flags_1h": debounced_flags_1h,
         "affix_fingerprint_dups": affix_fingerprint_dups,
+        "minute_spike_census": minute_spike_census,
+        "vocab_gini_by_source": vocab_gini_by_source,
         "pacf_lag2_by_source": pacf_lag2_by_source,
         "char_trigram_topk": char_trigram_topk,
         "spearman_trend": spearman_trend,
@@ -16099,6 +16248,8 @@ def oracles():
         "pettitt_changepoint": _PETTITT_ORACLE,
         "debounced_flags_1h": _DEBOUNCED_FLAGS_ORACLE,
         "affix_fingerprint_dups": _AFFIX_FP_ORACLE,
+        "minute_spike_census": _MINUTE_SPIKE_ORACLE,
+        "vocab_gini_by_source": _VOCAB_GINI_ORACLE,
         "pacf_lag2_by_source": _PACF_LAG2_ORACLE,
         "char_trigram_topk": _CHAR_TRIGRAM_ORACLE,
         "spearman_trend": _SPEARMAN_TREND_ORACLE,

@@ -75,6 +75,7 @@ FUZZ_QUERIES = [
     "pacf_lag2_by_source",
     "debounced_flags_1h",
     "daily_peak_hour_mode",
+    "minute_spike_census",
     "anomaly_run_lengths",
     "dominant_acf_lag",
     "peak_hours",
@@ -263,7 +264,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "training_shard_assignment", "length_bucket_mix",
                     "good_turing_unseen", "minhash_signatures_md5",
                     "lang_mix_tv_drift", "char_trigram_topk",
-                    "affix_fingerprint_dups"]
+                    "affix_fingerprint_dups", "vocab_gini_by_source"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -95,6 +95,8 @@ SUBSET = [
     "char_trigram_topk",
     "debounced_flags_1h",
     "affix_fingerprint_dups",
+    "minute_spike_census",
+    "vocab_gini_by_source",
     "spearman_trend",
     "runs_test_by_source",
     "anomaly_run_lengths",
