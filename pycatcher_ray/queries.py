@@ -15895,6 +15895,492 @@ GROUP BY GROUPING SETS ((event_type, d), (event_type), (d), ())
 """
 
 
+def poisson_rate_flags_1h(sf_dir: str):
+    """Count-based anomaly flags at the hourly tier: a (source, hour)
+    bucket is flagged when its EVENT COUNT deviates from the source's
+    mean hourly count by more than 3·√mean — the Poisson-rate control
+    band that catches ingestion stalls/bursts the value-based IQR band
+    misses (n_points vs sum_value are independent signals).  The test
+    |c − S/n| > 3·√(S/n) is evaluated as the PURE-INTEGER compare
+    (c·n − S)² > 9·S·n (multiplied through by n²) in Python bigints /
+    HUGEINT, so the flag set is bit-deterministic at any magnitude.
+    Rides the memoized hourly rollup through one source-keyed
+    exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        out = []
+        for src, g in shard.groupby("event_type", sort=False):
+            c = [int(x) for x in g["n_points"].to_numpy(np.int64)]
+            n, s = len(c), sum(c)
+            keep = [i for i, ci in enumerate(c)
+                    if (ci * n - s) ** 2 > 9 * s * n]
+            if keep:
+                out.append(pd.DataFrame({
+                    "source": src,
+                    "bucket_start": g["bucket_start"].iloc[keep].to_numpy(),
+                    "n_events": np.asarray([c[i] for i in keep], np.int64),
+                    "total_events": np.int64(s),
+                    "n_buckets": np.int64(n)}))
+        if not out:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "bucket_start": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype=np.int64),
+                "total_events": pd.Series([], dtype=np.int64),
+                "n_buckets": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "n_points"]),
+        "event_type", fold)
+
+
+_POISSON_FLAGS_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(c) AS s, CAST(count(*) AS HUGEINT) AS n
+  FROM r GROUP BY 1
+)
+SELECT r.source, r.b AS bucket_start, CAST(r.c AS BIGINT) AS n_events,
+       CAST(t.s AS BIGINT) AS total_events, CAST(t.n AS BIGINT) AS n_buckets
+FROM r JOIN t USING (source)
+WHERE (r.c * t.n - t.s) * (r.c * t.n - t.s) > 9 * t.s * t.n
+"""
+
+
+def variance_changepoint(sf_dir: str):
+    """ICSS-style variance-changepoint per source: argmax over split
+    points i of |n·E2ᵢ − i·E2ₙ| where E2 is the running sum of SQUARED
+    integer deviations eₕ = n·yₕ − T (the dominant_acf_lag demeaning
+    trick: multiply through by n so centering stays in ℤ) — the scale-
+    shift twin of cusum_changepoint's level test.  e² reaches ~10²³ at
+    sf0.1 magnitudes, so partial sums fold in Python bigints / HUGEINT
+    by design; the reported statistic is ONE double divide through the
+    VARCHAR bridge (DuckDB's HUGEINT→DOUBLE cast is not correctly
+    rounded past 2⁶⁴).  Earliest-tie pinned (np.argmax ≡ QUALIFY
+    ORDER BY stat DESC, bucket ASC)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(np.float64))
+            y = [int(x) for x in np.rint(v * 10000.0).astype(np.int64)]
+            n = len(y)
+            if n < 2:
+                continue
+            t = sum(y)
+            e2 = [(n * yi - t) ** 2 for yi in y]
+            tot = sum(e2)
+            if tot == 0:
+                continue  # constant series: no variance structure
+            best_i, best_stat, run = 0, -1, 0
+            for i in range(1, n):
+                run += e2[i - 1]
+                stat = abs(n * run - i * tot)
+                if stat > best_stat:
+                    best_i, best_stat = i, stat
+            rows.append({
+                "source": src,
+                "change_bucket": g["bucket_start"].iloc[best_i - 1],
+                "n_buckets": np.int64(n),
+                "var_stat": float(best_stat) / float(n * tot)})
+        return pd.DataFrame(rows, columns=[
+            "source", "change_bucket", "n_buckets", "var_stat"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_VARIANCE_CHANGEPOINT_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(CAST(round(round(sum(value), 4) * 10000) AS BIGINT)
+              AS HUGEINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, b, y,
+         CAST(count(*) OVER (PARTITION BY source) AS HUGEINT) AS n,
+         sum(y) OVER (PARTITION BY source) AS t
+  FROM r
+), e AS (
+  SELECT source, b, n, (n * y - t) * (n * y - t) AS e2 FROM s
+), c AS (
+  SELECT source, b, n,
+         sum(e2) OVER (PARTITION BY source ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS run,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY b)
+              AS HUGEINT) AS i,
+         sum(e2) OVER (PARTITION BY source) AS tot
+  FROM e
+)
+SELECT source, b AS change_bucket, CAST(n AS BIGINT) AS n_buckets,
+       CAST(CAST(abs(n * run - i * tot) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * tot AS VARCHAR) AS DOUBLE) AS var_stat
+FROM c
+WHERE i < n AND n >= 2 AND tot > 0
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY abs(n * run - i * tot) DESC, b ASC) = 1
+"""
+
+
+def sma_crossover_count(sf_dir: str, fast: int = 6, slow: int = 24):
+    """Fast/slow moving-average crossover census per source — how often
+    the 6-bucket SMA crosses the 24-bucket SMA on the hourly tier (the
+    trend-turn counter behind trading-style alert rules; a high count
+    means oscillation, a low count sustained regimes).  Row-based
+    trailing windows over observed buckets; the compare Sf/6 vs Ss/24
+    is multiplied through to the INTEGER 4·Sf − Ss, and a crossing is
+    a strict sign flip between CONSECUTIVE full-window rows (the
+    mean_crossings convention; zeros break runs on both sides because
+    the flip test requires strictly opposite signs).  One source-keyed
+    exchange; windows via one cumulative sum, no per-row loop."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["event_type", "bucket_start"],
+                                  kind="stable")
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(np.float64))
+            y = np.rint(v * 10000.0).astype(np.int64)
+            n = int(y.size)
+            nw = max(n - (slow - 1), 0)
+            if nw == 0:
+                rows.append({"source": src, "n_windows": 0,
+                             "n_crossings": 0})
+                continue
+            cs = np.concatenate([[0], np.cumsum(y)])
+            i = np.arange(slow - 1, n)
+            sf_ = cs[i + 1] - cs[i + 1 - fast]
+            ss = cs[i + 1] - cs[i + 1 - slow]
+            d = 4 * sf_ - ss
+            flips = int((((d[:-1] > 0) & (d[1:] < 0))
+                         | ((d[:-1] < 0) & (d[1:] > 0))).sum())
+            rows.append({"source": src, "n_windows": nw,
+                         "n_crossings": flips})
+        out = pd.DataFrame(rows, columns=[
+            "source", "n_windows", "n_crossings"])
+        out["n_windows"] = out["n_windows"].astype(np.int64)
+        out["n_crossings"] = out["n_crossings"].astype(np.int64)
+        return out
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_SMA_CROSSOVER_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, b,
+         row_number() OVER (PARTITION BY source ORDER BY b) AS i,
+         count(*) OVER (PARTITION BY source) AS n,
+         sum(y) OVER (PARTITION BY source ORDER BY b
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS sf,
+         sum(y) OVER (PARTITION BY source ORDER BY b
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS ss
+  FROM r
+), d AS (
+  SELECT source, i, n, 4 * sf - ss AS d,
+         lead(4 * sf - ss) OVER (PARTITION BY source ORDER BY i) AS dn
+  FROM s WHERE i >= 24
+), f AS (
+  SELECT source, max(n) AS n,
+         count(*) FILTER ((d > 0 AND dn < 0) OR (d < 0 AND dn > 0))
+           AS n_crossings
+  FROM d GROUP BY source
+), allsrc AS (
+  SELECT source, count(*) AS n FROM r GROUP BY source
+)
+SELECT a.source,
+       CAST(greatest(a.n - 23, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(f.n_crossings, 0) AS BIGINT) AS n_crossings
+FROM allsrc a LEFT JOIN f USING (source)
+"""
+
+
+def first_token_topk(sf_dir: str, k: int = 5):
+    """Top-``k`` FIRST-token ids per source over the native tokens
+    input — the BOS/template sanity check a tokenizer pipeline runs
+    (a healthy corpus concentrates mass on the template's start
+    tokens; drift here means the prompt format changed).  Per batch
+    the first element of every non-empty list comes from ONE gather
+    at the Arrow list offsets (absolute offsets are slice-safe; no
+    per-row Python); (source, token) count partials ride a composite-
+    keyed exchange to global counts, then a tiny source fold ranks.
+    Ties pinned (cnt DESC, token ASC) on both engines; rank is part
+    of the compared output."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["tokens", "source"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        has = lens > 0
+        if not has.any():
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "tok": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64)})
+        vals = toks.values.to_numpy().astype(np.int64)
+        first = vals[off[:-1][has]]
+        src = tb["source"].to_pandas().to_numpy()[has]
+        g = pd.DataFrame({"source": src, "tok": first, "cnt": 1}).groupby(
+            ["source", "tok"], as_index=False).sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counts = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], {"cnt": "sum"})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "cnt", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        g["rank"] = g.groupby("source", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "source": g["source"],
+            "rank": g["rank"].to_numpy(np.int64),
+            "token_id": g["tok"].to_numpy(np.int64),
+            "cnt": g["cnt"].to_numpy(np.int64)})
+
+    return sharded_map_groups(counts, "source", topk, num_shards=None)
+
+
+def _first_token_oracle(k: int = 5) -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT source, tokens[1] AS tok
+  FROM read_parquet('{glob}') WHERE len(tokens) >= 1
+), c AS (
+  SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2
+)
+SELECT source,
+       CAST(row_number() OVER (
+           PARTITION BY source ORDER BY cnt DESC, tok ASC) AS BIGINT)
+         AS rank,
+       CAST(tok AS BIGINT) AS token_id, CAST(cnt AS BIGINT) AS cnt
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY cnt DESC, tok ASC) <= {k}
+"""
+
+
+def token_max_run(sf_dir: str):
+    """Longest run of IDENTICAL consecutive token ids per doc, folded
+    to a per-source census (n nonempty docs, corpus max run, docs with
+    a run ≥ 3) — the single-token degeneration screen (pad-token
+    flooding, stuck sampler emitting one id) complementing
+    token_loop_score's multi-token windows.  Per batch: one vectorized
+    break-mask over the flat Arrow values (doc starts from the
+    absolute offsets, value changes from one shifted compare), run
+    lengths by bincount over the cumulative run id, per-doc maxima via
+    np.maximum.at — no Python loop over docs or runs.  All-integer.
+    The synth corpora are effectively run-free (vocab ≫ doc length),
+    so the interesting branch is pinned by a planted golden in
+    test_training_ops."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["tokens", "source"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        has = lens > 0
+        src = tb["source"].to_pandas().to_numpy()
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "max_run": pd.Series([], dtype=np.int64),
+            "docs_run_ge3": pd.Series([], dtype=np.int64)})
+        if not has.any():
+            return empty
+        vals = toks.values.to_numpy().astype(np.int64)
+        lo, hi = int(off[0]), int(off[-1])
+        v = vals[lo:hi]
+        brk = np.ones(v.size, dtype=bool)
+        brk[1:] = v[1:] != v[:-1]
+        brk[off[:-1][has] - lo] = True  # doc starts always break
+        run_id = np.cumsum(brk) - 1
+        counts = np.bincount(run_id)
+        run_start = np.flatnonzero(brk) + lo
+        run_doc = np.searchsorted(off, run_start, side="right") - 1
+        docmax = np.zeros(len(tb), dtype=np.int64)
+        np.maximum.at(docmax, run_doc, counts)
+        g = pd.DataFrame({
+            "source": src[has],
+            "n_docs": np.ones(int(has.sum()), dtype=np.int64),
+            "max_run": docmax[has],
+            "docs_run_ge3": (docmax[has] >= 3).astype(np.int64)})
+        return g.groupby("source", as_index=False).agg(
+            {"n_docs": "sum", "max_run": "max", "docs_run_ge3": "sum"})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "source",
+                            {"n_docs": "sum", "max_run": "max",
+                             "docs_run_ge3": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_docs": b["n_docs"].to_numpy(np.int64),
+            "max_token_run": b["max_run"].to_numpy(np.int64),
+            "docs_run_ge3": b["docs_run_ge3"].to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _token_max_run_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS pos
+  FROM read_parquet('{glob}')
+), g AS (
+  SELECT doc_id, source, tok, pos,
+         pos - row_number() OVER (
+             PARTITION BY doc_id, tok ORDER BY pos) AS isl
+  FROM t
+), runs AS (
+  SELECT doc_id, source, count(*) AS rl
+  FROM g GROUP BY doc_id, source, tok, isl
+), docs AS (
+  SELECT doc_id, source, max(rl) AS docmax FROM runs GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(docmax) AS BIGINT) AS max_token_run,
+       CAST(count(*) FILTER (docmax >= 3) AS BIGINT) AS docs_run_ge3
+FROM docs GROUP BY source
+"""
+
+
+def knn_indegree_census(sf_dir: str):
+    """Exact 1-NN in-degree (hubness) census over the embedding table:
+    for every vector, find its nearest OTHER vector under the integer-
+    quantized squared distance (the kmeans_assign_step contract:
+    floor(float64(e)·10⁶) int64 coordinates ⇒ exact distances and a
+    bit-deterministic argmin, ties → lowest vec_id), then histogram
+    how often each vector is chosen — hubs (high in-degree) and
+    orphans (in-degree 0) are the classic curse-of-dimensionality
+    diagnostics run before trusting an ANN index.  All-pairs exact is
+    the BOUNDED-PANEL baseline (O(n²) by definition, like ann_topk's
+    brute path — the labeled ground truth); at corpus scale the same
+    census runs over ann_topk_ivf's probed candidates instead.  Plan:
+    one bounded collect builds the (n, d) int64 reference matrix
+    (ray.put-style broadcast via closure), assignment is a map-only
+    integer matmul per batch, in-degrees fold in ONE nbr-keyed
+    exchange and the tiny histogram in a second; the in-degree-0 bin
+    is n − |chosen| (never materializes per-vector rows on the
+    driver)."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    ref = ds.to_pandas().sort_values("vec_id", kind="stable")
+    ids = ref["vec_id"].to_numpy(np.int64)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in ref["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (n, d)
+    c_sq = (C * C).sum(axis=1)
+    n_total = int(ids.size)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        own = tb["vec_id"].to_numpy().astype(np.int64)
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += c_sq
+        d[own[:, None] == ids[None, :]] = np.iinfo(np.int64).max
+        choice = np.argmin(d, axis=1)  # first min = lowest vec_id
+        g = pd.DataFrame({"nbr": ids[choice], "cnt": 1}).groupby(
+            "nbr", as_index=False).sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    deg = sharded_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        "nbr", {"cnt": "sum"})
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"in_degree": b["cnt"].to_numpy(np.int64),
+                          "n_vecs": 1}).groupby(
+            "in_degree", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    hist = sharded_aggregate(
+        deg.map_batches(census, batch_format="pandas"),
+        "in_degree", {"n_vecs": "sum"}, num_shards=2).to_pandas()
+    n_chosen = int(hist["n_vecs"].sum()) if len(hist) else 0
+    zero = pd.DataFrame({"in_degree": [np.int64(0)],
+                         "n_vecs": [np.int64(n_total - n_chosen)]})
+    out = pd.concat([zero, hist], ignore_index=True)
+    out = out[out["n_vecs"] > 0]
+    return pd.DataFrame({
+        "in_degree": out["in_degree"].to_numpy(np.int64),
+        "n_vecs": out["n_vecs"].to_numpy(np.int64)})
+
+
+_KNN_INDEGREE_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), d AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         sum((a.qv - b.qv) * (a.qv - b.qv)) AS dist
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), nn AS (
+  SELECT src, nbr FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY src ORDER BY dist, nbr) = 1
+), deg AS (
+  SELECT e.vec_id, count(nn.src) AS in_degree
+  FROM embeddings e LEFT JOIN nn ON nn.nbr = e.vec_id
+  GROUP BY 1
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -15954,6 +16440,12 @@ def _registry():
         "tokens_classic_decompose_1h": tokens_classic_decompose_1h,
         "tokens_hourly_profile": tokens_hourly_profile,
         "tokens_dominant_acf_lag": tokens_dominant_acf_lag,
+        "poisson_rate_flags_1h": poisson_rate_flags_1h,
+        "variance_changepoint": variance_changepoint,
+        "sma_crossover_count": sma_crossover_count,
+        "first_token_topk": first_token_topk,
+        "token_max_run": token_max_run,
+        "knn_indegree_census": knn_indegree_census,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -16336,6 +16828,12 @@ def oracles():
         "token_length_drift": _token_drift_oracle(),
         "token_prefix_novelty": _token_prefix_novelty_oracle(),
         "token_loop_score": _token_loop_oracle(),
+        "poisson_rate_flags_1h": _POISSON_FLAGS_ORACLE,
+        "variance_changepoint": _VARIANCE_CHANGEPOINT_ORACLE,
+        "sma_crossover_count": _SMA_CROSSOVER_ORACLE,
+        "first_token_topk": _first_token_oracle(),
+        "token_max_run": _token_max_run_oracle(),
+        "knn_indegree_census": _KNN_INDEGREE_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -77,6 +77,9 @@ FUZZ_QUERIES = [
     "daily_peak_hour_mode",
     "minute_spike_census",
     "anomaly_run_lengths",
+    "poisson_rate_flags_1h",
+    "variance_changepoint",
+    "sma_crossover_count",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

@@ -32,6 +32,7 @@ FUZZ_EMB_QUERIES = [
     "embedding_dim_covariance",
     "embedding_dup_vectors",
     "centroid_purity",
+    "knn_indegree_census",
 ]
 
 DIMS = 16

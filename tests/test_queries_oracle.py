@@ -175,6 +175,12 @@ SUBSET = [
     "classic_residual_flags_1h",
     "trend_crossing_eta",
     "token_window_dedup",
+    "poisson_rate_flags_1h",
+    "variance_changepoint",
+    "sma_crossover_count",
+    "first_token_topk",
+    "token_max_run",
+    "knn_indegree_census",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",

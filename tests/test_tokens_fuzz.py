@@ -44,6 +44,8 @@ FUZZ_TOKEN_QUERIES = [
     "token_bucket_tv_drift",
     "token_window_dedup",
     "tokens_peak_24h",
+    "first_token_topk",
+    "token_max_run",
 ]
 
 M0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
