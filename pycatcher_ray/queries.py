@@ -16381,6 +16381,423 @@ FROM deg GROUP BY 1
 """
 
 
+def rescaled_range_stat(sf_dir: str):
+    """Hurst-style rescaled-range statistic per source at the hourly
+    tier: (R/S)² where R is the range of the mean-adjusted cumulative
+    sums and S the population std — the long-memory screen (persistent
+    trends score high, white noise low) run before choosing a
+    forecasting model.  Exactness: with Zᵢ = n·Cᵢ − i·T (cumulative
+    sums multiplied through by n so demeaning stays in ℤ),
+    R_n = max Z − min Z and n²S² = n·S2 − T² are EXACT integers
+    (Python bigint / HUGEINT — R_n² reaches ~10²⁹ by design), and
+    (R/S)² = R_n²/(n·S2 − T²); ONE double divide through the VARCHAR
+    bridge.  One source-keyed exchange over the bounded hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            y = [int(v) for v in y4.tolist()]
+            n = len(y)
+            if n < 2:
+                continue
+            t = sum(y)
+            den = n * sum(v * v for v in y) - t * t
+            if den == 0:
+                continue  # constant series: S = 0, ratio undefined
+            z, c, mx, mn = 0, 0, None, None
+            for i, v in enumerate(y, start=1):
+                c += v
+                z = n * c - i * t
+                mx = z if mx is None or z > mx else mx
+                mn = z if mn is None or z < mn else mn
+            r = mx - mn
+            rows.append({"source": src, "n_buckets": np.int64(n),
+                         "rs_sq": float(r * r) / float(den)})
+        return pd.DataFrame(rows, columns=["source", "n_buckets", "rs_sq"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_RESCALED_RANGE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(CAST(round(round(sum(value), 4) * 10000) AS BIGINT)
+              AS HUGEINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, b, y,
+         CAST(count(*) OVER (PARTITION BY source) AS HUGEINT) AS n,
+         sum(y) OVER (PARTITION BY source) AS t,
+         sum(y * y) OVER (PARTITION BY source) AS s2,
+         sum(y) OVER (PARTITION BY source ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY b)
+              AS HUGEINT) AS i
+  FROM r
+), z AS (
+  SELECT source, n, t, s2, n * c - i * t AS z FROM s
+), agg AS (
+  SELECT source, max(n) AS n, max(z) - min(z) AS r,
+         max(n) * max(s2) - max(t) * max(t) AS den
+  FROM z GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_buckets,
+       CAST(CAST(r * r AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rs_sq
+FROM agg WHERE n >= 2 AND den <> 0
+"""
+
+
+def successive_diff_stats(sf_dir: str):
+    """Volatility census per source: median and max of the ABSOLUTE
+    successive differences |yₕ₊₁ − yₕ| over the bucket-sorted hourly
+    tier (row-adjacent observed buckets; gaps do not split the series
+    — pinned on both sides) — the roughness profile that separates
+    smooth seasonal sources from jittery ones.  Diffs are exact 10⁻⁴
+    ints; the reported median divides each diff by 10⁴ (identical IEEE
+    op both sides) and runs the bit-pinned quantile_cont two-product
+    lerp; the max stays BIGINT.  One source-keyed exchange."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            if y4.size < 2:
+                continue
+            d = np.abs(np.diff(y4))
+            rows.append({
+                "source": src, "n_diffs": np.int64(d.size),
+                "med_abs_diff": float(quantile_cont(
+                    d.astype(np.float64) / 10000.0, 0.5)),
+                "max_abs_diff": np.int64(d.max())})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_diffs", "med_abs_diff", "max_abs_diff"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_SUCCESSIVE_DIFF_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT source,
+         abs(y - lag(y) OVER (PARTITION BY source ORDER BY b)) AS d
+  FROM r
+)
+SELECT source, count(d) AS n_diffs,
+       quantile_cont(CAST(d AS DOUBLE) / 10000.0, 0.5) AS med_abs_diff,
+       max(d) AS max_abs_diff
+FROM d WHERE d IS NOT NULL GROUP BY source
+"""
+
+
+def kmeans_update_step(sf_dir: str, k: int = 8):
+    """The UPDATE half of one k-means iteration over the embedding
+    table (kmeans_assign_step is the assignment half): new centroid
+    coordinates as the mean of the integer-quantized coordinates of
+    the vectors assigned to each centroid.  The assignment inherits
+    kmeans_assign_step's bit-deterministic integer-argmin contract;
+    per-(centroid, dim) coordinate sums are exact int64 partials
+    (|q|≤2·10⁶ × corpus ≪ 2⁶³ per batch; bigint-safe in the fold), so
+    the ONE divide per coordinate is identical on both engines.
+    Map-only assignment + one tiny (centroid, dim)-keyed exchange
+    bounded by k×dims rows per batch — the token stream of embeddings
+    never shuffles."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    dims = C.shape[1]
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)
+        sums = np.zeros((k, dims), dtype=np.int64)
+        np.add.at(sums, choice, q)
+        cnt = np.bincount(choice, minlength=k).astype(np.int64)
+        used = cnt > 0
+        kk = int(used.sum())
+        return pd.DataFrame({
+            "centroid_id": np.repeat(cids[used], dims),
+            "dim": np.tile(np.arange(1, dims + 1, dtype=np.int64), kk),
+            "coord_sum": sums[used].ravel(),
+            "n_vecs": np.repeat(cnt[used], dims)})
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["centroid_id", "dim"],
+                            {"coord_sum": "sum", "n_vecs": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "centroid_id": b["centroid_id"].to_numpy(np.int64),
+            "dim": b["dim"].to_numpy(np.int64),
+            "n_vecs": b["n_vecs"].to_numpy(np.int64),
+            "new_coord": b["coord_sum"].to_numpy(np.int64)
+                         / b["n_vecs"].to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_KMEANS_UPDATE_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), d AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist_i
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY dist_i, cid) = 1
+)
+SELECT a.cid AS centroid_id, q.dim, count(*) AS n_vecs,
+       CAST(sum(q.qv) AS DOUBLE) / count(*) AS new_coord
+FROM a JOIN q USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
+def session_duration_quartiles(sf_dir: str, gap_minutes: int = 30):
+    """Session-length distribution by day: p25/p50/p75 of session
+    duration (microseconds, an exact integer per session) for sessions
+    STARTING each day — the engagement-depth trend a product dashboard
+    tracks.  Rides the session_windows rule (>30 min idle closes, user
+    boundary closes); durations are integer epoch-µs diffs, quartiles
+    via the bit-pinned quantile_cont two-product lerp.  Sessions form
+    in one user-keyed exchange (vectorized break-scan), then the
+    per-day fold rides a second, day-keyed exchange over the bounded
+    session table — the raw stream shuffles once."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    sess = session_windows(sf_dir, gap_minutes=gap_minutes)
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        start = b["session_start"].to_numpy().astype("datetime64[us]")
+        end = b["session_end"].to_numpy().astype("datetime64[us]")
+        day = start.astype("datetime64[D]").astype("datetime64[us]")
+        return pd.DataFrame({
+            "day": day,
+            "dur_us": (end - start).astype(np.int64)})
+
+    durs = sess.map_batches(to_day, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for day, g in shard.groupby("day", sort=False):
+            v = g["dur_us"].to_numpy(np.float64)
+            rows.append({
+                "day": day, "n_sessions": np.int64(v.size),
+                "p25_us": float(quantile_cont(v, 0.25)),
+                "p50_us": float(quantile_cont(v, 0.50)),
+                "p75_us": float(quantile_cont(v, 0.75))})
+        return pd.DataFrame(rows, columns=[
+            "day", "n_sessions", "p25_us", "p50_us", "p75_us"])
+
+    return sharded_map_groups(durs, "day", fold)
+
+
+_SESSION_DUR_Q_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sess AS (
+  SELECT user_id, session_id,
+         date_trunc('day', min(ts)) AS day,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+  FROM numbered GROUP BY 1, 2
+)
+SELECT day, count(*) AS n_sessions,
+       quantile_cont(CAST(dur_us AS DOUBLE), 0.25) AS p25_us,
+       quantile_cont(CAST(dur_us AS DOUBLE), 0.50) AS p50_us,
+       quantile_cont(CAST(dur_us AS DOUBLE), 0.75) AS p75_us
+FROM sess GROUP BY day
+"""
+
+
+def user_lifespan_histogram(sf_dir: str):
+    """User-lifespan census: histogram of (last active day − first
+    active day) spans in whole days — the retention-shape summary
+    (mass at 0 = one-day users; a long tail = a durable cohort).
+    Per-batch (user → min/max day) integer partials bound the
+    user-keyed exchange at users×batches rows; the span histogram
+    folds in a second, tiny span-keyed exchange — per-user rows never
+    reach the driver.  Days via trunc-then-epoch (the hour_of_week
+    lesson: date_trunc FIRST so no fractional-second rounding
+    divergence).  All-integer — bit-exact."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pd.DataFrame({"user_id": b["user_id"], "lo": day, "hi": day}
+                         ).groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    spans = sharded_aggregate(parts, "user_id",
+                              {"lo": "min", "hi": "max"})
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "span_days": (b["hi"].to_numpy(np.int64)
+                          - b["lo"].to_numpy(np.int64)),
+            "n_users": 1}).groupby("span_days", as_index=False).sum()
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        spans.map_batches(census, batch_format="pandas"),
+        "span_days", {"n_users": "sum"}, num_shards=2)
+
+
+_USER_LIFESPAN_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', max(ts)))
+              - epoch(date_trunc('day', min(ts))) AS BIGINT)
+           // 86400 AS span_days
+  FROM events GROUP BY user_id
+)
+SELECT span_days, count(*) AS n_users FROM u GROUP BY span_days
+"""
+
+
+def simhash_embedding_census(sf_dir: str, bits: int = 16):
+    """Random-hyperplane (sign-random-projection) SimHash over the
+    embedding table with an EXACT oracle — the hard-oracle anchor for
+    the rows-only embedding_neardup_lsh path (same family as
+    minhash_signatures_md5 anchoring MinHash): each vector's 16-bit
+    code comes from the SIGNS of its dot products with ±1 hyperplanes
+    derived bit-by-bit from splitmix64(dim), which the SQL side
+    reproduces in HUGEINT mod-2⁶⁴ arithmetic.  Dot products are exact
+    int64 (quantized coords × ±1), so every sign — and therefore every
+    bucket id — is bit-deterministic.  Map-only, no shuffle; emits the
+    full (vec_id, label, bucket) assignment for value-checking."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    state = {}
+
+    def planes(dims: int) -> np.ndarray:
+        P = state.get(dims)
+        if P is None:
+            h = _splitmix64(np.arange(1, dims + 1, dtype=np.int64))
+            j = np.arange(bits, dtype=np.uint64)
+            P = (((h[:, None] >> j[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)          # (dims, bits) ±1
+            state[dims] = P
+        return P
+
+    def code(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        dims = vals.size // len(tb) if len(tb) else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        dot = q @ planes(dims)                        # (n, bits) exact
+        w = np.int64(1) << np.arange(bits, dtype=np.int64)
+        bucket = ((dot >= 0).astype(np.int64) * w).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": tb["vec_id"].to_numpy().astype(np.int64),
+            "label": tb["label"].to_numpy().astype(np.int64),
+            "bucket": bucket})
+
+    return ds.map_batches(code, batch_format="pyarrow")
+
+
+def _simhash_embedding_oracle(bits: int = 16) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT DISTINCT dim FROM q
+), s1 AS (
+  SELECT dim, (CAST(dim AS HUGEINT) + 11400714819323198485)
+                % 18446744073709551616 AS z
+  FROM dims
+), s2 AS (
+  SELECT dim,
+         {_sql_mulmod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s1
+), s3 AS (
+  SELECT dim,
+         {_sql_mulmod64("xor(z, z // 134217728)", 0x94D049BB133111EB)} AS z
+  FROM s2
+), h AS (
+  SELECT dim, xor(z, z // 2147483648) AS h FROM s3
+), p AS (
+  SELECT dim, j.j,
+         (CAST((h // CAST(round(pow(2, j.j)) AS HUGEINT)) % 2 AS BIGINT)
+          * 2 - 1) AS sign
+  FROM h CROSS JOIN (
+    SELECT unnest(generate_series(0, {bits - 1})) AS j) j
+), dot AS (
+  SELECT q.vec_id, p.j, sum(q.qv * p.sign) AS dj
+  FROM q JOIN p USING (dim) GROUP BY 1, 2
+), b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dj >= 0
+                       THEN CAST(round(pow(2, j)) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dot GROUP BY vec_id
+)
+SELECT b.vec_id, CAST(e.label AS BIGINT) AS label, b.bucket
+FROM b JOIN embeddings e USING (vec_id)
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -16446,6 +16863,12 @@ def _registry():
         "first_token_topk": first_token_topk,
         "token_max_run": token_max_run,
         "knn_indegree_census": knn_indegree_census,
+        "rescaled_range_stat": rescaled_range_stat,
+        "successive_diff_stats": successive_diff_stats,
+        "kmeans_update_step": kmeans_update_step,
+        "session_duration_quartiles": session_duration_quartiles,
+        "user_lifespan_histogram": user_lifespan_histogram,
+        "simhash_embedding_census": simhash_embedding_census,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -16834,6 +17257,12 @@ def oracles():
         "first_token_topk": _first_token_oracle(),
         "token_max_run": _token_max_run_oracle(),
         "knn_indegree_census": _KNN_INDEGREE_ORACLE,
+        "rescaled_range_stat": _RESCALED_RANGE_ORACLE,
+        "successive_diff_stats": _SUCCESSIVE_DIFF_ORACLE,
+        "kmeans_update_step": _KMEANS_UPDATE_ORACLE,
+        "session_duration_quartiles": _SESSION_DUR_Q_ORACLE,
+        "user_lifespan_histogram": _USER_LIFESPAN_ORACLE,
+        "simhash_embedding_census": _simhash_embedding_oracle(),
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -80,6 +80,10 @@ FUZZ_QUERIES = [
     "poisson_rate_flags_1h",
     "variance_changepoint",
     "sma_crossover_count",
+    "rescaled_range_stat",
+    "successive_diff_stats",
+    "session_duration_quartiles",
+    "user_lifespan_histogram",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

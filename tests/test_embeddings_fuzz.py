@@ -33,6 +33,8 @@ FUZZ_EMB_QUERIES = [
     "embedding_dup_vectors",
     "centroid_purity",
     "knn_indegree_census",
+    "kmeans_update_step",
+    "simhash_embedding_census",
 ]
 
 DIMS = 16

@@ -181,6 +181,12 @@ SUBSET = [
     "first_token_topk",
     "token_max_run",
     "knn_indegree_census",
+    "rescaled_range_stat",
+    "successive_diff_stats",
+    "kmeans_update_step",
+    "session_duration_quartiles",
+    "user_lifespan_histogram",
+    "simhash_embedding_census",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
