@@ -16798,6 +16798,467 @@ FROM b JOIN embeddings e USING (vec_id)
 """
 
 
+def daily_anomaly_burden(sf_dir: str):
+    """Flag burden by day: per (source, day), how many hourly buckets
+    the IQR rule flags out of the observed buckets, with the rate —
+    the ops-dashboard roll-up of the flag stream (is today worse than
+    yesterday?).  Rides the ALREADY-ORACLED iqr_flags_1h rule for the
+    flag set and the memoized hourly tier for the denominators; both
+    tiny tables meet in one (source, day)-keyed tagged-union exchange.
+    Days with zero flags emit a 0-rate row (the totals side guarantees
+    presence).  Counts are exact ints; the rate is ONE divide."""
+    from .stages.shard import sharded_aggregate
+
+    flags = _flags(sf_dir, "1h", "iqr")
+    roll = _events_rollup(sf_dir, "1h")
+
+    def tag_flags(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["bucket_start"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({"source": b["source"], "day": day,
+                             "n_flagged": np.int64(1),
+                             "n_buckets": np.int64(0)})
+
+    def tag_total(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["bucket_start"].to_numpy().astype("datetime64[D]")
+               .astype("datetime64[us]"))
+        return pd.DataFrame({"source": b["event_type"], "day": day,
+                             "n_flagged": np.int64(0),
+                             "n_buckets": np.int64(1)})
+
+    both = flags.map_batches(tag_flags, batch_format="pandas").union(
+        roll.select_columns(["event_type", "bucket_start"])
+            .map_batches(tag_total, batch_format="pandas"))
+    agg = sharded_aggregate(both, ["source", "day"],
+                            {"n_flagged": "sum", "n_buckets": "sum"},
+                            num_shards=4)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        f = b["n_flagged"].to_numpy(np.int64)
+        t = b["n_buckets"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "day": b["day"],
+            "n_flagged": f, "n_buckets": t, "flag_rate": f / t})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_DAILY_BURDEN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, date_trunc('day', r.bucket_start) AS day,
+         count(*) AS c
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+  GROUP BY 1, 2
+), t AS (
+  SELECT source, date_trunc('day', bucket_start) AS day, count(*) AS n
+  FROM r GROUP BY 1, 2
+)
+SELECT t.source, t.day,
+       CAST(coalesce(f.c, 0) AS BIGINT) AS n_flagged,
+       CAST(t.n AS BIGINT) AS n_buckets,
+       CAST(coalesce(f.c, 0) AS DOUBLE) / t.n AS flag_rate
+FROM t LEFT JOIN f USING (source, day)
+"""
+
+
+def discount_band_revenue(sf_dir: str):
+    """Discounted revenue by integer discount band (0%..10%) — the
+    pricing-mix census behind promotion analysis.  Map-only: every
+    batch bins rint(l_discount·100) and folds integer 10⁻⁴-unit
+    revenue partials (cents(price) × (100 − pct(discount)), the
+    order-independent integer-revenue trick of regional_supplier_
+    revenue); one tiny band-keyed exchange finishes ≤ 11 rows.  The
+    emitted revenue is the one divide /10⁴ of an exact BIGINT."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({"band_pct": d, "n_items": 1,
+                          "rev4": p * (100 - d)}).groupby(
+            "band_pct", as_index=False).sum()
+        g["n_items"] = g["n_items"].astype(np.int64)
+        g["rev4"] = g["rev4"].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "band_pct", {"n_items": "sum", "rev4": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "band_pct": b["band_pct"].to_numpy(np.int64),
+            "n_items": b["n_items"].to_numpy(np.int64),
+            "revenue": b["rev4"].to_numpy(np.int64) / 10000.0})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_DISCOUNT_BAND_ORACLE = """
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS band_pct,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem GROUP BY 1
+"""
+
+
+def qty_price_correlation(sf_dir: str):
+    """Pearson correlation between quantity and extended price per
+    return flag — the pricing-sanity check (price should scale with
+    quantity; a flag segment where it doesn't is suspect).  All five
+    moment sums are EXACT integers: quantity and cents(price) are
+    ints, and Σp² (which passes 2⁶³ at sf0.1) rides the exchange as
+    SPLIT hi/lo int64 partials (p² ≫ int64-safe per value; the 32-bit
+    split keeps every partial column in BIGINT range at any corpus
+    size — recombined in Python bigints at emit).  r is the pinned
+    expression num / (√a · √b) over correctly-rounded casts on both
+    engines (a·b would overflow HUGEINT, so the square roots are taken
+    separately by design).  Map-only + one tiny flag-keyed exchange."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(b["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        p = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        p2 = p * p
+        g = pd.DataFrame({
+            "flag": b["l_returnflag"], "n": 1, "sq": q, "sp": p,
+            "sqp": q * p, "sq2": q * q,
+            "sp2_hi": p2 >> 32, "sp2_lo": p2 & 0xFFFFFFFF,
+        }).groupby("flag", as_index=False).sum()
+        for c in g.columns[1:]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "flag", {"n": "sum", "sq": "sum", "sp": "sum", "sqp": "sum",
+                 "sq2": "sum", "sp2_hi": "sum", "sp2_lo": "sum"},
+        num_shards=2).to_pandas()
+    rows = []
+    for _, r in agg.iterrows():
+        n, sq, sp = int(r["n"]), int(r["sq"]), int(r["sp"])
+        sp2 = (int(r["sp2_hi"]) << 32) + int(r["sp2_lo"])
+        num = n * int(r["sqp"]) - sq * sp
+        a = n * int(r["sq2"]) - sq * sq
+        b = n * sp2 - sp * sp
+        if a == 0 or b == 0:
+            continue
+        import math
+        rows.append({
+            "l_returnflag": r["flag"], "n_items": np.int64(n),
+            "corr_qty_price": float(num) / (math.sqrt(float(a))
+                                            * math.sqrt(float(b)))})
+    return pd.DataFrame(rows, columns=[
+        "l_returnflag", "n_items", "corr_qty_price"])
+
+
+_QTY_PRICE_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sq,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS sp,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sqp,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sq2,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sp2
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       CAST(CAST(n * sqp - sq * sp AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sq2 - sq * sq AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * sp2 - sp * sp AS VARCHAR) AS DOUBLE)))
+         AS corr_qty_price
+FROM m WHERE n * sq2 - sq * sq <> 0 AND n * sp2 - sp * sp <> 0
+"""
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Exact-duplicate rate per source — the curation-dashboard view of
+    dedup_exact (which emits the kept set) and dup_cluster_sizes
+    (corpus-wide histogram): per source, how many docs are byte-exact
+    copies of an earlier doc.  Same content-digest contract as
+    dedup_exact (two independent polars 64-bit hashes; text never
+    enters the all-to-all): per-batch (source, digest, count) partials
+    → one digest-keyed exchange sums group sizes → per-source fold of
+    Σ(count − 1).  Rate is ONE divide."""
+    import polars as pl
+
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "text"]).aggregate([
+            ("text", "count")]).rename_columns(
+            ["source", "text", "p_n"])
+        s = pl.from_arrow(g["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        return pa.table({
+            "source": g["source"],
+            "h1": pa.array(s.hash(seed=0x9E3779B9).to_numpy()
+                           .astype(np.int64)),
+            "h2": pa.array(s.hash(seed=0x85EBCA6B).to_numpy()
+                           .astype(np.int64)),
+            "p_n": g["p_n"],
+        })
+
+    groups = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "h1", "h2"], {"p_n": "sum"})
+
+    def per_source(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["p_n"].to_numpy(np.int64)
+        g = pd.DataFrame({"source": b["source"], "n_docs": n,
+                          "n_dup_docs": n - 1}).groupby(
+            "source", as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_dup_docs"] = g["n_dup_docs"].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        groups.map_batches(per_source, batch_format="pandas"),
+        "source", {"n_docs": "sum", "n_dup_docs": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_docs"].to_numpy(np.int64)
+        d = b["n_dup_docs"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n_docs": n, "n_dup_docs": d,
+            "dup_rate": d / n})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_DEDUP_RATE_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       count(*) - count(DISTINCT text) AS n_dup_docs,
+       CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*)
+         AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+def fleet_vocab_coverage(sf_dir: str, top_k: int = 100):
+    """Reference-vocabulary coverage per source: what share of each
+    source's word mass falls inside the FLEET's top-100 words — the
+    domain-shift screen a curation pipeline runs before mixing a new
+    source in (low coverage = the source speaks a different
+    vocabulary).  Plan: (source, word) count partials → a composite-
+    keyed exchange finishes global (source, word) counts → a second,
+    WORD-keyed exchange folds fleet totals (a word lands whole in one
+    shard, so per-shard top-k candidates are globally sufficient —
+    the zipf argument) → driver folds ≤ k×shards candidate rows and
+    broadcasts the top-k set → a map-only pass over the bounded table
+    splits covered/total integer mass per source.  Ties at the k
+    boundary pinned (count DESC, word ASC) on both engines.  Word rule
+    = the shared ``_WORD_RE`` + lower() convention."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            srcs.append(s)
+            words.append(ws)
+        if not words:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        flat = pd.DataFrame({
+            "source": np.repeat(np.asarray(srcs, dtype=object),
+                                [len(w) for w in words]),
+            "w": np.concatenate([np.asarray(w, dtype=object)
+                                 for w in words])})
+        g = flat.groupby(["source", "w"], as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return g.rename(columns={"size": "c"})
+
+    counts = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "w"], {"c": "sum"})
+
+    # second, word-keyed exchange: each word's global count lands whole
+    # in exactly one shard, so per-shard top-k candidates are globally
+    # sufficient (the zipf_head_coverage argument)
+    fleet = sharded_aggregate(
+        counts.map_batches(
+            lambda b: b.groupby("w", as_index=False)["c"].sum(),
+            batch_format="pandas"),
+        "w", {"c": "sum"})
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["c", "w"], ascending=[False, True],
+                          kind="stable").head(top_k)
+        return b[["w", "c"]]
+
+    cand = fleet.map_batches(local_topk,
+                             batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["c", "w"], ascending=[False, True],
+                            kind="stable").head(top_k)
+    top_words = set(cand["w"])
+
+    def cover(b: pd.DataFrame) -> pd.DataFrame:
+        inset = b["w"].isin(top_words).to_numpy()
+        c = b["c"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "source": b["source"],
+            "covered": np.where(inset, c, 0),
+            "total": c}).groupby("source", as_index=False).sum()
+        g["covered"] = g["covered"].astype(np.int64)
+        g["total"] = g["total"].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        counts.map_batches(cover, batch_format="pandas"),
+        "source", {"covered": "sum", "total": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        cov = b["covered"].to_numpy(np.int64)
+        tot = b["total"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "covered_tokens": cov,
+            "total_tokens": tot, "coverage": cov / tot})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _fleet_vocab_oracle(top_k: int = 100) -> str:
+    return rf"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), sc AS (
+  SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+), fleet AS (
+  SELECT w, sum(c) AS c FROM sc GROUP BY w
+), topk AS (
+  SELECT w FROM fleet
+  QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= {top_k}
+)
+SELECT source,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM topk) THEN c ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM topk) THEN c ELSE 0 END)
+            AS DOUBLE) / sum(c) AS coverage
+FROM sc GROUP BY source
+"""
+
+
+def order_fill_latency(sf_dir: str):
+    """Order-fulfilment latency per priority: mean days from order date
+    to the FIRST lineitem shipment — the SLA metric per priority class
+    (URGENT should ship sooner).  Same tagged-union orderkey exchange
+    as late_shipment_priority, but the per-order state is MIN(shipdate)
+    and the day gap folds into per-priority (Σdays, n) integer
+    partials; the mean is ONE divide.  Days via trunc-then-epoch (both
+    timestamps are day-aligned)."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": b["o_orderkey"].astype(np.int64),
+            "ts": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "kind": np.int64(1)})
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partials(b: pd.DataFrame) -> pd.DataFrame:
+        agg = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+            "ts": b["l_shipdate"],
+        }).groupby("okey", as_index=False)["ts"].min()
+        agg["o_orderpriority"] = ""
+        agg["kind"] = np.int64(0)
+        return agg[["okey", "ts", "o_orderpriority", "kind"]]
+
+    both = line.map_batches(ship_partials, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def latency_partials(g: pd.DataFrame) -> pd.DataFrame:
+        ship = g[g["kind"] == 0].groupby("okey", as_index=False)["ts"].min()
+        o = g[g["kind"] == 1][["okey", "ts", "o_orderpriority"]].rename(
+            columns={"ts": "odate"})
+        j = o.merge(ship, on="okey", how="inner")
+        days = ((j["ts"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64))
+                - (j["odate"].to_numpy().astype("datetime64[D]")
+                   .astype(np.int64)))
+        out = pd.DataFrame({
+            "o_orderpriority": j["o_orderpriority"],
+            "sum_days": days, "n_orders": 1}).groupby(
+            "o_orderpriority", as_index=False).sum()
+        out["sum_days"] = out["sum_days"].astype(np.int64)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    partials = sharded_map_groups(both, "okey", latency_partials)
+    agg = sharded_aggregate(partials, "o_orderpriority",
+                            {"sum_days": "sum", "n_orders": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["sum_days"].to_numpy(np.int64)
+        n = b["n_orders"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_orders": n, "mean_fill_days": s / n})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_FILL_LATENCY_ORACLE = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(epoch(date_trunc('day', f.ship)) AS BIGINT) // 86400
+                - CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT)
+                  // 86400) AS DOUBLE) / count(*) AS mean_fill_days
+FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -16869,6 +17330,12 @@ def _registry():
         "session_duration_quartiles": session_duration_quartiles,
         "user_lifespan_histogram": user_lifespan_histogram,
         "simhash_embedding_census": simhash_embedding_census,
+        "daily_anomaly_burden": daily_anomaly_burden,
+        "discount_band_revenue": discount_band_revenue,
+        "qty_price_correlation": qty_price_correlation,
+        "dedup_rate_by_source": dedup_rate_by_source,
+        "fleet_vocab_coverage": fleet_vocab_coverage,
+        "order_fill_latency": order_fill_latency,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -17263,6 +17730,12 @@ def oracles():
         "session_duration_quartiles": _SESSION_DUR_Q_ORACLE,
         "user_lifespan_histogram": _USER_LIFESPAN_ORACLE,
         "simhash_embedding_census": _simhash_embedding_oracle(),
+        "daily_anomaly_burden": _DAILY_BURDEN_ORACLE,
+        "discount_band_revenue": _DISCOUNT_BAND_ORACLE,
+        "qty_price_correlation": _QTY_PRICE_CORR_ORACLE,
+        "dedup_rate_by_source": _DEDUP_RATE_ORACLE,
+        "fleet_vocab_coverage": _fleet_vocab_oracle(),
+        "order_fill_latency": _FILL_LATENCY_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

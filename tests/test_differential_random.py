@@ -84,6 +84,7 @@ FUZZ_QUERIES = [
     "successive_diff_stats",
     "session_duration_quartiles",
     "user_lifespan_histogram",
+    "daily_anomaly_burden",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",
@@ -271,7 +272,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "training_shard_assignment", "length_bucket_mix",
                     "good_turing_unseen", "minhash_signatures_md5",
                     "lang_mix_tv_drift", "char_trigram_topk",
-                    "affix_fingerprint_dups", "vocab_gini_by_source"]
+                    "affix_fingerprint_dups", "vocab_gini_by_source",
+                    "dedup_rate_by_source", "fleet_vocab_coverage"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -187,6 +187,12 @@ SUBSET = [
     "session_duration_quartiles",
     "user_lifespan_histogram",
     "simhash_embedding_census",
+    "daily_anomaly_burden",
+    "discount_band_revenue",
+    "qty_price_correlation",
+    "dedup_rate_by_source",
+    "fleet_vocab_coverage",
+    "order_fill_latency",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
