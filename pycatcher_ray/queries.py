@@ -17259,6 +17259,220 @@ GROUP BY 1
 """
 
 
+def charge_summary_by_status(sf_dir: str):
+    """TPC-H Q1's full pricing ladder per (returnflag, linestatus):
+    item count, discounted price and the TAX-inclusive charge — the
+    one Q1 column (`sum_charge`) lineitem_pricing_summary left out,
+    exercising l_tax.  Exactness: disc price rides the exchange as
+    int64 10⁻⁴ units (cents(p)·(100−d)); charge is 10⁻⁶ units
+    (cents(p)·(100−d)·(100+t), ≤ ~10¹¹ per row) summed as SPLIT hi/lo
+    int64 partials (the qty_price_correlation 32-bit-split trick — a
+    global charge sum passes 2⁶³ long before 100 TB; the split keeps
+    every partial in BIGINT at any corpus size, recombined in Python
+    bigints over the ≤ 8 final groups).  Map-only partials + one tiny
+    flag-keyed exchange; emitted doubles are ONE divide of an exact
+    integer on both engines (VARCHAR-bridged in SQL so the HUGEINT →
+    DOUBLE cast is correctly rounded)."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount", "l_tax"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        t = np.rint(b["l_tax"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        disc4 = p * (100 - d)
+        charge6 = disc4 * (100 + t)
+        g = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "n_items": 1, "disc4": disc4,
+            "c6_hi": charge6 >> 32, "c6_lo": charge6 & 0xFFFFFFFF,
+        }).groupby(["l_returnflag", "l_linestatus"],
+                   as_index=False).sum()
+        for c in g.columns[2:]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"n_items": "sum", "disc4": "sum", "c6_hi": "sum",
+         "c6_lo": "sum"}, num_shards=2).to_pandas()
+    rows = []
+    for _, r in agg.iterrows():
+        c6 = (int(r["c6_hi"]) << 32) + int(r["c6_lo"])
+        rows.append({
+            "l_returnflag": r["l_returnflag"],
+            "l_linestatus": r["l_linestatus"],
+            "n_items": np.int64(int(r["n_items"])),
+            "sum_disc_price": float(int(r["disc4"])) / 10000.0,
+            "sum_charge": float(c6) / 1000000.0})
+    return pd.DataFrame(rows, columns=[
+        "l_returnflag", "l_linestatus", "n_items", "sum_disc_price",
+        "sum_charge"])
+
+
+_CHARGE_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS VARCHAR) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                 AS VARCHAR) AS DOUBLE) / 1000000.0 AS sum_charge
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def order_lines_audit(sf_dir: str):
+    """Line-number integrity audit — the ingest-contract check a
+    warehouse runs on every load: per order, l_linenumber must be
+    exactly the gapless sequence 1..n (verified WITHOUT materializing
+    the set: max == count AND 2·sum == n·(n+1) — both directions of
+    a gap/dup break one of the two).  Per-batch per-order (count, sum,
+    max) partials combine associatively through one orderkey exchange
+    (sum/sum/max — no order rows, no line rows move whole); a tiny
+    second exchange folds the census: orders and intact-orders per
+    line-count.  All-integer, bit-exact."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ln = b["l_linenumber"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "okey": b["l_orderkey"].to_numpy(np.int64),
+            "n": 1, "s": ln, "m": ln,
+        }).groupby("okey", as_index=False).agg(
+            {"n": "sum", "s": "sum", "m": "max"})
+        for c in ("n", "s", "m"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    per_order = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "okey", {"n": "sum", "s": "sum", "m": "max"})
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        intact = ((b["m"].to_numpy(np.int64) == n)
+                  & (2 * b["s"].to_numpy(np.int64) == n * (n + 1)))
+        g = pd.DataFrame({"n_lines": n, "n_orders": 1,
+                          "n_intact": intact.astype(np.int64)}).groupby(
+            "n_lines", as_index=False).sum()
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["n_intact"] = g["n_intact"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        per_order.map_batches(census, batch_format="pandas"),
+        "n_lines", {"n_orders": "sum", "n_intact": "sum"}, num_shards=2)
+
+
+_ORDER_LINES_AUDIT_ORACLE = """
+WITH per_o AS (
+  SELECT l_orderkey, count(*) AS n, sum(l_linenumber) AS s,
+         max(l_linenumber) AS m
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN m = n AND 2 * s = n * (n + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_intact
+FROM per_o GROUP BY 1
+"""
+
+
+def brand_list_price_gap(sf_dir: str):
+    """Realized vs list value per brand — the pricing-power metric:
+    what the brand's lineitems actually billed (Σ cents(extprice))
+    against what the catalog says they were worth (Σ qty ·
+    cents(p_retailprice)), with the realized share as ONE divide of
+    the two exact integer sums.  part is a BROADCAST dimension
+    (``ray.put`` one partkey → (brand, retail-cents) table, read once
+    per task — O(200k·SF) rows, never re-shipped per batch); lineitem
+    partials pre-aggregate per batch so only O(brands) rows enter the
+    tiny final exchange.  VARCHAR-bridged HUGEINT→DOUBLE casts in the
+    oracle mirror Python's correctly-rounded float(int)."""
+    import ray
+
+    from .stages.shard import sharded_aggregate
+
+    part_df = _rd().read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_retailprice"]).to_pandas()
+    pk = part_df["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    dim_ref = ray.put({
+        "keys": pk[order],
+        "brand": part_df["p_brand"].to_numpy(object)[order],
+        "retail_c": np.rint(part_df["p_retailprice"].to_numpy(np.float64)
+                            * 100.0).astype(np.int64)[order]})
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        idx = np.searchsorted(dim["keys"], b["l_partkey"].to_numpy(np.int64))
+        q = np.rint(b["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        p = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "p_brand": dim["brand"][idx], "n_items": 1,
+            "list_c": q * dim["retail_c"][idx], "real_c": p,
+        }).groupby("p_brand", as_index=False).sum()
+        for c in ("n_items", "list_c", "real_c"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "p_brand", {"n_items": "sum", "list_c": "sum", "real_c": "sum"},
+        num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        lc = b["list_c"].to_numpy(np.int64)
+        rc = b["real_c"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "p_brand": b["p_brand"],
+            "n_items": b["n_items"].to_numpy(np.int64),
+            "list_value": lc / 100.0, "realized_value": rc / 100.0,
+            "realized_share": rc / lc})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_BRAND_LIST_GAP_ORACLE = """
+WITH m AS (
+  SELECT p.p_brand, count(*) AS n_items,
+         sum(CAST(round(l.l_quantity) AS HUGEINT)
+             * CAST(round(p.p_retailprice * 100) AS HUGEINT)) AS list_c,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS real_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_items,
+       CAST(CAST(list_c AS VARCHAR) AS DOUBLE) / 100.0 AS list_value,
+       CAST(CAST(real_c AS VARCHAR) AS DOUBLE) / 100.0 AS realized_value,
+       CAST(CAST(real_c AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(list_c AS VARCHAR) AS DOUBLE) AS realized_share
+FROM m
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -17336,6 +17550,9 @@ def _registry():
         "dedup_rate_by_source": dedup_rate_by_source,
         "fleet_vocab_coverage": fleet_vocab_coverage,
         "order_fill_latency": order_fill_latency,
+        "charge_summary_by_status": charge_summary_by_status,
+        "order_lines_audit": order_lines_audit,
+        "brand_list_price_gap": brand_list_price_gap,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -17736,6 +17953,9 @@ def oracles():
         "dedup_rate_by_source": _DEDUP_RATE_ORACLE,
         "fleet_vocab_coverage": _fleet_vocab_oracle(),
         "order_fill_latency": _FILL_LATENCY_ORACLE,
+        "charge_summary_by_status": _CHARGE_SUMMARY_ORACLE,
+        "order_lines_audit": _ORDER_LINES_AUDIT_ORACLE,
+        "brand_list_price_gap": _BRAND_LIST_GAP_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

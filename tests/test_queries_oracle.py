@@ -193,6 +193,9 @@ SUBSET = [
     "dedup_rate_by_source",
     "fleet_vocab_coverage",
     "order_fill_latency",
+    "charge_summary_by_status",
+    "order_lines_audit",
+    "brand_list_price_gap",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
