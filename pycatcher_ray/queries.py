@@ -17473,6 +17473,213 @@ FROM m
 """
 
 
+def interflag_gap_stats(sf_dir: str):
+    """Time between anomalies per source — the MTBF view of the IQR
+    flag stream (a source whose flags cluster tightly is a different
+    ops problem than one that misfires weekly): per source with ≥ 2
+    flags, flag count, mean and max gap in integer hours between
+    consecutive flagged buckets.  Rides the memoized flag table (tiny)
+    through ONE source-keyed exchange; gaps are exact int64 hour
+    deltas on the hour-aligned grid, the mean is ONE divide by
+    (n − 1)."""
+    from .stages.shard import sharded_map_groups
+
+    flags = _flags(sf_dir, "1h", "iqr")
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start", kind="stable")
+        rows = []
+        for src, sub in g.groupby("source", sort=False):
+            if len(sub) < 2:
+                continue
+            h = (sub["bucket_start"].to_numpy()
+                 .astype("datetime64[h]").astype(np.int64))
+            gaps = np.diff(h)
+            rows.append({
+                "source": src, "n_flags": np.int64(len(sub)),
+                "mean_gap_hours": float(int(gaps.sum()))
+                / float(len(sub) - 1),
+                "max_gap_hours": np.int64(gaps.max())})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_flags", "mean_gap_hours", "max_gap_hours"])
+
+    return sharded_map_groups(
+        flags.select_columns(["source", "bucket_start"]),
+        "source", per_source, num_shards=4)
+
+
+_INTERFLAG_GAP_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.bucket_start
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+), g AS (
+  SELECT source,
+         CAST(epoch(bucket_start) AS BIGINT) // 3600
+         - lag(CAST(epoch(bucket_start) AS BIGINT) // 3600)
+           OVER (PARTITION BY source ORDER BY bucket_start) AS gap
+  FROM f
+)
+SELECT source, count(*) AS n_flags,
+       CAST(sum(gap) AS DOUBLE) / (count(*) - 1) AS mean_gap_hours,
+       CAST(max(gap) AS BIGINT) AS max_gap_hours
+FROM g GROUP BY source HAVING count(*) >= 2
+"""
+
+
+def longest_rising_run(sf_dir: str):
+    """Longest strictly-rising streak per source on the hourly tier —
+    the momentum screen (how many CONSECUTIVE hours did load climb
+    without a dip or a gap?).  A run extends only while the next
+    bucket is exactly +1 h AND its value strictly exceeds the
+    previous one; ties broken to the EARLIEST run start.  Engine:
+    one source-keyed exchange, then a vectorized boundary scan per
+    series (sort → int64 hour diffs → boolean step mask → run-length
+    encode via flatnonzero on mask transitions — no Python per-point
+    loop).  The strict float compare is deterministic because both
+    engines read the SAME exact-oracled hourly sums.  The oracle is
+    the classic gaps-and-islands window form."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        rows = []
+        for src, sub in g.groupby("event_type", sort=False):
+            ts = sub["bucket_start"].to_numpy()
+            h = ts.astype("datetime64[h]").astype(np.int64)
+            v = sub["sum_value"].to_numpy(np.float64)
+            n = len(sub)
+            if n == 1:
+                rows.append({"source": src, "longest_rise": np.int64(1),
+                             "run_start": ts[0]})
+                continue
+            ok = (np.diff(h) == 1) & (v[1:] > v[:-1])
+            # island ids: cumulative count of breaks; runs = bincount
+            brk = np.concatenate(([0], np.cumsum(~ok)))
+            lens = np.bincount(brk)           # points per island, in
+            best = int(lens.argmax())         # first-occurrence argmax
+            start_idx = int(np.searchsorted(brk, best))
+            rows.append({"source": src,
+                         "longest_rise": np.int64(int(lens[best])),
+                         "run_start": ts[start_idx]})
+        return pd.DataFrame(rows, columns=[
+            "source", "longest_rise", "run_start"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", per_source, num_shards=4)
+
+
+_LONGEST_RISING_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, bucket_start,
+         CASE WHEN bucket_start = lag(bucket_start)
+                   OVER (PARTITION BY source ORDER BY bucket_start)
+                   + INTERVAL 1 HOUR
+               AND v > lag(v)
+                   OVER (PARTITION BY source ORDER BY bucket_start)
+              THEN 0 ELSE 1 END AS brk
+  FROM r
+), i AS (
+  SELECT source, bucket_start,
+         sum(brk) OVER (PARTITION BY source ORDER BY bucket_start
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM s
+), runs AS (
+  SELECT source, grp, count(*) AS len, min(bucket_start) AS run_start
+  FROM i GROUP BY 1, 2
+)
+SELECT source, CAST(len AS BIGINT) AS longest_rise, run_start
+FROM runs
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY len DESC, run_start ASC) = 1
+"""
+
+
+def flag_hour_profile(sf_dir: str):
+    """WHEN do anomalies happen — the hour-of-day profile of the IQR
+    flag stream across all sources: per hour 0..23, flagged buckets,
+    observed buckets, and the flag rate.  The fleet-wide seasonal-
+    exposure complement to daily_anomaly_burden's per-day burden;
+    same tagged-union plan (two tiny tables meet in one hour-keyed
+    exchange), counts exact ints, rate ONE divide.  Hours with zero
+    flags still emit (the totals side guarantees presence)."""
+    from .stages.shard import sharded_aggregate
+
+    flags = _flags(sf_dir, "1h", "iqr")
+    roll = _events_rollup(sf_dir, "1h")
+
+    def _hod(ts: np.ndarray) -> np.ndarray:
+        h = ts.astype("datetime64[h]").astype(np.int64)
+        return ((h % 24) + 24) % 24
+
+    def tag_flags(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_of_day": _hod(b["bucket_start"].to_numpy()),
+            "n_flagged": np.int64(1), "n_buckets": np.int64(0)})
+
+    def tag_total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_of_day": _hod(b["bucket_start"].to_numpy()),
+            "n_flagged": np.int64(0), "n_buckets": np.int64(1)})
+
+    both = flags.map_batches(tag_flags, batch_format="pandas").union(
+        roll.select_columns(["bucket_start"])
+            .map_batches(tag_total, batch_format="pandas"))
+    agg = sharded_aggregate(both, "hour_of_day",
+                            {"n_flagged": "sum", "n_buckets": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        f = b["n_flagged"].to_numpy(np.int64)
+        t = b["n_buckets"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "hour_of_day": b["hour_of_day"].to_numpy(np.int64),
+            "n_flagged": f, "n_buckets": t, "flag_rate": f / t})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_FLAG_HOUR_PROFILE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT (CAST(epoch(bucket_start) AS BIGINT) // 3600) % 24 AS hour_of_day,
+         count(*) AS c
+  FROM r JOIN q USING (source)
+  WHERE r.v < q.q1 - 1.5 * (q.q3 - q.q1) OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+  GROUP BY 1
+), t AS (
+  SELECT (CAST(epoch(bucket_start) AS BIGINT) // 3600) % 24 AS hour_of_day,
+         count(*) AS n
+  FROM r GROUP BY 1
+)
+SELECT t.hour_of_day,
+       CAST(coalesce(f.c, 0) AS BIGINT) AS n_flagged,
+       CAST(t.n AS BIGINT) AS n_buckets,
+       CAST(coalesce(f.c, 0) AS DOUBLE) / t.n AS flag_rate
+FROM t LEFT JOIN f USING (hour_of_day)
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -17553,6 +17760,9 @@ def _registry():
         "charge_summary_by_status": charge_summary_by_status,
         "order_lines_audit": order_lines_audit,
         "brand_list_price_gap": brand_list_price_gap,
+        "interflag_gap_stats": interflag_gap_stats,
+        "longest_rising_run": longest_rising_run,
+        "flag_hour_profile": flag_hour_profile,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -17956,6 +18166,9 @@ def oracles():
         "charge_summary_by_status": _CHARGE_SUMMARY_ORACLE,
         "order_lines_audit": _ORDER_LINES_AUDIT_ORACLE,
         "brand_list_price_gap": _BRAND_LIST_GAP_ORACLE,
+        "interflag_gap_stats": _INTERFLAG_GAP_ORACLE,
+        "longest_rising_run": _LONGEST_RISING_ORACLE,
+        "flag_hour_profile": _FLAG_HOUR_PROFILE_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

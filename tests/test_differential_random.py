@@ -85,6 +85,9 @@ FUZZ_QUERIES = [
     "session_duration_quartiles",
     "user_lifespan_histogram",
     "daily_anomaly_burden",
+    "interflag_gap_stats",
+    "longest_rising_run",
+    "flag_hour_profile",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

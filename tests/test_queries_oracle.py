@@ -196,6 +196,9 @@ SUBSET = [
     "charge_summary_by_status",
     "order_lines_audit",
     "brand_list_price_gap",
+    "interflag_gap_stats",
+    "longest_rising_run",
+    "flag_hour_profile",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
