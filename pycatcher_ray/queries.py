@@ -17680,6 +17680,180 @@ FROM t LEFT JOIN f USING (hour_of_day)
 """
 
 
+def bow_dedup_by_source(sf_dir: str):
+    """Bag-of-words duplicate census per source — the word-shuffle
+    near-dup class exact dedup can't see and MinHash only catches
+    probabilistically: docs whose word MULTISET is identical (template
+    permutations, reordered boilerplate).  Per source: docs, byte-
+    exact dups, bag-of-words dups, and `n_shuffled_dups` = the gap —
+    docs multiset-equal to an earlier doc but not byte-equal.  Engine:
+    per-doc canonical form = ' '.join(sorted lowered words), carried
+    through ONE digest-keyed exchange as two independent 64-bit polars
+    hashes (~40 B/row — text never enters the all-to-all, the
+    dedup_exact digest contract); exact-text group sizes ride the SAME
+    exchange as a second tagged hash pair.  All-integer; the word rule
+    is the shared ``_WORD_RE`` + lower() convention."""
+    import polars as pl
+
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        canon, text = [], []
+        for t in b["text"]:
+            t = t or ""
+            canon.append(" ".join(sorted(_WORD_RE.findall(t.lower()))))
+            text.append(t)
+        out = []
+        for kind, vals in ((np.int64(0), canon), (np.int64(1), text)):
+            s = pl.Series(vals)
+            g = pd.DataFrame({
+                "source": b["source"].to_numpy(object),
+                "kind": kind,
+                "h1": s.hash(seed=0x9E3779B9).to_numpy().astype(np.int64),
+                "h2": s.hash(seed=0x85EBCA6B).to_numpy().astype(np.int64),
+                "p_n": np.int64(1),
+            }).groupby(["source", "kind", "h1", "h2"],
+                       as_index=False).sum()
+            g["p_n"] = g["p_n"].astype(np.int64)
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
+
+    groups = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "kind", "h1", "h2"], {"p_n": "sum"})
+
+    def per_source(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["p_n"].to_numpy(np.int64)
+        k = b["kind"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "source": b["source"],
+            # kind 0 rows carry doc counts once; kind 1 rows only dups
+            "n_docs": np.where(k == 0, n, 0),
+            "n_bow_dups": np.where(k == 0, n - 1, 0),
+            "n_exact_dups": np.where(k == 1, n - 1, 0),
+        }).groupby("source", as_index=False).sum()
+        for c in ("n_docs", "n_bow_dups", "n_exact_dups"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        groups.map_batches(per_source, batch_format="pandas"),
+        "source", {"n_docs": "sum", "n_bow_dups": "sum",
+                   "n_exact_dups": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        bow = b["n_bow_dups"].to_numpy(np.int64)
+        ex = b["n_exact_dups"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_docs": b["n_docs"].to_numpy(np.int64),
+            "n_exact_dups": ex, "n_bow_dups": bow,
+            "n_shuffled_dups": bow - ex})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_BOW_DEDUP_ORACLE = r"""
+SELECT source, count(*) AS n_docs,
+       count(*) - count(DISTINCT text) AS n_exact_dups,
+       count(*) - count(DISTINCT list_sort(list_transform(
+           regexp_extract_all(text, '[\w'']+'), w -> lower(w))))
+         AS n_bow_dups,
+       count(DISTINCT text)
+       - count(DISTINCT list_sort(list_transform(
+           regexp_extract_all(text, '[\w'']+'), w -> lower(w))))
+         AS n_shuffled_dups
+FROM documents GROUP BY source
+"""
+
+
+def supplier_balance_revenue(sf_dir: str):
+    """Supplier health × realized revenue: bucket suppliers by account
+    balance (low < $2000 ≤ mid < $4500 ≤ high, exact cents compares)
+    and fold each tier's lineitem revenue — the procurement-risk view
+    (how much flow rides on thin-balance suppliers?).  supplier is a
+    BROADCAST dimension (``ray.put`` one suppkey → tier array, read
+    once per task); supplier counts come off the dimension itself
+    (suppliers with zero lineitems still count); lineitem partials
+    pre-aggregate per batch so only O(tiers) rows hit the final fold.
+    Revenue in int64 10⁻⁴ units (the regional_supplier_revenue
+    contract), ONE /10⁴ divide at emit."""
+    import ray
+
+    from .stages.shard import sharded_aggregate
+
+    supp = _rd().read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bal_c = np.rint(supp["s_acctbal"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+    tier = np.where(bal_c < 200000, "low",
+                    np.where(bal_c < 450000, "mid", "high")).astype(object)
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(sk)
+    dim_ref = ray.put({"keys": sk[order], "tier": tier[order]})
+    n_suppliers = pd.DataFrame({"balance_tier": tier}).groupby(
+        "balance_tier", as_index=False).size().rename(
+        columns={"size": "n_suppliers"})
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        idx = np.searchsorted(dim["keys"], b["l_suppkey"].to_numpy(np.int64))
+        p = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "balance_tier": dim["tier"][idx], "n_items": 1,
+            "rev4": p * (100 - d),
+        }).groupby("balance_tier", as_index=False).sum()
+        g["n_items"] = g["n_items"].astype(np.int64)
+        g["rev4"] = g["rev4"].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "balance_tier", {"n_items": "sum", "rev4": "sum"},
+        num_shards=2).to_pandas()
+    out = n_suppliers.merge(agg, on="balance_tier", how="left")
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    out["n_items"] = out["n_items"].fillna(0).astype(np.int64)
+    out["revenue"] = out["rev4"].fillna(0).astype(np.int64) / 10000.0
+    return out[["balance_tier", "n_suppliers", "n_items", "revenue"]]
+
+
+_SUPPLIER_BALANCE_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey,
+         CASE WHEN CAST(round(s_acctbal * 100) AS BIGINT) < 200000
+              THEN 'low'
+              WHEN CAST(round(s_acctbal * 100) AS BIGINT) < 450000
+              THEN 'mid' ELSE 'high' END AS balance_tier
+  FROM supplier
+), rev AS (
+  SELECT s.balance_tier, count(*) AS n_items,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem l JOIN s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+)
+SELECT s.balance_tier,
+       count(*) AS n_suppliers,
+       CAST(coalesce(max(rev.n_items), 0) AS BIGINT) AS n_items,
+       CAST(CAST(coalesce(max(rev.rev4), 0) AS VARCHAR) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM s LEFT JOIN rev USING (balance_tier)
+GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -17763,6 +17937,8 @@ def _registry():
         "interflag_gap_stats": interflag_gap_stats,
         "longest_rising_run": longest_rising_run,
         "flag_hour_profile": flag_hour_profile,
+        "bow_dedup_by_source": bow_dedup_by_source,
+        "supplier_balance_revenue": supplier_balance_revenue,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -18169,6 +18345,8 @@ def oracles():
         "interflag_gap_stats": _INTERFLAG_GAP_ORACLE,
         "longest_rising_run": _LONGEST_RISING_ORACLE,
         "flag_hour_profile": _FLAG_HOUR_PROFILE_ORACLE,
+        "bow_dedup_by_source": _BOW_DEDUP_ORACLE,
+        "supplier_balance_revenue": _SUPPLIER_BALANCE_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -276,7 +276,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "good_turing_unseen", "minhash_signatures_md5",
                     "lang_mix_tv_drift", "char_trigram_topk",
                     "affix_fingerprint_dups", "vocab_gini_by_source",
-                    "dedup_rate_by_source", "fleet_vocab_coverage"]
+                    "dedup_rate_by_source", "fleet_vocab_coverage",
+                    "bow_dedup_by_source"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

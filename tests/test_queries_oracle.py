@@ -199,6 +199,8 @@ SUBSET = [
     "interflag_gap_stats",
     "longest_rising_run",
     "flag_hour_profile",
+    "bow_dedup_by_source",
+    "supplier_balance_revenue",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
