@@ -17854,6 +17854,218 @@ GROUP BY 1
 """
 
 
+def custbal_orders_correlation(sf_dir: str):
+    """Does a customer's account balance predict order volume?  Pearson
+    r between balance (exact cents) and order COUNT per market
+    segment — zero-order customers included (the LEFT-JOIN semantics,
+    via a tagged custkey exchange: customer rows meet per-batch order-
+    count partials; a customer shard with no order rows scores y=0).
+    All five moment sums are EXACT integers; Σx² (cents² ≈ 10¹²/row)
+    rides as SPLIT hi/lo int64 partials (the qty_price_correlation
+    32-bit-split — Σx² passes 2⁶³ near 10⁷ customers), recombined in
+    Python bigints over ≤ segments rows.  r is the pinned
+    num / (√a · √b) expression on both engines."""
+    import math
+
+    from .stages.shard import sharded_map_groups, sharded_aggregate
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].to_numpy(np.int64),
+            "x": np.rint(b["c_acctbal"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64),
+            "segment": b["c_mktsegment"], "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def count_partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "ckey": b["o_custkey"].to_numpy(np.int64), "x": 1,
+        }).groupby("ckey", as_index=False).sum()
+        g["x"] = g["x"].astype(np.int64)
+        g["segment"] = ""
+        g["kind"] = np.int64(0)
+        return g[["ckey", "x", "segment", "kind"]]
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(count_partials, batch_format="pandas"))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 1][["ckey", "x", "segment"]].rename(
+            columns={"x": "bal"})
+        o = g[g["kind"] == 0].groupby("ckey", as_index=False)["x"].sum()
+        j = c.merge(o, on="ckey", how="left")
+        x = j["bal"].to_numpy(np.int64)
+        y = j["x"].fillna(0).to_numpy().astype(np.int64)
+        x2 = x * x
+        out = pd.DataFrame({
+            "segment": j["segment"], "n": 1, "sx": x, "sy": y,
+            "sxy": x * y, "sy2": y * y,
+            "sx2_hi": x2 >> 32, "sx2_lo": x2 & 0xFFFFFFFF,
+        }).groupby("segment", as_index=False).sum()
+        for col in out.columns[1:]:
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    partials = sharded_map_groups(both, "ckey", moments)
+    agg = sharded_aggregate(
+        partials, "segment",
+        {"n": "sum", "sx": "sum", "sy": "sum", "sxy": "sum",
+         "sy2": "sum", "sx2_hi": "sum", "sx2_lo": "sum"},
+        num_shards=2).to_pandas()
+    rows = []
+    for _, r in agg.sort_values("segment").iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sx2 = (int(r["sx2_hi"]) << 32) + int(r["sx2_lo"])
+        num = n * int(r["sxy"]) - sx * sy
+        a = n * sx2 - sx * sx
+        b = n * int(r["sy2"]) - sy * sy
+        if a == 0 or b == 0:
+            continue
+        rows.append({
+            "c_mktsegment": r["segment"], "n_customers": np.int64(n),
+            "corr_bal_orders": float(num) / (math.sqrt(float(a))
+                                             * math.sqrt(float(b)))})
+    return pd.DataFrame(rows, columns=[
+        "c_mktsegment", "n_customers", "corr_bal_orders"])
+
+
+_CUSTBAL_ORDERS_CORR_ORACLE = """
+WITH oc AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+), p AS (
+  SELECT c.c_mktsegment,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+         coalesce(oc.cnt, 0) AS y
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+), m AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+  FROM p GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / (sqrt(CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(n * sy2 - sy * sy AS VARCHAR) AS DOUBLE)))
+         AS corr_bal_orders
+FROM m WHERE n * sx2 - sx * sx <> 0 AND n * sy2 - sy * sy <> 0
+"""
+
+
+def top_decile_value_share(sf_dir: str):
+    """Load concentration per source: what share of total volume sits
+    in the top 10% of hourly buckets — the peakiness metric that
+    separates a bursty feed (share → 1) from a flat one (→ 0.1).
+    Exactness: values are round(sum,4)·10⁴ int64s; the top-m slice sum
+    is invariant under any tie ordering at the boundary (summing m of
+    identical values is permutation-free), so the engine's partition
+    sort and the oracle's arbitrary row_number tie order CANNOT
+    diverge; m = ⌈n/10⌉ in integer arithmetic; the share is ONE
+    divide of two exact Python bigints.  One source-keyed exchange
+    over the (tiny) hourly tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, sub in g.groupby("event_type", sort=False):
+            v4 = np.rint(sub["sum_value"].to_numpy(np.float64)
+                         * 10000.0).astype(np.int64)
+            n = len(v4)
+            m = (n + 9) // 10
+            top = np.sort(v4)[::-1][:m]
+            tot = int(v4.sum())
+            if tot == 0:
+                continue
+            rows.append({
+                "source": src, "n_buckets": np.int64(n),
+                "n_top": np.int64(m),
+                "top_decile_share": float(int(top.sum())) / float(tot)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "n_top", "top_decile_share"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "sum_value"]),
+        "event_type", per_source, num_shards=4)
+
+
+_TOP_DECILE_SHARE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS x
+  FROM events GROUP BY source, date_trunc('hour', ts)
+), rk AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x DESC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM r
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_buckets,
+       CAST((max(n) + 9) // 10 AS BIGINT) AS n_top,
+       CAST(CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN x ELSE 0 END)
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS top_decile_share
+FROM rk GROUP BY source HAVING sum(x) <> 0
+"""
+
+
+def order_month_seasonality(sf_dir: str):
+    """Order seasonality: orders and gross revenue by calendar month-
+    of-year pooled across years — the demand-planning heatmap row.
+    Map-only per-batch partials (month via the datetime64[M] integer
+    calendar, revenue as exact o_totalprice cents) + one tiny
+    month-keyed exchange; the emitted revenue is ONE /100 divide."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mm = b["o_orderdate"].to_numpy().astype("datetime64[M]")
+        month = (mm.astype(np.int64) % 12) + 1
+        p = np.rint(b["o_totalprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({"month": month, "n_orders": 1,
+                          "rev_c": p}).groupby(
+            "month", as_index=False).sum()
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["rev_c"] = g["rev_c"].astype(np.int64)
+        return g
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "month", {"n_orders": "sum", "rev_c": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": b["month"].to_numpy(np.int64),
+            "n_orders": b["n_orders"].to_numpy(np.int64),
+            "revenue": b["rev_c"].to_numpy(np.int64) / 100.0})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_ORDER_MONTH_ORACLE = """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS VARCHAR) AS DOUBLE) / 100.0 AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -17939,6 +18151,9 @@ def _registry():
         "flag_hour_profile": flag_hour_profile,
         "bow_dedup_by_source": bow_dedup_by_source,
         "supplier_balance_revenue": supplier_balance_revenue,
+        "custbal_orders_correlation": custbal_orders_correlation,
+        "top_decile_value_share": top_decile_value_share,
+        "order_month_seasonality": order_month_seasonality,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -18347,6 +18562,9 @@ def oracles():
         "flag_hour_profile": _FLAG_HOUR_PROFILE_ORACLE,
         "bow_dedup_by_source": _BOW_DEDUP_ORACLE,
         "supplier_balance_revenue": _SUPPLIER_BALANCE_ORACLE,
+        "custbal_orders_correlation": _CUSTBAL_ORDERS_CORR_ORACLE,
+        "top_decile_value_share": _TOP_DECILE_SHARE_ORACLE,
+        "order_month_seasonality": _ORDER_MONTH_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -88,6 +88,7 @@ FUZZ_QUERIES = [
     "interflag_gap_stats",
     "longest_rising_run",
     "flag_hour_profile",
+    "top_decile_value_share",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

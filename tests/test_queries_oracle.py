@@ -201,6 +201,9 @@ SUBSET = [
     "flag_hour_profile",
     "bow_dedup_by_source",
     "supplier_balance_revenue",
+    "custbal_orders_correlation",
+    "top_decile_value_share",
+    "order_month_seasonality",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
