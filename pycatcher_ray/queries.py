@@ -18066,6 +18066,200 @@ FROM orders GROUP BY 1
 """
 
 
+def tokens_top_decile_share(sf_dir: str):
+    """Throughput concentration on the NATIVE token stream: what share
+    of each source's total token mass lands in its top 10% of hours —
+    the burstiness gauge the planted x10 spikes exist to trip (a spike
+    hour carries an outsized slice; a flat source reads ≈ 0.1 + trend).
+    All-integer: hourly n_tok sums ARE ints, m = ⌈n/10⌉, and the top-m
+    sum is tie-permutation-invariant, so the engine's sort and the
+    oracle's arbitrary row_number order cannot diverge; the share is
+    ONE divide.  One source-keyed exchange over the memoized hourly
+    tier."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, sub in g.groupby("source", sort=False):
+            vi = np.rint(sub["sum_value"].to_numpy(np.float64)
+                         ).astype(np.int64)
+            n = len(vi)
+            m = (n + 9) // 10
+            top = np.sort(vi)[::-1][:m]
+            tot = int(vi.sum())
+            if tot == 0:
+                continue
+            rows.append({
+                "source": src, "n_buckets": np.int64(n),
+                "n_top": np.int64(m),
+                "top_decile_share": float(int(top.sum())) / float(tot)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "n_top", "top_decile_share"])
+
+    return sharded_map_groups(
+        roll.select_columns(["source", "sum_value"]),
+        "source", per_source, num_shards=4)
+
+
+def _tokens_top_decile_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS x
+  FROM t GROUP BY source, epoch_s - (epoch_s % 3600)
+), rk AS (
+  SELECT source, x,
+         row_number() OVER (PARTITION BY source ORDER BY x DESC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM r
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_buckets,
+       CAST((max(n) + 9) // 10 AS BIGINT) AS n_top,
+       CAST(CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN x ELSE 0 END)
+                 AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS top_decile_share
+FROM rk GROUP BY source HAVING sum(x) <> 0
+"""
+
+
+def tokens_longest_rising_run(sf_dir: str):
+    """Longest strictly-rising hourly streak per source on the NATIVE
+    token stream — the ramp detector (a spike's onset and a drifting
+    source read very differently here).  Pure-INTEGER compares (hourly
+    n_tok sums are ints; adjacency = exactly +3600 s), ties to the
+    earliest run start; same vectorized boundary-scan form as
+    longest_rising_run."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _tokens_rollup_1h(sf_dir)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "bucket_start"], kind="stable")
+        rows = []
+        for src, sub in g.groupby("source", sort=False):
+            ts = sub["bucket_start"].to_numpy()
+            h = ts.astype("datetime64[h]").astype(np.int64)
+            v = np.rint(sub["sum_value"].to_numpy(np.float64)
+                        ).astype(np.int64)
+            n = len(sub)
+            if n == 1:
+                rows.append({"source": src, "longest_rise": np.int64(1),
+                             "run_start": ts[0]})
+                continue
+            ok = (np.diff(h) == 1) & (v[1:] > v[:-1])
+            brk = np.concatenate(([0], np.cumsum(~ok)))
+            lens = np.bincount(brk)
+            best = int(lens.argmax())
+            start_idx = int(np.searchsorted(brk, best))
+            rows.append({"source": src,
+                         "longest_rise": np.int64(int(lens[best])),
+                         "run_start": ts[start_idx]})
+        return pd.DataFrame(rows, columns=[
+            "source", "longest_rise", "run_start"])
+
+    return sharded_map_groups(
+        roll.select_columns(["source", "bucket_start", "sum_value"]),
+        "source", per_source, num_shards=4)
+
+
+def _tokens_longest_rising_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source, epoch_s - (epoch_s % 3600) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2
+), s AS (
+  SELECT source, b,
+         CASE WHEN b = lag(b) OVER (PARTITION BY source ORDER BY b)
+                   + 3600
+               AND v > lag(v) OVER (PARTITION BY source ORDER BY b)
+              THEN 0 ELSE 1 END AS brk
+  FROM r
+), i AS (
+  SELECT source, b,
+         sum(brk) OVER (PARTITION BY source ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM s
+), runs AS (
+  SELECT source, grp, count(*) AS len, min(b) AS run_start_s
+  FROM i GROUP BY 1, 2
+)
+SELECT source, CAST(len AS BIGINT) AS longest_rise,
+       to_timestamp(run_start_s) AT TIME ZONE 'UTC' AS run_start
+FROM runs
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY len DESC, run_start_s ASC) = 1
+"""
+
+
+def day_volume_80pct_hour(sf_dir: str):
+    """How early does the day's traffic land?  Per (source, day): the
+    first hour-of-day whose CUMULATIVE volume reaches 80% of the day's
+    total — the front-loading census (a batch feed crosses at its
+    drop hour; organic traffic crosses late afternoon).  The 80% rule
+    is the integer cross-product form (5·cum ≥ 4·total — no float
+    threshold compare, the brand_pareto contract) over round(sum,4)·
+    10⁴ int64 volumes; one (source, day)-keyed exchange of the (tiny)
+    hourly tier, vectorized cumsum + argmax per group.  Days with
+    total ≤ 0 are omitted (both sides)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["bucket_start"].to_numpy()
+        h = ts.astype("datetime64[h]").astype(np.int64)
+        g = g.assign(
+            day=(ts.astype("datetime64[D]").astype("datetime64[us]")),
+            hod=((h % 24) + 24) % 24,
+            v4=np.rint(g["sum_value"].to_numpy(np.float64)
+                       * 10000.0).astype(np.int64),
+        ).sort_values(["event_type", "day", "hod"], kind="stable")
+        rows = []
+        for (src, day), sub in g.groupby(["event_type", "day"],
+                                         sort=False):
+            v4 = sub["v4"].to_numpy(np.int64)
+            tot = int(v4.sum())
+            if tot <= 0:
+                continue
+            cum = np.cumsum(v4)
+            hit = np.flatnonzero(5 * cum >= 4 * tot)
+            rows.append({
+                "source": src, "day": day,
+                "hour_80pct": np.int64(
+                    int(sub["hod"].to_numpy(np.int64)[hit[0]])),
+                "n_hours": np.int64(len(sub))})
+        return pd.DataFrame(rows, columns=[
+            "source", "day", "hour_80pct", "n_hours"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", per_day, num_shards=4)
+
+
+_DAY_80PCT_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('day', ts) AS day,
+         (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) % 24
+           AS hod,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2, 3
+), c AS (
+  SELECT source, day, hod, v4,
+         sum(v4) OVER (PARTITION BY source, day ORDER BY hod
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(v4) OVER (PARTITION BY source, day) AS tot,
+         count(*) OVER (PARTITION BY source, day) AS n
+  FROM r
+)
+SELECT source, day,
+       CAST(min(CASE WHEN 5 * cum >= 4 * tot THEN hod END) AS BIGINT)
+         AS hour_80pct,
+       CAST(max(n) AS BIGINT) AS n_hours
+FROM c WHERE tot > 0
+GROUP BY 1, 2
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -18154,6 +18348,9 @@ def _registry():
         "custbal_orders_correlation": custbal_orders_correlation,
         "top_decile_value_share": top_decile_value_share,
         "order_month_seasonality": order_month_seasonality,
+        "tokens_top_decile_share": tokens_top_decile_share,
+        "tokens_longest_rising_run": tokens_longest_rising_run,
+        "day_volume_80pct_hour": day_volume_80pct_hour,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -18565,6 +18762,9 @@ def oracles():
         "custbal_orders_correlation": _CUSTBAL_ORDERS_CORR_ORACLE,
         "top_decile_value_share": _TOP_DECILE_SHARE_ORACLE,
         "order_month_seasonality": _ORDER_MONTH_ORACLE,
+        "tokens_top_decile_share": _tokens_top_decile_oracle(),
+        "tokens_longest_rising_run": _tokens_longest_rising_oracle(),
+        "day_volume_80pct_hour": _DAY_80PCT_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

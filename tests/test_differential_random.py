@@ -89,6 +89,7 @@ FUZZ_QUERIES = [
     "longest_rising_run",
     "flag_hour_profile",
     "top_decile_value_share",
+    "day_volume_80pct_hour",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

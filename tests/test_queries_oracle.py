@@ -204,6 +204,9 @@ SUBSET = [
     "custbal_orders_correlation",
     "top_decile_value_share",
     "order_month_seasonality",
+    "tokens_top_decile_share",
+    "tokens_longest_rising_run",
+    "day_volume_80pct_hour",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
