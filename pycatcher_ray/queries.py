@@ -18260,6 +18260,148 @@ GROUP BY 1, 2
 """
 
 
+_PCA_SEED_DOC = """seed direction q0_d = +1 for even (d−1), −1 for odd —
+the deterministic Rademacher start both engines pin"""
+
+
+def pca_power_iteration_step(sf_dir: str):
+    """ONE power-iteration step toward the top principal direction of
+    the embedding table: w = Xᵀ(X·q₀) over quantized vectors — the
+    iterative-linear-algebra primitive (PCA/spectral init) expressed
+    as a Ray Data pass, sibling to kmeans_assign/update_step.  EXACT:
+    with q = floor(e·10⁶) int64 (the kmeans/dim-variance contract) and
+    the pinned ±1 Rademacher seed, each batch computes its (d,)-vector
+    partial w_b = qᵀ(q·s) as one int64 matmul pair (≤ ~10¹⁷ per batch)
+    and ships it hi/lo-SPLIT (w passes 2⁶³ near 10⁶ vectors; the
+    32-bit split keeps partials in BIGINT at any corpus size); the
+    driver folds ≤ dims × batches rows in Python bigints.  Emitted
+    per dim: the exact raw component (as its correctly-rounded double)
+    and the unit-norm loading — ONE divide by the √ of the exact
+    bigint Σw² on both engines.  Map-only: NO shuffle at all — the
+    all-to-all a naive per-dim groupby would pay collapses into a
+    dims-sized driver fold."""
+    import math
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        if n == 0:
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype=np.int64),
+                "w_hi": pd.Series([], dtype=np.int64),
+                "w_lo": pd.Series([], dtype=np.int64)})
+        d = vals.size // n
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        sgn = np.where(np.arange(d) % 2 == 0, 1, -1).astype(np.int64)
+        w = q.T @ (q @ sgn)
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "w_hi": w >> 32, "w_lo": w & 0xFFFFFFFF})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.float64),
+            "loading": pd.Series([], dtype=np.float64)})
+    w = {}
+    for r in parts.itertuples():
+        w[int(r.dim)] = w.get(int(r.dim), 0) + (int(r.w_hi) << 32) \
+            + int(r.w_lo)
+    ss = sum(v * v for v in w.values())
+    nrm = math.sqrt(float(ss))
+    return pd.DataFrame(
+        [{"dim": np.int64(d), "w": float(v), "loading": float(v) / nrm}
+         for d, v in sorted(w.items())],
+        columns=["dim", "w", "loading"])
+
+
+_PCA_POWER_ORACLE = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings
+), dotp AS (
+  SELECT vec_id,
+         sum(CAST(q AS HUGEINT)
+             * (CASE WHEN (dim - 1) % 2 = 0 THEN 1 ELSE -1 END)) AS dt
+  FROM x GROUP BY 1
+), w AS (
+  SELECT x.dim, sum(CAST(x.q AS HUGEINT) * dotp.dt) AS w
+  FROM x JOIN dotp USING (vec_id) GROUP BY 1
+), nrm AS (
+  SELECT sum(w * w) AS ss FROM w
+)
+SELECT CAST(w.dim AS BIGINT) AS dim,
+       CAST(CAST(w.w AS VARCHAR) AS DOUBLE) AS w,
+       CAST(CAST(w.w AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(nrm.ss AS VARCHAR) AS DOUBLE)) AS loading
+FROM w, nrm
+"""
+
+
+def embedding_projection_histogram(sf_dir: str, bucket_width: int = 2_000_000):
+    """Distribution of the corpus along the pinned Rademacher seed
+    direction: an integer-bucketed histogram of the projections
+    dot_i = q_i·s — the 1-D shadow that screens for multi-modality
+    (two humps = two clusters along this axis) before anyone pays for
+    a full clustering.  Shares pca_power_iteration_step's exact
+    quantized matvec; buckets are floor-division ints (width 2·10⁶ in
+    q-units = 2.0 in embedding units), census counts exact.  Map-only
+    partials + one tiny bucket-keyed exchange."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        if n == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_vecs": pd.Series([], dtype=np.int64)})
+        d = vals.size // n
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        sgn = np.where(np.arange(d) % 2 == 0, 1, -1).astype(np.int64)
+        b = (q @ sgn) // bucket_width
+        g = pd.DataFrame({"bucket": b, "n_vecs": 1}).groupby(
+            "bucket", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", {"n_vecs": "sum"}, num_shards=2)
+
+
+def _emb_projection_oracle(bucket_width: int = 2_000_000) -> str:
+    return f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings
+), dotp AS (
+  SELECT vec_id,
+         CAST(sum(q * (CASE WHEN (dim - 1) % 2 = 0
+                            THEN 1 ELSE -1 END)) AS BIGINT) AS dt
+  FROM x GROUP BY 1
+)
+SELECT CASE WHEN dt >= 0 THEN dt // {bucket_width}
+            ELSE -((-dt + {bucket_width} - 1) // {bucket_width}) END
+         AS bucket,
+       count(*) AS n_vecs
+FROM dotp GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -18351,6 +18493,8 @@ def _registry():
         "tokens_top_decile_share": tokens_top_decile_share,
         "tokens_longest_rising_run": tokens_longest_rising_run,
         "day_volume_80pct_hour": day_volume_80pct_hour,
+        "pca_power_iteration_step": pca_power_iteration_step,
+        "embedding_projection_histogram": embedding_projection_histogram,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -18765,6 +18909,8 @@ def oracles():
         "tokens_top_decile_share": _tokens_top_decile_oracle(),
         "tokens_longest_rising_run": _tokens_longest_rising_oracle(),
         "day_volume_80pct_hour": _DAY_80PCT_ORACLE,
+        "pca_power_iteration_step": _PCA_POWER_ORACLE,
+        "embedding_projection_histogram": _emb_projection_oracle(),
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -356,7 +356,9 @@ class TestDifferentialEmbeddings:
         )
         qs, os_ = queries(), oracles()
         failures = []
-        for name in ("ann_topk", "embedding_neardup_exact"):
+        for name in ("ann_topk", "embedding_neardup_exact",
+                     "pca_power_iteration_step",
+                     "embedding_projection_histogram"):
             got = canon(to_pandas(qs[name](emb_fuzz_dir)))
             want = canon(con.execute(os_[name]).fetchdf())
             if len(got) != len(want):

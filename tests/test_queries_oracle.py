@@ -207,6 +207,8 @@ SUBSET = [
     "tokens_top_decile_share",
     "tokens_longest_rising_run",
     "day_volume_80pct_hour",
+    "pca_power_iteration_step",
+    "embedding_projection_histogram",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
