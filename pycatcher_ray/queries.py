@@ -18402,6 +18402,200 @@ FROM dotp GROUP BY 1
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+_CMS_STREAM = 0x9E3779B97F4A7C15  # golden-ratio stream split per row
+
+
+def cms_user_counts(sf_dir: str):
+    """Count-Min sketch over per-user event counts, VALUE-CHECKED: the
+    classic streaming frequency sketch (Cormode & Muthukrishnan 2005)
+    with depth 4 × width 64, hash rows h_d(u) = splitmix64((u + d·φ)
+    mod 2⁶⁴) — the same splitmix chain the SQL oracle reimplements
+    bit-exactly in HUGEINT mod-2⁶⁴ arithmetic (hash_sample_docs), so
+    the sketch CELLS, every estimate, AND the deterministic
+    one-sided-error invariant (estimate ≥ truth, always) are all
+    exact-oracled — not a rows-only tolerance check.  Engine: the
+    sketch folds MAP-ONLY (per-batch partial user counts → bucket
+    increments; merge = elementwise add — the mergeability that makes
+    CMS the right shape for a 100-TB stream); exact per-user counts
+    ride one user-keyed exchange alongside for the comparison
+    columns.  The tiny width forces real collisions at every scale so
+    the sketch path is genuinely exercised."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64), "cnt": 1,
+        }).groupby("user_id", as_index=False).sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    exact = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id", {"cnt": "sum"}, num_shards=2).to_pandas()
+
+    def cms_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        g = pd.DataFrame({"u": u, "c": 1}).groupby(
+            "u", as_index=False).sum()
+        uu = g["u"].to_numpy(np.int64).astype(np.uint64)
+        cc = g["c"].to_numpy(np.int64)
+        rows = []
+        for d in range(_CMS_DEPTH):
+            bk = (_splitmix64(uu + np.uint64((d * _CMS_STREAM)
+                                             % (1 << 64)))
+                  % np.uint64(_CMS_WIDTH)).astype(np.int64)
+            cell = np.bincount(bk, weights=cc,
+                               minlength=_CMS_WIDTH).astype(np.int64)
+            rows.append(pd.DataFrame({
+                "d": np.int64(d),
+                "b": np.arange(_CMS_WIDTH, dtype=np.int64),
+                "total": cell}))
+        return pd.concat(rows, ignore_index=True)
+
+    cells = ds.map_batches(cms_partial,
+                           batch_format="pandas").to_pandas()
+    sketch = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    for r in cells.itertuples():
+        sketch[int(r.d), int(r.b)] += int(r.total)
+
+    uu = exact["user_id"].to_numpy(np.int64).astype(np.uint64)
+    est = np.full(len(exact), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(_CMS_DEPTH):
+        bk = (_splitmix64(uu + np.uint64((d * _CMS_STREAM) % (1 << 64)))
+              % np.uint64(_CMS_WIDTH)).astype(np.int64)
+        est = np.minimum(est, sketch[d, bk])
+    cnt = exact["cnt"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "user_id": exact["user_id"].to_numpy(np.int64),
+        "exact_count": cnt, "cms_estimate": est,
+        "overcount_ok": est >= cnt})
+    return out.sort_values("user_id", kind="stable").reset_index(
+        drop=True)
+
+
+def _cms_oracle() -> str:
+    # splitmix64((user_id + d*phi) mod 2^64) % width, the s1/s2/s3/s4
+    # HUGEINT chain of _HASH_SAMPLE_ORACLE parameterized by stream d
+    z1 = (f"(CAST(user_id AS HUGEINT) + d * {_CMS_STREAM} "
+          f"+ 11400714819323198485) % 18446744073709551616")
+    z2 = _sql_mulmod64(f"xor(z1, z1 // 1073741824)", 0xBF58476D1CE4E5B9)
+    z3 = _sql_mulmod64(f"xor(z2, z2 // 134217728)", 0x94D049BB133111EB)
+    return f"""
+WITH uc AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), dd AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), h1 AS (
+  SELECT user_id, cnt, d, {z1} AS z1 FROM uc, dd
+), h2 AS (
+  SELECT user_id, cnt, d, {z2} AS z2 FROM h1
+), h3 AS (
+  SELECT user_id, cnt, d, {z3} AS z3 FROM h2
+), hb AS (
+  SELECT user_id, cnt, d,
+         CAST(xor(z3, z3 // 2147483648) % {_CMS_WIDTH} AS BIGINT) AS b
+  FROM h3
+), cell AS (
+  SELECT d, b, sum(cnt) AS total FROM hb GROUP BY 1, 2
+), est AS (
+  SELECT hb.user_id, min(cell.total) AS est
+  FROM hb JOIN cell USING (d, b) GROUP BY 1
+)
+SELECT uc.user_id, CAST(uc.cnt AS BIGINT) AS exact_count,
+       CAST(est.est AS BIGINT) AS cms_estimate,
+       est.est >= uc.cnt AS overcount_ok
+FROM uc JOIN est USING (user_id)
+"""
+
+
+def exact_price_quantiles(sf_dir: str):
+    """EXACT global order statistics WITHOUT a global sort — the
+    distributed-selection primitive (median of 100 TB): p50/p90/p99 of
+    lineitem price in two streaming passes.  Pass 1 folds a bounded
+    256-cent-bucket histogram map-only (≤ ~40k cells at any corpus
+    size — the driver holds buckets, never rows); the driver walks the
+    cumulative histogram to locate each target RANK k = ⌈p·n⌉ (exact
+    integer arithmetic) and its residual rank within the bucket.
+    Pass 2 re-reads ONLY rows falling in the ≤ 3 target buckets
+    (predicate pushed into the scan batches) and selects the residual
+    order statistic per bucket.  A kth order statistic of a multiset
+    is tie-proof by construction.  The oracle pays the full sort; the
+    engine never does."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"])
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({"bucket": c >> 8, "n": 1}).groupby(
+            "bucket", as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hist = hist.groupby("bucket", as_index=False)["n"].sum().sort_values(
+        "bucket", kind="stable")
+    buckets = hist["bucket"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({
+            "quantile": pd.Series([], dtype=object),
+            "rank": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64)})
+
+    targets = []
+    for label, p_num, p_den in (("p50", 1, 2), ("p90", 9, 10),
+                                ("p99", 99, 100)):
+        k = (p_num * n + p_den - 1) // p_den  # ceil(p*n), 1-based
+        i = int(np.searchsorted(cum, k))      # first cum >= k
+        resid = k - (int(cum[i - 1]) if i else 0)  # rank inside bucket
+        targets.append((label, k, int(buckets[i]), resid))
+    want = {b for _, _, b, _ in targets}
+
+    def in_buckets(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        keep = np.isin(c >> 8, np.fromiter(want, np.int64, len(want)))
+        return pd.DataFrame({"c": c[keep], "bucket": (c >> 8)[keep]})
+
+    picked = ds.map_batches(in_buckets, batch_format="pandas").to_pandas()
+    rows = []
+    for label, k, b, resid in targets:
+        vals = np.sort(picked.loc[picked["bucket"] == b, "c"]
+                       .to_numpy(np.int64))
+        rows.append({"quantile": label, "rank": np.int64(k),
+                     "value": int(vals[resid - 1]) / 100.0})
+    return pd.DataFrame(rows, columns=["quantile", "rank", "value"])
+
+
+_EXACT_QUANTILES_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+), n AS (
+  SELECT count(*) AS n FROM v
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v
+), k AS (
+  SELECT 'p50' AS quantile, (1 * n.n + 1) // 2 AS k FROM n
+  UNION ALL
+  SELECT 'p90', (9 * n.n + 9) // 10 FROM n
+  UNION ALL
+  SELECT 'p99', (99 * n.n + 99) // 100 FROM n
+)
+SELECT k.quantile, CAST(k.k AS BIGINT) AS rank,
+       CAST(r.c AS DOUBLE) / 100.0 AS value
+FROM k JOIN r ON r.rn = k.k
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -18495,6 +18689,8 @@ def _registry():
         "day_volume_80pct_hour": day_volume_80pct_hour,
         "pca_power_iteration_step": pca_power_iteration_step,
         "embedding_projection_histogram": embedding_projection_histogram,
+        "cms_user_counts": cms_user_counts,
+        "exact_price_quantiles": exact_price_quantiles,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -18911,6 +19107,8 @@ def oracles():
         "day_volume_80pct_hour": _DAY_80PCT_ORACLE,
         "pca_power_iteration_step": _PCA_POWER_ORACLE,
         "embedding_projection_histogram": _emb_projection_oracle(),
+        "cms_user_counts": _cms_oracle(),
+        "exact_price_quantiles": _EXACT_QUANTILES_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

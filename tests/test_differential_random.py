@@ -90,6 +90,7 @@ FUZZ_QUERIES = [
     "flag_hour_profile",
     "top_decile_value_share",
     "day_volume_80pct_hour",
+    "cms_user_counts",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

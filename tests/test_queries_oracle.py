@@ -209,6 +209,8 @@ SUBSET = [
     "day_volume_80pct_hour",
     "pca_power_iteration_step",
     "embedding_projection_histogram",
+    "cms_user_counts",
+    "exact_price_quantiles",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
