@@ -18596,6 +18596,209 @@ FROM k JOIN r ON r.rn = k.k
 """
 
 
+def template_position_topk(sf_dir: str, positions: int = 8, k: int = 3):
+    """Prompt-template census by POSITION: the top-``k`` token ids at
+    each of the first ``positions`` slots across the native corpus —
+    how first_token_topk generalizes when the template is longer than
+    one token (slot 1 concentrated + slot 5 diffuse = a 4-token
+    template with free text after).  Engine: ``positions`` vectorized
+    gathers at the Arrow list offsets per batch (no per-row Python),
+    (pos, token) count partials through one composite-keyed exchange,
+    then a tiny pos-keyed fold ranks.  Ties pinned (cnt DESC, token
+    ASC); rank is part of the compared output."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir), columns=["tokens"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        vals = toks.values.to_numpy().astype(np.int64)
+        pos_l, tok_l = [], []
+        for p in range(1, positions + 1):
+            has = lens >= p
+            if not has.any():
+                continue
+            pos_l.append(np.full(int(has.sum()), p, dtype=np.int64))
+            tok_l.append(vals[off[:-1][has] + (p - 1)])
+        if not pos_l:
+            return pd.DataFrame({
+                "pos": pd.Series([], dtype=np.int64),
+                "tok": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "pos": np.concatenate(pos_l),
+            "tok": np.concatenate(tok_l), "cnt": 1,
+        }).groupby(["pos", "tok"], as_index=False).sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counts = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pos", "tok"], {"cnt": "sum"})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pos", "cnt", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        g["rank"] = g.groupby("pos", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "pos": g["pos"].to_numpy(np.int64),
+            "rank": g["rank"].to_numpy(np.int64),
+            "token_id": g["tok"].to_numpy(np.int64),
+            "cnt": g["cnt"].to_numpy(np.int64)})
+
+    return sharded_map_groups(counts, "pos", topk, num_shards=4)
+
+
+def _template_position_oracle(positions: int = 8, k: int = 3) -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    plist = ", ".join(str(p) for p in range(1, positions + 1))
+    return f"""
+WITH p AS (
+  SELECT unnest([{plist}]) AS pos
+), t AS (
+  SELECT p.pos, tokens[p.pos] AS tok
+  FROM read_parquet('{glob}'), p WHERE len(tokens) >= p.pos
+), c AS (
+  SELECT pos, tok, count(*) AS cnt FROM t GROUP BY 1, 2
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(row_number() OVER (
+           PARTITION BY pos ORDER BY cnt DESC, tok ASC) AS BIGINT)
+         AS rank,
+       CAST(tok AS BIGINT) AS token_id, CAST(cnt AS BIGINT) AS cnt
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY pos ORDER BY cnt DESC, tok ASC) <= {k}
+"""
+
+
+def session_gap_sensitivity(sf_dir: str):
+    """How sensitive is the session count to the idle-gap parameter?
+    One pass answers for 15/30/60 minutes simultaneously — the sweep a
+    pipeline owner runs BEFORE hardcoding a sessionization constant
+    (if n_sessions moves a lot between 30 and 60, the choice is
+    load-bearing).  Per user the sorted event stream yields integer-µs
+    successive gaps ONCE; each threshold is then one vectorized
+    count of gaps exceeding it; n_sessions(T) = n_users + Σ gaps > T.
+    All-integer; one user-keyed exchange."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    thresholds = (15, 30, 60)
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        rows = []
+        for _uid, sub in g.groupby("user_id", sort=False):
+            us = sub["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            gaps = np.diff(us)
+            for t in thresholds:
+                rows.append({
+                    "gap_minutes": np.int64(t), "n_users": np.int64(1),
+                    "n_sessions": np.int64(
+                        1 + int((gaps > t * 60_000_000).sum()))})
+        out = pd.DataFrame(rows, columns=[
+            "gap_minutes", "n_users", "n_sessions"])
+        if out.empty:
+            return out
+        out = out.groupby("gap_minutes", as_index=False).sum()
+        for c in ("n_users", "n_sessions"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(ds, "user_id", per_user, num_shards=4)
+    return sharded_aggregate(parts, "gap_minutes",
+                             {"n_users": "sum", "n_sessions": "sum"},
+                             num_shards=2)
+
+
+_SESSION_GAP_SENS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+         - lag(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+), t AS (
+  SELECT unnest([15, 30, 60]) AS gap_minutes
+)
+SELECT CAST(t.gap_minutes AS BIGINT) AS gap_minutes,
+       CAST(count(DISTINCT g.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT g.user_id)
+            + sum(CASE WHEN g.gap_us > CAST(t.gap_minutes AS BIGINT)
+                                       * 60000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM g, t GROUP BY 1
+"""
+
+
+def supplier_assortment_histogram(sf_dir: str):
+    """Supplier specialization census: the distribution of assortment
+    sizes (how many DISTINCT parts each supplier actually shipped) —
+    generalists vs single-part specialists.  Three bounded stages:
+    per-batch distinct (suppkey, partkey) partials dedupe through a
+    composite-keyed exchange (the all-to-all moves pair rows once,
+    never lineitems), per-shard pair counts fold per supplier in a
+    suppkey-keyed exchange, and the final histogram is a tiny
+    n_parts-keyed fold.  All-integer."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "sk": b["l_suppkey"].to_numpy(np.int64),
+            "pk": b["l_partkey"].to_numpy(np.int64),
+        }).drop_duplicates()
+        return g
+
+    def dedupe(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop_duplicates(["sk", "pk"]).groupby(
+            "sk", as_index=False).size().rename(
+            columns={"size": "n_parts"})
+        g["n_parts"] = g["n_parts"].astype(np.int64)
+        return g
+
+    from .stages.shard import sharded_map_groups
+
+    pair_counts = sharded_map_groups(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        ["sk", "pk"], dedupe)
+
+    per_supp = sharded_aggregate(pair_counts, "sk",
+                                 {"n_parts": "sum"}, num_shards=4)
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "n_parts": b["n_parts"].to_numpy(np.int64),
+            "n_suppliers": 1}).groupby("n_parts", as_index=False).sum()
+        g["n_suppliers"] = g["n_suppliers"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        per_supp.map_batches(census, batch_format="pandas"),
+        "n_parts", {"n_suppliers": "sum"}, num_shards=2)
+
+
+_SUPPLIER_ASSORTMENT_ORACLE = """
+WITH a AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       count(*) AS n_suppliers
+FROM a GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -18691,6 +18894,9 @@ def _registry():
         "embedding_projection_histogram": embedding_projection_histogram,
         "cms_user_counts": cms_user_counts,
         "exact_price_quantiles": exact_price_quantiles,
+        "template_position_topk": template_position_topk,
+        "session_gap_sensitivity": session_gap_sensitivity,
+        "supplier_assortment_histogram": supplier_assortment_histogram,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -19109,6 +19315,9 @@ def oracles():
         "embedding_projection_histogram": _emb_projection_oracle(),
         "cms_user_counts": _cms_oracle(),
         "exact_price_quantiles": _EXACT_QUANTILES_ORACLE,
+        "template_position_topk": _template_position_oracle(),
+        "session_gap_sensitivity": _SESSION_GAP_SENS_ORACLE,
+        "supplier_assortment_histogram": _SUPPLIER_ASSORTMENT_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -91,6 +91,7 @@ FUZZ_QUERIES = [
     "top_decile_value_share",
     "day_volume_80pct_hour",
     "cms_user_counts",
+    "session_gap_sensitivity",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

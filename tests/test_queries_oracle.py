@@ -211,6 +211,9 @@ SUBSET = [
     "embedding_projection_histogram",
     "cms_user_counts",
     "exact_price_quantiles",
+    "template_position_topk",
+    "session_gap_sensitivity",
+    "supplier_assortment_histogram",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
