@@ -18799,6 +18799,182 @@ FROM a GROUP BY 1
 """
 
 
+# 2*cos(2*pi/24) pinned as a LITERAL on both engines — never computed
+# via libm at runtime (cos() may differ by an ulp across libms).
+# In SQL the literal must go through CAST('<repr>' AS DOUBLE): DuckDB's
+# bare numeric-literal path parses via DECIMAL and lands 1 ulp off the
+# correctly-rounded double (measured), which compounds ~1e-13 over a
+# 700-step recurrence; the string cast parses correctly rounded.
+_GOERTZEL_COEF_24 = 1.9318516525781366
+
+
+def goertzel_diurnal_power(sf_dir: str):
+    """Spectral energy at the diurnal frequency per source — the
+    Goertzel single-bin DFT (the O(n) way to ask 'how 24-hourly is
+    this series?' without an FFT): s_t = v_t + c·s_{t-1} − s_{t-2}
+    over the hourly values in bucket order, power = s₁² + s₂² −
+    c·s₁·s₂.  Bit-exact cross-engine: v is the exact-oracled
+    round(sum,4) hourly value, the coefficient is a pinned LITERAL
+    (never a runtime cos()), and every FP op of the recurrence and the
+    power expression is written in the same association order in the
+    Python loop and the oracle's recursive CTE.  One source-keyed
+    exchange; the per-series scan is sequential by nature (this is
+    the same whole-series-per-shard shape as the detector stages)."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+    c = _GOERTZEL_COEF_24
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        rows = []
+        for src, sub in g.groupby("event_type", sort=False):
+            v = sub["sum_value"].to_numpy(np.float64)
+            s1 = 0.0
+            s2 = 0.0
+            for x in v:
+                s1, s2 = (float(x) + c * s1) - s2, s1
+            rows.append({
+                "source": src, "n_hours": np.int64(len(v)),
+                "diurnal_power": (s1 * s1 + s2 * s2) - (c * s1) * s2})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_hours", "diurnal_power"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", per_source, num_shards=4)
+
+
+_GOERTZEL_ORACLE = f"""
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, round(sum(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), e AS (
+  SELECT source, CAST(0 AS BIGINT) AS idx,
+         CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2
+  FROM (SELECT DISTINCT source FROM r)
+  UNION ALL
+  SELECT e.source, r.idx,
+         (r.v + CAST('{_GOERTZEL_COEF_24!r}' AS DOUBLE) * e.s1) - e.s2
+           AS s1,
+         e.s1 AS s2
+  FROM e JOIN r ON r.source = e.source AND r.idx = e.idx + 1
+), last AS (
+  SELECT e.source, e.s1, e.s2,
+         row_number() OVER (PARTITION BY e.source
+                            ORDER BY e.idx DESC) AS rk
+  FROM e
+), nn AS (
+  SELECT source, max(idx) AS n FROM r GROUP BY 1
+)
+SELECT last.source, CAST(nn.n AS BIGINT) AS n_hours,
+       (last.s1 * last.s1 + last.s2 * last.s2)
+         - (CAST('{_GOERTZEL_COEF_24!r}' AS DOUBLE) * last.s1) * last.s2
+         AS diurnal_power
+FROM last JOIN nn USING (source) WHERE last.rk = 1
+"""
+
+
+def rolling_3h_active_users(sf_dir: str):
+    """Sliding-window distinct: users active in the trailing 3 hours,
+    per source per hour — the live-ops 'current actives' board as a
+    streaming window primitive.  A naive per-window recount touches
+    every event 3×; here each DISTINCT (source, hour, user) row (one
+    exchange dedupes batch-local partials) expands to its ≤ 3 target
+    windows — the all-to-all carries the BOUNDED ×3 interval-union
+    expansion of the distinct table, never raw events (the DAU/WAU
+    contract) — and a second composite-keyed exchange re-dedupes
+    (a user active in 2 window hours must count once) and folds
+    counts.  Window ends are capped at each source's max observed
+    hour (tiny bounds broadcast); windows with zero actives are
+    absent on both sides."""
+    import ray
+
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts", "user_id"])
+
+    roll = _events_rollup(sf_dir, "1h")
+    b = roll.select_columns(["event_type", "bucket_start"]).to_pandas()
+    hb = (b["bucket_start"].to_numpy().astype("datetime64[h]")
+          .astype(np.int64))
+    hi = pd.DataFrame({"source": b["event_type"], "h": hb}).groupby(
+        "source")["h"].max().to_dict()
+    hi_ref = ray.put(hi)
+
+    def distinct_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (batch["ts"].to_numpy().astype("datetime64[h]")
+             .astype(np.int64))
+        return pd.DataFrame({
+            "source": batch["event_type"], "h": h,
+            "u": batch["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+
+    def expand(shard: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        mx = _ray.get(hi_ref)
+        s = shard.drop_duplicates(["source", "h", "u"])
+        reps = pd.concat([s.assign(t=s["h"] + k) for k in range(3)],
+                         ignore_index=True)
+        cap = reps["source"].map(mx).to_numpy(np.int64)
+        return reps[reps["t"].to_numpy(np.int64) <= cap][
+            ["source", "t", "u"]]
+
+    expanded = sharded_map_groups(
+        ds.map_batches(distinct_partial, batch_format="pandas"),
+        ["source", "h"], expand)
+
+    def window_counts(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.drop_duplicates(["source", "t", "u"]).groupby(
+            ["source", "t"], as_index=False).size().rename(
+            columns={"size": "n_active_users"})
+        g["n_active_users"] = g["n_active_users"].astype(np.int64)
+        return g
+
+    counts = sharded_map_groups(expanded, ["source", "t", "u"],
+                                window_counts)
+    agg = sharded_aggregate(counts, ["source", "t"],
+                            {"n_active_users": "sum"}, num_shards=4)
+
+    def fin(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"],
+            "window_end": (batch["t"].to_numpy(np.int64)
+                           .astype("datetime64[h]")
+                           .astype("datetime64[us]")),
+            "n_active_users": batch["n_active_users"]
+            .to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_ROLLING_3H_ORACLE = """
+WITH eh AS (
+  SELECT DISTINCT event_type AS source,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         user_id
+  FROM events
+), b AS (
+  SELECT source, min(h) AS lo, max(h) AS hi FROM eh GROUP BY 1
+), t AS (
+  SELECT source, unnest(generate_series(lo, hi)) AS t FROM b
+), j AS (
+  SELECT t.source, t.t, eh.user_id
+  FROM t JOIN eh ON eh.source = t.source
+                AND eh.h BETWEEN t.t - 2 AND t.t
+)
+SELECT source,
+       to_timestamp(t * 3600) AT TIME ZONE 'UTC' AS window_end,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM j GROUP BY 1, 2
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -18897,6 +19073,8 @@ def _registry():
         "template_position_topk": template_position_topk,
         "session_gap_sensitivity": session_gap_sensitivity,
         "supplier_assortment_histogram": supplier_assortment_histogram,
+        "goertzel_diurnal_power": goertzel_diurnal_power,
+        "rolling_3h_active_users": rolling_3h_active_users,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -19318,6 +19496,8 @@ def oracles():
         "template_position_topk": _template_position_oracle(),
         "session_gap_sensitivity": _SESSION_GAP_SENS_ORACLE,
         "supplier_assortment_histogram": _SUPPLIER_ASSORTMENT_ORACLE,
+        "goertzel_diurnal_power": _GOERTZEL_ORACLE,
+        "rolling_3h_active_users": _ROLLING_3H_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -92,6 +92,8 @@ FUZZ_QUERIES = [
     "day_volume_80pct_hour",
     "cms_user_counts",
     "session_gap_sensitivity",
+    "goertzel_diurnal_power",
+    "rolling_3h_active_users",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

@@ -214,6 +214,8 @@ SUBSET = [
     "template_position_topk",
     "session_gap_sensitivity",
     "supplier_assortment_histogram",
+    "goertzel_diurnal_power",
+    "rolling_3h_active_users",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
