@@ -18975,6 +18975,205 @@ FROM j GROUP BY 1, 2
 """
 
 
+def haar_energy_by_scale(sf_dir: str, levels: int = 4):
+    """Multi-resolution (Haar) energy decomposition of each hourly
+    series: for block sizes 2/4/8/16, the energy of the half-vs-half
+    block differences — where does this source's variance live, hour-
+    to-hour jitter (level 1) or half-day swings (level 4)?  EXACT: the
+    unnormalized detail d = Σ(first half v4) − Σ(second half v4) is an
+    integer per complete block; energies fold as Python bigints inside
+    the shard (no overflow at any corpus size); only complete blocks
+    count, so both engines see the identical index-block partition of
+    the row_number grid.  One source-keyed exchange; per-series work
+    is vectorized reshape-and-sum."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "bucket_start"], kind="stable")
+        rows = []
+        for src, sub in g.groupby("event_type", sort=False):
+            v4 = np.rint(sub["sum_value"].to_numpy(np.float64)
+                         * 10000.0).astype(np.int64)
+            n = len(v4)
+            for lv in range(1, levels + 1):
+                bs = 1 << lv
+                nb = n // bs
+                if nb == 0:
+                    continue
+                m = v4[:nb * bs].reshape(nb, bs)
+                half = bs // 2
+                d = m[:, :half].sum(axis=1) - m[:, half:].sum(axis=1)
+                energy = sum(int(x) * int(x) for x in d)
+                rows.append({
+                    "source": src, "level": np.int64(lv),
+                    "n_blocks": np.int64(nb),
+                    "energy": float(energy)})
+        return pd.DataFrame(rows, columns=[
+            "source", "level", "n_blocks", "energy"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", per_source, num_shards=4)
+
+
+_HAAR_ENERGY_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lv AS (
+  SELECT unnest([1, 2, 3, 4]) AS level,
+         unnest([2, 4, 8, 16]) AS bs
+), d AS (
+  SELECT r.source, lv.level, lv.bs, (r.idx - 1) // lv.bs AS block,
+         sum(CASE WHEN (r.idx - 1) % lv.bs < lv.bs // 2
+                  THEN CAST(r.v4 AS HUGEINT)
+                  ELSE -CAST(r.v4 AS HUGEINT) END) AS detail,
+         count(*) AS cnt
+  FROM r, lv GROUP BY 1, 2, 3, 4
+)
+SELECT source, CAST(level AS BIGINT) AS level,
+       count(*) AS n_blocks,
+       CAST(CAST(sum(detail * detail) AS VARCHAR) AS DOUBLE) AS energy
+FROM d WHERE cnt = bs
+GROUP BY 1, 2
+"""
+
+
+def hourly_profile_rank_correlation(sf_dir: str):
+    """Does each source keep the FLEET's daily rhythm?  Spearman rank
+    correlation between a source's 24-hour mean-volume profile and the
+    fleet's, with EXACT rank arithmetic: hour means are rationals
+    (Σv4 / n-buckets), so ranks come from cross-multiplied integer
+    compares (s_j·n_i < s_i·n_j — never a float divide), ties pinned
+    to hour ASC via the same count-based rank definition (1 + #hours
+    strictly below, + #equal with smaller hour) spelled identically as
+    a 24×24 self-join in SQL and an O(24²) integer loop in the engine;
+    ρ = 1 − 6Σd²/(n(n²−1)) is ONE divide of exact ints.  Both profiles
+    are restricted to the source's observed hours; the fleet profile
+    is a tiny driver fold broadcast into the per-source pass."""
+    import ray
+
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def hod_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["bucket_start"].to_numpy().astype("datetime64[h]")
+             .astype(np.int64))
+        g = pd.DataFrame({
+            "source": b["event_type"], "hod": ((h % 24) + 24) % 24,
+            "s4": np.rint(b["sum_value"].to_numpy(np.float64)
+                          * 10000.0).astype(np.int64),
+            "nb": np.int64(1),
+        }).groupby(["source", "hod"], as_index=False).sum()
+        for c in ("s4", "nb"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    cells = roll.select_columns(
+        ["event_type", "bucket_start", "sum_value"]).map_batches(
+        hod_partial, batch_format="pandas").to_pandas()
+    cells = cells.groupby(["source", "hod"], as_index=False).sum()
+    fleet = cells.groupby("hod", as_index=False)[["s4", "nb"]].sum()
+    fleet_map = {int(r.hod): (int(r.s4), int(r.nb))
+                 for r in fleet.itertuples()}
+    fleet_ref = ray.put(fleet_map)
+
+    def _ranks(hods, ss, ns):
+        # rank h = 1 + #(mean_j < mean_h) + #(mean_j == mean_h, j < h)
+        k = len(hods)
+        ranks = []
+        for i in range(k):
+            r = 1
+            for j in range(k):
+                if j == i:
+                    continue
+                lhs = ss[j] * ns[i]
+                rhs = ss[i] * ns[j]
+                if lhs < rhs or (lhs == rhs and hods[j] < hods[i]):
+                    r += 1
+            ranks.append(r)
+        return ranks
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        fm = _ray.get(fleet_ref)
+        g = g.groupby(["source", "hod"], as_index=False).sum()
+        rows = []
+        for src, sub in g.groupby("source", sort=False):
+            hods = [int(x) for x in sub["hod"]]
+            ss = [int(x) for x in sub["s4"]]
+            ns = [int(x) for x in sub["nb"]]
+            n = len(hods)
+            if n < 2:
+                continue
+            fs = [fm[h][0] for h in hods]
+            fn = [fm[h][1] for h in hods]
+            r_src = _ranks(hods, ss, ns)
+            r_flt = _ranks(hods, fs, fn)
+            sd2 = sum((a - b) * (a - b) for a, b in zip(r_src, r_flt))
+            rows.append({
+                "source": src, "n_hours": np.int64(n),
+                "spearman_rho": 1.0 - float(6 * sd2)
+                / float(n * (n * n - 1))})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_hours", "spearman_rho"])
+
+    cells_ds = _rd().from_pandas(cells)
+    return sharded_map_groups(cells_ds, "source", per_source,
+                              num_shards=4)
+
+
+_PROFILE_RANK_CORR_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600) % 24
+           AS hod,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), sc AS (
+  SELECT source, hod, CAST(sum(v4) AS HUGEINT) AS s4,
+         CAST(count(*) AS HUGEINT) AS nb
+  FROM r GROUP BY 1, 2
+), fl AS (
+  SELECT hod, sum(s4) AS s4, sum(nb) AS nb FROM sc GROUP BY 1
+), rs AS (
+  SELECT a.source, a.hod,
+         1 + sum(CASE WHEN b.s4 * a.nb < a.s4 * b.nb
+                        OR (b.s4 * a.nb = a.s4 * b.nb
+                            AND b.hod < a.hod)
+                      THEN 1 ELSE 0 END) AS rk
+  FROM sc a JOIN sc b ON b.source = a.source AND b.hod <> a.hod
+  GROUP BY 1, 2
+), rf AS (
+  SELECT a.source, a.hod,
+         1 + sum(CASE WHEN fb.s4 * fa.nb < fa.s4 * fb.nb
+                        OR (fb.s4 * fa.nb = fa.s4 * fb.nb
+                            AND fb.hod < fa.hod)
+                      THEN 1 ELSE 0 END) AS rk
+  FROM sc a
+  JOIN fl fa ON fa.hod = a.hod
+  JOIN sc b ON b.source = a.source AND b.hod <> a.hod
+  JOIN fl fb ON fb.hod = b.hod
+  GROUP BY 1, 2
+), d AS (
+  SELECT rs.source, count(*) AS n,
+         sum((rs.rk - rf.rk) * (rs.rk - rf.rk)) AS sd2
+  FROM rs JOIN rf USING (source, hod) GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_hours,
+       1 - CAST(6 * sd2 AS DOUBLE)
+           / CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
+FROM d WHERE n >= 2
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -19075,6 +19274,8 @@ def _registry():
         "supplier_assortment_histogram": supplier_assortment_histogram,
         "goertzel_diurnal_power": goertzel_diurnal_power,
         "rolling_3h_active_users": rolling_3h_active_users,
+        "haar_energy_by_scale": haar_energy_by_scale,
+        "hourly_profile_rank_correlation": hourly_profile_rank_correlation,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -19498,6 +19699,8 @@ def oracles():
         "supplier_assortment_histogram": _SUPPLIER_ASSORTMENT_ORACLE,
         "goertzel_diurnal_power": _GOERTZEL_ORACLE,
         "rolling_3h_active_users": _ROLLING_3H_ORACLE,
+        "haar_energy_by_scale": _HAAR_ENERGY_ORACLE,
+        "hourly_profile_rank_correlation": _PROFILE_RANK_CORR_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

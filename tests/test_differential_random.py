@@ -94,6 +94,8 @@ FUZZ_QUERIES = [
     "session_gap_sensitivity",
     "goertzel_diurnal_power",
     "rolling_3h_active_users",
+    "haar_energy_by_scale",
+    "hourly_profile_rank_correlation",
     "dominant_acf_lag",
     "peak_hours",
     "variance_ratio_by_day",

@@ -216,6 +216,8 @@ SUBSET = [
     "supplier_assortment_histogram",
     "goertzel_diurnal_power",
     "rolling_3h_active_users",
+    "haar_energy_by_scale",
+    "hourly_profile_rank_correlation",
     "hour_of_week_profile",
     "wow_change_1h",
     "new_vs_returning_daily",
