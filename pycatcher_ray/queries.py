@@ -19174,6 +19174,263 @@ FROM d WHERE n >= 2
 """
 
 
+# deliberately TIGHT (64 bits) so real false positives occur at every
+# test scale and the fp-counting path is genuinely exercised
+_BLOOM_BITS, _BLOOM_ROWS, _BLOOM_REF = 64, 3, "src0"
+
+
+def bloom_vocab_probe(sf_dir: str):
+    """Bloom-filter vocabulary membership, VALUE-CHECKED end to end:
+    build a 64-bit / 3-hash Bloom filter (deliberately tight so false
+    positives actually occur) over the reference source's
+    vocabulary and probe every other source's distinct words — the
+    set-membership sketch that completes the family (HLL cardinality,
+    CMS frequency, KMV similarity, Bloom membership).  Hash rows are
+    the md5 first-8-bytes convention DuckDB reproduces bit-for-bit
+    (minhash_signatures_md5), so the BITSET, every probe verdict, the
+    exact false-positive count, AND the structural no-false-negative
+    guarantee are all exact-oracled.  Engine: bit indices fold
+    map-only (set-union idempotence makes per-batch dedupe safe) into
+    a driver bitset broadcast via ``ray.put``; probes + exact
+    membership ride ONE word-keyed tagged exchange (a word lands whole
+    in one shard, so per-shard reference sets are globally correct).
+    Word rule = the shared ``_WORD_RE`` + lower() convention."""
+    import hashlib
+
+    import ray
+
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def _bits_of(w: str) -> tuple:
+        return tuple(
+            int.from_bytes(hashlib.md5(f"{r}|{w}".encode())
+                           .digest()[:8], "big") % _BLOOM_BITS
+            for r in range(_BLOOM_ROWS))
+
+    def ref_bits(b: pd.DataFrame) -> pd.DataFrame:
+        idx = set()
+        for s, t in zip(b["source"], b["text"]):
+            if s != _BLOOM_REF:
+                continue
+            for w in set(_WORD_RE.findall((t or "").lower())):
+                idx.update(_bits_of(w))
+        return pd.DataFrame({"bit": pd.Series(sorted(idx),
+                                              dtype=np.int64)})
+
+    bits = ds.map_batches(ref_bits, batch_format="pandas").to_pandas()
+    bitset = frozenset(int(x) for x in bits["bit"])
+    bits_ref = ray.put(bitset)
+
+    def tagged_words(b: pd.DataFrame) -> pd.DataFrame:
+        src_l, w_l, kind_l = [], [], []
+        for s, t in zip(b["source"], b["text"]):
+            ws = set(_WORD_RE.findall((t or "").lower()))
+            for w in ws:
+                src_l.append(s)
+                w_l.append(w)
+                kind_l.append(1 if s == _BLOOM_REF else 0)
+        return pd.DataFrame({
+            "source": pd.Series(src_l, dtype=object),
+            "w": pd.Series(w_l, dtype=object),
+            "kind": pd.Series(kind_l, dtype=np.int64),
+        }).drop_duplicates()
+
+    def probe(shard: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bs = _ray.get(bits_ref)
+        shard = shard.drop_duplicates()
+        ref = set(shard.loc[shard["kind"] == 1, "w"])
+        pr = shard[shard["kind"] == 0].drop_duplicates(["source", "w"])
+        rows = []
+        for src, w in zip(pr["source"], pr["w"]):
+            hit = all(x in bs for x in _bits_of(w))
+            true = w in ref
+            rows.append((src, 1, int(hit), int(true),
+                         int(hit and true)))
+        out = pd.DataFrame(rows, columns=[
+            "source", "n_probed", "n_positive", "n_true",
+            "n_true_hits"])
+        if out.empty:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_probed": pd.Series([], dtype=np.int64),
+                "n_positive": pd.Series([], dtype=np.int64),
+                "n_true": pd.Series([], dtype=np.int64),
+                "n_true_hits": pd.Series([], dtype=np.int64)})
+        g = out.groupby("source", as_index=False).sum()
+        for c in g.columns[1:]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = sharded_map_groups(
+        ds.map_batches(tagged_words, batch_format="pandas"), "w", probe)
+    agg = sharded_aggregate(
+        parts, "source",
+        {"n_probed": "sum", "n_positive": "sum", "n_true": "sum",
+         "n_true_hits": "sum"}, num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        probed = b["n_probed"].to_numpy(np.int64)
+        pos = b["n_positive"].to_numpy(np.int64)
+        true = b["n_true"].to_numpy(np.int64)
+        fp = pos - true
+        denom = probed - true
+        return pd.DataFrame({
+            "source": b["source"], "n_probed": probed,
+            "n_positive": pos, "n_true_members": true,
+            "n_false_positive": fp,
+            "fp_rate": np.where(denom > 0, fp / np.maximum(denom, 1),
+                                0.0),
+            "no_false_negatives":
+                b["n_true_hits"].to_numpy(np.int64) == true})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _bloom_oracle() -> str:
+    bit = (lambda r: f"CAST(('0x' || substr(md5('{r}|' || w), 1, 16)) "
+           f"AS UBIGINT) % {_BLOOM_BITS}")
+    return rf"""
+WITH wrd AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               x -> lower(x))) AS w
+  FROM documents
+), ref AS (
+  SELECT DISTINCT w FROM wrd WHERE source = '{_BLOOM_REF}'
+), bits AS (
+  SELECT DISTINCT b FROM (
+    SELECT {bit(0)} AS b FROM ref
+    UNION SELECT {bit(1)} FROM ref
+    UNION SELECT {bit(2)} FROM ref)
+), pr AS (
+  SELECT wrd.source, wrd.w,
+         ({bit(0)} IN (SELECT b FROM bits)
+          AND {bit(1)} IN (SELECT b FROM bits)
+          AND {bit(2)} IN (SELECT b FROM bits)) AS hit,
+         wrd.w IN (SELECT w FROM ref) AS true_mem
+  FROM wrd WHERE wrd.source <> '{_BLOOM_REF}'
+)
+SELECT source, count(*) AS n_probed,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       CAST(sum(CASE WHEN true_mem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_members,
+       CAST(sum(CASE WHEN hit AND NOT true_mem THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CASE WHEN count(*) - sum(CASE WHEN true_mem THEN 1 ELSE 0 END)
+                 > 0
+            THEN CAST(sum(CASE WHEN hit AND NOT true_mem
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (count(*) - sum(CASE WHEN true_mem
+                                        THEN 1 ELSE 0 END))
+            ELSE 0.0 END AS fp_rate,
+       sum(CASE WHEN true_mem AND hit THEN 1 ELSE 0 END)
+         = sum(CASE WHEN true_mem THEN 1 ELSE 0 END)
+         AS no_false_negatives
+FROM pr GROUP BY source
+"""
+
+
+def customer_reactivation_census(sf_dir: str, gap_days: int = 180):
+    """Win-back census per market segment: among multi-order customers,
+    how many went dormant (> ``gap_days`` between consecutive orders)
+    and then came back — the lifecycle metric behind re-engagement
+    spend.  One custkey-tagged exchange (order dates meet the segment
+    dimension row), per-customer sorted integer epoch-day diffs, max
+    gap compared in exact ints; counts exact, the rate ONE divide.
+    NOTE: the paired oracle hardcodes gap_days=180."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    cust = _rd().read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["c_custkey"].to_numpy(np.int64),
+            "d": np.int64(-1), "segment": b["c_mktsegment"],
+            "kind": np.int64(1)})
+
+    orders = _rd().read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": b["o_custkey"].to_numpy(np.int64),
+            "d": (b["o_orderdate"].to_numpy().astype("datetime64[D]")
+                  .astype(np.int64)),
+            "segment": "", "kind": np.int64(0)})
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        cust.map_batches(tag_cust, batch_format="pandas"))
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        seg = g[g["kind"] == 1][["ckey", "segment"]].drop_duplicates(
+            "ckey")
+        o = g[g["kind"] == 0].sort_values(["ckey", "d"], kind="stable")
+        rows = []
+        for ck, sub in o.groupby("ckey", sort=False):
+            d = sub["d"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            rows.append({"ckey": ck, "multi": np.int64(1),
+                         "react": np.int64(
+                             int(np.diff(d).max() > gap_days))})
+        if not rows:
+            return pd.DataFrame({
+                "segment": pd.Series([], dtype=object),
+                "n_multi": pd.Series([], dtype=np.int64),
+                "n_reactivated": pd.Series([], dtype=np.int64)})
+        j = pd.DataFrame(rows).merge(seg, on="ckey", how="inner")
+        out = j.groupby("segment", as_index=False).agg(
+            n_multi=("multi", "sum"), n_reactivated=("react", "sum"))
+        for c in ("n_multi", "n_reactivated"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(both, "ckey", per_cust)
+    agg = sharded_aggregate(parts, "segment",
+                            {"n_multi": "sum", "n_reactivated": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["n_multi"].to_numpy(np.int64)
+        r = b["n_reactivated"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_mktsegment": b["segment"], "n_multi_order_customers": m,
+            "n_reactivated": r, "reactivation_rate": r / m})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_REACTIVATION_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+         - lag(CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT)
+               // 86400)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS gap
+  FROM orders
+), pc AS (
+  SELECT o_custkey, count(*) AS n,
+         max(CASE WHEN gap > 180 THEN 1 ELSE 0 END) AS react
+  FROM g GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_multi_order_customers,
+       CAST(sum(pc.react) AS BIGINT) AS n_reactivated,
+       CAST(sum(pc.react) AS DOUBLE) / count(*) AS reactivation_rate
+FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -19276,6 +19533,8 @@ def _registry():
         "rolling_3h_active_users": rolling_3h_active_users,
         "haar_energy_by_scale": haar_energy_by_scale,
         "hourly_profile_rank_correlation": hourly_profile_rank_correlation,
+        "bloom_vocab_probe": bloom_vocab_probe,
+        "customer_reactivation_census": customer_reactivation_census,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -19701,6 +19960,8 @@ def oracles():
         "rolling_3h_active_users": _ROLLING_3H_ORACLE,
         "haar_energy_by_scale": _HAAR_ENERGY_ORACLE,
         "hourly_profile_rank_correlation": _PROFILE_RANK_CORR_ORACLE,
+        "bloom_vocab_probe": _bloom_oracle(),
+        "customer_reactivation_census": _REACTIVATION_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),
