@@ -19431,6 +19431,228 @@ GROUP BY 1
 """
 
 
+def copurchase_triangles(sf_dir: str):
+    """Distributed triangle counting over the co-purchase graph — the
+    graph-analytics capstone on top of ``copurchase_part_pairs``: parts
+    are nodes, an edge joins two parts co-ordered in at least one
+    order, and the output is each part's triangle participation count
+    (the numerator of its local clustering coefficient — how cliquish
+    its co-purchase neighborhood is).  The engine runs the standard
+    DEGREE-ORIENTED enumeration (Schank & Wagner 2005 / Suri-Vassilvitskii
+    MapReduce form): every edge is directed from its lower-rank to its
+    higher-rank endpoint with rank = (degree, partkey), so each
+    triangle is generated by exactly ONE wedge (the one centered at its
+    minimum-rank vertex) and per-node wedge work is bounded O(E^1.5)
+    total even under power-law degree skew — the hot-part hub never
+    enumerates its own neighbor pairs.  Plan: per-order pair partials
+    (orderkey exchange, bounded by lines-per-order²) → edge dedupe
+    (pair exchange) → TWO node-keyed passes attach both endpoint
+    degrees (each edge rides as its two (v, other) copies; rows keyed
+    by v==x are exactly x's incident edges so the shard-local count IS
+    deg(x)) → orientation filter keeps one copy per edge → wedge
+    generation per oriented source (node exchange) → closing-edge
+    membership (pair-keyed exchange of wedges ∪ edges) → tiny per-part
+    fold.  All-integer — bit-exact; the orientation never has to match
+    the oracle because both sides count the same unordered triangles."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = d.merge(d, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        out = j[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        out.columns = ["a", "b"]
+        return out.astype(np.int64)
+
+    def dedupe(s: pd.DataFrame) -> pd.DataFrame:
+        return s.drop_duplicates()
+
+    edges = sharded_map_groups(
+        sharded_map_groups(line, "l_orderkey", pairs), ["a", "b"], dedupe
+    ).materialize()  # consumed twice (degree passes + closure check)
+
+    # each edge as its two endpoint copies: (v, other)
+    def both_copies(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        return pd.DataFrame({"v": np.concatenate([a, bb]),
+                             "other": np.concatenate([bb, a])})
+
+    copies = edges.map_batches(both_copies, batch_format="pandas")
+
+    def attach_deg_v(shard: pd.DataFrame) -> pd.DataFrame:
+        deg = shard.groupby("v")["other"].transform("size")
+        out = shard.copy()
+        out["deg_v"] = deg.to_numpy(np.int64)
+        return out
+
+    with_dv = sharded_map_groups(copies, "v", attach_deg_v)
+
+    def orient(shard: pd.DataFrame) -> pd.DataFrame:
+        # rows keyed by other==x are exactly x's incident edges (one
+        # copy each), so the shard-local count is deg(other)
+        deg_o = shard.groupby("other")["v"].transform("size")
+        sh = shard.copy()
+        sh["deg_o"] = deg_o.to_numpy(np.int64)
+        v, o = sh["v"].to_numpy(np.int64), sh["other"].to_numpy(np.int64)
+        dv, do = sh["deg_v"].to_numpy(np.int64), sh["deg_o"].to_numpy(np.int64)
+        keep = (dv < do) | ((dv == do) & (v < o))
+        return pd.DataFrame({"src": v[keep], "dst": o[keep]})
+
+    oriented = sharded_map_groups(with_dv, "other", orient)
+
+    def wedges(shard: pd.DataFrame) -> pd.DataFrame:
+        j = shard.merge(shard, on="src")
+        j = j[j["dst_x"] < j["dst_y"]]  # closing key in partkey order
+        return pd.DataFrame({
+            "a": j["dst_x"].to_numpy(np.int64),
+            "b": j["dst_y"].to_numpy(np.int64),
+            "u": j["src"].to_numpy(np.int64)})
+
+    wedge_ds = sharded_map_groups(oriented, "src", wedges)
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["a", "b"]].copy()
+        out["u"] = np.int64(-1)
+        return out
+
+    both = wedge_ds.union(edges.map_batches(tag_edges,
+                                            batch_format="pandas"))
+
+    def close_triangles(shard: pd.DataFrame) -> pd.DataFrame:
+        u = shard["u"].to_numpy(np.int64)
+        e = shard[u == -1][["a", "b"]].drop_duplicates()
+        wdg = shard[u != -1]
+        tri = wdg.merge(e, on=["a", "b"], how="inner")
+        parts = np.concatenate([tri["a"].to_numpy(np.int64),
+                                tri["b"].to_numpy(np.int64),
+                                tri["u"].to_numpy(np.int64)])
+        if parts.size == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype=np.int64),
+                                 "n_triangles": pd.Series([], dtype=np.int64)})
+        vals, cnts = np.unique(parts, return_counts=True)
+        return pd.DataFrame({"part": vals,
+                             "n_triangles": cnts.astype(np.int64)})
+
+    partials = sharded_map_groups(both, ["a", "b"], close_triangles)
+    return sharded_aggregate(partials, "part", {"n_triangles": "sum"},
+                             num_shards=8)
+
+
+_TRIANGLES_ORACLE = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey),
+t AS (SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT part, count(*) AS n_triangles FROM (
+  SELECT a AS part FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+GROUP BY 1
+"""
+
+
+def matrix_profile_1h(sf_dir: str, w: int = 24):
+    """Matrix profile over the hourly tier (Yeh et al., ICDM 2016 —
+    unnormalized-Euclidean variant): for every length-``w`` positional
+    window of a source's ordered hourly sums, the squared distance to
+    its nearest non-overlapping neighbor window (exclusion zone
+    |i−j| < w) and that neighbor's position — the motif/discord
+    primitive (low d2 = repeated motif, high d2 = discord, i.e. an
+    anomaly no other day resembles).  EXACT end to end: windows are
+    positional over the observed-bucket sequence, values are the usual
+    10⁻⁴-unit ints, and d² = Σ(yᵢ₊ₜ−yⱼ₊ₜ)² is exact integer on both
+    sides (the engine shifts by the per-source min — d² is shift-
+    invariant in ℤ — so V·Vᵀ stays in int64 under a range²·w < 2⁶²
+    guard, with an arbitrary-precision fallback; the oracle sums
+    HUGEINT squares).  Ties pinned to the smallest j (np.argmin ≡
+    ORDER BY d2, j).  d2 emitted through the correctly-rounded casts
+    (engine float(int), oracle VARCHAR-bridged HUGEINT).  One
+    source-keyed exchange; per-source work is O(m²·w) vectorized over
+    the BOUNDED bucket series, never the raw corpus.
+    NOTE: the paired oracle SQL hardcodes w=24."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = len(y4)
+            m = n - w + 1
+            if m < 2:
+                continue
+            ys = y4 - y4.min()
+            V = np.lib.stride_tricks.sliding_window_view(ys, w)
+            rng = int(ys.max(initial=0))
+            if rng * rng * w < 2 ** 62:
+                V = np.ascontiguousarray(V, dtype=np.int64)
+                C = V @ V.T
+                ss = np.einsum("ij,ij->i", V, V)
+                d2 = ss[:, None] + ss[None, :] - 2 * C
+            else:  # arbitrary-precision fallback, same semantics
+                vl = [[int(x) for x in r] for r in V]
+                d2 = np.empty((m, m), dtype=object)
+                for i in range(m):
+                    for j in range(m):
+                        d2[i, j] = sum((p - q) * (p - q)
+                                       for p, q in zip(vl[i], vl[j]))
+            idx = np.arange(m)
+            excl = np.abs(idx[:, None] - idx[None, :]) < w
+            valid = ~excl.all(axis=1)
+            if not valid.any():
+                continue
+            sentinel = (d2[~excl].max() if d2.dtype == object
+                        else int(d2[~excl].max())) + 1
+            d2m = np.where(excl, sentinel, d2)
+            nn = d2m.argmin(axis=1)  # ties -> smallest j, as the oracle
+            for i in np.flatnonzero(valid):
+                rows.append({
+                    "source": src, "pos": np.int64(i + 1),
+                    "nn_pos": np.int64(nn[i] + 1),
+                    "d2": float(int(d2m[i, nn[i]]))})
+        return pd.DataFrame(rows, columns=["source", "pos", "nn_pos",
+                                           "d2"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_MATRIX_PROFILE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS p,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), w AS (
+  SELECT source, p - g.t AS i, g.t AS t, y
+  FROM r, generate_series(0, 23) g(t)
+  WHERE p - g.t >= 1 AND p - g.t <= n - 24 + 1
+), d AS (
+  SELECT a.source, a.i, b.i AS j,
+         sum(CAST(a.y - b.y AS HUGEINT) * (a.y - b.y)) AS d2
+  FROM w a JOIN w b ON b.source = a.source AND b.t = a.t
+                   AND abs(a.i - b.i) >= 24
+  GROUP BY 1, 2, 3
+)
+SELECT source, CAST(i AS BIGINT) AS pos, CAST(j AS BIGINT) AS nn_pos,
+       CAST(CAST(d2 AS VARCHAR) AS DOUBLE) AS d2
+FROM d
+QUALIFY row_number() OVER (PARTITION BY source, i
+                           ORDER BY d2 ASC, j ASC) = 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -19535,6 +19757,8 @@ def _registry():
         "hourly_profile_rank_correlation": hourly_profile_rank_correlation,
         "bloom_vocab_probe": bloom_vocab_probe,
         "customer_reactivation_census": customer_reactivation_census,
+        "copurchase_triangles": copurchase_triangles,
+        "matrix_profile_1h": matrix_profile_1h,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -19962,6 +20186,8 @@ def oracles():
         "hourly_profile_rank_correlation": _PROFILE_RANK_CORR_ORACLE,
         "bloom_vocab_probe": _bloom_oracle(),
         "customer_reactivation_census": _REACTIVATION_ORACLE,
+        "copurchase_triangles": _TRIANGLES_ORACLE,
+        "matrix_profile_1h": _MATRIX_PROFILE_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

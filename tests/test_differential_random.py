@@ -136,6 +136,7 @@ FUZZ_QUERIES = [
     "daily_hhi",
     "session_first_touch_purchases",
     "mom_growth",
+    "matrix_profile_1h",
 ]
 
 

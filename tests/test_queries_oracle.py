@@ -256,6 +256,8 @@ SUBSET = [
     "mom_growth",
     "flag_tier_consistency",
     "session_depth_histogram",
+    "copurchase_triangles",
+    "matrix_profile_1h",
 ]
 
 
@@ -346,3 +348,47 @@ class TestApproxQuantileAccuracy:
                 lo = np.quantile(v, max(0.0, q - eps))
                 hi = np.quantile(v, min(1.0, q + eps))
                 assert lo - 1e-9 <= r[col] <= hi + 1e-9, (r["source"], q)
+
+
+class TestCopurchaseTriangles:
+    def test_planted_graph_counts(self, ray_session, tmp_path):
+        """Crafted co-purchase graph: a K4 clique (4 triangles, every
+        node in 3, all degrees tied at 3 so the (deg, partkey)
+        orientation tie-break is exercised), a 2-edge path (no
+        triangle), and a degree-10 hub whose spokes are unconnected
+        except ONE closed pair (exactly one triangle through the hub —
+        the skewed-degree case the orientation exists for)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        orders = [
+            (1, [1, 2, 3, 4]),            # K4
+            (2, [5, 6]), (3, [6, 7]),     # path, no triangle
+        ]
+        orders += [(10 + s, [100, 100 + s]) for s in range(1, 11)]  # hub
+        orders += [(30, [101, 102])]       # closes one spoke pair
+        ok, pk = [], []
+        for okey, parts in orders:
+            for p in parts:
+                ok.append(okey)
+                pk.append(p)
+        tbl = pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+        got = q.copurchase_triangles(str(tmp_path)).to_pandas()
+        got = got.sort_values("part").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/lineitem.parquet')")
+        want = con.execute(q.oracles()["copurchase_triangles"]).fetchdf()
+        want = want.sort_values("part").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = dict(zip(got["part"], got["n_triangles"]))
+        assert by == {1: 3, 2: 3, 3: 3, 4: 3, 100: 1, 101: 1, 102: 1}
