@@ -19653,6 +19653,188 @@ QUALIFY row_number() OVER (PARTITION BY source, i
 """
 
 
+def copurchase_components(sf_dir: str, min_support: int = 2):
+    """Connected components over the co-purchase graph — the first
+    EXACT-ORACLED run of the distributed label-propagation machinery
+    the near-dup clustering rides (``cluster_pairs_distributed``,
+    previously pinned only by the pytest union-find differential):
+    parts are nodes, edges join parts co-ordered in ≥ ``min_support``
+    orders, output is the full cluster table (cluster_id = MIN partkey
+    of the component — the same min-label contract as dedup — and the
+    component's size).  At sf0.01 the support-2 graph has one
+    1860-node giant component plus satellites, so the label rounds /
+    pointer jumping actually chase long paths.  Plan: per-order pair
+    partials (orderkey exchange) → pair-keyed support counts → edge
+    filter → label propagation (single bounded task below the edge
+    cap, sharded rounds above) → tiny cluster-keyed fold.  The oracle
+    replays min-label reachability with a recursive CTE (state space
+    Σ size² — bounded at gate scales).  All-integer — bit-exact.
+    NOTE: the paired oracle SQL hardcodes min_support=2."""
+    from .stages.dedup import cluster_pairs_distributed
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = d.merge(d, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        out = j.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size()
+        out.columns = ["a", "b", "n"]
+        return out.astype(np.int64)
+
+    support = sharded_aggregate(
+        sharded_map_groups(line, "l_orderkey", pairs),
+        ["a", "b"], {"n": "sum"})
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["n"].to_numpy(np.int64) >= min_support]
+        return pd.DataFrame({
+            "doc_a": keep["a"].to_numpy(np.int64),
+            "doc_b": keep["b"].to_numpy(np.int64)})
+
+    edges = support.map_batches(gate, batch_format="pandas")
+    cc = cluster_pairs_distributed(edges)
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cluster_id": b["cluster_id"].to_numpy(np.int64),
+            "n_parts": np.ones(len(b), dtype=np.int64)})
+
+    return sharded_aggregate(cc.map_batches(one, batch_format="pandas"),
+                             "cluster_id", {"n_parts": "sum"},
+                             num_shards=4)
+
+
+_COPURCHASE_CC_ORACLE = """
+WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+e2 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM e2),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.dst, reach.lab FROM reach JOIN e2 ON e2.src = reach.node
+),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS n_parts FROM cc GROUP BY 1
+"""
+
+
+def trending_words(sf_dir: str, top_k: int = 5):
+    """Trend detection over the corpus: per source, the ``top_k`` words
+    whose document-frequency RANK improved most from the early half to
+    the late half of the corpus (halves split by the exact integer
+    rule 2·doc_id < max(doc_id) — documents carry no timestamp, ids
+    are the ingest order) — the "rising query" / emerging-topic screen
+    run over every crawl snapshot.  Rank moves are used instead of raw
+    count deltas so head words don't drown the signal.  All-integer
+    with pinned ties: per-source ranks order by (df DESC, word ASC),
+    winners by (rank_delta DESC, word ASC) ≡ the oracle's row_number
+    windows.  Plan: per-batch per-(source, word) early/late df partials
+    (per-doc DISTINCT words — document frequency, not term frequency)
+    → one (source, word)-keyed fold → one source-keyed exchange whose
+    shard ranks its sources' bounded vocab vectors and emits ≤ top_k
+    rows each; the corpus text never enters the second exchange.
+    NOTE: the paired oracle SQL hardcodes top_k=5."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("doc_id", "source", "text"))
+    mx = int(ds.max("doc_id"))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        src_l, w_l, e_l, l_l = [], [], [], []
+        for did, s, t in zip(b["doc_id"], b["source"], b["text"]):
+            early = 2 * int(did) < mx
+            for w in set(_WORD_RE.findall((t or "").lower())):
+                src_l.append(s)
+                w_l.append(w)
+                e_l.append(1 if early else 0)
+                l_l.append(0 if early else 1)
+        out = pd.DataFrame({
+            "source": pd.Series(src_l, dtype=object),
+            "word": pd.Series(w_l, dtype=object),
+            "e": pd.Series(e_l, dtype=np.int64),
+            "l": pd.Series(l_l, dtype=np.int64)})
+        return out.groupby(["source", "word"], as_index=False).sum()
+
+    counts = sharded_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["source", "word"], {"e": "sum", "l": "sum"})
+
+    def rank_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in shard.groupby("source", sort=False):
+            g = g.sort_values(["e", "word"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+            g["rank_early"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            g = g.sort_values(["l", "word"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+            g["rank_late"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            g["rank_delta"] = (g["rank_early"] - g["rank_late"]
+                               ).astype(np.int64)
+            g = g.sort_values(["rank_delta", "word"],
+                              ascending=[False, True],
+                              kind="stable").head(top_k)
+            outs.append(g)
+        if not outs:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "early_df": pd.Series([], dtype=np.int64),
+                "late_df": pd.Series([], dtype=np.int64),
+                "rank_early": pd.Series([], dtype=np.int64),
+                "rank_late": pd.Series([], dtype=np.int64),
+                "rank_delta": pd.Series([], dtype=np.int64)})
+        out = pd.concat(outs, ignore_index=True)
+        return pd.DataFrame({
+            "source": out["source"], "word": out["word"],
+            "early_df": out["e"].astype(np.int64),
+            "late_df": out["l"].astype(np.int64),
+            "rank_early": out["rank_early"],
+            "rank_late": out["rank_late"],
+            "rank_delta": out["rank_delta"]})
+
+    return sharded_map_groups(counts, "source", rank_fold, num_shards=4)
+
+
+_TRENDING_WORDS_ORACLE = r"""
+WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+dw AS (
+  SELECT DISTINCT d.source, d.doc_id, 2 * d.doc_id < m.mx AS early,
+         unnest(list_transform(regexp_extract_all(d.text, '[\w'']+'),
+                               w -> lower(w))) AS word
+  FROM documents d, m
+), cnt AS (
+  SELECT source, word,
+         sum(CASE WHEN early THEN 1 ELSE 0 END) AS e,
+         sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS l
+  FROM dw GROUP BY 1, 2
+), rk AS (
+  SELECT source, word, e, l,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY e DESC, word ASC) AS re,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY l DESC, word ASC) AS rl
+  FROM cnt
+)
+SELECT source, word, CAST(e AS BIGINT) AS early_df,
+       CAST(l AS BIGINT) AS late_df, CAST(re AS BIGINT) AS rank_early,
+       CAST(rl AS BIGINT) AS rank_late,
+       CAST(re - rl AS BIGINT) AS rank_delta
+FROM rk
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY re - rl DESC, word ASC) <= 5
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -19759,6 +19941,8 @@ def _registry():
         "customer_reactivation_census": customer_reactivation_census,
         "copurchase_triangles": copurchase_triangles,
         "matrix_profile_1h": matrix_profile_1h,
+        "copurchase_components": copurchase_components,
+        "trending_words": trending_words,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -20188,6 +20372,8 @@ def oracles():
         "customer_reactivation_census": _REACTIVATION_ORACLE,
         "copurchase_triangles": _TRIANGLES_ORACLE,
         "matrix_profile_1h": _MATRIX_PROFILE_ORACLE,
+        "copurchase_components": _COPURCHASE_CC_ORACLE,
+        "trending_words": _TRENDING_WORDS_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

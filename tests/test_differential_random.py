@@ -286,7 +286,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "lang_mix_tv_drift", "char_trigram_topk",
                     "affix_fingerprint_dups", "vocab_gini_by_source",
                     "dedup_rate_by_source", "fleet_vocab_coverage",
-                    "bow_dedup_by_source"]
+                    "bow_dedup_by_source", "trending_words"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

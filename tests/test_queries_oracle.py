@@ -258,6 +258,8 @@ SUBSET = [
     "session_depth_histogram",
     "copurchase_triangles",
     "matrix_profile_1h",
+    "copurchase_components",
+    "trending_words",
 ]
 
 
