@@ -19835,6 +19835,186 @@ QUALIFY row_number() OVER (PARTITION BY source
 """
 
 
+def token_vocab_turnover(sf_dir: str):
+    """Day-over-day vocabulary TURNOVER per source over the native
+    tokens input: Jaccard between day d's distinct token-id set and
+    day d−1's — the churn signal that distinguishes a drifting source
+    (new vocabulary displacing old) from a growing one
+    (``token_vocab_growth`` counts first occurrences; a source can
+    grow while staying stable, or churn while its vocab size is flat).
+    Plan: per-batch distinct (source, token, day) partials (the token
+    stream reduces before any all-to-all), ONE (source, token)-keyed
+    exchange finishes the global distinct and emits, per token, a
+    size partial for each day it appears and an intersection partial
+    for each CONSECUTIVE day pair it spans; a tiny (source, day) fold
+    + the O(sources×days) driver join finish.  Counts exact ints,
+    jaccard = ONE int/int divide.  Rows only for days whose d−1 is
+    observed for that source."""
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["doc_id", "tokens", "source"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.flatten().to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        doc_id = tb["doc_id"].to_pandas()
+        day = (doc_id.str.split("|").str[1].astype(np.int64) * 60
+               // 86400).to_numpy()
+        src = tb["source"].to_pandas()
+        codes, uniq = pd.factorize(src, sort=False)
+        g = pd.DataFrame({
+            "code": np.repeat(codes.astype(np.int64), lens),
+            "tok": vals,
+            "day": np.repeat(day, lens),
+        }).drop_duplicates()
+        g["source"] = uniq.take(g["code"].to_numpy())
+        return g[["source", "tok", "day"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_token(shard: pd.DataFrame) -> pd.DataFrame:
+        d = shard.drop_duplicates()
+        sz = d[["source", "day"]].copy()
+        sz["nv"] = np.int64(1)
+        sz["inter"] = np.int64(0)
+        nxt = d.copy()
+        nxt["day"] = nxt["day"] + 1
+        it = d.merge(nxt, on=["source", "tok", "day"])[["source", "day"]]
+        it["nv"] = np.int64(0)
+        it["inter"] = np.int64(1)
+        both = pd.concat([sz, it], ignore_index=True)
+        return both.groupby(["source", "day"], as_index=False).sum()
+
+    per_day = sharded_map_groups(parts, ["source", "tok"], per_token)
+    agg = sharded_aggregate(per_day, ["source", "day"],
+                            {"nv": "sum", "inter": "sum"}, num_shards=2
+                            ).to_pandas()  # O(sources × days)
+    agg = agg.sort_values(["source", "day"], kind="stable")
+    prev = agg[["source", "day", "nv"]].copy()
+    prev["day"] = prev["day"] + 1
+    j = agg.merge(prev, on=["source", "day"], suffixes=("", "_prev"))
+    nv = j["nv"].to_numpy(np.int64)
+    np_ = j["nv_prev"].to_numpy(np.int64)
+    inter = j["inter"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": j["source"],
+        "day": pd.to_datetime(j["day"].to_numpy(np.int64) * 86400,
+                              unit="s"),
+        "vocab_prev": np_, "vocab_day": nv, "n_common": inter,
+        "jaccard": inter / (np_ + nv - inter),
+    }).reset_index(drop=True)
+
+
+def _token_vocab_turnover_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST(string_split(doc_id, '|')[2] AS BIGINT) * 60 // 86400 AS d,
+         tokens
+  FROM read_parquet('{glob}')
+), u AS (
+  SELECT DISTINCT source, d, unnest(tokens) AS tok FROM t
+), v AS (
+  SELECT source, d, count(*) AS nv FROM u GROUP BY 1, 2
+), i AS (
+  SELECT a.source, a.d + 1 AS d, count(*) AS inter
+  FROM u a JOIN u b ON b.source = a.source AND b.tok = a.tok
+                   AND b.d = a.d + 1
+  GROUP BY 1, 2
+)
+SELECT v.source, to_timestamp(v.d * 86400)::TIMESTAMP AS day,
+       CAST(vp.nv AS BIGINT) AS vocab_prev,
+       CAST(v.nv AS BIGINT) AS vocab_day,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(i.inter, 0) AS DOUBLE)
+         / (vp.nv + v.nv - coalesce(i.inter, 0)) AS jaccard
+FROM v JOIN v vp ON vp.source = v.source AND vp.d = v.d - 1
+LEFT JOIN i ON i.source = v.source AND i.d = v.d
+"""
+
+
+def identical_basket_orders(sf_dir: str):
+    """Duplicate-order detection — the relational twin of the corpus
+    exact-dedup path: orders whose full basket (the SET of (partkey,
+    quantity) lines, line order ignored) is byte-identical to another
+    order's, reported as a census per basket size (n duplicate groups,
+    n orders inside them).  Plan: ONE orderkey exchange builds each
+    order's canonical basket (sorted (partkey, qty-bits) pairs — the
+    float qty serializes as its raw IEEE bits so equality is exact)
+    and emits a 128-bit md5 fingerprint + size; a fingerprint-keyed
+    count exchange finds groups ≥ 2 (the basket bytes never enter the
+    second all-to-all — same digest-keyed design as curation dedup);
+    a tiny per-size fold finishes.  All-integer — bit-exact."""
+    import hashlib
+
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    line = _rd().read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def fingerprints(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_partkey", "l_quantity"],
+                          kind="stable")
+        pk = g["l_partkey"].to_numpy(np.int64)
+        qb = g["l_quantity"].to_numpy(np.float64).view(np.uint64)
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(ok)) + 1
+        h1s, h2s, szs = [], [], []
+        for chunk_pk, chunk_qb in zip(np.split(pk, bounds),
+                                      np.split(qb, bounds)):
+            buf = np.column_stack([chunk_pk.view(np.uint64),
+                                   chunk_qb]).tobytes()
+            dig = hashlib.md5(buf).digest()
+            h1s.append(int.from_bytes(dig[:8], "big") - 2 ** 63)
+            h2s.append(int.from_bytes(dig[8:], "big") - 2 ** 63)
+            szs.append(len(chunk_pk))
+        return pd.DataFrame({
+            "h1": pd.Series(h1s, dtype=np.int64),
+            "h2": pd.Series(h2s, dtype=np.int64),
+            "basket_size": pd.Series(szs, dtype=np.int64),
+            "n_orders": np.ones(len(h1s), dtype=np.int64)})
+
+    fps = sharded_map_groups(line, "l_orderkey", fingerprints)
+    groups = sharded_aggregate(fps, ["h1", "h2", "basket_size"],
+                               {"n_orders": "sum"})
+
+    def dup_census(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["n_orders"].to_numpy(np.int64) >= 2]
+        out = d.groupby("basket_size", as_index=False).agg(
+            n_groups=("n_orders", "size"),
+            n_dup_orders=("n_orders", "sum"))
+        return out.astype(np.int64)
+
+    parts = groups.map_batches(dup_census, batch_format="pandas")
+    return sharded_aggregate(parts, "basket_size",
+                             {"n_groups": "sum", "n_dup_orders": "sum"},
+                             num_shards=2)
+
+
+_IDENTICAL_BASKET_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey,
+         list(ROW(l_partkey, l_quantity)
+              ORDER BY l_partkey, l_quantity) AS basket,
+         count(*) AS basket_size
+  FROM lineitem GROUP BY 1
+), g AS (
+  SELECT basket, basket_size, count(*) AS n FROM b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT basket_size, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_dup_orders
+FROM g GROUP BY 1
+"""
+
+
 # Driver-gate priority prefix (verdict r3 item 1): the driver samples a
 # PREFIX of queries() when its gate has a budget (r3 ran exactly 50), so
 # the §2-mapped north-rule core — tokens-native pipeline, events rollup
@@ -19943,6 +20123,8 @@ def _registry():
         "matrix_profile_1h": matrix_profile_1h,
         "copurchase_components": copurchase_components,
         "trending_words": trending_words,
+        "token_vocab_turnover": token_vocab_turnover,
+        "identical_basket_orders": identical_basket_orders,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -20374,6 +20556,8 @@ def oracles():
         "matrix_profile_1h": _MATRIX_PROFILE_ORACLE,
         "copurchase_components": _COPURCHASE_CC_ORACLE,
         "trending_words": _TRENDING_WORDS_ORACLE,
+        "token_vocab_turnover": _token_vocab_turnover_oracle(),
+        "identical_basket_orders": _IDENTICAL_BASKET_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

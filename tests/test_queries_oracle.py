@@ -260,6 +260,8 @@ SUBSET = [
     "matrix_profile_1h",
     "copurchase_components",
     "trending_words",
+    "token_vocab_turnover",
+    "identical_basket_orders",
 ]
 
 
@@ -394,3 +396,43 @@ class TestCopurchaseTriangles:
                                       check_dtype=False, rtol=0, atol=0)
         by = dict(zip(got["part"], got["n_triangles"]))
         assert by == {1: 3, 2: 3, 3: 3, 4: 3, 100: 1, 101: 1, 102: 1}
+
+
+class TestIdenticalBasketOrders:
+    def test_planted_baskets(self, ray_session, tmp_path):
+        """Reordered lines ARE the same basket; a differing quantity is
+        NOT; a triplicate single-line group counts 3 orders in 1 group
+        — pinned against the DuckDB list-value oracle and hand counts."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pycatcher_ray.queries as q
+
+        rows = [
+            (1, 1, 5.0), (1, 2, 7.0),       # basket {(1,5),(2,7)}
+            (2, 2, 7.0), (2, 1, 5.0),       # same basket, reordered
+            (3, 1, 5.0), (3, 2, 8.0),       # qty differs -> distinct
+            (4, 9, 3.0), (5, 9, 3.0), (6, 9, 3.0),  # triplicate size-1
+            (7, 1, 5.0),                    # lone size-1
+        ]
+        tbl = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+        got = q.identical_basket_orders(str(tmp_path)).to_pandas()
+        got = got.sort_values("basket_size").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/lineitem.parquet')")
+        want = con.execute(
+            q.oracles()["identical_basket_orders"]).fetchdf()
+        want = want.sort_values("basket_size").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index("basket_size")
+        assert by.loc[1, "n_groups"] == 1 and by.loc[1, "n_dup_orders"] == 3
+        assert by.loc[2, "n_groups"] == 1 and by.loc[2, "n_dup_orders"] == 2

@@ -782,3 +782,69 @@ class TestDocsLengthAudit:
         assert out.loc["s1", "n_docs"] == 2
         assert out.loc["s1", "n_mismatch"] == 1
         assert out.loc["s2", "n_mismatch"] == 1
+
+
+class TestTokenVocabTurnoverPlanted:
+    """The sf corpora have globally-unique token ids, so turnover
+    jaccard is legitimately 0.0 there (same situation as
+    token_prefix_novelty); this planted fixture pins the overlap
+    branch — partial overlap, full overlap, zero overlap, the
+    consecutive-day-only rule across a gap, and within-day distinct
+    across repeated tokens — against the DuckDB oracle AND hand
+    counts."""
+
+    def test_planted_overlap_matches_oracle(self, ray_session, tmp_path,
+                                            monkeypatch):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m0 = 28_401_120  # 2024-01-01T00:00 in epoch minutes
+        day = 1440
+        rows = [
+            # srcA: day1 {1,2,3,4} (split over two docs, with repeats),
+            # day2 {3,4,5,6} -> jac 2/6, day3 {7,8} -> jac 0
+            ("a|{}|0".format(m0), [1, 2, 2, 3], "srcA"),
+            ("a|{}|1".format(m0 + 5), [3, 4], "srcA"),
+            ("a|{}|0".format(m0 + day), [3, 4, 5, 6, 6], "srcA"),
+            ("a|{}|0".format(m0 + 2 * day), [7, 8], "srcA"),
+            # srcB: day1 {10}, day2 {10} -> jac 1.0; then a GAP (no
+            # day3) and day4 {11}: no row for day4 (prev day missing)
+            ("b|{}|0".format(m0), [10], "srcB"),
+            ("b|{}|0".format(m0 + day), [10, 10], "srcB"),
+            ("b|{}|0".format(m0 + 3 * day), [11], "srcB"),
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[2] for r in rows]),
+        })
+        d = tmp_path / "toks"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+
+        import pycatcher_ray.queries as q
+
+        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        got = q.token_vocab_turnover("ignored")
+        got = got.sort_values(["source", "day"]).reset_index(drop=True)
+        want = duckdb.connect().execute(
+            q._token_vocab_turnover_oracle()).fetchdf().sort_values(
+            ["source", "day"]).reset_index(drop=True)
+        got["day"] = got["day"].astype("datetime64[us]")
+        want["day"] = want["day"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False, rtol=0, atol=0)
+        by = got.set_index(["source", "day"])
+        a2 = by.loc[("srcA", pd.Timestamp("2024-01-02"))]
+        assert (a2["vocab_prev"], a2["vocab_day"], a2["n_common"]) == (4, 4, 2)
+        assert a2["jaccard"] == 2 / 6
+        a3 = by.loc[("srcA", pd.Timestamp("2024-01-03"))]
+        assert (a3["n_common"], a3["jaccard"]) == (0, 0.0)
+        b2 = by.loc[("srcB", pd.Timestamp("2024-01-02"))]
+        assert b2["jaccard"] == 1.0
+        # the post-gap day has no row: prev day unobserved
+        assert ("srcB", pd.Timestamp("2024-01-04")) not in by.index
+        assert len(got) == 3
