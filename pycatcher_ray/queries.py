@@ -19960,6 +19960,12 @@ def identical_basket_orders(sf_dir: str):
         columns=["l_orderkey", "l_partkey", "l_quantity"])
 
     def fingerprints(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # an empty shard must not hash an empty basket
+            return pd.DataFrame({
+                "h1": pd.Series([], dtype=np.int64),
+                "h2": pd.Series([], dtype=np.int64),
+                "basket_size": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64)})
         g = g.sort_values(["l_orderkey", "l_partkey", "l_quantity"],
                           kind="stable")
         pk = g["l_partkey"].to_numpy(np.int64)
@@ -20012,6 +20018,200 @@ WITH b AS (
 SELECT basket_size, CAST(count(*) AS BIGINT) AS n_groups,
        CAST(sum(n) AS BIGINT) AS n_dup_orders
 FROM g GROUP BY 1
+"""
+
+
+def detection_lead_time(sf_dir: str):
+    """Early-warning latency across retention tiers: for every
+    (source, hour) the HOURLY IQR detector flags, how many minutes
+    before hour close the MINUTE tier had already fired — the
+    operational argument for retaining the finest tier
+    (``flag_tier_consistency`` counts agreement; this measures the
+    time won).  lead_minutes = 60 − minute-of-hour of the FIRST
+    minute-tier flag inside the hour (NULL when the minute tier
+    stayed quiet — hour-aggregate-only anomalies).  Both flag rules
+    are the oracle-pinned IQR fences; hour/minute bucketing is exact
+    integer epoch arithmetic.  One source-keyed exchange over the two
+    tiny flag tables."""
+    from .stages.shard import sharded_map_groups
+
+    m = _flags(sf_dir, "1m", "iqr")
+    h = _flags(sf_dir, "1h", "iqr")
+
+    def tag_m(b: pd.DataFrame) -> pd.DataFrame:
+        em = (b["bucket_start"].to_numpy().astype("datetime64[s]")
+              .astype(np.int64) // 60)
+        return pd.DataFrame({
+            "source": b["source"], "hour": em // 60, "moh": em % 60,
+            "kind": np.int64(0)})
+
+    def tag_h(b: pd.DataFrame) -> pd.DataFrame:
+        eh = (b["bucket_start"].to_numpy().astype("datetime64[s]")
+              .astype(np.int64) // 3600)
+        return pd.DataFrame({
+            "source": b["source"], "hour": eh, "moh": np.int64(-1),
+            "kind": np.int64(1)})
+
+    both = m.map_batches(tag_m, batch_format="pandas").union(
+        h.map_batches(tag_h, batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"].to_numpy()
+        mf = g[kinds == 0].groupby(["source", "hour"],
+                                   as_index=False).agg(
+            n_minute_flags=("moh", "size"), first_flag_moh=("moh", "min"))
+        hh = g[kinds == 1][["source", "hour"]]
+        j = hh.merge(mf, on=["source", "hour"], how="left")
+        n = j["n_minute_flags"].fillna(0).astype(np.int64)
+        first = j["first_flag_moh"]  # NaN when the minute tier is quiet
+        return pd.DataFrame({
+            "source": j["source"],
+            "hour": pd.to_datetime(j["hour"].to_numpy(np.int64) * 3600,
+                                   unit="s"),
+            "n_minute_flags": n,
+            "first_flag_moh": first,
+            "lead_minutes": 60.0 - first})
+
+    return sharded_map_groups(both, "source", fold, num_shards=4)
+
+
+_LEAD_TIME_ORACLE = """
+WITH rm AS (
+  SELECT event_type AS source, date_trunc('minute', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), qm AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM rm GROUP BY source
+), fm AS (
+  SELECT rm.source,
+         CAST(epoch(rm.b) AS BIGINT) // 60 // 60 AS hour,
+         (CAST(epoch(rm.b) AS BIGINT) // 60) % 60 AS moh
+  FROM rm JOIN qm USING (source)
+  WHERE rm.v < qm.q1 - 1.5 * (qm.q3 - qm.q1)
+     OR rm.v > qm.q3 + 1.5 * (qm.q3 - qm.q1)
+), fma AS (
+  SELECT source, hour, count(*) AS n_minute_flags,
+         min(moh) AS first_flag_moh
+  FROM fm GROUP BY 1, 2
+), rh AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), qh AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM rh GROUP BY source
+), fh AS (
+  SELECT rh.source, CAST(epoch(rh.b) AS BIGINT) // 3600 AS hour
+  FROM rh JOIN qh USING (source)
+  WHERE rh.v < qh.q1 - 1.5 * (qh.q3 - qh.q1)
+     OR rh.v > qh.q3 + 1.5 * (qh.q3 - qh.q1)
+)
+SELECT fh.source, to_timestamp(fh.hour * 3600)::TIMESTAMP AS hour,
+       CAST(coalesce(fma.n_minute_flags, 0) AS BIGINT) AS n_minute_flags,
+       CAST(fma.first_flag_moh AS DOUBLE) AS first_flag_moh,
+       60.0 - fma.first_flag_moh AS lead_minutes
+FROM fh LEFT JOIN fma ON fma.source = fh.source AND fma.hour = fh.hour
+"""
+
+
+def flag_persistence(sf_dir: str):
+    """Alert persistence (the alert-fatigue metric): per source, over
+    consecutive OBSERVED daily buckets, the conditional rate of a
+    daily IQR flag given yesterday flagged vs given yesterday was
+    quiet — a detector whose flags clump (p_after_flag ≫
+    p_after_quiet) is tracking regimes, not isolated spikes, and its
+    alerts should be debounced.  The flag rule is the oracle-pinned
+    IQR fence; day adjacency is exact integer epoch-day arithmetic;
+    rates are ONE int/int divide each (NULL when a denominator is 0).
+    One source-keyed exchange over the O(sources × days) daily tier."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1d")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, xs, y4 in _hourly_int_units(shard):
+            # xs are epoch-HOURS of the day buckets — convert to days
+            day = xs // 24
+            # the bit-pinned two-product-lerp quantile over exact ints
+            q1 = quantile_cont(y4.astype(np.float64), 0.25)
+            q3 = quantile_cont(y4.astype(np.float64), 0.75)
+            lo_f = q1 - 1.5 * (q3 - q1)
+            hi_f = q3 + 1.5 * (q3 - q1)
+            yv = y4.astype(np.float64)
+            flag = (yv < lo_f) | (yv > hi_f)
+            order = np.argsort(day, kind="stable")
+            dsrt, fsrt = day[order], flag[order]
+            adj = np.flatnonzero(np.diff(dsrt) == 1)
+            if len(adj) == 0:
+                continue  # no adjacent-day pairs -> no oracle row
+            prev_f, next_f = fsrt[adj], fsrt[adj + 1]
+            n_after_flag = int(prev_f.sum())
+            n_after_quiet = int((~prev_f).sum())
+            ff = int((prev_f & next_f).sum())
+            qf = int((~prev_f & next_f).sum())
+            rows.append({
+                "source": src,
+                "n_pairs": np.int64(len(adj)),
+                "n_after_flag": np.int64(n_after_flag),
+                "n_flag_after_flag": np.int64(ff),
+                "n_flag_after_quiet": np.int64(qf),
+                "p_after_flag": (ff / n_after_flag
+                                 if n_after_flag else np.nan),
+                "p_after_quiet": (qf / n_after_quiet
+                                  if n_after_quiet else np.nan)})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_pairs", "n_after_flag", "n_flag_after_flag",
+            "n_flag_after_quiet", "p_after_flag", "p_after_quiet"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold, num_shards=4)
+
+
+_FLAG_PERSISTENCE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), q AS (
+  SELECT source, quantile_cont(y * 1.0, 0.25) AS q1,
+         quantile_cont(y * 1.0, 0.75) AS q3
+  FROM r GROUP BY source
+), f AS (
+  SELECT r.source, r.day,
+         (r.y * 1.0 < q.q1 - 1.5 * (q.q3 - q.q1)
+          OR r.y * 1.0 > q.q3 + 1.5 * (q.q3 - q.q1)) AS flag
+  FROM r JOIN q USING (source)
+), p AS (
+  SELECT source, day, flag,
+         lag(day) OVER (PARTITION BY source ORDER BY day) AS pd,
+         lag(flag) OVER (PARTITION BY source ORDER BY day) AS pf
+  FROM f
+), a AS (
+  SELECT source,
+         count(*) AS n_pairs,
+         sum(CASE WHEN pf THEN 1 ELSE 0 END) AS n_after_flag,
+         sum(CASE WHEN pf AND flag THEN 1 ELSE 0 END)
+           AS n_flag_after_flag,
+         sum(CASE WHEN NOT pf AND flag THEN 1 ELSE 0 END)
+           AS n_flag_after_quiet
+  FROM p WHERE pd = day - 1 GROUP BY 1
+)
+SELECT source, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_after_flag AS BIGINT) AS n_after_flag,
+       CAST(n_flag_after_flag AS BIGINT) AS n_flag_after_flag,
+       CAST(n_flag_after_quiet AS BIGINT) AS n_flag_after_quiet,
+       CASE WHEN n_after_flag > 0 THEN
+         CAST(n_flag_after_flag AS DOUBLE) / n_after_flag END
+         AS p_after_flag,
+       CASE WHEN n_pairs - n_after_flag > 0 THEN
+         CAST(n_flag_after_quiet AS DOUBLE) / (n_pairs - n_after_flag)
+         END AS p_after_quiet
+FROM a
 """
 
 
@@ -20125,6 +20325,8 @@ def _registry():
         "trending_words": trending_words,
         "token_vocab_turnover": token_vocab_turnover,
         "identical_basket_orders": identical_basket_orders,
+        "detection_lead_time": detection_lead_time,
+        "flag_persistence": flag_persistence,
         "funnel_three_step": funnel_three_step,
         "business_hours_share": business_hours_share,
         "doc_token_concentration": doc_token_concentration,
@@ -20558,6 +20760,8 @@ def oracles():
         "trending_words": _TRENDING_WORDS_ORACLE,
         "token_vocab_turnover": _token_vocab_turnover_oracle(),
         "identical_basket_orders": _IDENTICAL_BASKET_ORACLE,
+        "detection_lead_time": _LEAD_TIME_ORACLE,
+        "flag_persistence": _FLAG_PERSISTENCE_ORACLE,
         "user_overlap_between_types": _USER_OVERLAP_ORACLE,
         "lead_lag_vs_reference": _LEAD_LAG_ORACLE,
         "token_vocab_growth": _token_vocab_growth_oracle(),

@@ -137,6 +137,8 @@ FUZZ_QUERIES = [
     "session_first_touch_purchases",
     "mom_growth",
     "matrix_profile_1h",
+    "detection_lead_time",
+    "flag_persistence",
 ]
 
 

@@ -262,6 +262,8 @@ SUBSET = [
     "trending_words",
     "token_vocab_turnover",
     "identical_basket_orders",
+    "detection_lead_time",
+    "flag_persistence",
 ]
 
 
