@@ -14459,6 +14459,269 @@ FROM h GROUP BY 1, 2
 """
 
 
+_MJ_PERMS = 16
+_MJ_HASH_CACHE: dict = {}
+
+
+def minhash_jaccard_sources(sf_dir: str, k: int = _MJ_PERMS):
+    """MinHash Jaccard ESTIMATE between source vocabularies — the
+    signature-agreement twin of ``vocab_jaccard_sources`` (exact) and
+    ``bottomk_jaccard_sources`` (KMV): est = |{p : min_p(A) = min_p(B)}|
+    / k over k md5 permutations.  This is the value the LSH banding in
+    stages/dedup thresholds on, here EXACT-ORACLED end to end: the
+    permutation hash is the first 8 bytes of md5('<perm>|<word>')
+    (the ``minhash_signatures_md5`` convention DuckDB reproduces
+    bit-for-bit), and the estimate is ONE int divide by the power-of-
+    two k — no float drift possible on either side.
+
+    Scale shape: MAP-ONLY — per-batch partial mins bound every batch's
+    contribution at sources×k rows (min is closed under union, the
+    MinHash composability the sketch exists for); the driver folds only
+    that table and emits the O(sources²) bounded panel."""
+    import hashlib
+
+    from .stages.dedup import _WORD_RE
+
+    ds = _documents(sf_dir, ("source", "text"))
+    kk = int(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mins: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            words = set(_WORD_RE.findall((t or "").lower()))
+            if not words:
+                continue
+            cur = mins.get(s)
+            if cur is None:
+                cur = mins[s] = [None] * kk
+            for w in words:
+                hv = _MJ_HASH_CACHE.get((kk, w))
+                if hv is None:
+                    hv = _MJ_HASH_CACHE[(kk, w)] = [
+                        int.from_bytes(
+                            hashlib.md5(f"{p}|{w}".encode()).digest()[:8],
+                            "big")
+                        for p in range(kk)]
+                for p in range(kk):
+                    if cur[p] is None or hv[p] < cur[p]:
+                        cur[p] = hv[p]
+        rows = [(s, p, sig)
+                for s, sigs in mins.items() for p, sig in enumerate(sigs)]
+        return pd.DataFrame({
+            "source": pd.Series([r[0] for r in rows], dtype=object),
+            "perm": pd.Series([r[1] for r in rows], dtype=np.int64),
+            "sig": pd.Series([r[2] for r in rows], dtype=np.uint64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ["source_a", "source_b", "matching_perms", "jaccard_est"]
+    if parts.empty:
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "matching_perms": pd.Series([], dtype=np.int64),
+            "jaccard_est": pd.Series([], dtype=np.float64)})
+    sigs = parts.groupby(["source", "perm"], as_index=False)["sig"].min()
+    mats = {s: g.sort_values("perm")["sig"].to_numpy(np.uint64)
+            for s, g in sigs.groupby("source")}
+    rows = []
+    names = sorted(mats)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            m = int((mats[a] == mats[b]).sum())
+            rows.append({"source_a": a, "source_b": b,
+                         "matching_perms": m,
+                         "jaccard_est": m / kk})
+    return pd.DataFrame(rows, columns=cols)
+
+
+_MINHASH_JACCARD_ORACLE = r"""
+WITH words AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), h AS (
+  SELECT source, t.p AS perm,
+         min(CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR) || '|' || w),
+                                  1, 16)) AS UBIGINT)) AS sig
+  FROM words, UNNEST(generate_series(0, 15)) AS t(p)
+  GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+         AS matching_perms,
+       CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS DOUBLE)
+         / 16 AS jaccard_est
+FROM h a JOIN h b ON a.perm = b.perm AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def word_rank_stats(sf_dir: str):
+    """Mean global-frequency RANK of word occurrences per source — the
+    common-word-heavy vs rare-word-heavy lexical profile (a quality /
+    domain-drift signal: boilerplate floods pull the mean rank down,
+    technical or noisy slices push it up).  Rank = row_number over
+    (global count DESC, word ASC) — an all-integer, tie-pinned total
+    order, so rank_mass = Σ rank·count and the mean is ONE divide of
+    exact int64 sums (both ≤ 2⁵³ at any plausible vocab — counts cap
+    rank, so the mass is bounded by vocab×tokens).
+
+    Scale shape: per-batch (source, word) count partials → one
+    (source, word)-keyed exchange → the driver folds only the bounded
+    vocab×sources table, computes the global rank total order once and
+    emits O(sources) rows."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            for w in _WORD_RE.findall((t or "").lower()):
+                key = (s, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        return pd.DataFrame({
+            "source": pd.Series([k[0] for k in cnt], dtype=object),
+            "w": pd.Series([k[1] for k in cnt], dtype=object),
+            "cnt": pd.Series(list(cnt.values()), dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    folded = sharded_aggregate(parts, ["source", "w"], {"cnt": "sum"},
+                               num_shards=4).to_pandas()
+    cols = ["source", "occurrences", "rank_mass", "mean_rank"]
+    if folded.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "occurrences": pd.Series([], dtype=np.int64),
+            "rank_mass": pd.Series([], dtype=np.int64),
+            "mean_rank": pd.Series([], dtype=np.float64)})
+    tot = folded.groupby("w", as_index=False)["cnt"].sum()
+    tot = tot.sort_values(["cnt", "w"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    tot["rank"] = np.arange(1, len(tot) + 1, dtype=np.int64)
+    j = folded.merge(tot[["w", "rank"]], on="w")
+    j["mass"] = j["cnt"].to_numpy(np.int64) * j["rank"].to_numpy(np.int64)
+    out = j.groupby("source", as_index=False).agg(
+        occurrences=("cnt", "sum"), rank_mass=("mass", "sum"))
+    out["mean_rank"] = (out["rank_mass"].to_numpy(np.int64)
+                        / out["occurrences"].to_numpy(np.int64))
+    return out[cols]
+
+
+_WORD_RANK_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+), rk AS (
+  SELECT w, row_number() OVER (ORDER BY sum(c) DESC, w) AS r
+  FROM cnt GROUP BY w
+)
+SELECT cnt.source,
+       CAST(sum(c) AS BIGINT) AS occurrences,
+       CAST(sum(c * r) AS BIGINT) AS rank_mass,
+       CAST(CAST(sum(c * r) AS BIGINT) AS DOUBLE)
+         / CAST(sum(c) AS BIGINT) AS mean_rank
+FROM cnt JOIN rk USING (w)
+GROUP BY 1
+"""
+
+
+def rag_chunk_census(sf_dir: str, size: int = 256, stride: int = 128):
+    """Fixed-size overlapping chunking census — the RAG / context-window
+    preprocessing stage (split every document into ``size``-char chunks
+    every ``stride`` chars) plus the cross-document duplicate-chunk
+    count per source that decides whether chunk-level dedup is worth a
+    pass.  Chunk identity is md5 of the chunk text (DuckDB-reproducible
+    content digest); starts are 0, stride, 2·stride, … < len(text), so
+    the rule is pure integer arithmetic on both engines.
+
+    Scale shape: the ``vocab_stats_by_source`` tagged union — batch-
+    local distinct (source, digest) rows + per-source chunk counters
+    through ONE digest-keyed exchange that finishes the global
+    distinct (chunk TEXT never enters the all-to-all, only 32-byte
+    digests), then a tiny source fold."""
+    import hashlib
+
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _documents(sf_dir, ("source", "text"))
+    sz, st = int(size), int(stride)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        seen: dict = {}
+        n_chunks: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            t = t or ""
+            ds_ = seen.setdefault(s, set())
+            c = 0
+            for off in range(0, len(t), st):
+                ds_.add(hashlib.md5(t[off:off + sz].encode()).hexdigest())
+                c += 1
+            n_chunks[s] = n_chunks.get(s, 0) + c
+        flat = pd.DataFrame({
+            "source": np.repeat(
+                np.asarray(list(seen), dtype=object),
+                [len(seen[s]) for s in seen]),
+            "d": (np.concatenate([np.asarray(sorted(seen[s]), dtype=object)
+                                  for s in seen if seen[s]])
+                  if any(seen.values()) else np.array([], dtype=object)),
+            "p_chunks": np.int64(0)})
+        counters = pd.DataFrame({
+            "source": list(n_chunks),
+            "d": "",  # md5 hex is never empty — no collision
+            "p_chunks": [n_chunks[s] for s in n_chunks]})
+        return pd.concat([flat, counters], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def shard_fold(shard: pd.DataFrame) -> pd.DataFrame:
+        drows = shard[shard["d"] != ""].drop_duplicates(["source", "d"])
+        dist = drows.groupby("source", as_index=False).size().rename(
+            columns={"size": "p_distinct"})
+        dist["p_chunks"] = 0
+        crows = shard[shard["d"] == ""].groupby(
+            "source", as_index=False)[["p_chunks"]].sum()
+        crows["p_distinct"] = 0
+        return pd.concat([dist, crows], ignore_index=True)[
+            ["source", "p_distinct", "p_chunks"]]
+
+    partials = sharded_map_groups(tagged, ["source", "d"], shard_fold)
+    agg = sharded_aggregate(partials, ["source"],
+                            {"p_distinct": "sum", "p_chunks": "sum"},
+                            num_shards=4)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["p_chunks"].to_numpy(np.int64)
+        d = b["p_distinct"].to_numpy(np.int64)
+        keep = n > 0  # empty-text-only sources emit no chunks (oracle)
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(dtype=object)[keep],
+            "n_chunks": n[keep],
+            "n_distinct_chunks": d[keep],
+            "dup_chunks": (n - d)[keep]})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_RAG_CHUNK_ORACLE = r"""
+WITH chunks AS (
+  SELECT source, md5(substr(text, t.s, 256)) AS d
+  FROM documents, UNNEST(generate_series(1, length(text), 128)) AS t(s)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_distinct_chunks,
+       CAST(count(*) - count(DISTINCT d) AS BIGINT) AS dup_chunks
+FROM chunks GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -20558,6 +20821,9 @@ def _registry():
         "seasonal_naive_mase": seasonal_naive_mase,
         "gap_inventory_1h": gap_inventory_1h,
         "hourly_profile_bands": hourly_profile_bands,
+        "minhash_jaccard_sources": minhash_jaccard_sources,
+        "word_rank_stats": word_rank_stats,
+        "rag_chunk_census": rag_chunk_census,
     }
 
 
@@ -20851,4 +21117,7 @@ def oracles():
         "seasonal_naive_mase": _MASE_ORACLE,
         "gap_inventory_1h": _GAP_INVENTORY_ORACLE,
         "hourly_profile_bands": _HOURLY_PROFILE_ORACLE,
+        "minhash_jaccard_sources": _MINHASH_JACCARD_ORACLE,
+        "word_rank_stats": _WORD_RANK_ORACLE,
+        "rag_chunk_census": _RAG_CHUNK_ORACLE,
     }

@@ -288,7 +288,9 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "lang_mix_tv_drift", "char_trigram_topk",
                     "affix_fingerprint_dups", "vocab_gini_by_source",
                     "dedup_rate_by_source", "fleet_vocab_coverage",
-                    "bow_dedup_by_source", "trending_words"]
+                    "bow_dedup_by_source", "trending_words",
+                    "minhash_jaccard_sources", "word_rank_stats",
+                    "rag_chunk_census"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

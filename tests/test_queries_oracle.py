@@ -106,6 +106,9 @@ SUBSET = [
     "dominant_acf_lag",
     "word_length_by_lang",
     "doc_length_quartiles",
+    "minhash_jaccard_sources",
+    "word_rank_stats",
+    "rag_chunk_census",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
