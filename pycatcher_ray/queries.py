@@ -14722,6 +14722,286 @@ FROM chunks GROUP BY 1
 """
 
 
+def croston_intermittent(sf_dir: str):
+    """Croston's method (1972) for INTERMITTENT demand over the
+    zero-filled hourly grid per source — the forecasting primitive for
+    sparse series where Holt/EWMA break down (separate exponential
+    smoothing of the nonzero demand SIZE z and the inter-demand
+    INTERVAL p; forecast = z/p).  Demand period = an observed hourly
+    bucket with a nonzero 10⁻⁴-unit sum; carved gaps in the grid are
+    zero-demand periods, which is exactly what makes the interval state
+    meaningful on this input.  Determinism (the holt_winters contract):
+    α = 1/2 exactly-representable, init z₀ = first demand value,
+    p₀ = its 1-based grid index, then the IDENTICAL per-step FP
+    expressions on both engines: z' = 0.5·v + 0.5·z,
+    p' = 0.5·q + 0.5·p with q = integer grid gap.  The oracle replays
+    the recursion over demand rows in a recursive CTE (gaps never need
+    materializing — the zero periods only enter through the integer
+    index arithmetic).  Sequential per series, parallel across series
+    via ONE source-keyed exchange."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            h = (bs.to_numpy().astype("datetime64[s]")
+                 .astype(np.int64) // 3600)
+            idx = h - h[0] + 1  # 1-based grid index incl. gap periods
+            nz = np.flatnonzero(y4 != 0)
+            if nz.size == 0:
+                continue
+            z = y4[nz[0]] / 10000.0
+            p = float(idx[nz[0]])
+            prev = idx[nz[0]]
+            for j in nz[1:]:
+                v = y4[j] / 10000.0
+                q = int(idx[j] - prev)
+                z = 0.5 * v + 0.5 * z
+                p = 0.5 * q + 0.5 * p
+                prev = idx[j]
+            rows.append({
+                "source": src,
+                "n_periods": int(idx[-1]),
+                "n_demand": int(nz.size),
+                "z_final": z, "p_final": p,
+                "croston_forecast": z / p})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_periods", "n_demand", "z_final", "p_final",
+            "croston_forecast"])
+
+    return sharded_map_groups(roll, "event_type", fold)
+
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bs,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source, bs, v4,
+         (epoch(bs) - min(epoch(bs)) OVER (PARTITION BY source)) / 3600
+           + 1 AS idx
+  FROM r
+), span AS (
+  SELECT source, CAST(max(idx) AS BIGINT) AS n_periods FROM g
+  GROUP BY source
+), d AS (
+  SELECT source, v4, idx,
+         row_number() OVER (PARTITION BY source ORDER BY idx) AS dn,
+         count(*) OVER (PARTITION BY source) AS n_demand
+  FROM g WHERE v4 <> 0
+), e AS (
+  SELECT source, dn, idx,
+         v4 / 10000.0 AS z, CAST(idx AS DOUBLE) AS p
+  FROM d WHERE dn = 1
+  UNION ALL
+  SELECT e.source, d.dn, d.idx,
+         0.5 * (d.v4 / 10000.0) + 0.5 * e.z AS z,
+         0.5 * CAST(d.idx - e.idx AS DOUBLE) + 0.5 * e.p AS p
+  FROM e JOIN d ON d.source = e.source AND d.dn = e.dn + 1
+), fin AS (
+  SELECT source, z, p FROM e
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY dn DESC) = 1
+)
+SELECT span.source, span.n_periods,
+       CAST(d1.n_demand AS BIGINT) AS n_demand,
+       fin.z AS z_final, fin.p AS p_final,
+       fin.z / fin.p AS croston_forecast
+FROM span
+JOIN (SELECT DISTINCT source, n_demand FROM d) d1 USING (source)
+JOIN fin USING (source)
+"""
+
+
+def binary_segmentation_cp(sf_dir: str):
+    """TWO-LEVEL binary-segmentation changepoints per source: the
+    global CUSUM argmax (``cusum_changepoint``'s statistic) splits the
+    series, then the SAME statistic runs inside each half — the first
+    recursion of the classic multi-changepoint algorithm (Scott &
+    Knott 1974 lineage).  Everything stays exact: per-segment statistic
+    |m·P_j − j·T| in Python bigints (int64 vectorized under the
+    m·Σ|y| < 2⁶² guard) vs HUGEINT window sums, earliest-tie argmax on
+    both sides, and each emitted stat is ONE VARCHAR-bridged divide.
+    Segments shorter than 2 buckets emit NULL (no interior structure).
+    One source-keyed exchange; series bounded per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+
+    def seg_argmax(y4: np.ndarray):
+        """(earliest argmax index, stat) of |m·P_j − j·T| over y4."""
+        m = int(y4.size)
+        abs_sum = int(np.abs(y4).sum())
+        total = int(y4.sum())
+        if m * abs_sum < 2 ** 62:
+            P = np.cumsum(y4)
+            sv = np.abs(m * P - np.arange(1, m + 1, dtype=np.int64) * total)
+            i = int(np.argmax(sv))
+            return i, int(sv[i])
+        best, best_i, acc = -1, 0, 0
+        for i, v in enumerate(y4.tolist(), start=1):
+            acc += v
+            s = abs(m * acc - i * total)
+            if s > best:
+                best, best_i = s, i - 1
+        return best_i, best
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            i1, s1 = seg_argmax(y4)
+            row = {
+                "source": src, "n_buckets": n,
+                "changepoint_bucket": bs.iloc[i1],
+                "cusum_stat": float(s1) / float(n) / 10000.0,
+                "left_changepoint_bucket": pd.NaT,
+                "left_stat": np.nan,
+                "right_changepoint_bucket": pd.NaT,
+                "right_stat": np.nan}
+            if i1 + 1 >= 2:
+                li, ls = seg_argmax(y4[:i1 + 1])
+                row["left_changepoint_bucket"] = bs.iloc[li]
+                row["left_stat"] = float(ls) / float(i1 + 1) / 10000.0
+            if n - i1 - 1 >= 2:
+                ri, rs = seg_argmax(y4[i1 + 1:])
+                row["right_changepoint_bucket"] = bs.iloc[i1 + 1 + ri]
+                row["right_stat"] = (float(rs) / float(n - i1 - 1)
+                                     / 10000.0)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "changepoint_bucket", "cusum_stat",
+            "left_changepoint_bucket", "left_stat",
+            "right_changepoint_bucket", "right_stat"])
+
+    return sharded_map_groups(roll, "event_type", fold)
+
+
+_BINSEG_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT source, count(*) AS n, sum(CAST(y AS HUGEINT)) AS total
+  FROM r GROUP BY source
+), c AS (
+  SELECT r.source, r.bucket_start, r.idx, t.n,
+         abs(t.n * sum(CAST(r.y AS HUGEINT)) OVER (
+               PARTITION BY r.source ORDER BY r.idx
+               ROWS UNBOUNDED PRECEDING)
+             - r.idx * t.total) AS stat
+  FROM r JOIN t USING (source)
+), cp1 AS (
+  SELECT source, idx AS i1, bucket_start AS cpb, n, stat AS s1 FROM c
+  QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY stat DESC, idx ASC) = 1
+), st AS (
+  SELECT r.source, r.bucket_start,
+         CASE WHEN r.idx <= cp1.i1 THEN 'L' ELSE 'R' END AS side,
+         count(*) OVER w_all AS m,
+         abs(count(*) OVER w_all
+             * sum(CAST(r.y AS HUGEINT)) OVER w_pre
+             - row_number() OVER w_ord
+             * sum(CAST(r.y AS HUGEINT)) OVER w_all) AS stat
+  FROM r JOIN cp1 USING (source)
+  WINDOW
+    w_all AS (PARTITION BY r.source,
+              CASE WHEN r.idx <= cp1.i1 THEN 'L' ELSE 'R' END),
+    w_pre AS (PARTITION BY r.source,
+              CASE WHEN r.idx <= cp1.i1 THEN 'L' ELSE 'R' END
+              ORDER BY r.idx ROWS UNBOUNDED PRECEDING),
+    w_ord AS (PARTITION BY r.source,
+              CASE WHEN r.idx <= cp1.i1 THEN 'L' ELSE 'R' END
+              ORDER BY r.idx)
+), best AS (
+  SELECT source, side, bucket_start, m, stat FROM st
+  QUALIFY row_number() OVER (
+    PARTITION BY source, side
+    ORDER BY stat DESC, bucket_start ASC) = 1
+)
+SELECT cp1.source, CAST(cp1.n AS BIGINT) AS n_buckets,
+       cp1.cpb AS changepoint_bucket,
+       CAST(CAST(cp1.s1 AS VARCHAR) AS DOUBLE)
+         / CAST(cp1.n AS DOUBLE) / 10000.0 AS cusum_stat,
+       l.bucket_start AS left_changepoint_bucket,
+       CAST(CAST(l.stat AS VARCHAR) AS DOUBLE)
+         / CAST(l.m AS DOUBLE) / 10000.0 AS left_stat,
+       rr.bucket_start AS right_changepoint_bucket,
+       CAST(CAST(rr.stat AS VARCHAR) AS DOUBLE)
+         / CAST(rr.m AS DOUBLE) / 10000.0 AS right_stat
+FROM cp1
+LEFT JOIN (SELECT * FROM best WHERE side = 'L' AND m >= 2) l
+  USING (source)
+LEFT JOIN (SELECT * FROM best WHERE side = 'R' AND m >= 2) rr
+  USING (source)
+"""
+
+
+def priority_sample_per_source(sf_dir: str, k: int = 5):
+    """Uniform deterministic k-per-source document sample: keep the k
+    docs with the SMALLEST md5(doc_id) priority per source — the
+    unbiased counterpart of ``per_source_doc_cap`` (whose lowest-doc_id
+    rule is deliberately arrival-biased) and the standard bounded
+    "eyeball sample" stage before a curation run.  Priorities are the
+    first 8 bytes of md5(doc_id) (DuckDB-reproducible), so the kept set
+    is stable across runs, partitioning and cluster size — the
+    resumable-sampling contract of ``hash_sample_docs`` with a
+    per-group budget instead of a global rate.
+
+    Scale shape: per-batch partial top-k per source BEFORE any
+    movement — the driver folds O(k·sources·batches) rows, never the
+    corpus."""
+    import hashlib
+
+    ds = _documents(sf_dir, ("source", "doc_id"))
+    kk = int(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pr = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "big")
+             for d in batch["doc_id"]),
+            dtype=np.uint64, count=len(batch))
+        df = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object),
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "priority": pr})
+        df = df.sort_values(["source", "priority", "doc_id"],
+                            kind="stable")
+        return df.groupby("source", sort=False).head(kk)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "priority": pd.Series([], dtype=np.uint64)})
+    parts = parts.sort_values(["source", "priority", "doc_id"],
+                              kind="stable")
+    return parts.groupby("source", sort=False).head(kk).reset_index(
+        drop=True)
+
+
+_PRIORITY_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS priority
+  FROM documents
+)
+SELECT source, doc_id, priority FROM h
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY priority, doc_id) <= 5
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -20824,6 +21104,9 @@ def _registry():
         "minhash_jaccard_sources": minhash_jaccard_sources,
         "word_rank_stats": word_rank_stats,
         "rag_chunk_census": rag_chunk_census,
+        "croston_intermittent": croston_intermittent,
+        "binary_segmentation_cp": binary_segmentation_cp,
+        "priority_sample_per_source": priority_sample_per_source,
     }
 
 
@@ -21120,4 +21403,7 @@ def oracles():
         "minhash_jaccard_sources": _MINHASH_JACCARD_ORACLE,
         "word_rank_stats": _WORD_RANK_ORACLE,
         "rag_chunk_census": _RAG_CHUNK_ORACLE,
+        "croston_intermittent": _CROSTON_ORACLE,
+        "binary_segmentation_cp": _BINSEG_ORACLE,
+        "priority_sample_per_source": _PRIORITY_SAMPLE_ORACLE,
     }

@@ -139,6 +139,8 @@ FUZZ_QUERIES = [
     "matrix_profile_1h",
     "detection_lead_time",
     "flag_persistence",
+    "croston_intermittent",
+    "binary_segmentation_cp",
 ]
 
 
@@ -290,7 +292,7 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "dedup_rate_by_source", "fleet_vocab_coverage",
                     "bow_dedup_by_source", "trending_words",
                     "minhash_jaccard_sources", "word_rank_stats",
-                    "rag_chunk_census"]
+                    "rag_chunk_census", "priority_sample_per_source"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -109,6 +109,9 @@ SUBSET = [
     "minhash_jaccard_sources",
     "word_rank_stats",
     "rag_chunk_census",
+    "croston_intermittent",
+    "binary_segmentation_cp",
+    "priority_sample_per_source",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
