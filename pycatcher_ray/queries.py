@@ -15002,6 +15002,328 @@ QUALIFY row_number() OVER (
 """
 
 
+def integrated_acf_time(sf_dir: str, max_lag: int = 48):
+    """Integrated autocorrelation time τ = 1 + 2·Σρ_k per source —
+    the MCMC-style effective-sample-size deflator (how many hourly
+    buckets equal one independent observation), summed with Geyer's
+    initial-positive-sequence cutoff: lags stop at the FIRST k whose
+    autocovariance numerator is ≤ 0 (or at min(48, n−1) if none).
+    EXACT arithmetic end to end (the ``dominant_acf_lag`` machinery):
+    with e = n·V − ΣV the numerators Σ e_i·e_{i+k} are Python-bigint /
+    HUGEINT integers, so the cutoff decision and the partial sum S are
+    bit-deterministic; τ = (den + 2S)/den and ess = n/τ are the only
+    FP ops, written as the identical expressions over VARCHAR-bridged
+    correctly-rounded casts on both engines.  Constant series
+    (den = 0) emit NULL τ via an exact integer compare.  One
+    source-keyed exchange, O(n·max_lag) integer ops per source."""
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, _bs, _xs, y4 in _hourly_int_units(shard):
+            n = int(y4.size)
+            if n < 2:
+                continue
+            total = int(y4.sum())
+            e = [n * int(v) - total for v in y4.tolist()]
+            den = sum(x * x for x in e)
+            maxk = min(max_lag, n - 1)
+            S, cutoff = 0, maxk + 1
+            for k in range(1, maxk + 1):
+                num = sum(a * b for a, b in zip(e[:-k], e[k:]))
+                if num <= 0:
+                    cutoff = k
+                    break
+                S += num
+            if den == 0:
+                tau = ess = np.nan
+            else:
+                tau = float(den + 2 * S) / float(den)
+                ess = float(n) / tau
+            rows.append({
+                "source": src, "n_obs": n, "cutoff_lag": cutoff,
+                "tau": tau, "ess": ess})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_obs", "cutoff_lag", "tau", "ess"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_INTEGRATED_ACF_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('hour', ts)) AS idx
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), t AS (
+  SELECT source, count(*) AS n, sum(CAST(V AS HUGEINT)) AS total
+  FROM r GROUP BY source HAVING count(*) >= 2
+), e AS (
+  SELECT r.source, r.idx, t.n, t.n * CAST(r.V AS HUGEINT) - t.total AS ev
+  FROM r JOIN t USING (source)
+), den AS (
+  SELECT source, sum(ev * ev) AS s2, any_value(n) AS n_obs
+  FROM e GROUP BY source
+), nums AS (
+  SELECT a.source, l.lag, sum(a.ev * b.ev) AS num
+  FROM e a CROSS JOIN (SELECT unnest(range(1, 49)) AS lag) l
+  JOIN e b ON b.source = a.source AND b.idx = a.idx + l.lag
+  GROUP BY a.source, l.lag
+), cut AS (
+  SELECT den.source, den.n_obs, den.s2,
+         coalesce(min(nums.lag) FILTER (nums.num <= 0),
+                  least(48, den.n_obs - 1) + 1) AS cutoff
+  FROM den LEFT JOIN nums USING (source)
+  GROUP BY 1, 2, 3
+), acc AS (
+  SELECT cut.source, cut.n_obs, cut.s2, cut.cutoff,
+         coalesce(sum(nums.num) FILTER (nums.lag < cut.cutoff),
+                  CAST(0 AS HUGEINT)) AS S
+  FROM cut LEFT JOIN nums USING (source)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(cutoff AS BIGINT) AS cutoff_lag,
+       CASE WHEN s2 > 0 THEN
+         CAST(CAST(s2 + 2 * S AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(s2 AS VARCHAR) AS DOUBLE) END AS tau,
+       CASE WHEN s2 > 0 THEN
+         CAST(n_obs AS DOUBLE)
+           / (CAST(CAST(s2 + 2 * S AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) END AS ess
+FROM acc
+"""
+
+
+def triplet_margin_census(sf_dir: str, k: int = 8):
+    """Per-anchor TRIPLET MARGIN over the embedding table: for each of
+    the k lowest-vec_id anchor vectors, the gap between its nearest
+    DIFFERENT-label neighbor and its nearest SAME-label neighbor
+    (margin > 0 ⇔ the anchor's label is locally separable) — the
+    metric-learning / label-noise eval that decides whether embeddings
+    support label-balanced curation.  Reuses ``kmeans_assign_step``'s
+    integer-exact contract verbatim: floor(float64(e)·10⁶) int64
+    quantization, pure-int64 squared distances, so every min and the
+    margin are bit-deterministic; anchors with no same-label peer emit
+    NULL (exact emptiness, not a sentinel).  Scale shape: the anchor
+    matrix broadcasts via closure (~4 KB); per-batch partial mins per
+    (anchor, side) bound every batch's contribution at 2k rows; the
+    driver folds only that table."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    A = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)                     # (k, dims)
+    aids = cand["vec_id"].to_numpy(np.int64)
+    alabels = cand["label"].to_numpy(np.int64)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() (NOT .values): sliced batches carry a list offset
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), A.shape[1])
+        vids = tb["vec_id"].to_numpy().astype(np.int64)
+        labs = tb["label"].to_numpy().astype(np.int64)
+        d = q @ (-2 * A.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (A * A).sum(axis=1)                        # (n, k) exact
+        rows = {"anchor_id": [], "side": [], "d2": []}
+        for j in range(len(aids)):
+            same = (labs == alabels[j]) & (vids != aids[j])
+            diff = labs != alabels[j]
+            if same.any():
+                rows["anchor_id"].append(aids[j])
+                rows["side"].append(0)
+                rows["d2"].append(int(d[same, j].min()))
+            if diff.any():
+                rows["anchor_id"].append(aids[j])
+                rows["side"].append(1)
+                rows["d2"].append(int(d[diff, j].min()))
+        return pd.DataFrame({
+            "anchor_id": pd.Series(rows["anchor_id"], dtype=np.int64),
+            "side": pd.Series(rows["side"], dtype=np.int64),
+            "d2": pd.Series(rows["d2"], dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = (parts.groupby(["anchor_id", "side"], as_index=False)
+              ["d2"].min()) if not parts.empty else parts
+    rows = []
+    for j in range(len(aids)):
+        same = folded[(folded["anchor_id"] == aids[j])
+                      & (folded["side"] == 0)]["d2"] \
+            if len(folded) else pd.Series([], dtype=np.int64)
+        diff = folded[(folded["anchor_id"] == aids[j])
+                      & (folded["side"] == 1)]["d2"] \
+            if len(folded) else pd.Series([], dtype=np.int64)
+        ds_ = int(same.iloc[0]) if len(same) else None
+        dd = int(diff.iloc[0]) if len(diff) else None
+        rows.append({
+            "anchor_id": int(aids[j]), "label": int(alabels[j]),
+            "d2_same": ds_, "d2_diff": dd,
+            "margin": (dd - ds_) if ds_ is not None and dd is not None
+            else None})
+    out = pd.DataFrame(rows, columns=[
+        "anchor_id", "label", "d2_same", "d2_diff", "margin"])
+    return out
+
+
+_TRIPLET_MARGIN_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), anch AS (
+  SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT aq.vec_id AS anchor_id, q.vec_id AS vid,
+         sum((aq.qv - q.qv) * (aq.qv - q.qv)) AS d2
+  FROM q aq JOIN anch a ON aq.vec_id = a.vec_id
+  JOIN q ON q.dim = aq.dim
+  GROUP BY 1, 2
+)
+SELECT a.vec_id AS anchor_id, CAST(a.label AS BIGINT) AS label,
+       CAST(min(d.d2) FILTER (vl.label = a.label
+                              AND d.vid <> a.vec_id) AS BIGINT)
+         AS d2_same,
+       CAST(min(d.d2) FILTER (vl.label <> a.label) AS BIGINT)
+         AS d2_diff,
+       CAST(min(d.d2) FILTER (vl.label <> a.label)
+            - min(d.d2) FILTER (vl.label = a.label
+                                AND d.vid <> a.vec_id) AS BIGINT)
+         AS margin
+FROM anch a
+JOIN d ON d.anchor_id = a.vec_id
+JOIN embeddings vl ON vl.vec_id = d.vid
+GROUP BY 1, 2
+"""
+
+
+def induction_hit_rate(sf_dir: str):
+    """Induction-head hit rate over the NATIVE tokens input: at each
+    position i whose token also occurred earlier in the document (last
+    occurrence j), an induction head predicts position i+1 to repeat
+    the token that followed j — the "… A B … A → B" statistic
+    (Olsson et al. 2022) that measures how much in-context copying a
+    corpus rewards (high on loopy/boilerplate docs, ~1/vocab on clean
+    text).  All-integer decisions: eligible = has a previous occurrence
+    AND i+1 is inside the doc; hit = t[i+1] == t[j+1]; the rate is ONE
+    int/int divide (NULL when no position is eligible — the synth
+    corpus's near-unique ids make that the common case there; the
+    planted-loop tokens fuzz corpus pins the hit branch).  Engine
+    kernel is fully vectorized per batch (lexsort by (doc, token, pos)
+    → last-previous-occurrence via one shifted compare, no Python
+    loop over tokens); per-batch (source, eligible, hits) integer
+    partials ride one tiny source-keyed exchange — the token stream
+    never shuffles."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(_tokens_paths(sf_dir),
+                            columns=["source", "tokens"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        toks = tb["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base = off[0]
+        # flatten() (NOT .values): sliced batches carry a list offset
+        vals = toks.flatten().to_numpy().astype(np.int64)
+        lens = off[1:] - off[:-1]
+        src = tb["source"].to_pandas().to_numpy(dtype=object)
+        codes, uniq = pd.factorize(pd.Series(src), sort=False)
+        n_elig = np.zeros(len(uniq), dtype=np.int64)
+        n_hits = np.zeros(len(uniq), dtype=np.int64)
+        if vals.size:
+            docidx = np.repeat(np.arange(len(lens), dtype=np.int64),
+                               lens)
+            g = np.arange(vals.size, dtype=np.int64)
+            doc_end = np.repeat(off[1:] - base, lens)  # exclusive
+            order = np.lexsort((g, vals, docidx))
+            same = np.zeros(vals.size, dtype=bool)
+            same[1:] = ((docidx[order][1:] == docidx[order][:-1])
+                        & (vals[order][1:] == vals[order][:-1]))
+            prev_g = np.full(vals.size, -1, dtype=np.int64)
+            prev_g[order[same]] = order[np.flatnonzero(same) - 1]
+            e = np.flatnonzero((prev_g >= 0) & (g + 1 < doc_end))
+            if e.size:
+                hit = vals[e + 1] == vals[prev_g[e] + 1]
+                sc = codes[docidx[e]]
+                n_elig += np.bincount(sc, minlength=len(uniq))
+                n_hits += np.bincount(sc, weights=hit,
+                                      minlength=len(uniq)
+                                      ).astype(np.int64)
+        return pd.DataFrame({
+            "source": uniq.to_numpy(dtype=object)
+            if hasattr(uniq, "to_numpy") else np.asarray(uniq,
+                                                         dtype=object),
+            "n_eligible": n_elig, "n_hits": n_hits})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["source"],
+                            {"n_eligible": "sum", "n_hits": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["n_eligible"].to_numpy(np.int64)
+        h = b["n_hits"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_eligible": e, "n_hits": h,
+            "hit_rate": np.where(e > 0, h / np.where(e > 0, e, 1),
+                                 np.nan)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _induction_oracle() -> str:
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    glob = os.path.join(tokens_input_dir(sf_dir), "*.parquet")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, tokens, len(tokens) AS n
+  FROM read_parquet('{glob}')
+), u AS (
+  SELECT doc_id, source, n, i.i AS pos, tokens[i.i] AS tk
+  FROM t CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, n)) AS i) i
+  WHERE n >= 2
+), p AS (
+  SELECT doc_id, source, n, pos, tk,
+         lag(pos) OVER (PARTITION BY doc_id, tk ORDER BY pos) AS pp
+  FROM u
+), elig AS (
+  SELECT p.source,
+         CASE WHEN t2.tokens[p.pos + 1] = t2.tokens[p.pp + 1]
+              THEN 1 ELSE 0 END AS hit
+  FROM p JOIN t t2 USING (doc_id)
+  WHERE p.pp IS NOT NULL AND p.pos + 1 <= p.n
+), agg AS (
+  SELECT source, count(*) AS n_elig, sum(hit) AS n_hits
+  FROM elig GROUP BY 1
+)
+SELECT s.source,
+       CAST(coalesce(a.n_elig, 0) AS BIGINT) AS n_eligible,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN a.n_elig > 0
+            THEN CAST(a.n_hits AS DOUBLE) / a.n_elig END AS hit_rate
+FROM (SELECT DISTINCT source FROM t) s LEFT JOIN agg a USING (source)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -21107,6 +21429,9 @@ def _registry():
         "croston_intermittent": croston_intermittent,
         "binary_segmentation_cp": binary_segmentation_cp,
         "priority_sample_per_source": priority_sample_per_source,
+        "integrated_acf_time": integrated_acf_time,
+        "triplet_margin_census": triplet_margin_census,
+        "induction_hit_rate": induction_hit_rate,
     }
 
 
@@ -21406,4 +21731,7 @@ def oracles():
         "croston_intermittent": _CROSTON_ORACLE,
         "binary_segmentation_cp": _BINSEG_ORACLE,
         "priority_sample_per_source": _PRIORITY_SAMPLE_ORACLE,
+        "integrated_acf_time": _INTEGRATED_ACF_ORACLE,
+        "triplet_margin_census": _TRIPLET_MARGIN_ORACLE,
+        "induction_hit_rate": _induction_oracle(),
     }

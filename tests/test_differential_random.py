@@ -141,6 +141,7 @@ FUZZ_QUERIES = [
     "flag_persistence",
     "croston_intermittent",
     "binary_segmentation_cp",
+    "integrated_acf_time",
 ]
 
 

@@ -35,6 +35,7 @@ FUZZ_EMB_QUERIES = [
     "knn_indegree_census",
     "kmeans_update_step",
     "simhash_embedding_census",
+    "triplet_margin_census",
 ]
 
 DIMS = 16

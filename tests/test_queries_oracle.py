@@ -112,6 +112,9 @@ SUBSET = [
     "croston_intermittent",
     "binary_segmentation_cp",
     "priority_sample_per_source",
+    "integrated_acf_time",
+    "triplet_margin_census",
+    "induction_hit_rate",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",

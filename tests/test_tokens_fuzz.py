@@ -37,6 +37,7 @@ FUZZ_TOKEN_QUERIES = [
     "token_oov_rate",
     "token_prefix_novelty",
     "token_loop_score",
+    "induction_hit_rate",
     "token_length_drift",
     "token_vocab_growth",
     "token_simpson_diversity",
