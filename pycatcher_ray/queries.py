@@ -15324,6 +15324,125 @@ FROM (SELECT DISTINCT source FROM t) s LEFT JOIN agg a USING (source)
 """
 
 
+def detector_kappa(sf_dir: str):
+    """Cohen's κ between the IQR and z-score detectors per source —
+    chance-corrected agreement over the hourly buckets (raw overlap is
+    inflated when flags are rare; κ is the standard rater-agreement
+    correction), the quantitative form of ``ensemble_flags_1h``'s vote:
+    κ near 1 means one detector suffices, κ near 0 means the ensemble
+    genuinely adds coverage.  Both member flag sets already hash-match
+    their oracles (``iqr_flags_1h`` / ``zscore_flags_1h`` ★), so the
+    2×2 confusion counts are exact integers, and
+    κ = (N(a+d) − pe₂)/(N² − pe₂) with pe₂ = (a+b)(a+c)+(c+d)(b+d)
+    is ONE divide of exact ints (NULL when a rater is constant —
+    den = 0, an exact compare).  ONE detector-pool pass evaluates both
+    methods per packed series; the per-source bucket total rides a
+    tiny count aggregate."""
+    from .config import auto_concurrency
+    from .stages.shard import sharded_aggregate, sharded_map_groups
+
+    cfg = EngineConfig(detect_concurrency=auto_concurrency(cap=8),
+                       detect_batch_series=4)
+    roll = _events_rollup(sf_dir, "1h")
+    flags = detect(roll, "event_type", tier="1h", cfg=cfg,
+                   methods=("iqr", "zscore"))
+    flags = flags.select_columns(["key", "bucket_start", "method"]
+                                 ).rename_columns({"key": "source"})
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.drop_duplicates(["source", "bucket_start",
+                                       "method"])
+        g = shard.groupby(["source", "bucket_start"], sort=False)[
+            "method"].agg(frozenset).reset_index()
+        both = g["method"].map(lambda s: len(s) == 2)
+        iqr = g["method"].map(lambda s: s == {"iqr"})
+        out = g.assign(both=both, iqr_only=iqr,
+                       z_only=~(both | iqr)).groupby(
+            "source", as_index=False)[["both", "iqr_only",
+                                       "z_only"]].sum()
+        return out.astype({"both": np.int64, "iqr_only": np.int64,
+                           "z_only": np.int64})
+
+    conf = sharded_map_groups(flags, "source", fold).to_pandas()
+    if not conf.empty:
+        conf = conf.groupby("source", as_index=False).sum()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"source": g["event_type"],
+                             "n": g["size"].astype(np.int64)})
+
+    totals = sharded_aggregate(
+        roll.select_columns(["event_type"]).map_batches(
+            count_partial, batch_format="pandas"),
+        ["source"], {"n": "sum"}, num_shards=2).to_pandas()
+
+    rows = []
+    cm = {r["source"]: r for _, r in conf.iterrows()} \
+        if len(conf) else {}
+    for _, t in totals.iterrows():
+        src, n = t["source"], int(t["n"])
+        c = cm.get(src)
+        a = int(c["both"]) if c is not None else 0
+        b = int(c["iqr_only"]) if c is not None else 0
+        cc = int(c["z_only"]) if c is not None else 0
+        d = n - a - b - cc
+        pe2 = (a + b) * (a + cc) + (cc + d) * (b + d)
+        den = n * n - pe2
+        rows.append({
+            "source": src, "n_buckets": n, "both_flagged": a,
+            "iqr_only": b, "zscore_only": cc,
+            "kappa": float(n * (a + d) - pe2) / float(den)
+            if den != 0 else np.nan})
+    return pd.DataFrame(rows, columns=[
+        "source", "n_buckets", "both_flagged", "iqr_only",
+        "zscore_only", "kappa"])
+
+
+_DETECTOR_KAPPA_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM r GROUP BY source
+), s AS (
+  SELECT source, avg(v) AS mu, stddev_pop(v) AS sigma FROM r GROUP BY source
+), f AS (
+  SELECT r.source,
+         CASE WHEN r.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+              THEN 1 ELSE 0 END AS fi,
+         CASE WHEN abs((r.v - s.mu) / s.sigma) > 2
+              THEN 1 ELSE 0 END AS fz
+  FROM r JOIN q USING (source) JOIN s USING (source)
+), agg AS (
+  SELECT source, count(*) AS n,
+         sum(fi * fz) AS a, sum(fi * (1 - fz)) AS b,
+         sum((1 - fi) * fz) AS c
+  FROM f GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_buckets,
+       CAST(a AS BIGINT) AS both_flagged,
+       CAST(b AS BIGINT) AS iqr_only,
+       CAST(c AS BIGINT) AS zscore_only,
+       CASE WHEN n * n - ((a + b) * (a + c)
+                          + (c + n - a - b - c) * (b + n - a - b - c))
+                 <> 0 THEN
+         CAST(CAST(n * (a + n - a - b - c)
+                   - ((a + b) * (a + c)
+                      + (c + n - a - b - c) * (b + n - a - b - c))
+              AS BIGINT) AS DOUBLE)
+           / CAST(CAST(n * n - ((a + b) * (a + c)
+                                + (c + n - a - b - c)
+                                  * (b + n - a - b - c))
+                  AS BIGINT) AS DOUBLE)
+       END AS kappa
+FROM agg
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -21432,6 +21551,7 @@ def _registry():
         "integrated_acf_time": integrated_acf_time,
         "triplet_margin_census": triplet_margin_census,
         "induction_hit_rate": induction_hit_rate,
+        "detector_kappa": detector_kappa,
     }
 
 
@@ -21734,4 +21854,5 @@ def oracles():
         "integrated_acf_time": _INTEGRATED_ACF_ORACLE,
         "triplet_margin_census": _TRIPLET_MARGIN_ORACLE,
         "induction_hit_rate": _induction_oracle(),
+        "detector_kappa": _DETECTOR_KAPPA_ORACLE,
     }

@@ -142,6 +142,7 @@ FUZZ_QUERIES = [
     "croston_intermittent",
     "binary_segmentation_cp",
     "integrated_acf_time",
+    "detector_kappa",
 ]
 
 

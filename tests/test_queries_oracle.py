@@ -115,6 +115,7 @@ SUBSET = [
     "integrated_acf_time",
     "triplet_margin_census",
     "induction_hit_rate",
+    "detector_kappa",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
