@@ -82,6 +82,13 @@ def main(argv=None):
     c.add_argument("--min-words", type=int, default=5)
     c.add_argument("--neardup-threshold", type=float, default=0.7)
 
+    pr = sub.add_parser("profile", help="one-pass fused corpus profile "
+                                        "(docs/chars/words/vocab/langs/"
+                                        "quality/dup per source)")
+    pr.add_argument("--input", nargs="+", required=True)
+    pr.add_argument("--out", default=None,
+                    help="optional parquet path for the report")
+
     q = sub.add_parser("query", help="run a registry query over an sf dir; "
                                      "CSV to stdout, or --out dir for "
                                      "partitioned parquet")
@@ -159,6 +166,13 @@ def main(argv=None):
             args.input, args.out, min_quality=args.min_quality,
             min_words=args.min_words,
             neardup_threshold=args.neardup_threshold)
+        print(json.dumps(metrics, default=str))
+        return 0
+
+    if args.cmd == "profile":
+        from .pipelines.profile import run_profile
+
+        metrics = run_profile(args.input, args.out)
         print(json.dumps(metrics, default=str))
         return 0
 

@@ -15443,6 +15443,59 @@ FROM agg
 """
 
 
+def corpus_profile(sf_dir: str):
+    """The FUSED one-pass per-source corpus report
+    (pipelines/profile.py): docs, chars, words, distinct vocabulary,
+    language count, quality-gate passes and exact-duplicate docs — the
+    numbers ``vocab_stats_by_source`` / ``quality_filter`` /
+    ``dedup_exact`` / ``lang_distribution`` each pay a full corpus read
+    for, computed in ONE read pass + ONE (kind, key) exchange.  Every
+    column is an exact integer (the quality rule is the oracled
+    ``quality_filter`` predicate verbatim; dup attribution is
+    ``dedup_exact``'s min-doc_id contract via the 128-bit content
+    digest), so the fused report carries a full DuckDB oracle."""
+    from .pipelines.profile import profile_frame
+
+    return profile_frame(
+        _documents(sf_dir, ("doc_id", "source", "lang", "text")))
+
+
+_CORPUS_PROFILE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source, lang, text, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) FILTER (n_words >= 10 AND n_chars >= 100
+              AND CAST(n_chars AS DOUBLE) / n_words
+                  BETWEEN 3.0 AND 12.0) AS BIGINT) AS n_quality_pass
+  FROM base GROUP BY 1
+), words AS (
+  SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+  FROM (SELECT source,
+               unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                     x -> lower(x))) AS w
+        FROM documents) GROUP BY 1
+), dup AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_exact_dup
+  FROM (SELECT source, doc_id,
+               min(doc_id) OVER (PARTITION BY text) AS keeper
+        FROM documents) WHERE doc_id <> keeper GROUP BY 1
+)
+SELECT agg.source, agg.n_docs, agg.n_chars, agg.n_words,
+       coalesce(words.n_distinct_words, 0) AS n_distinct_words,
+       agg.n_langs, agg.n_quality_pass,
+       coalesce(dup.n_exact_dup, 0) AS n_exact_dup
+FROM agg
+LEFT JOIN words USING (source)
+LEFT JOIN dup USING (source)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -21552,6 +21605,7 @@ def _registry():
         "triplet_margin_census": triplet_margin_census,
         "induction_hit_rate": induction_hit_rate,
         "detector_kappa": detector_kappa,
+        "corpus_profile": corpus_profile,
     }
 
 
@@ -21855,4 +21909,5 @@ def oracles():
         "triplet_margin_census": _TRIPLET_MARGIN_ORACLE,
         "induction_hit_rate": _induction_oracle(),
         "detector_kappa": _DETECTOR_KAPPA_ORACLE,
+        "corpus_profile": _CORPUS_PROFILE_ORACLE,
     }

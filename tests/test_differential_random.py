@@ -294,7 +294,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "dedup_rate_by_source", "fleet_vocab_coverage",
                     "bow_dedup_by_source", "trending_words",
                     "minhash_jaccard_sources", "word_rank_stats",
-                    "rag_chunk_census", "priority_sample_per_source"]
+                    "rag_chunk_census", "priority_sample_per_source",
+                    "corpus_profile"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

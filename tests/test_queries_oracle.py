@@ -116,6 +116,7 @@ SUBSET = [
     "triplet_margin_census",
     "induction_hit_rate",
     "detector_kappa",
+    "corpus_profile",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
