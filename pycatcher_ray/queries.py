@@ -15496,6 +15496,205 @@ LEFT JOIN dup USING (source)
 """
 
 
+def ams_f2_words(sf_dir: str, k: int = 8):
+    """AMS second-moment (F₂) sketch over each source's word-frequency
+    vector (Alon-Matias-Szegedy 1996) next to the EXACT F₂ = Σc_w² —
+    the self-join-size / skew estimator that needs O(k) memory where
+    the exact value needs the whole frequency vector.  Determinism:
+    the ±1 sign of word w under estimator j is the parity of the first
+    hex digit of md5('<j>#<w>') (DuckDB-reproducible, the
+    ``minhash_signatures_md5`` convention), each estimator
+    Z_j = Σ s_j(w)·c_w and its square are EXACT integers, and the
+    estimate is the mean of k=8 squares — one divide by a power of
+    two, so bit parity is trivial.  Scale shape: per-batch (source,
+    word) count partials → one bounded vocab×sources exchange → the
+    driver folds k integer accumulators per source (the vocab-family
+    contract)."""
+    import hashlib
+
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+    kk = int(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            for w in _WORD_RE.findall((t or "").lower()):
+                key = (s, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        return pd.DataFrame({
+            "source": pd.Series([kx[0] for kx in cnt], dtype=object),
+            "w": pd.Series([kx[1] for kx in cnt], dtype=object),
+            "cnt": pd.Series(list(cnt.values()), dtype=np.int64)})
+
+    folded = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "w"], {"cnt": "sum"}, num_shards=4).to_pandas()
+    cols = ["source", "f2_exact", "f2_est_sum", "f2_est_mean"]
+    if folded.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "f2_exact": pd.Series([], dtype=np.int64),
+            "f2_est_sum": pd.Series([], dtype=np.int64),
+            "f2_est_mean": pd.Series([], dtype=np.float64)})
+    signs: dict = {}
+    for w in folded["w"].unique():
+        signs[w] = [1 if (hashlib.md5(f"{j}#{w}".encode())
+                          .digest()[0] >> 4) % 2 == 0 else -1
+                    for j in range(kk)]
+    rows = []
+    for src, g in folded.groupby("source"):
+        c = [int(v) for v in g["cnt"]]
+        ws = list(g["w"])
+        f2 = sum(v * v for v in c)
+        zs = [sum(signs[w][j] * v for w, v in zip(ws, c))
+              for j in range(kk)]
+        est_sum = sum(z * z for z in zs)
+        rows.append({
+            "source": src, "f2_exact": f2, "f2_est_sum": est_sum,
+            "f2_est_mean": float(est_sum) / kk})
+    return pd.DataFrame(rows, columns=cols)
+
+
+_AMS_F2_ORACLE = r"""
+WITH words AS (
+  SELECT source,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               x -> lower(x))) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2
+), signs AS (
+  SELECT w, t.j,
+         CASE WHEN CAST(('0x' || substr(
+                md5(CAST(t.j AS VARCHAR) || '#' || w), 1, 1))
+              AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT DISTINCT w FROM cnt),
+       UNNEST(generate_series(0, 7)) AS t(j)
+), z AS (
+  SELECT cnt.source, signs.j, sum(signs.s * cnt.c) AS z
+  FROM cnt JOIN signs USING (w) GROUP BY 1, 2
+), est AS (
+  SELECT source, sum(z * z) AS est_sum FROM z GROUP BY 1
+), ex AS (
+  SELECT source, sum(c * c) AS f2 FROM cnt GROUP BY 1
+)
+SELECT ex.source, CAST(ex.f2 AS BIGINT) AS f2_exact,
+       CAST(est.est_sum AS BIGINT) AS f2_est_sum,
+       CAST(CAST(est.est_sum AS BIGINT) AS DOUBLE) / 8 AS f2_est_mean
+FROM ex JOIN est USING (source)
+"""
+
+
+def lsh_band_census(sf_dir: str):
+    """LSH BAND-BUCKET census over the md5 MinHash signatures — the
+    cost model behind every banded-LSH dedup plan: per band (2 perms
+    of the 8-perm ``minhash_signatures_md5`` signature, banding the
+    1-in-4 md5 doc sample), how many distinct buckets form, the largest
+    bucket, and the candidate pairs Σ m·(m−1)/2 the verify stage would
+    pay — the number that says whether band width must grow before a
+    bucket explodes (the capped-bucket guard in stages/dedup exists
+    precisely for the tail this censuses).  All-integer; signatures
+    are the md5 permutation mins DuckDB reproduces bit-for-bit.
+    Scale shape: signature rows are map-only; bucket keys ride ONE
+    (band, sig-pair) exchange; per-shard census partials fold to 4
+    rows."""
+    import hashlib
+
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_map_groups
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        # the minhash_signatures_md5 sample + permutation convention,
+        # banded per doc INSIDE one batch (a doc's 8 signature cells
+        # must never split across batch boundaries)
+        out_band, out_s1, out_s2 = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            if int(hashlib.md5(str(doc_id).encode())
+                   .digest()[0]) % 4 != 0:
+                continue
+            words = set(_WORD_RE.findall((text or "").lower()))
+            if not words:
+                continue
+            sig = [min(int.from_bytes(
+                       hashlib.md5(f"{p}|{w}".encode()).digest()[:8],
+                       "big") for w in words)
+                   for p in range(8)]
+            for band in range(4):
+                out_band.append(band)
+                # wrap to int64: the exchange key needs identity only,
+                # and its hash path casts key columns to int64
+                out_s1.append(sig[2 * band] - (sig[2 * band] >> 63
+                                               << 64))
+                out_s2.append(sig[2 * band + 1]
+                              - (sig[2 * band + 1] >> 63 << 64))
+        return pd.DataFrame({
+            "band": pd.Series(out_band, dtype=np.int64),
+            "s1": pd.Series(out_s1, dtype=np.int64),
+            "s2": pd.Series(out_s2, dtype=np.int64)})
+
+    buckets = ds.map_batches(bucketize, batch_format="pandas")
+
+    def census(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["band", "s1", "s2"], as_index=False).size()
+        m = g["size"].to_numpy(np.int64)
+        g = g.assign(pairs=m * (m - 1) // 2)
+        out = g.groupby("band", as_index=False).agg(
+            p_buckets=("size", "count"), p_max=("size", "max"),
+            p_pairs=("pairs", "sum"))
+        return out.astype({"p_buckets": np.int64, "p_max": np.int64,
+                           "p_pairs": np.int64})
+
+    parts = sharded_map_groups(buckets, ["band", "s1", "s2"],
+                               census).to_pandas()
+    cols = ["band", "n_buckets", "max_bucket", "candidate_pairs"]
+    if parts.empty:
+        return pd.DataFrame({
+            "band": pd.Series([], dtype=np.int64),
+            "n_buckets": pd.Series([], dtype=np.int64),
+            "max_bucket": pd.Series([], dtype=np.int64),
+            "candidate_pairs": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("band", as_index=False).agg(
+        n_buckets=("p_buckets", "sum"), max_bucket=("p_max", "max"),
+        candidate_pairs=("p_pairs", "sum"))
+    return out.astype({c: np.int64 for c in cols[1:]})[cols]
+
+
+_LSH_BAND_ORACLE = r"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+             AS INTEGER) % 4 = 0
+), words AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                               w -> lower(w))) AS w
+  FROM sample
+), h AS (
+  SELECT doc_id, t.p AS perm,
+         min(CAST(('0x' || substr(md5(CAST(t.p AS VARCHAR) || '|' || w),
+                                  1, 16)) AS UBIGINT)) AS sig
+  FROM words, UNNEST(generate_series(0, 7)) AS t(p)
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.doc_id, a.perm // 2 AS band, a.sig AS s1, b.sig AS s2
+  FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.perm = a.perm + 1
+  WHERE a.perm % 2 = 0
+), b AS (
+  SELECT band, s1, s2, count(*) AS m FROM pairs GROUP BY 1, 2, 3
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(m) AS BIGINT) AS max_bucket,
+       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM b GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -21606,6 +21805,8 @@ def _registry():
         "induction_hit_rate": induction_hit_rate,
         "detector_kappa": detector_kappa,
         "corpus_profile": corpus_profile,
+        "ams_f2_words": ams_f2_words,
+        "lsh_band_census": lsh_band_census,
     }
 
 
@@ -21910,4 +22111,6 @@ def oracles():
         "induction_hit_rate": _induction_oracle(),
         "detector_kappa": _DETECTOR_KAPPA_ORACLE,
         "corpus_profile": _CORPUS_PROFILE_ORACLE,
+        "ams_f2_words": _AMS_F2_ORACLE,
+        "lsh_band_census": _LSH_BAND_ORACLE,
     }

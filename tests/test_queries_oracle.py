@@ -117,6 +117,8 @@ SUBSET = [
     "induction_hit_rate",
     "detector_kappa",
     "corpus_profile",
+    "ams_f2_words",
+    "lsh_band_census",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
