@@ -15695,6 +15695,252 @@ FROM b GROUP BY 1
 """
 
 
+def top_bigram_fraction(sf_dir: str):
+    """Gopher-style repetition screen at the BIGRAM level: per source,
+    the share of documents whose single most frequent word bigram
+    carries > 8 % of the doc's bigram mass (Rae et al. 2021 §A1.1's
+    "top 2-gram fraction" rule — catches templated/boilerplate docs
+    that unigram repetition misses).  The threshold test is the PURE-
+    INTEGER compare 25·c_max > 2·n (no ratio computed), docs need ≥ 1
+    bigram to be considered, and the per-source rate is ONE int/int
+    divide.  Per-doc counting is batch-local (the textops per-doc
+    contract); only (source, docs, flagged) integer partials ride a
+    tiny source-keyed exchange."""
+    from .stages.dedup import _WORD_RE
+    from .stages.shard import sharded_aggregate
+
+    ds = _documents(sf_dir, ("source", "text"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        docs: dict = {}
+        flg: dict = {}
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = _WORD_RE.findall((t or "").lower())
+            if len(ws) < 2:
+                continue
+            cnt: dict = {}
+            for a, b in zip(ws[:-1], ws[1:]):
+                k = (a, b)
+                cnt[k] = cnt.get(k, 0) + 1
+            n = len(ws) - 1
+            cmax = max(cnt.values())
+            docs[s] = docs.get(s, 0) + 1
+            if 25 * cmax > 2 * n:
+                flg[s] = flg.get(s, 0) + 1
+        return pd.DataFrame({
+            "source": pd.Series(list(docs), dtype=object),
+            "n_docs": pd.Series([docs[s] for s in docs],
+                                dtype=np.int64),
+            "n_flagged": pd.Series([flg.get(s, 0) for s in docs],
+                                   dtype=np.int64)})
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"], {"n_docs": "sum", "n_flagged": "sum"},
+        num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_docs"].to_numpy(np.int64)
+        f = b["n_flagged"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"], "n_docs": n, "n_flagged": f,
+            "flag_rate": f / np.where(n > 0, n, 1)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+_TOP_BIGRAM_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        x -> lower(x)) AS ws
+  FROM documents
+), big AS (
+  SELECT doc_id, source, ws[t.i] || ' ' || ws[t.i + 1] AS bg
+  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+), percnt AS (
+  SELECT doc_id, source, bg, count(*) AS c FROM big GROUP BY 1, 2, 3
+), perdoc AS (
+  SELECT doc_id, source, max(c) AS cmax, sum(c) AS n
+  FROM percnt GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (25 * cmax > 2 * n) AS BIGINT)
+         AS n_flagged,
+       CAST(count(*) FILTER (25 * cmax > 2 * n) AS DOUBLE) / count(*)
+         AS flag_rate
+FROM perdoc GROUP BY 1
+"""
+
+
+def ivf_recall_census(sf_dir: str, k: int = 8, topk: int = 10):
+    """EXACT-ORACLED recall@10 curve of an IVF probe sweep — the
+    measurement that upgrades the approximate-ANN story beyond
+    rows-only checks: for each of the 4 lowest-vec_id query vectors
+    and n_probe ∈ {1, 2, 4}, the candidates are the vectors assigned
+    to the n_probe centroids nearest the query, and recall is
+    |IVF top-10 ∩ exact top-10| / 10.  Everything rides
+    ``kmeans_assign_step``'s INTEGER-exact quantizer contract
+    (floor(float64(e)·10⁶) int64 coords, pure-int squared distances,
+    ties → lowest centroid id / vec_id), so assignment, probe order,
+    both top-10 sets and every recall value are bit-deterministic and
+    fully SQL-expressible.  (The production IVF path — ``ann_topk_ivf``
+    — keeps its float k-means quantizer and pruned-directory reads;
+    THIS census is its measurement twin on the deterministic
+    quantizer.)  Scale shape: centroids + queries broadcast via
+    closure; per-batch partial top-10 per (query, probe-level) bounds
+    every batch at (1+3)×4×10 rows + 12 count partials; the driver
+    folds only that table — the corpus never moves."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    nq = 4
+    probes = (1, 2, 4)
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    C = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    Q = C[:nq]                       # queries = 4 lowest vec_ids
+    qids = cids[:nq]
+
+    # probe order per query: centroids by (int distance, cid) asc
+    qc = Q @ (-2 * C.T)
+    qc += (Q * Q).sum(axis=1, keepdims=True)
+    qc += (C * C).sum(axis=1)
+    # stable sort ties → lowest index = lowest cid (C rows cid-ascending)
+    probe_rank = np.argsort(qc, axis=1, kind="stable")
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        m = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        vids = tb["vec_id"].to_numpy().astype(np.int64)
+        dcent = m @ (-2 * C.T)
+        dcent += (m * m).sum(axis=1, keepdims=True)
+        dcent += (C * C).sum(axis=1)
+        assign = np.argmin(dcent, axis=1)        # ties → lowest cid
+        dq = m @ (-2 * Q.T)
+        dq += (m * m).sum(axis=1, keepdims=True)
+        dq += (Q * Q).sum(axis=1)                # (n, nq)
+        rows = {"qid": [], "p": [], "vec_id": [], "d2": [], "cnt": []}
+        for qi in range(nq):
+            dqi = dq[:, qi]
+            top = np.lexsort((vids, dqi))[:topk]  # exact partial
+            for t in top:
+                rows["qid"].append(qids[qi]); rows["p"].append(0)
+                rows["vec_id"].append(vids[t])
+                rows["d2"].append(int(dqi[t])); rows["cnt"].append(0)
+            for p in probes:
+                pset = probe_rank[qi, :p]
+                mask = np.isin(assign, pset)
+                rows["qid"].append(qids[qi]); rows["p"].append(p)
+                rows["vec_id"].append(-1); rows["d2"].append(0)
+                rows["cnt"].append(int(mask.sum()))
+                idx = np.flatnonzero(mask)
+                top = idx[np.lexsort((vids[idx], dqi[idx]))[:topk]]
+                for t in top:
+                    rows["qid"].append(qids[qi]); rows["p"].append(p)
+                    rows["vec_id"].append(vids[t])
+                    rows["d2"].append(int(dqi[t])); rows["cnt"].append(0)
+        return pd.DataFrame({
+            "qid": pd.Series(rows["qid"], dtype=np.int64),
+            "p": pd.Series(rows["p"], dtype=np.int64),
+            "vec_id": pd.Series(rows["vec_id"], dtype=np.int64),
+            "d2": pd.Series(rows["d2"], dtype=np.int64),
+            "cnt": pd.Series(rows["cnt"], dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi in range(nq):
+        qid = int(qids[qi])
+        pe = parts[(parts["qid"] == qid) & (parts["p"] == 0)
+                   & (parts["vec_id"] >= 0)]
+        pe = pe.sort_values(["d2", "vec_id"], kind="stable").head(topk)
+        exact = set(pe["vec_id"].tolist())
+        for p in probes:
+            pp = parts[(parts["qid"] == qid) & (parts["p"] == p)]
+            ncand = int(pp["cnt"].sum())
+            ap = pp[pp["vec_id"] >= 0].sort_values(
+                ["d2", "vec_id"], kind="stable").head(topk)
+            hits = len(exact & set(ap["vec_id"].tolist()))
+            out_rows.append({
+                "query_id": qid, "n_probe": p,
+                "n_candidates": ncand, "hits": hits,
+                "recall": hits / 10.0})
+    return pd.DataFrame(out_rows, columns=[
+        "query_id", "n_probe", "n_candidates", "hits", "recall"])
+
+
+_IVF_RECALL_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), qry AS (
+  SELECT vec_id AS qid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+), dc AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS d2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid FROM dc
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, cid) = 1
+), pq AS (
+  SELECT qry.qid, c.cid,
+         row_number() OVER (
+           PARTITION BY qry.qid
+           ORDER BY sum((qry.qv - c.qv) * (qry.qv - c.qv)), c.cid)
+           AS prank
+  FROM qry JOIN c USING (dim) GROUP BY qry.qid, c.cid
+), dv AS (
+  SELECT qry.qid, q.vec_id,
+         sum((qry.qv - q.qv) * (qry.qv - q.qv)) AS d2
+  FROM qry JOIN q USING (dim) GROUP BY 1, 2
+), exact AS (
+  SELECT qid, vec_id FROM dv
+  QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY d2, vec_id) <= 10
+), probes AS (SELECT unnest([1, 2, 4]) AS p), cand AS (
+  SELECT dv.qid, probes.p, dv.vec_id, dv.d2
+  FROM dv
+  JOIN a ON a.vec_id = dv.vec_id
+  JOIN pq ON pq.qid = dv.qid AND pq.cid = a.cid
+  JOIN probes ON pq.prank <= probes.p
+), approx AS (
+  SELECT qid, p, vec_id FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY qid, p ORDER BY d2, vec_id) <= 10
+), ncand AS (
+  SELECT qid, p, count(*) AS n_candidates FROM cand GROUP BY 1, 2
+), hits AS (
+  SELECT approx.qid, approx.p, count(exact.vec_id) AS h
+  FROM approx LEFT JOIN exact
+    ON exact.qid = approx.qid AND exact.vec_id = approx.vec_id
+  GROUP BY 1, 2
+)
+SELECT ncand.qid AS query_id, CAST(ncand.p AS BIGINT) AS n_probe,
+       CAST(ncand.n_candidates AS BIGINT) AS n_candidates,
+       CAST(hits.h AS BIGINT) AS hits,
+       CAST(hits.h AS BIGINT) / 10.0 AS recall
+FROM ncand JOIN hits ON hits.qid = ncand.qid AND hits.p = ncand.p
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -21807,6 +22053,8 @@ def _registry():
         "corpus_profile": corpus_profile,
         "ams_f2_words": ams_f2_words,
         "lsh_band_census": lsh_band_census,
+        "top_bigram_fraction": top_bigram_fraction,
+        "ivf_recall_census": ivf_recall_census,
     }
 
 
@@ -22113,4 +22361,6 @@ def oracles():
         "corpus_profile": _CORPUS_PROFILE_ORACLE,
         "ams_f2_words": _AMS_F2_ORACLE,
         "lsh_band_census": _LSH_BAND_ORACLE,
+        "top_bigram_fraction": _TOP_BIGRAM_ORACLE,
+        "ivf_recall_census": _IVF_RECALL_ORACLE,
     }

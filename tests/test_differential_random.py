@@ -295,7 +295,8 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "bow_dedup_by_source", "trending_words",
                     "minhash_jaccard_sources", "word_rank_stats",
                     "rag_chunk_census", "priority_sample_per_source",
-                    "corpus_profile", "ams_f2_words", "lsh_band_census"]
+                    "corpus_profile", "ams_f2_words", "lsh_band_census",
+                    "top_bigram_fraction"]
 
 
 @pytest.fixture(scope="module", params=[7, 8])

@@ -36,6 +36,7 @@ FUZZ_EMB_QUERIES = [
     "kmeans_update_step",
     "simhash_embedding_census",
     "triplet_margin_census",
+    "ivf_recall_census",
 ]
 
 DIMS = 16

@@ -119,6 +119,8 @@ SUBSET = [
     "corpus_profile",
     "ams_f2_words",
     "lsh_band_census",
+    "top_bigram_fraction",
+    "ivf_recall_census",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
