@@ -15941,6 +15941,131 @@ FROM ncand JOIN hits ON hits.qid = ncand.qid AND hits.p = ncand.p
 """
 
 
+def residual_quantization_census(sf_dir: str, k: int = 8):
+    """TWO-LEVEL residual quantization (RQ) census over the embedding
+    table — the modern ANN/compression primitive one step past
+    ``pq_assign_step``: level 1 assigns each vector to a coarse
+    centroid, level 2 quantizes the RESIDUAL against a residual
+    codebook, and the census reports per (centroid, code) cell counts
+    plus mean final distortion (how much of the coarse error the
+    residual codebook recovers).  Determinism is
+    ``kmeans_assign_step``'s integer contract throughout: coarse
+    centroids = the k lowest-vec_id vectors; the residual codebook =
+    the residuals of vec_ids ranked k..2k−1 against THEIR coarse
+    assignment (the k lowest would be their own centroids — residual
+    zero); residuals, both argmins (ties → lowest id) and the
+    distortion sums are pure int64.  Map-only assignment; per-batch
+    (centroid, code, n, Σd²) partials bound every batch at k² rows."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    k2 = 2 * k
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k2]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k2)
+    M = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    C, cids = M[:k], ids[:k]
+    S = M[k:k2]                      # residual-codebook seed vectors
+
+    def _assign(mat: np.ndarray) -> np.ndarray:
+        d = mat @ (-2 * C.T)
+        d += (mat * mat).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        return np.argmin(d, axis=1)  # ties → lowest cid (row order)
+
+    R = S - C[_assign(S)]            # residual codebook (k × dims)
+    rids = ids[k:k2]
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        m = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        a = _assign(m)
+        r = m - C[a]
+        d2 = r @ (-2 * R.T)
+        d2 += (r * r).sum(axis=1, keepdims=True)
+        d2 += (R * R).sum(axis=1)
+        b = np.argmin(d2, axis=1)    # ties → lowest code id (row order)
+        best = d2[np.arange(len(m)), b]
+        g = pd.DataFrame({"centroid_id": cids[a], "code_id": rids[b],
+                          "n_vecs": 1, "sum_d2": best}).groupby(
+            ["centroid_id", "code_id"], as_index=False).sum()
+        return g.astype({"n_vecs": np.int64, "sum_d2": np.int64})
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["centroid_id", "code_id"],
+        {"n_vecs": "sum", "sum_d2": "sum"}, num_shards=2).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "centroid_id": pd.Series([], dtype=np.int64),
+            "code_id": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "mean_residual_d2": pd.Series([], dtype=np.float64)})
+    agg = agg.groupby(["centroid_id", "code_id"], as_index=False).sum()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "code_id": agg["code_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "mean_residual_d2": (agg["sum_d2"].astype(np.float64)
+                             / agg["n_vecs"].to_numpy(np.int64))})
+
+
+_RQ_CENSUS_ORACLE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, dim, qv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), seeds AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8 OFFSET 8
+), dc AS (
+  SELECT q.vec_id, c.cid,
+         sum((q.qv - c.qv) * (q.qv - c.qv)) AS d2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2
+), a AS (
+  SELECT vec_id, cid FROM dc
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, cid) = 1
+), resid AS (
+  SELECT q.vec_id, q.dim, q.qv - c.qv AS rv
+  FROM q JOIN a USING (vec_id) JOIN c
+    ON c.cid = a.cid AND c.dim = q.dim
+), rcode AS (
+  SELECT resid.vec_id AS code_id, dim, rv FROM resid
+  WHERE resid.vec_id IN (SELECT vec_id FROM seeds)
+), dr AS (
+  SELECT resid.vec_id, rcode.code_id,
+         sum((resid.rv - rcode.rv) * (resid.rv - rcode.rv)) AS d2
+  FROM resid JOIN rcode USING (dim) GROUP BY 1, 2
+), b AS (
+  SELECT vec_id, code_id, d2 FROM dr
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d2, code_id) = 1
+)
+SELECT a.cid AS centroid_id, b.code_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(b.d2) AS BIGINT) / CAST(count(*) AS DOUBLE)
+         AS mean_residual_d2
+FROM a JOIN b USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22055,6 +22180,7 @@ def _registry():
         "lsh_band_census": lsh_band_census,
         "top_bigram_fraction": top_bigram_fraction,
         "ivf_recall_census": ivf_recall_census,
+        "residual_quantization_census": residual_quantization_census,
     }
 
 
@@ -22363,4 +22489,5 @@ def oracles():
         "lsh_band_census": _LSH_BAND_ORACLE,
         "top_bigram_fraction": _TOP_BIGRAM_ORACLE,
         "ivf_recall_census": _IVF_RECALL_ORACLE,
+        "residual_quantization_census": _RQ_CENSUS_ORACLE,
     }

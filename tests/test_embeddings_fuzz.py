@@ -37,6 +37,7 @@ FUZZ_EMB_QUERIES = [
     "simhash_embedding_census",
     "triplet_margin_census",
     "ivf_recall_census",
+    "residual_quantization_census",
 ]
 
 DIMS = 16

@@ -121,6 +121,7 @@ SUBSET = [
     "lsh_band_census",
     "top_bigram_fraction",
     "ivf_recall_census",
+    "residual_quantization_census",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
