@@ -322,6 +322,13 @@ def _run_bench(flagship_only: bool = False) -> dict:
 
     timed("curation_docs", run_curation_bench)
 
+    def run_profile_bench():
+        from pycatcher_ray.pipelines.profile import run_profile
+
+        run_profile(os.path.join(SF_DIR, "documents.parquet"))
+
+    timed("profile_docs", run_profile_bench)
+
     # AFTER the timed pipeline (so it doesn't eat the host's
     # sustained-load quota first): the host scaling ceiling
     probes["after_queries"] = throttle_probe()

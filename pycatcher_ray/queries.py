@@ -16066,6 +16066,63 @@ GROUP BY 1, 2
 """
 
 
+def tail_mean_above_p95(sf_dir: str):
+    """Conditional tail expectation (CVaR-style) per source: the mean
+    hourly volume GIVEN the bucket is above the source's own p95 — the
+    capacity-planning number a bare p95 hides (how bad the top 5 %
+    actually is).  The p95 is the bit-pinned ``quantile_cont`` over
+    the 4-dp-rounded series (the winsorized_stats contract), the tail
+    test is the identical IEEE compare v > p95 on both engines, tail
+    totals are 4-dp-rounded exact sums, and the tail mean is ONE
+    divide (NULL when the tail is empty — constant series).  One
+    source-keyed exchange over the hourly tier."""
+    from .functions.stats import quantile_cont
+    from .stages.shard import sharded_map_groups
+
+    roll = _events_rollup(sf_dir, "1h")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in shard.groupby("event_type", sort=False):
+            v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
+            p95 = quantile_cont(v, 0.95)
+            tail = v > p95
+            nt = int(tail.sum())
+            tt = _round_exact(np.array([v[tail].sum()]))[0] if nt \
+                else 0.0
+            rows.append({
+                "source": src, "n_buckets": int(v.size),
+                "p95": round(float(p95), 6), "n_tail": nt,
+                "tail_total": tt if nt else np.nan,
+                "tail_mean": tt / nt if nt else np.nan})
+        return pd.DataFrame(rows, columns=[
+            "source", "n_buckets", "p95", "n_tail", "tail_total",
+            "tail_mean"])
+
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", fold)
+
+
+_TAIL_MEAN_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT source, quantile_cont(v, 0.95) AS p95 FROM r GROUP BY source
+)
+SELECT r.source, count(*) AS n_buckets,
+       round(any_value(q.p95), 6) AS p95,
+       CAST(count(*) FILTER (v > q.p95) AS BIGINT) AS n_tail,
+       round(sum(v) FILTER (v > q.p95), 4) AS tail_total,
+       round(sum(v) FILTER (v > q.p95), 4)
+         / count(*) FILTER (v > q.p95) AS tail_mean
+FROM r JOIN q USING (source)
+GROUP BY r.source
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22181,6 +22238,7 @@ def _registry():
         "top_bigram_fraction": top_bigram_fraction,
         "ivf_recall_census": ivf_recall_census,
         "residual_quantization_census": residual_quantization_census,
+        "tail_mean_above_p95": tail_mean_above_p95,
     }
 
 
@@ -22490,4 +22548,5 @@ def oracles():
         "top_bigram_fraction": _TOP_BIGRAM_ORACLE,
         "ivf_recall_census": _IVF_RECALL_ORACLE,
         "residual_quantization_census": _RQ_CENSUS_ORACLE,
+        "tail_mean_above_p95": _TAIL_MEAN_ORACLE,
     }

@@ -39,6 +39,11 @@ SLICING_SENSITIVE = [
     "embedding_dim_covariance",
     "embedding_dup_vectors",
     "context_packing",
+    "induction_hit_rate",
+    "triplet_margin_census",
+    "ivf_recall_census",
+    "residual_quantization_census",
+    "token_window_dedup",
 ]
 
 

@@ -143,6 +143,7 @@ FUZZ_QUERIES = [
     "binary_segmentation_cp",
     "integrated_acf_time",
     "detector_kappa",
+    "tail_mean_above_p95",
 ]
 
 

@@ -122,6 +122,7 @@ SUBSET = [
     "top_bigram_fraction",
     "ivf_recall_census",
     "residual_quantization_census",
+    "tail_mean_above_p95",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
