@@ -16123,6 +16123,86 @@ GROUP BY r.source
 """
 
 
+def exchange_shard_histogram(sf_dir: str, num_shards: int = 64):
+    """The engine's OWN shuffle partitioner, value-checked in SQL: rows
+    and distinct keys per shard when the raw hash exchange
+    (stages/shard.py — the carrier under every dedup / rollup /
+    detector path) partitions the events table on ``user_id`` into 64
+    shards.  This is the skew diagnostic a partitioning plan is judged
+    by (a hot shard = a straggler reduce task), and it doubles as an
+    END-TO-END ORACLE OF THE SHUFFLE PRIMITIVE ITSELF: the engine
+    column is produced by the real ``shard_values`` code path, and the
+    oracle reimplements the integer key hash —
+    (v · 2654435761) mod 2⁶² then mod shards — in HUGEINT arithmetic
+    (low 62 bits are unaffected by the int64 wrap, so the mod-2⁶²
+    form is exact).  Scale shape: per-batch (shard, rows) counters +
+    batch-local distinct (shard, user) pairs ride ONE user-keyed
+    exchange (all copies of a user share a fold shard — the standard
+    distributed distinct), then a 64-row driver fold."""
+    from .stages.shard import shard_values, sharded_map_groups
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+    ns = int(num_shards)
+
+    def tag(tb: pa.Table) -> pd.DataFrame:
+        sv = shard_values(tb, ["user_id"], ns)  # the real engine path
+        uid = tb["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pairs = pd.DataFrame({"shard": sv, "user_id": uid}
+                             ).drop_duplicates()
+        pairs["p_rows"] = 0
+        cnt = np.bincount(sv, minlength=ns)
+        nz = np.flatnonzero(cnt)
+        counters = pd.DataFrame({
+            "shard": nz.astype(np.int64),
+            # sentinel key: real user_ids are non-negative
+            "user_id": -(nz.astype(np.int64) + 1),
+            "p_rows": cnt[nz]})
+        return pd.concat([pairs, counters], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        real = shard[shard["user_id"] >= 0].drop_duplicates(
+            ["shard", "user_id"])
+        keys = real.groupby("shard", as_index=False).size().rename(
+            columns={"size": "p_keys"})
+        keys["p_rows"] = 0
+        rows = shard[shard["user_id"] < 0].groupby(
+            "shard", as_index=False)[["p_rows"]].sum()
+        rows["p_keys"] = 0
+        return pd.concat([keys, rows], ignore_index=True)[
+            ["shard", "p_keys", "p_rows"]]
+
+    parts = sharded_map_groups(tagged, ["user_id"], fold).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "shard": pd.Series([], dtype=np.int64),
+            "n_rows": pd.Series([], dtype=np.int64),
+            "n_keys": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("shard", as_index=False).sum()
+    return pd.DataFrame({
+        "shard": out["shard"].astype(np.int64),
+        "n_rows": out["p_rows"].astype(np.int64),
+        "n_keys": out["p_keys"].astype(np.int64)})
+
+
+_EXCHANGE_SHARD_ORACLE = """
+WITH h AS (
+  SELECT user_id,
+         ((CAST(user_id AS HUGEINT) * 2654435761)
+            % 4611686018427387904 + 4611686018427387904)
+           % 4611686018427387904 AS hv
+  FROM events
+)
+SELECT CAST(hv % 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM h GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22239,6 +22319,7 @@ def _registry():
         "ivf_recall_census": ivf_recall_census,
         "residual_quantization_census": residual_quantization_census,
         "tail_mean_above_p95": tail_mean_above_p95,
+        "exchange_shard_histogram": exchange_shard_histogram,
     }
 
 
@@ -22549,4 +22630,5 @@ def oracles():
         "ivf_recall_census": _IVF_RECALL_ORACLE,
         "residual_quantization_census": _RQ_CENSUS_ORACLE,
         "tail_mean_above_p95": _TAIL_MEAN_ORACLE,
+        "exchange_shard_histogram": _EXCHANGE_SHARD_ORACLE,
     }

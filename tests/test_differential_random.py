@@ -144,6 +144,7 @@ FUZZ_QUERIES = [
     "integrated_acf_time",
     "detector_kappa",
     "tail_mean_above_p95",
+    "exchange_shard_histogram",
 ]
 
 

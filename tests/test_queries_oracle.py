@@ -123,6 +123,7 @@ SUBSET = [
     "ivf_recall_census",
     "residual_quantization_census",
     "tail_mean_above_p95",
+    "exchange_shard_histogram",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
