@@ -16203,6 +16203,93 @@ FROM h GROUP BY 1
 """
 
 
+def checkpoint_partition_census(sf_dir: str, num_partitions: int = 16):
+    """The RESUME contract's partitioner, value-checked in SQL: rows
+    and distinct sources per checkpoint partition when
+    ``stable_key_hash`` (state/checkpoint's FNV-1a over the key
+    string — the function that decides which parquet partition a
+    source's rows land in, and therefore what a resumed run may skip)
+    maps the events sources into 16 partitions.  The oracle replays
+    FNV-1a byte-for-byte in DuckDB via ``list_reduce`` over the key's
+    character codes (32-bit wrap as BIGINT mod 2³²), so the
+    checkpoint layout itself is exact-oracled next to
+    ``exchange_shard_histogram``'s shuffle hash.  Scale shape:
+    per-batch (partition, rows) counters + batch-local distinct
+    (partition, source) pairs through ONE source-keyed exchange, then
+    a ≤16-row driver fold."""
+    from .stages.shard import sharded_map_groups, stable_key_hash
+
+    ds = _rd().read_parquet(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type"])
+    np_ = int(num_partitions)
+
+    def tag(tb: pa.Table) -> pd.DataFrame:
+        col = tb["event_type"]
+        dict_arr = pc.dictionary_encode(col)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        keys = dict_arr.dictionary.to_numpy(zero_copy_only=False)
+        pids = stable_key_hash(keys, np_)  # the real resume path
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        per_row = pids[idx]
+        pairs = pd.DataFrame({
+            "part": pids.astype(np.int64),
+            "source": keys.astype(object)})
+        pairs["p_rows"] = 0
+        cnt = np.bincount(per_row, minlength=np_)
+        nz = np.flatnonzero(cnt)
+        counters = pd.DataFrame({
+            "part": nz.astype(np.int64),
+            "source": "",  # sources are non-empty strings
+            "p_rows": cnt[nz]})
+        return pd.concat([pairs, counters], ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        real = shard[shard["source"] != ""].drop_duplicates(
+            ["part", "source"])
+        srcs = real.groupby("part", as_index=False).size().rename(
+            columns={"size": "p_sources"})
+        srcs["p_rows"] = 0
+        rows = shard[shard["source"] == ""].groupby(
+            "part", as_index=False)[["p_rows"]].sum()
+        rows["p_sources"] = 0
+        return pd.concat([srcs, rows], ignore_index=True)[
+            ["part", "p_sources", "p_rows"]]
+
+    parts = sharded_map_groups(tagged, ["source"], fold).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "part": pd.Series([], dtype=np.int64),
+            "n_rows": pd.Series([], dtype=np.int64),
+            "n_sources": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("part", as_index=False).sum()
+    return pd.DataFrame({
+        "part": out["part"].astype(np.int64),
+        "n_rows": out["p_rows"].astype(np.int64),
+        "n_sources": out["p_sources"].astype(np.int64)})
+
+
+_CHECKPOINT_PART_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(list_reduce(
+           list_prepend(CAST(2166136261 AS HUGEINT),
+             list_transform(string_split_regex(event_type, ''),
+                            c -> CAST(ascii(c) AS HUGEINT))),
+           (h, ch) -> (xor(CAST(h AS BIGINT), CAST(ch AS BIGINT))
+                       * 16777619) % 4294967296) % 16 AS BIGINT)
+           AS part
+  FROM events
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_sources
+FROM h GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22320,6 +22407,7 @@ def _registry():
         "residual_quantization_census": residual_quantization_census,
         "tail_mean_above_p95": tail_mean_above_p95,
         "exchange_shard_histogram": exchange_shard_histogram,
+        "checkpoint_partition_census": checkpoint_partition_census,
     }
 
 
@@ -22631,4 +22719,5 @@ def oracles():
         "residual_quantization_census": _RQ_CENSUS_ORACLE,
         "tail_mean_above_p95": _TAIL_MEAN_ORACLE,
         "exchange_shard_histogram": _EXCHANGE_SHARD_ORACLE,
+        "checkpoint_partition_census": _CHECKPOINT_PART_ORACLE,
     }

@@ -145,6 +145,7 @@ FUZZ_QUERIES = [
     "detector_kappa",
     "tail_mean_above_p95",
     "exchange_shard_histogram",
+    "checkpoint_partition_census",
 ]
 
 

@@ -124,6 +124,7 @@ SUBSET = [
     "residual_quantization_census",
     "tail_mean_above_p95",
     "exchange_shard_histogram",
+    "checkpoint_partition_census",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
