@@ -16290,6 +16290,80 @@ FROM h GROUP BY 1
 """
 
 
+def fleet_share_hourly(sf_dir: str):
+    """Each source's SHARE of the fleet total per hourly bucket — the
+    market-share / mix-shift series (a share trending up while the
+    fleet total is flat is reallocation, not growth; the input
+    ``lead_lag_vs_reference`` and ``reference_correlation`` implicitly
+    normalize away).  Exactness: numerator and denominator are exact
+    10⁻⁴-unit integer sums; share = v4 / t4 is ONE int/int divide per
+    row (NULL when the bucket total is exactly zero — integer
+    compare).  Scale shape: the fleet-total series is O(hours) at ANY
+    corpus scale — one bucket-keyed integer aggregation, bounded
+    driver collect, ``ray.put`` broadcast (the lead_lag contract) —
+    and the share map is a stateless per-batch lookup; no second
+    shuffle."""
+    import ray
+
+    from .stages.shard import sharded_aggregate
+
+    roll = _events_rollup(sf_dir, "1h").select_columns(
+        ["event_type", "bucket_start", "sum_value"])
+
+    def to_units(b: pd.DataFrame) -> pd.DataFrame:
+        v4 = np.rint(_round_exact(
+            b["sum_value"].to_numpy(np.float64)) * 10000.0
+        ).astype(np.int64)
+        h = (b["bucket_start"].to_numpy().astype("datetime64[s]")
+             .astype(np.int64) // 3600)
+        return pd.DataFrame({
+            "source": b["event_type"].to_numpy(dtype=object),
+            "h": h, "v4": v4})
+
+    units = roll.map_batches(to_units, batch_format="pandas")
+    totals = sharded_aggregate(
+        units.select_columns(["h", "v4"]).map_batches(
+            lambda b: b.groupby("h", as_index=False)["v4"].sum(),
+            batch_format="pandas"),
+        ["h"], {"v4": "sum"}, num_shards=2).to_pandas()
+    tot = dict(zip(totals["h"].astype(np.int64),
+                   totals["v4"].astype(np.int64)))
+    tot_ref = ray.put(tot)
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tot_ref)
+        t4 = np.array([t[int(h)] for h in b["h"]], dtype=np.int64)
+        v4 = b["v4"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "bucket_start": (b["h"].to_numpy(np.int64) * 3600
+                             ).astype("datetime64[s]"),
+            "value": v4 / 10000.0,
+            "fleet_total": t4 / 10000.0,
+            "share": np.where(t4 != 0, v4 / np.where(t4 != 0, t4, 1),
+                              np.nan)})
+
+    return units.map_batches(share, batch_format="pandas")
+
+
+_FLEET_SHARE_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT bucket_start, sum(v4) AS t4 FROM r GROUP BY 1
+)
+SELECT r.source, r.bucket_start,
+       r.v4 / 10000.0 AS value,
+       CAST(t.t4 AS BIGINT) / 10000.0 AS fleet_total,
+       CASE WHEN t.t4 <> 0
+            THEN CAST(r.v4 AS DOUBLE) / CAST(t.t4 AS BIGINT)
+       END AS share
+FROM r JOIN t USING (bucket_start)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22408,6 +22482,7 @@ def _registry():
         "tail_mean_above_p95": tail_mean_above_p95,
         "exchange_shard_histogram": exchange_shard_histogram,
         "checkpoint_partition_census": checkpoint_partition_census,
+        "fleet_share_hourly": fleet_share_hourly,
     }
 
 
@@ -22720,4 +22795,5 @@ def oracles():
         "tail_mean_above_p95": _TAIL_MEAN_ORACLE,
         "exchange_shard_histogram": _EXCHANGE_SHARD_ORACLE,
         "checkpoint_partition_census": _CHECKPOINT_PART_ORACLE,
+        "fleet_share_hourly": _FLEET_SHARE_ORACLE,
     }

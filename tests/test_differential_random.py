@@ -146,6 +146,7 @@ FUZZ_QUERIES = [
     "tail_mean_above_p95",
     "exchange_shard_histogram",
     "checkpoint_partition_census",
+    "fleet_share_hourly",
 ]
 
 

@@ -125,6 +125,7 @@ SUBSET = [
     "tail_mean_above_p95",
     "exchange_shard_histogram",
     "checkpoint_partition_census",
+    "fleet_share_hourly",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
