@@ -16364,6 +16364,154 @@ FROM r JOIN t USING (bucket_start)
 """
 
 
+def sax_motif_matches(sf_dir: str):
+    """Cross-source MOTIF matches on the SAX index: (day, word) combos
+    where ≥ 2 sources produced the IDENTICAL daily SAX word — the
+    fleet-level payoff of symbolization (two feeds tracing the same
+    shape the same day are correlated load, a shared upstream, or a
+    copy).  Rides ``sax_daily_words``' oracled symbolization verbatim;
+    the census is one (day, word)-keyed exchange over the tiny words
+    table with an exact string-identity group, sources reported
+    sorted.  Bit-determinism is inherited from the SAX contract."""
+    from .stages.shard import sharded_map_groups
+
+    words = sax_daily_words(sf_dir)
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values(["day", "word", "source"],
+                                  kind="stable")
+        g = shard.groupby(["day", "word"], sort=False).agg(
+            n_sources=("source", "size"),
+            sources=("source", ",".join)).reset_index()
+        g = g[g["n_sources"] >= 2]
+        return pd.DataFrame({
+            "day": g["day"], "word": g["word"],
+            "n_sources": g["n_sources"].astype(np.int64),
+            "sources": g["sources"].astype(object)})
+
+    return sharded_map_groups(words, ["day", "word"], fold)
+
+
+_SAX_MOTIF_ORACLE = f"""
+WITH sax AS ({_SAX_ORACLE})
+SELECT day, word,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       string_agg(source, ',' ORDER BY source) AS sources
+FROM sax GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def embedding_dim_drift(sf_dir: str):
+    """Per-dimension mean shift between the FIRST and SECOND half of
+    the embedding table (split at the median vec_id — ingestion order)
+    — the embedding-drift check run before mixing two export batches
+    (a systematic per-dim shift means the encoder or its input
+    distribution moved).  Exactness: halves are an integer vec_id
+    threshold; per-half per-dim sums of the floor(·10⁶) int64 coords
+    are exact, the shift n₁·S₂ᵈ − n₂·S₁ᵈ is an exact cross-multiplied
+    integer (sign = exact drift direction), and the emitted value is
+    ONE VARCHAR-bridged divide by n₁·n₂.  Map-only (dim, half)
+    partials bounded by 2×dims per batch; tiny driver fold."""
+    from .stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    # integer split point: median vec_id = the pinned quantile over
+    # ids — computed with one tiny aggregate pass (ids are driver-safe
+    # as a COUNT, not a collect: use the halfway rank via sort-free
+    # min/max? ids are dense 0..n-1 in the fixtures, but don't assume:
+    # collect per-batch (min, max, count) partials and split at
+    # floor((min+max)/2) — a deterministic integer rule on both sides.
+    def minmax(tb: pa.Table) -> pd.DataFrame:
+        ids = tb["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "lo": [int(ids.min())], "hi": [int(ids.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    split = (lo + hi) // 2  # first half: vec_id <= split
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        dims = vals.size // max(n, 1) if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, dims)
+        first = tb["vec_id"].to_numpy().astype(np.int64) <= split
+        out = []
+        for half, mask in ((0, first), (1, ~first)):
+            if mask.any():
+                out.append(pd.DataFrame({
+                    "dim": np.arange(1, dims + 1, dtype=np.int64),
+                    "half": np.int64(half),
+                    "n": np.int64(int(mask.sum())),
+                    "s": q[mask].sum(axis=0)}))
+        if not out:
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype=np.int64),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim", "half"], {"n": "sum", "s": "sum"},
+        num_shards=2).to_pandas()
+    cols = ["dim", "n_first", "n_second", "drift"]
+    if agg.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "n_first": pd.Series([], dtype=np.int64),
+            "n_second": pd.Series([], dtype=np.int64),
+            "drift": pd.Series([], dtype=np.float64)})
+    agg = agg.groupby(["dim", "half"], as_index=False).sum()
+    # per-batch `n` repeats per dim — normalize to per-half totals
+    rows = []
+    for dim, g in agg.groupby("dim"):
+        h0 = g[g["half"] == 0]
+        h1 = g[g["half"] == 1]
+        n1 = int(h0["n"].iloc[0]) if len(h0) else 0
+        n2 = int(h1["n"].iloc[0]) if len(h1) else 0
+        s1 = int(h0["s"].iloc[0]) if len(h0) else 0
+        s2 = int(h1["s"].iloc[0]) if len(h1) else 0
+        num = n1 * s2 - n2 * s1
+        den = n1 * n2
+        rows.append({
+            "dim": int(dim), "n_first": n1, "n_second": n2,
+            "drift": (float(num) / float(den) / 1e6) if den else
+            np.nan})
+    return pd.DataFrame(rows, columns=cols)
+
+
+_EMB_DIM_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT (min(vec_id) + max(vec_id)) // 2 AS split FROM embeddings
+), q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), h AS (
+  SELECT q.dim,
+         CASE WHEN q.vec_id <= b.split THEN 0 ELSE 1 END AS half,
+         count(*) AS n, sum(qv) AS s
+  FROM q, b GROUP BY 1, 2
+)
+SELECT h0.dim,
+       CAST(h0.n AS BIGINT) AS n_first,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_second,
+       CASE WHEN h1.n > 0 THEN
+         CAST(CAST(h0.n * h1.s - h1.n * h0.s AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(h0.n * h1.n AS VARCHAR) AS DOUBLE) / 1e6
+       END AS drift
+FROM (SELECT * FROM h WHERE half = 0) h0
+LEFT JOIN (SELECT * FROM h WHERE half = 1) h1 USING (dim)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -22483,6 +22631,8 @@ def _registry():
         "exchange_shard_histogram": exchange_shard_histogram,
         "checkpoint_partition_census": checkpoint_partition_census,
         "fleet_share_hourly": fleet_share_hourly,
+        "sax_motif_matches": sax_motif_matches,
+        "embedding_dim_drift": embedding_dim_drift,
     }
 
 
@@ -22796,4 +22946,6 @@ def oracles():
         "exchange_shard_histogram": _EXCHANGE_SHARD_ORACLE,
         "checkpoint_partition_census": _CHECKPOINT_PART_ORACLE,
         "fleet_share_hourly": _FLEET_SHARE_ORACLE,
+        "sax_motif_matches": _SAX_MOTIF_ORACLE,
+        "embedding_dim_drift": _EMB_DIM_DRIFT_ORACLE,
     }

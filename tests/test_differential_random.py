@@ -147,6 +147,7 @@ FUZZ_QUERIES = [
     "exchange_shard_histogram",
     "checkpoint_partition_census",
     "fleet_share_hourly",
+    "sax_motif_matches",
 ]
 
 

@@ -38,6 +38,7 @@ FUZZ_EMB_QUERIES = [
     "triplet_margin_census",
     "ivf_recall_census",
     "residual_quantization_census",
+    "embedding_dim_drift",
 ]
 
 DIMS = 16

@@ -126,6 +126,8 @@ SUBSET = [
     "exchange_shard_histogram",
     "checkpoint_partition_census",
     "fleet_share_hourly",
+    "sax_motif_matches",
+    "embedding_dim_drift",
     "peak_hours",
     "variance_ratio_by_day",
     "longest_flat_run",
@@ -458,3 +460,54 @@ class TestIdenticalBasketOrders:
         by = got.set_index("basket_size")
         assert by.loc[1, "n_groups"] == 1 and by.loc[1, "n_dup_orders"] == 3
         assert by.loc[2, "n_groups"] == 1 and by.loc[2, "n_dup_orders"] == 2
+
+
+def test_sax_motif_matches_planted(ray_session, tmp_path):
+    """The sf corpora produce zero cross-source SAX-word matches (4^24
+    word space), so the match branch is pinned here: two sources with
+    IDENTICAL hourly shapes must collide on every day's word, a third
+    differing source must not."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pycatcher_ray.queries as q
+
+    ts, et, val = [], [], []
+    t0 = np.datetime64("2024-01-01T00:30")
+    shape = [float(v) for v in range(1, 25)]
+    for day in range(2):
+        for h in range(24):
+            t = t0 + np.timedelta64(day * 24 + h, "h")
+            for src, v in (("s1", shape[h]), ("s2", shape[h]),
+                           ("s3", shape[23 - h])):
+                ts.append(t)
+                et.append(src)
+                val.append(v)
+    n = len(ts)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.Series(np.array(ts)).astype("datetime64[us]")),
+        "user_id": pa.array(np.ones(n, dtype=np.int64)),
+        "event_type": pa.array(et),
+        "value": pa.array(np.asarray(val, dtype=np.float64)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q.sax_motif_matches(str(tmp_path))
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    got = _canon(got)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = _canon(con.execute(q.oracles()["sax_motif_matches"]).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  rtol=0, atol=0)
+    # planted structure: s1+s2 collide on both days; s3 never matches
+    assert len(got) == 2
+    assert set(got["sources"]) == {"s1,s2"}
+    assert (got["n_sources"] == 2).all()
