@@ -54,7 +54,10 @@ def _tag(batch: pd.DataFrame) -> pd.DataFrame:
 
     from ..stages.dedup import _WORD_RE
 
-    text = batch["text"].astype(str)
+    # fillna BEFORE astype: astype(str) would stringify nulls to the
+    # literal 'None'/'nan', diverging from the (t or '') convention the
+    # sibling doc queries and the NULL-skipping DuckDB oracle use
+    text = batch["text"].fillna("").astype(str)
     src = batch["source"].to_numpy(dtype=object)
     n_chars = text.str.len().to_numpy(np.int64)
     n_words = text.str.count(" ").to_numpy(np.int64) + 1

@@ -14460,7 +14460,6 @@ FROM h GROUP BY 1, 2
 
 
 _MJ_PERMS = 16
-_MJ_HASH_CACHE: dict = {}
 
 
 def minhash_jaccard_sources(sf_dir: str, k: int = _MJ_PERMS):
@@ -14486,6 +14485,10 @@ def minhash_jaccard_sources(sf_dir: str, k: int = _MJ_PERMS):
     kk = int(k)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # batch-local hash memo: bounded by this batch's vocab, freed
+        # with the batch (a module-level cache would grow O(vocab*k)
+        # per worker process forever on a large corpus)
+        hash_cache: dict = {}
         mins: dict = {}
         for s, t in zip(batch["source"], batch["text"]):
             words = set(_WORD_RE.findall((t or "").lower()))
@@ -14495,9 +14498,9 @@ def minhash_jaccard_sources(sf_dir: str, k: int = _MJ_PERMS):
             if cur is None:
                 cur = mins[s] = [None] * kk
             for w in words:
-                hv = _MJ_HASH_CACHE.get((kk, w))
+                hv = hash_cache.get(w)
                 if hv is None:
-                    hv = _MJ_HASH_CACHE[(kk, w)] = [
+                    hv = hash_cache[w] = [
                         int.from_bytes(
                             hashlib.md5(f"{p}|{w}".encode()).digest()[:8],
                             "big")
@@ -15875,7 +15878,10 @@ def ivf_recall_census(sf_dir: str, k: int = 8, topk: int = 10):
             out_rows.append({
                 "query_id": qid, "n_probe": p,
                 "n_candidates": ncand, "hits": hits,
-                "recall": hits / 10.0})
+                # denominator follows topk (the oracle SQL is pinned
+                # to the default topk=10 — non-default calls are
+                # engine-only but still self-consistent)
+                "recall": hits / float(topk)})
     return pd.DataFrame(out_rows, columns=[
         "query_id", "n_probe", "n_candidates", "hits", "recall"])
 
@@ -16274,11 +16280,18 @@ def checkpoint_partition_census(sf_dir: str, num_partitions: int = 16):
 
 _CHECKPOINT_PART_ORACLE = """
 WITH h AS (
+  -- FNV-1a over the key's UTF-8 OCTETS (hex(encode(...)) pairs), not
+  -- code points: stable_key_hash hashes str(k).encode(), so ascii(c)
+  -- would silently diverge on any non-ASCII event_type
   SELECT event_type,
          CAST(list_reduce(
            list_prepend(CAST(2166136261 AS HUGEINT),
-             list_transform(string_split_regex(event_type, ''),
-                            c -> CAST(ascii(c) AS HUGEINT))),
+             list_transform(
+               generate_series(1, CAST(length(hex(encode(event_type)))
+                                       // 2 AS BIGINT)),
+               i -> CAST(CAST(('0x' || substr(hex(encode(event_type)),
+                                              CAST(2*i-1 AS BIGINT), 2))
+                              AS INTEGER) AS HUGEINT))),
            (h, ch) -> (xor(CAST(h AS BIGINT), CAST(ch AS BIGINT))
                        * 16777619) % 4294967296) % 16 AS BIGINT)
            AS part
