@@ -6045,6 +6045,16 @@ def esd_flags_1h(sf_dir: str):
     return _flags(sf_dir, "1h", "esd")
 
 
+def mstl_flags_1h(sf_dir: str):
+    """MSTL residual flags over the hourly events series — the
+    multi-seasonal (24 h + 168 h) decomposition detector running
+    distributed (reference catch.py:1190-1388, periods table
+    catch.py:1231-1277).  Iterated per-period LOESS is not
+    SQL-expressible, so this is rows-only; the decomposition itself is
+    hard-checked by ``mstl_recon_1h``'s reconstruction-identity oracle."""
+    return _flags(sf_dir, "1h", "mstl")
+
+
 def moving_average_flags_1d(sf_dir: str):
     """Moving-average z-score flags on the daily tier, window PINNED at 3
     so the operator is deterministic and SQL-expressible (the reference's
@@ -6123,6 +6133,67 @@ WITH r AS (
   FROM r GROUP BY source
 )
 SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(0.0 AS DOUBLE) AS max_abs_recon_err
+FROM g WHERE n_rows >= 48
+"""
+
+
+def mstl_recon_1h(sf_dir: str):
+    """MSTL decomposition RECONSTRUCTION oracle (the ``stl_recon_1h``
+    pattern applied to the multi-seasonal fit, reference
+    catch.py:1190-1388): per source over the gap-filled hourly grid,
+    the grid row count, the number of USABLE periods under MSTL's
+    integer dedup/drop rule (p ∈ {24, 168} kept iff n ≥ 2p — the
+    statsmodels rule functions/stl.py:371 applies), and the maximum
+    absolute reconstruction error |observed − trend − Σ seasonal_p −
+    resid|.  The identity holds by construction up to the iterated
+    add/subtract cancellation (≤ a few ulp of the series magnitude),
+    so round(·, 6) pins max_err = 0.0 — a hard SQL check on the only
+    §2 detector family that previously had no registry query."""
+    from .functions.stl import mstl as _mstl_fit
+    from .stages.detect import pack_series
+
+    roll = _events_rollup(sf_dir, "1h")
+    packed = pack_series(roll, "event_type", gapfill_method="linear",
+                         bucket_seconds=3600)
+
+    def recon(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in batch.iterrows():
+            vals = np.asarray(row["values"], dtype=np.float64)
+            usable = [p for p in (24, 168) if vals.size >= 2 * p]
+            if not usable:
+                continue
+            r = _mstl_fit(vals, periods=tuple(usable))
+            s_total = np.zeros_like(vals)
+            for s in r.seasonal.values():
+                s_total = s_total + s
+            err = np.abs(r.observed - r.trend - s_total - r.resid)
+            rows.append({
+                "source": row["key"],
+                "n_rows": int(vals.size),
+                "n_periods_used": len(usable),
+                "max_abs_recon_err": round(float(err.max()), 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "n_rows", "n_periods_used", "max_abs_recon_err"])
+
+    return packed.map_batches(recon, batch_format="pandas", batch_size=4)
+
+
+_MSTL_RECON_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         (epoch(max(b)) - epoch(min(b))) / 3600 + 1 AS n_rows
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((CASE WHEN n_rows >= 48 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_rows >= 336 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_periods_used,
        CAST(0.0 AS DOUBLE) AS max_abs_recon_err
 FROM g WHERE n_rows >= 48
 """
@@ -22300,7 +22371,8 @@ _GATE_PRIORITY = [
     "rollup_1m_retained", "iqr_flags_1h", "iqr_flags_enriched_1h",
     "zscore_flags_1h", "mad_flags_1h", "latest_iqr_flag_1h",
     "moving_average_flags_1d", "rolling_zscore_flags_1h",
-    "stl_recon_1h", "stl_decomposition_1h", "classic_decompose_1h",
+    "stl_recon_1h", "mstl_recon_1h", "stl_decomposition_1h",
+    "classic_decompose_1h",
     "classic_residual_flags_1h", "ensemble_flags_1h", "seasonal_envelope",
     "kpss_level_stat", "dickey_fuller_by_source", "monthwise_box_stats",
     "gapfill_locf_1h", "chunks_downsample_1h", "p95_hourly_by_source",
@@ -22474,6 +22546,7 @@ def _registry():
         "moving_average_flags_1d": moving_average_flags_1d,
         "rolling_zscore_flags_1h": rolling_zscore_flags_1h,
         "stl_recon_1h": stl_recon_1h,
+        "mstl_recon_1h": mstl_recon_1h,
         "stl_decomposition_1h": stl_decomposition_1h,
         "classic_decompose_1h": classic_decompose_1h,
         "seasonal_envelope": seasonal_envelope,
@@ -22617,6 +22690,7 @@ def _registry():
         "ann_topk_ivf": ann_topk_ivf,
         "stationarity_by_source": stationarity_by_source,
         "stl_flags_1h": stl_flags_1h,
+        "mstl_flags_1h": mstl_flags_1h,
         "esd_flags_1h": esd_flags_1h,
         "approx_p95_by_source": approx_p95_by_source,
         "approx_top_users_by_type": approx_top_users_by_type,
@@ -22756,6 +22830,7 @@ def oracles():
         "dickey_fuller_by_source": _DICKEY_FULLER_ORACLE,
         "moving_average_flags_1d": _MA_ORACLE,
         "stl_recon_1h": _STL_RECON_ORACLE,
+        "mstl_recon_1h": _MSTL_RECON_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "ngram_containment": _NGRAM_CONTAINMENT_ORACLE,
         "hash_sample_docs": _HASH_SAMPLE_ORACLE,

@@ -13,6 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 SUBSET = [
     "rollup_1m",
+    "mstl_recon_1h",
     "rollup_1h",
     "rollup_monthly",
     "iqr_flags_1h",
