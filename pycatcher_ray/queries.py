@@ -5114,14 +5114,56 @@ FROM r GROUP BY 1, 2
 
 
 def tokens_chunks_1m(sf_dir: str):
-    """Gorilla chunk table for the 1m tier (metadata only; blobs stay)."""
+    """Gorilla chunk table for the 1m tier, value-checked THROUGH the
+    codec (verdict r4 item 1 — was metadata-only rows-only): every
+    emitted statistic is computed from the DECODED blob, and the DuckDB
+    oracle reproduces all of them from the raw tokens table + the
+    chunk rule (chunk_id = floor(epoch/86400), stages/compress.py:27),
+    so a codec regression (bit drift, lost point, wrong timestamp
+    delta) turns the driver row into a hard FAIL.  Token counts are
+    integers in float64 (≪ 2⁵³), so min/max/sum are exact on both
+    sides.  Scale shape: chunks ride the rollup's key exchange; decode
+    is a stateless per-chunk map — the audit read path of the
+    compressed retention tier."""
+    from .functions.gorilla import decode_chunk
     from .stages.compress import compress
 
     chunks = compress(tokens_rollup_1m(sf_dir), "source", 60,
                       TIERS["1m"].chunk_buckets)
-    return chunks.select_columns(
-        ["key", "chunk_id", "t0", "t1", "n_points", "raw_bytes", "chunk_bytes"]
-    )
+
+    def decode_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, cid, blob in zip(batch["key"], batch["chunk_id"],
+                                  batch["chunk"]):
+            ts, vals = decode_chunk(blob)
+            rows.append({
+                "source": key, "chunk_id": int(cid),
+                "t0": int(ts[0]), "t1": int(ts[-1]),
+                "n_points": int(ts.size),
+                "raw_bytes": int(ts.size) * 16,
+                "sum_tokens": int(vals.sum()),
+                "min_tok": int(vals.min()), "max_tok": int(vals.max()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "chunk_id", "t0", "t1", "n_points", "raw_bytes",
+            "sum_tokens", "min_tok", "max_tok"])
+
+    return chunks.map_batches(decode_stats, batch_format="pandas")
+
+
+def _tokens_chunks_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source, epoch_s - (epoch_s % 60) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2
+)
+SELECT source, b // 86400 AS chunk_id,
+       min(b) AS t0, max(b) AS t1,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(*) * 16 AS BIGINT) AS raw_bytes,
+       sum(v) AS sum_tokens, min(v) AS min_tok, max(v) AS max_tok
+FROM r GROUP BY 1, 2
+"""
 
 
 def tokens_length_stats(sf_dir: str):
@@ -5634,24 +5676,176 @@ def _documents(sf_dir: str, columns=("doc_id", "text")):
 
 
 def text_quality(sf_dir: str):
-    """Quality-scoring features per document (actor-pool TextStats)."""
+    """Quality-scoring features per document — EXACT-ORACLED (verdict
+    r4 item 1): every column of the TextStats stage is deterministic
+    IEEE arithmetic over regex counts (int/int divides, least() clips,
+    a rational word-length bump — stages/textops.py), so DuckDB
+    reproduces the full feature table bit-for-bit.  Map-only."""
     from .stages.textops import text_stats
 
     return text_stats(_documents(sf_dir, ("doc_id", "source", "lang", "text")))
 
 
+def _stoplist_sql(lang: str) -> str:
+    from .stages.textops import _STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+
+def _text_quality_oracle() -> str:
+    from .stages.textops import _BPE_PATTERN
+
+    bpe = _BPE_PATTERN.replace("'", "''").replace("\\d", "\\d")
+    return rf"""
+WITH f AS (
+  SELECT doc_id, source, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[\w'']+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '[\w'']')) AS BIGINT) AS wc,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(list_filter(
+           list_transform(regexp_extract_all(text, '[\w'']+'),
+                          x -> lower(x)),
+           x -> list_contains({_stoplist_sql('en')}, x))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(n_punct AS DOUBLE) / greatest(1, n_chars) AS punct_ratio,
+         CAST(n_digit AS DOUBLE) / greatest(1, n_chars) AS digit_ratio,
+         CAST(n_stop AS DOUBLE) / greatest(1, n_words) AS stopword_ratio,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(wc AS DOUBLE) / n_words END AS mean_word_len
+  FROM f
+)
+SELECT doc_id, source, lang, n_chars, n_words, n_bpe_tokens,
+       punct_ratio, digit_ratio, stopword_ratio, mean_word_len,
+       0.4 * least(n_words / 50.0, 1.0)
+       + 0.3 * (1 - least(punct_ratio * 5, 1.0))
+       + 0.1 * (1 - least(digit_ratio * 5, 1.0))
+       + 0.2 * (1.0 / (1.0 + 0.5 * (((mean_word_len - 5.0) / 3.0)
+                                    * ((mean_word_len - 5.0) / 3.0))))
+         AS quality_score
+FROM r
+"""
+
+
 def lang_id_pred(sf_dir: str):
-    """Heuristic language ID with confidence (actor-pool LangId)."""
+    """Heuristic language ID with confidence — EXACT-ORACLED (verdict
+    r4 item 1): stopword-table counts per language, first-max tiebreak
+    in (en, es, fr, de) order, one int/int divide + ×3 clip; the CJK
+    charset branch and the 'und' fallbacks are integer compares.  All
+    replayed in SQL (stages/textops.py LangId)."""
     from .stages.textops import lang_id
 
     return lang_id(_documents(sf_dir, ("doc_id", "lang", "text")))
 
 
+def _lang_id_oracle() -> str:
+    en, es = _stoplist_sql("en"), _stoplist_sql("es")
+    fr, de = _stoplist_sql("fr"), _stoplist_sql("de")
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        x -> lower(x)) AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]'))
+              AS BIGINT) AS n_cjk,
+         CAST(len(ws) AS BIGINT) AS nw,
+         CAST(len(list_filter(ws, x -> list_contains({en}, x)))
+              AS BIGINT) AS c_en,
+         CAST(len(list_filter(ws, x -> list_contains({es}, x)))
+              AS BIGINT) AS c_es,
+         CAST(len(list_filter(ws, x -> list_contains({fr}, x)))
+              AS BIGINT) AS c_fr,
+         CAST(len(list_filter(ws, x -> list_contains({de}, x)))
+              AS BIGINT) AS c_de
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN n_cjk > 0.2 * greatest(1, n_char) THEN 'zh'
+       WHEN nw = 0 OR greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS pred_lang,
+  CASE WHEN n_cjk > 0.2 * greatest(1, n_char)
+         THEN least(1.0, CAST(n_cjk AS DOUBLE) / n_char * 2)
+       WHEN nw = 0 OR greatest(c_en, c_es, c_fr, c_de) = 0 THEN 0.0
+       ELSE least(1.0,
+                  (CAST(greatest(c_en, c_es, c_fr, c_de) AS DOUBLE) / nw)
+                  * 3)
+  END AS lang_confidence
+FROM c
+"""
+
+
 def doc_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (Karp-Rabin / winnowing-style)."""
+    """Rolling-hash document fingerprints (Karp-Rabin / winnowing-style)
+    — EXACT-ORACLED (verdict r4 item 1) via the md5 word-hash mode:
+    content_hash is the Horner fold h = h·base + md5₆₄(word) mod 2⁶⁴
+    over the doc's lowercased tokens, min_kgram_hash the minimum of the
+    same fold over sliding 5-grams; DuckDB replays both in HUGEINT
+    mod-2⁶⁴ arithmetic with nested list lambdas.  Emitted wrapped to
+    int64 on both sides (uint64 ≥ 2⁶³ survives neither the exchange's
+    hash cast nor pandas' compare path cleanly — session-10 lesson).
+    The production near-dup prefilter keeps the fast bulk word hash."""
     from .stages.textops import fingerprint
 
-    return fingerprint(_documents(sf_dir))
+    ds = fingerprint(_documents(sf_dir), hash_fn="md5")
+
+    def to_i64(b: pd.DataFrame) -> pd.DataFrame:
+        b["content_hash"] = (
+            b["content_hash"].to_numpy(np.uint64).astype(np.int64))
+        b["min_kgram_hash"] = (
+            b["min_kgram_hash"].to_numpy(np.uint64).astype(np.int64))
+        return b
+
+    return ds.map_batches(to_i64, batch_format="pandas")
+
+
+_DOC_FINGERPRINTS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[\w'']+'),
+      x -> CAST(('0x' || substr(md5(lower(x)), 1, 16)) AS UBIGINT)) AS hs
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT) ELSE
+      list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(hs, x -> CAST(x AS HUGEINT))),
+        (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+    END AS ch,
+    CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT)
+         WHEN len(hs) < 5 THEN CAST(list_min(hs) AS HUGEINT)
+         ELSE CAST(list_min(list_transform(
+           generate_series(1, len(hs) - 4),
+           i -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                  list_transform(list_slice(hs, i, i + 4),
+                                 x -> CAST(x AS HUGEINT))),
+                (a, x) -> (a * 1099511628211 + x) % 18446744073709551616)
+              AS UBIGINT))) AS HUGEINT)
+    END AS mh
+  FROM w
+)
+SELECT doc_id,
+  CAST(CASE WHEN ch >= 9223372036854775808
+            THEN ch - 18446744073709551616 ELSE ch END AS BIGINT)
+    AS content_hash,
+  CAST(CASE WHEN mh >= 9223372036854775808
+            THEN mh - 18446744073709551616 ELSE mh END AS BIGINT)
+    AS min_kgram_hash
+FROM h
+"""
 
 
 def minhash_clusters(sf_dir: str):
@@ -6500,15 +6694,28 @@ FROM ranked WHERE rn <= 3
 
 
 def approx_top_users_by_type(sf_dir: str, k: int = 3):
-    """Heavy-hitter sketch top-k: per-batch Space-Saving partials per
-    event_type, merged per type — the mergeable-sketch scale path
-    matching exact top_users_by_type (oracle-checked).  With sketch
-    capacity ≫ k the reported top-k equals the exact one on this
-    data; the guarantee is asserted in pytest.  Rows-only driver
-    check (sketch counts are upper bounds)."""
+    """Heavy-hitter sketch top-k with the sketch GUARANTEE asserted
+    in-band (the ``approx_users_by_type`` pattern, verdict r4 item 1):
+    ONE query runs BOTH the Space-Saving sketch path (per-batch
+    partials per event_type, merged per type — the mergeable-sketch
+    scale path that avoids the user-keyed exchange) AND the exact
+    (source, user) totals, and emits per exact-top-k row two booleans
+    the DuckDB oracle pins TRUE — ``in_sketch_topk`` (the sketch's
+    top-k SET contains this user) and ``within_error_bound``
+    (exact ≤ approx ≤ exact + err, the Metwally et al. Space-Saving
+    guarantee applied to this user's sketch entry).  total_value /
+    rank are value-pinned bit-for-bit by the SQL top-k, so a sketch
+    regression (wrong merge, eviction bug, broken bound) turns a
+    driver-green row into a hard FAIL instead of a rows-only pass.
+    Scale shape: sketch partials are O(cap·sources·batches); the exact
+    side is the already-★ ``top_users_by_type`` partial+exchange; the
+    driver folds only O(cap·sources) sketch rows."""
     import json as _json
 
+    from ray.data.aggregate import Sum
+
     from .functions.heavyhitters import SpaceSaving
+    from .stages.shard import sharded_map_groups
 
     cap = 256
 
@@ -6535,18 +6742,79 @@ def approx_top_users_by_type(sf_dir: str, k: int = 3):
         ss = SpaceSaving.from_items(cap, _json.loads(g["sketch"].iloc[0]))
         for blob in g["sketch"].iloc[1:]:
             ss.merge(SpaceSaving.from_items(cap, _json.loads(blob)))
-        rows = [
-            {"source": g["source"].iloc[0], "user_id": int(i),
-             "approx_total": round(c, 4), "count_error_bound": round(e, 4)}
-            for i, c, e in ss.top(k)
-        ]
-        return pd.DataFrame(rows, columns=["source", "user_id",
-                                           "approx_total",
-                                           "count_error_bound"])
+        items = ss.to_items()
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]] * len(items),
+            "user_id": [int(i) for i, _, _ in items],
+            "approx_total": [float(c) for _, c, _ in items],
+            "err_bound": [float(e) for _, _, e in items],
+        })
 
-    return ds.map_batches(sketch_batch, batch_format="pandas").groupby(
-        "source"
-    ).map_groups(merge_group, batch_format="pandas")
+    # bounded: O(cap × sources) sketch rows
+    sk = ds.map_batches(sketch_batch, batch_format="pandas").groupby(
+        "source").map_groups(merge_group, batch_format="pandas").to_pandas()
+
+    # exact path — the top_users_by_type partial + (source,user) exchange
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["event_type"], "user_id": b["user_id"],
+                      "v": b["value"]})
+        return t.group_by(["source", "user_id"]).aggregate(
+            [("v", "sum")]).rename_columns(["source", "user_id", "p_v"])
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "user_id"]).aggregate(Sum("p_v", alias_name="tv"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "tv", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("source", sort=False).head(k).copy()
+        out["rank"] = out.groupby("source", sort=False).cumcount() + 1
+        return out[["source", "user_id", "tv", "rank"]]
+
+    exact = sharded_map_groups(totals, "source", topk).to_pandas()
+
+    sk_items = {s: gg for s, gg in sk.groupby("source")}
+    out_rows = []
+    for _, row in exact.iterrows():
+        s, uid = row["source"], int(row["user_id"])
+        tv = float(row["tv"])
+        g = sk_items.get(s)
+        in_topk = False
+        within = False
+        if g is not None:
+            gs = g.sort_values(["approx_total", "user_id"],
+                               ascending=[False, True], kind="stable")
+            top_ids = set(gs["user_id"].head(k).astype(np.int64))
+            in_topk = uid in top_ids
+            hit = g[g["user_id"] == uid]
+            if len(hit):
+                ap = float(hit["approx_total"].iloc[0])
+                eb = float(hit["err_bound"].iloc[0])
+                # guarantee: approx is an upper bound, off by <= err
+                within = (ap + 1e-9 >= tv) and (ap - eb <= tv + 1e-9)
+        out_rows.append({
+            "source": s, "user_id": uid, "rank": int(row["rank"]),
+            "total_value": round(tv, 4), "in_sketch_topk": bool(in_topk),
+            "within_error_bound": bool(within)})
+    return pd.DataFrame(out_rows, columns=[
+        "source", "user_id", "rank", "total_value", "in_sketch_topk",
+        "within_error_bound"])
+
+
+_APPROX_TOP_USERS_ORACLE = """
+WITH totals AS (
+  SELECT event_type AS source, user_id, sum(value) AS tv
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY tv DESC, user_id ASC) AS rn
+  FROM totals
+)
+SELECT source, user_id, CAST(rn AS BIGINT) AS rank,
+       round(tv, 4) AS total_value,
+       TRUE AS in_sketch_topk, TRUE AS within_error_bound
+FROM ranked WHERE rn <= 3
+"""
 
 
 def chunks_downsample_1h(sf_dir: str):
@@ -22806,6 +23074,9 @@ def oracles():
         "doc_text_stats": _DOC_STATS_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
         "quality_filter": _QUALITY_FILTER_ORACLE,
+        "text_quality": _text_quality_oracle(),
+        "lang_id_pred": _lang_id_oracle(),
+        "doc_fingerprints": _DOC_FINGERPRINTS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
         "lang_distribution": _LANG_ORACLE,
         "token_length_histogram": _TOKEN_HIST_ORACLE,
@@ -22848,12 +23119,14 @@ def oracles():
         "monthwise_box_stats": _MONTHWISE_BOX_ORACLE,
         "p95_hourly_by_source": _P95_ORACLE,
         "top_users_by_type": _TOP_USERS_ORACLE,
+        "approx_top_users_by_type": _APPROX_TOP_USERS_ORACLE,
         # tokens-native oracles: fixed SQL strings over the absolute path
         # of the deterministic synthesized input (the driver's gate runs
         # at sf0.01; GRAFT_ORACLE_SF_DIR overrides for local replicas).
         # tokens_flags_1h (LOESS/ESD detectors) and tokens_chunks_1m
         # (Gorilla blobs) stay rows-only — not SQL-expressible.
         "tokens_rollup_1m": _tokens_rollup_oracle(),
+        "tokens_chunks_1m": _tokens_chunks_oracle(),
         "tokens_rollup_1h": _tokens_rollup_oracle(3600),
         "tokens_rollup_1d": _tokens_rollup_oracle(86400),
         "tokens_iqr_flags_1h": _tokens_iqr_oracle(),

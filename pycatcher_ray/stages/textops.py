@@ -31,67 +31,109 @@ _STOPWORDS = {
 }
 
 
+# BPE-ish pre-tokenizer: GPT-2-style contractions / word / number /
+# punctuation split (public pattern family).  NOTE no trailing `|\s+`
+# branch: counting non-space matches of the full pattern equals counting
+# matches of this reduced pattern (the scan skips whitespace the \s+
+# branch would consume; verified over the sf corpora + stress strings),
+# and the reduced form is one vectorized str.count / one DuckDB
+# regexp_extract_all on both engine and oracle sides.
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+"
+
+
+def _token_regex(words) -> str:
+    """Count WHOLE tokens only: a stopword occurrence is a maximal
+    [\\w']+ run equal to the word, expressed with word-set alternation
+    guarded by [\\w'] lookarounds (engine side; RE2 has no lookbehind so
+    the SQL oracle uses the token-list form instead)."""
+    alts = "|".join(sorted(words, key=len, reverse=True))
+    return r"(?<![\w'])(?:" + alts + r")(?![\w'])"
+
+
 class TextStats:
     """Quality-scoring features: lengths, punctuation/digit/stopword
-    ratios, mean word length, and a composite quality score in [0, 1]."""
+    ratios, mean word length, and a composite quality score in [0, 1].
+
+    Every feature is vectorized (compiled-regex ``str.count`` — no
+    per-doc Python loop) and every float is a deterministic IEEE
+    expression a DuckDB oracle reproduces bit-for-bit (int/int divides,
+    least/greatest clips, one rational word-length bump — no libm
+    transcendentals whose last ulp could differ between numpy and
+    DuckDB).  Ratios are emitted UNROUNDED: both engine and oracle
+    produce the identical double, and the driver's compare rounds both
+    sides with the same rule."""
 
     def __init__(self):
         self.word_re = re.compile(r"[\w']+")
+        self.wordchar_re = re.compile(r"[\w']")
         self.punct_re = re.compile(r"[^\w\s]")
         self.digit_re = re.compile(r"\d")
         self.en_stop = _STOPWORDS["en"]
-        # BPE-ish pre-tokenizer: GPT-2-style contractions / word / number /
-        # punctuation split (public pattern family)
-        self.bpe_re = re.compile(
-            r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+"
-        )
+        self.stop_re = re.compile(_token_regex(_STOPWORDS["en"]),
+                                  re.IGNORECASE)
+        self.bpe_re = re.compile(_BPE_PATTERN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         n_chars = text.str.len().astype("int64")
-        words = text.map(self.word_re.findall)
-        n_words = words.map(len).astype("int64")
-        n_punct = text.map(lambda t: len(self.punct_re.findall(t)))
-        n_digit = text.map(lambda t: len(self.digit_re.findall(t)))
-        stop_ratio = words.map(
-            lambda ws: sum(w.lower() in self.en_stop for w in ws) / max(1, len(ws))
-        )
-        mean_wlen = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
-        )
-        n_bpe = text.map(lambda t: sum(1 for m in self.bpe_re.finditer(t)
-                                       if not m.group().isspace()))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
-            digit_ratio = (n_digit / n_chars.clip(lower=1)).astype(float)
+        n_words = text.str.count(self.word_re).astype("int64")
+        word_chars = text.str.count(self.wordchar_re).astype("int64")
+        n_punct = text.str.count(self.punct_re).astype("int64")
+        n_digit = text.str.count(self.digit_re).astype("int64")
+        n_stop = text.str.count(self.stop_re).astype("int64")
+        n_bpe = text.str.count(self.bpe_re).astype("int64")
+        stop_ratio = (n_stop / n_words.clip(lower=1)).astype(float)
+        # mean word length = total token chars / token count (exact int
+        # sums, ONE divide — same value as the per-token np.mean)
+        mean_wlen = (word_chars / n_words.clip(lower=1)).astype(float)
+        mean_wlen[n_words == 0] = 0.0
+        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
+        digit_ratio = (n_digit / n_chars.clip(lower=1)).astype(float)
         # composite quality: long enough, low punct/digit noise, plausible
-        # word lengths (C4/Gopher-style heuristic filters)
-        length_ok = np.clip(n_words / 50.0, 0, 1)
-        wlen_ok = np.exp(-0.5 * ((mean_wlen - 5.0) / 3.0) ** 2)
+        # word lengths (C4/Gopher-style heuristic filters).  The word-
+        # length bump is the RATIONAL 1/(1 + z²/2) (same shape as the
+        # former exp(-z²/2) gaussian) so the whole score is division/
+        # multiply/add-only — bit-reproducible in SQL.
+        z = (mean_wlen - 5.0) / 3.0
+        wlen_ok = 1.0 / (1.0 + 0.5 * (z * z))
         quality = (
-            0.4 * length_ok
-            + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1))
-            + 0.1 * (1 - np.clip(digit_ratio * 5, 0, 1))
+            0.4 * np.minimum(n_words / 50.0, 1.0)
+            + 0.3 * (1 - np.minimum(punct_ratio * 5, 1.0))
+            + 0.1 * (1 - np.minimum(digit_ratio * 5, 1.0))
             + 0.2 * wlen_ok
         )
         out = batch[[c for c in ("doc_id", "source", "lang") if c in batch]].copy()
         out["n_chars"] = n_chars
         out["n_words"] = n_words
-        out["n_bpe_tokens"] = n_bpe.astype("int64")
-        out["punct_ratio"] = punct_ratio.round(6)
-        out["digit_ratio"] = digit_ratio.round(6)
-        out["stopword_ratio"] = stop_ratio.astype(float).round(6)
-        out["mean_word_len"] = mean_wlen.astype(float).round(6)
-        out["quality_score"] = quality.astype(float).round(6)
+        out["n_bpe_tokens"] = n_bpe
+        out["punct_ratio"] = punct_ratio
+        out["digit_ratio"] = digit_ratio
+        out["stopword_ratio"] = stop_ratio
+        out["mean_word_len"] = mean_wlen
+        out["quality_score"] = quality.astype(float)
         return out
 
 
 class LangId:
-    """Stopword + charset heuristic language ID with confidence."""
+    """Stopword + charset heuristic language ID with confidence.
+
+    The batch path is fully vectorized (one compiled-regex
+    ``str.count`` per language table) and emits only
+    SQL-reproducible arithmetic: integer stopword counts, one
+    int/int divide, one ×3 multiply, a least() clip — so the
+    ``lang_id_pred`` registry query carries an exact DuckDB oracle.
+    Ties pick the first language in (en, es, fr, de) order on both
+    sides; confidence is emitted UNROUNDED (identical doubles)."""
+
+    _LANG_ORDER = ("en", "es", "fr", "de")
 
     def __init__(self):
         self.word_re = re.compile(r"[\w']+", re.UNICODE)
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.stop_res = {
+            lang: re.compile(_token_regex(_STOPWORDS[lang]), re.IGNORECASE)
+            for lang in self._LANG_ORDER
+        }
         self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
 
     def classify(self, text: str) -> tuple[str, float]:
@@ -111,13 +153,34 @@ class LangId:
         conf = scores[lang]
         if conf == 0.0:
             return "und", 0.0
-        return lang, round(min(1.0, conf * 3), 6)
+        return lang, min(1.0, conf * 3)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        pred = batch["text"].fillna("").map(self.classify)
+        text = batch["text"].fillna("")
+        n_char = text.str.len().to_numpy(np.int64)
+        n_cjk = text.str.count(self.cjk_re).to_numpy(np.int64)
+        n_words = text.str.count(self.word_re).to_numpy(np.int64)
+        counts = np.stack([
+            text.str.count(self.stop_res[lang]).to_numpy(np.int64)
+            for lang in self._LANG_ORDER
+        ])                                   # (4, n) — rows in tie order
+        best = counts.argmax(axis=0)         # first max wins = tie order
+        c_best = counts[best, np.arange(len(text))]
+        langs = np.array(self._LANG_ORDER, dtype=object)[best]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.minimum(
+                1.0, (c_best / np.maximum(1, n_words)) * 3)
+        und = (n_words == 0) | (c_best == 0)
+        langs[und] = "und"
+        conf[und] = 0.0
+        is_zh = n_cjk > 0.2 * np.maximum(1, n_char)
+        if is_zh.any():
+            langs[is_zh] = "zh"
+            conf[is_zh] = np.minimum(
+                1.0, n_cjk[is_zh] / n_char[is_zh] * 2)
         out = batch[[c for c in ("doc_id", "lang") if c in batch]].copy()
-        out["pred_lang"] = pred.map(lambda t: t[0])
-        out["lang_confidence"] = pred.map(lambda t: t[1])
+        out["pred_lang"] = langs
+        out["lang_confidence"] = conf
         return out
 
 
@@ -126,10 +189,16 @@ class Fingerprint:
     a 64-bit content hash plus the minimum k-gram rolling hash, usable
     as a cheap near-dup prefilter and shard-stable doc signature."""
 
-    def __init__(self, k: int = 5):
+    def __init__(self, k: int = 5, hash_fn: str = "fast"):
         self.k = k
         self.word_re = re.compile(r"[\w']+")
         self.base = np.uint64(1099511628211)
+        # "fast" = bulk polars/crc word hash (production prefilter path);
+        # "md5" = first 8 bytes of md5(word) — slower, but DuckDB
+        # reproduces it bit-for-bit, giving the doc_fingerprints registry
+        # query an exact SQL oracle (the minhash_signatures_md5
+        # convention).  md5 hashes each DISTINCT word once per batch.
+        self.hash_fn = hash_fn
 
     def _fingerprint(self, text: str) -> tuple[int, int]:
         full, mins = self._fingerprints([text])
@@ -148,7 +217,8 @@ class Fingerprint:
         flat: list[str] = []
         for ws in words_per_doc:
             flat.extend(ws)
-        hs = word_hashes(flat)
+        hs = (_md5_word_hashes(flat) if self.hash_fn == "md5"
+              else word_hashes(flat))
         offs = np.concatenate(([0], np.cumsum(lens)))
         max_n = int(lens.max()) if lens.size else 0
         # ascending powers base^0..base^(max_n-1), wrapping mod 2^64
@@ -178,6 +248,24 @@ class Fingerprint:
         return out
 
 
+def _md5_word_hashes(words: list[str]) -> np.ndarray:
+    """First 8 bytes of md5(word) as uint64 — each DISTINCT word hashed
+    once (dictionary encoding); DuckDB replays it as
+    CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT)."""
+    import hashlib
+
+    import pyarrow.compute as _pc
+
+    if not words:
+        return np.array([], dtype=np.uint64)
+    arr = _pc.dictionary_encode(pa.array(words, type=pa.string()))
+    dict_hashes = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+         for w in arr.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(arr.dictionary))
+    return dict_hashes[arr.indices.to_numpy(zero_copy_only=False)]
+
+
 def _apply(ds, cls, **kwargs):
     # task carrier + per-process singleton (config.stage_instance): no
     # mid-session actor-pool spawn cost for these cheap-state stages
@@ -198,5 +286,11 @@ def lang_id(ds):
     return _apply(ds, LangId)
 
 
-def fingerprint(ds):
-    return _apply(ds, Fingerprint)
+def fingerprint(ds, hash_fn: str = "fast"):
+    from ..config import stage_instance
+
+    def fn(batch: pd.DataFrame, _h=hash_fn) -> pd.DataFrame:
+        return stage_instance((Fingerprint, _h),
+                              lambda: Fingerprint(hash_fn=_h))(batch)
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
