@@ -5849,26 +5849,120 @@ FROM h
 
 
 def minhash_clusters(sf_dir: str):
-    """MinHash+LSH near-dup clusters over documents (may be empty on a
-    corpus without near-dups — schema-stable summary row appended)."""
+    """MinHash+LSH near-dup CLUSTER MEMBERSHIP over documents, checked
+    against the exact trigram-Jaccard component structure (verdict r4
+    item 1 — was a rows-only 1-row summary): the full distributed
+    pipeline (128-perm MinHash → 32-band LSH candidates → exact
+    Jaccard verify ≥ 0.7 → distributed label-prop, cluster_id = min
+    doc_id — the dedup min-label contract) must reproduce the DuckDB
+    oracle's recursive-CTE min-label reachability over the EXACT
+    ≥ 0.7 trigram-Jaccard pair graph.  The verify stage makes engine
+    edges ⊆ exact edges; equality therefore asserts LSH FULL RECALL
+    on every qualifying pair (b=32, r=4 ⇒ per-pair miss ≤
+    (1−0.7⁴)³² ≈ 1.5e-4 at the threshold boundary; deterministic
+    fixed-permutation hashing makes the check stable per corpus —
+    verified 0 mismatches at sf0.001/0.01/0.1, 45/47/477 member
+    docs).  A banding, verify-threshold or label-prop regression now
+    FAILS the driver row instead of passing rows-only."""
     from .stages.dedup import minhash_dedup
 
     clusters = minhash_dedup(_documents(sf_dir), threshold=0.7)
-    return pd.DataFrame(
-        {
-            "n_docs_in_clusters": [int(len(clusters))],
-            "n_clusters": [int(clusters["cluster_id"].nunique())
-                           if len(clusters) else 0],
-        }
-    )
+    if not len(clusters):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "cluster_id": pd.Series([], dtype=np.int64)})
+    out = clusters.sort_values("doc_id", kind="stable")
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "cluster_id": out["cluster_id"].to_numpy(np.int64)})
+
+
+_MINHASH_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\w'']+'),
+                        w -> lower(w)) AS ws
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT da, db
+  FROM co JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+  WHERE co.c * 1.0 / (sa.n + sb.n - co.c) >= 0.7
+), e2 AS (
+  SELECT da AS src, db AS dst FROM e UNION ALL SELECT db, da FROM e
+), nodes AS (SELECT DISTINCT src AS node FROM e2),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.dst, reach.lab FROM reach JOIN e2 ON e2.src = reach.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
 
 
 def simhash_near_pairs(sf_dir: str):
-    """SimHash Hamming<=3 candidate pair count (schema-stable summary)."""
+    """SimHash Hamming ≤ 3 near-dup PAIRS — EXACT-ORACLED (verdict r4
+    item 1, was a 1-row count): signatures use the md5 word-hash mode
+    (64-bit bit votes over occurrence-weighted md5₆₄(word) — DuckDB
+    replays the vote matrix bit-for-bit), and the 4×16-bit pigeonhole
+    banding guarantees every Hamming ≤ 3 pair shares a band, so the
+    engine's capped-bucket distributed candidate+verify path must
+    reproduce the oracle's full O(n²) bit_count(xor) ≤ 3 join exactly
+    (organic pairs exist at every sf: 23/12/312).  The production
+    prefilter keeps the fast bulk word hash."""
     from .stages.dedup import simhash_pairs
 
-    pairs = simhash_pairs(_documents(sf_dir))
-    return pd.DataFrame({"n_pairs": [int(pairs.count())]})
+    pairs = simhash_pairs(_documents(sf_dir), hash_fn="md5")
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].astype(np.int64),
+            "doc_b": b["doc_b"].astype(np.int64),
+            "hamming": b["hamming"].astype(np.int64)})
+
+    return pairs.map_batches(fin, batch_format="pandas")
+
+
+_SIMHASH_PAIRS_ORACLE = r"""
+WITH wc AS (
+  SELECT doc_id, w, count(*) AS cnt,
+         CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                     x -> lower(x))) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+), v AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS votes
+  FROM wc, UNNEST(generate_series(0, 63)) AS b(b)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN votes > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS s
+  FROM v GROUP BY doc_id
+), sigw AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(sig.s, 0) >= 9223372036854775808
+                   THEN coalesce(sig.s, 0) - 18446744073709551616
+                   ELSE coalesce(sig.s, 0) END AS BIGINT) AS sb
+  FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
+FROM sigw a JOIN sigw b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sb, b.sb)) <= 3
+"""
 
 
 def embedding_neardup_exact(sf_dir: str, threshold: float = 0.3):
@@ -5966,15 +6060,60 @@ WHERE co.c * 1.0 / (sa.n + sb.n - co.c) >= 0.8
 
 
 def embedding_neardup_lsh(sf_dir: str):
-    """Scale-path near-dup: hyperplane LSH buckets + in-bucket exact
-    verification (recall < 1 by design; rows-only check)."""
+    """Scale-path embedding near-dup (hyperplane LSH buckets +
+    in-bucket exact cosine verify) — EXACT-ORACLED via PLANTED
+    duplicates (verdict r4 item 1: the rows-only form returned 0 rows
+    at sf0.001, a zero-strength signal).  The query deterministically
+    augments the corpus with copies of the vec_id < 8 vectors at
+    vec_id + 10⁹; identical vectors land in identical LSH buckets BY
+    CONSTRUCTION (every hyperplane dot product is bit-identical), so
+    the 8 planted cos=1.0 pairs MUST appear — a broken bucket hash,
+    verify threshold, or dropped shard loses them and fails the
+    driver row.  The sf corpora contain no organic ≥ 0.95 pair (max
+    off-diagonal cosine 0.60 at sf0.1), so the oracle — ALL exact
+    ≥ 0.95 pairs over the augmented set, O(n²) in SQL — equals the
+    planted set and the engine's LSH subset property cannot cause a
+    false FAIL."""
     from .stages.dedup import embedding_neardup
 
     ds = _rd().read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
-    return embedding_neardup(ds, threshold=0.95)
+
+    def plant(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["vec_id"], 8)
+        dup = b.filter(keep)
+        return pa.table({
+            "vec_id": pc.add(dup["vec_id"], 1000000000),
+            "embedding": dup["embedding"]})
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    pairs = embedding_neardup(aug, threshold=0.95)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_a": b["vec_a"].astype(np.int64),
+            "vec_b": b["vec_b"].astype(np.int64),
+            "cos_sim": b["cos_sim"].astype(np.float64)})
+
+    return pairs.map_batches(fin, batch_format="pandas")
+
+
+_EMB_NEARDUP_LSH_ORACLE = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000000, embedding FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos_raw
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(round(cos_raw, 6) AS DOUBLE) AS cos_sim
+FROM scored WHERE cos_raw >= 0.95
+"""
 
 
 def stratified_sample_events(sf_dir: str, n_per_key: int = 5):
@@ -6012,11 +6151,19 @@ FROM (
 
 
 def ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed ANN (scale path): coarse k-means clusters become the
-    parquet PARTITION key (write_ivf), and the search reads only the
-    probed cluster directories (ivf_search_disk) — pruning at the read,
-    not a filter over a full scan.  Approximate — recall vs brute force
-    is asserted in tests; rows-only driver check."""
+    """IVF-bucketed ANN (scale path) with the recall GUARANTEE asserted
+    in-band (verdict r4 item 1 — was rows-only): coarse k-means
+    clusters become the parquet PARTITION key (write_ivf), the search
+    reads only the probed cluster directories (ivf_search_disk), and
+    in the SAME query the exact brute top-10 (the ``ann_topk`` ★ path)
+    is computed; the emitted rows are the exact top-10 (rank, vec_id,
+    cos_sim — value-pinned by the SQL oracle) plus
+    ``ivf_recall_ok`` = |IVF∩exact| ≥ 4, pinned TRUE.  The floor is
+    0.4 because these are RANDOM embeddings — no cluster structure, so
+    n_probe=4 of 16 recalls 0.5-0.7 deterministically (fixed kmeans
+    seed; measured 5/7 hits at sf0.01/0.001) — a broken probe order,
+    wrong assignment, or lost partition drops below it and FAILS the
+    driver row."""
     import pyarrow.parquet as pq
 
     from .stages.ann import build_ivf, ivf_search_disk, load_ivf, write_ivf
@@ -6042,8 +6189,39 @@ def ann_topk_ivf(sf_dir: str):
         disk = write_ivf(build_ivf(ds, n_clusters=16), idx_dir)
     else:
         disk = load_ivf(idx_dir)
-    return _round_cols(ivf_search_disk(disk, q, k=10, n_probe=4),
-                       ("cos_sim",))
+    ivf = ivf_search_disk(disk, q, k=10, n_probe=4)
+    if hasattr(ivf, "to_pandas"):
+        ivf = ivf.to_pandas()
+    ivf_ids = set(int(v) for v in ivf["vec_id"])
+
+    brute = ann_topk(sf_dir)
+    if hasattr(brute, "to_pandas"):
+        brute = brute.to_pandas()
+    hits = len(ivf_ids & set(int(v) for v in brute["vec_id"]))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(brute) + 1, dtype=np.int64),
+        "vec_id": brute["vec_id"].to_numpy(np.int64),
+        "cos_sim": brute["cos_sim"].to_numpy(np.float64),
+        "ivf_recall_ok": np.full(len(brute), hits >= 4, dtype=bool),
+    })
+
+
+_ANN_IVF_ORACLE = """
+SELECT CAST(row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC)
+            AS BIGINT) AS rank,
+       vec_id, CAST(round(CAST(cos_raw AS DOUBLE), 4) AS DOUBLE)
+         AS cos_sim,
+       TRUE AS ivf_recall_ok
+FROM (
+  SELECT vec_id,
+         list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)
+         ) AS cos_raw
+  FROM embeddings
+) ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+"""
 
 
 def rollup_1m_retained(sf_dir: str, keep_days: int = 20):
@@ -6140,31 +6318,198 @@ SELECT source, bucket_start, CAST(0.0 AS DOUBLE) AS recon_err FROM g
 
 
 def stationarity_by_source(sf_dir: str):
-    """Per-source ADF/KPSS stationarity verdicts over the hourly series
-    (diagnostics.py:262-319 as a distributed map_groups stage)."""
-    from .functions.stationarity import stationarity_verdict
+    """Per-source ADF/KPSS stationarity diagnostics over the hourly
+    series (diagnostics.py:262-319 as a distributed map_groups stage)
+    — EXACT-ORACLED (verdict r4 item 1, was rows-only):
+
+    - ``kpss_stat`` is the FULL Bartlett/Newey-West KPSS at the legacy
+      ceil(12·(n/100)^¼) bandwidth, computed through the exact-integer
+      identity stat = num·(L+1)/(n·Lint) where e'ₜ = n·Vₜ − ΣV (int),
+      Lint = (L+1)·D₀ + Σ 2(L+1−l)·D_l folds every lagged
+      autocovariance in Python bigints (HUGEINT in SQL), and the ONE
+      divide goes through correctly-rounded float(int) casts (VARCHAR
+      bridge on the SQL side) — bit parity by construction.
+    - ``kpss_p`` linearly interpolates the published critical table
+      with the identical slope expression on both sides, and
+      ``kpss_level_stationary`` compares the identical double — both
+      bit-deterministic.
+    - ``df0_stat`` is the closed-form lag-0 Dickey-Fuller t (the
+      ``dickey_fuller_by_source`` ★ arithmetic; regr_* oracle).
+    - The FULL AIC-lag-selected ADF (not SQL-expressible) is validated
+      IN-BAND: ``adf_consistent`` pins that the chosen lag obeys the
+      Schwert bound and that, whenever AIC selects lag 0, the full-ADF
+      t equals the closed form within 1e-6 — pinned TRUE by the
+      oracle, so a broken lag search or regression fails the row."""
+    import math as _math
+
     from .stages.shard import sharded_map_groups
 
     roll = _events_rollup(sf_dir, "1h")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # per-series ADF/KPSS math is inherently whole-series; the shard
-        # grouping only removes Ray's per-key group dispatch
+        from .functions.stationarity import adf_test
+
         g = g.sort_values(["event_type", "bucket_start"], kind="stable")
         rows = []
         for src, grp in g.groupby("event_type", sort=False):
-            v = stationarity_verdict(grp["sum_value"].to_numpy())
+            v = _round_exact(grp["sum_value"].to_numpy(dtype=np.float64))
+            n = int(v.size)
+            if n < 11:
+                continue
+            # --- full ADF + in-band consistency vs the closed form
+            adf = adf_test(v)
+            maxlag = int(_math.ceil(12.0 * (n / 100.0) ** 0.25))
+            maxlag = max(min(maxlag, (n - 1) // 2 - 2), 0)
+            dy = np.diff(v)
+            x = v[:-1]
+            nn = dy.size
+            xm, dm = x.mean(), dy.mean()
+            sxx = float(((x - xm) ** 2).sum())
+            if sxx == 0.0:
+                continue
+            beta = float(((x - xm) * (dy - dm)).sum()) / sxx
+            alpha = dm - beta * xm
+            resid = dy - alpha - beta * x
+            s2 = float((resid ** 2).sum()) / (nn - 2)
+            df0 = beta / np.sqrt(s2 / sxx)
+            consistent = (0 <= adf["usedlag"] <= maxlag) and (
+                adf["usedlag"] != 0
+                or abs(adf["statistic"] - df0) < 1e-6)
+            # --- exact-integer Bartlett KPSS
+            L = min(int(_math.ceil(12.0 * (n / 100.0) ** 0.25)), n - 1)
+            V = np.rint(v * 10000.0).astype(np.int64)
+            tot = int(V.sum())
+            ei = [n * int(x) - tot for x in V.tolist()]
+            acc, num_int = 0, 0
+            for x in ei:
+                acc += x
+                num_int += acc * acc
+            D0 = sum(x * x for x in ei)
+            lint = (L + 1) * D0
+            for lag in range(1, L + 1):
+                dl = sum(ei[t] * ei[t - lag] for t in range(lag, n))
+                lint += 2 * (L + 1 - lag) * dl
+            if lint <= 0:
+                stat = float("nan")
+                p = float("nan")
+                kpss_ok = False
+            else:
+                stat = round(
+                    float(num_int * (L + 1)) / float(n * lint), 6)
+                cvs = [0.347, 0.463, 0.574, 0.739]
+                ps = [0.10, 0.05, 0.025, 0.01]
+                if stat <= cvs[0]:
+                    p = 0.10
+                elif stat >= cvs[-1]:
+                    p = 0.01
+                else:
+                    p = float("nan")
+                    for (c0, c1), (p0, p1) in zip(
+                            zip(cvs, cvs[1:]), zip(ps, ps[1:])):
+                        if c0 <= stat <= c1:
+                            p = p0 + (stat - c0) * ((p1 - p0) / (c1 - c0))
+                            break
+                kpss_ok = p >= 0.05
             rows.append({
-                "source": src,
-                "adf_stat": round(v["adf_stat"], 6),
-                "adf_p": round(v["adf_p"], 6),
-                "kpss_stat": round(v["kpss_stat"], 6),
-                "kpss_p": round(v["kpss_p"], 6),
-                "stationary": bool(v["stationary"]),
+                "source": src, "n_obs": n,
+                "kpss_stat": stat, "kpss_p": p,
+                "kpss_level_stationary": bool(kpss_ok),
+                "df0_stat": round(float(df0), 4),
+                "adf_consistent": bool(consistent),
             })
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows, columns=[
+            "source", "n_obs", "kpss_stat", "kpss_p",
+            "kpss_level_stationary", "df0_stat", "adf_consistent"])
 
-    return sharded_map_groups(roll, "event_type", per_shard)
+    return sharded_map_groups(
+        roll.select_columns(["event_type", "bucket_start", "sum_value"]),
+        "event_type", per_shard)
+
+
+_STATIONARITY_ORACLE = """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS V
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(least(CAST(ceil(12.0 * pow(count(*) / 100.0, 0.25))
+                         AS BIGINT), count(*) - 1) AS BIGINT) AS L
+  FROM r GROUP BY source HAVING count(*) >= 11
+), e AS (
+  SELECT r.source, base.n, base.L,
+         row_number() OVER (PARTITION BY r.source ORDER BY r.b) AS idx,
+         CAST(base.n AS HUGEINT) * r.V
+           - sum(CAST(r.V AS HUGEINT)) OVER (PARTITION BY r.source) AS ev
+  FROM r JOIN base ON base.source = r.source
+), s AS (
+  SELECT source, n, L, idx, ev,
+         sum(ev) OVER (PARTITION BY source ORDER BY idx) AS sv
+  FROM e
+), numtab AS (
+  SELECT source, sum(sv * sv) AS num, sum(ev * ev) AS d0
+  FROM s GROUP BY source
+), lagtab AS (
+  SELECT a.source, g.l AS lag, sum(a.ev * b.ev) AS dl
+  FROM e a
+  JOIN LATERAL (SELECT unnest(generate_series(1, a.L)) AS l) g ON TRUE
+  JOIN e b ON b.source = a.source AND b.idx = a.idx - g.l
+  GROUP BY 1, 2
+), lint AS (
+  SELECT base.source, base.n, base.L, numtab.num,
+         (base.L + 1) * numtab.d0
+           + coalesce(sum(2 * (base.L + 1 - lagtab.lag) * lagtab.dl), 0)
+           AS li
+  FROM base JOIN numtab ON numtab.source = base.source
+  LEFT JOIN lagtab ON lagtab.source = base.source
+  GROUP BY 1, 2, 3, 4, numtab.d0
+), kp AS (
+  SELECT source, n,
+         CASE WHEN li <= 0 THEN NULL ELSE
+           round(CAST(CAST(num * (L + 1) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * li AS VARCHAR) AS DOUBLE), 6)
+         END AS kpss_stat
+  FROM lint
+), kpp AS (
+  SELECT source, n, kpss_stat,
+    CASE
+      WHEN kpss_stat IS NULL THEN NULL
+      WHEN kpss_stat <= 0.347 THEN CAST(0.10 AS DOUBLE)
+      WHEN kpss_stat >= 0.739 THEN CAST(0.01 AS DOUBLE)
+      WHEN kpss_stat <= 0.463 THEN
+        CAST(0.10 AS DOUBLE) + (kpss_stat - CAST(0.347 AS DOUBLE))
+          * ((CAST(0.05 AS DOUBLE) - CAST(0.10 AS DOUBLE))
+             / (CAST(0.463 AS DOUBLE) - CAST(0.347 AS DOUBLE)))
+      WHEN kpss_stat <= 0.574 THEN
+        CAST(0.05 AS DOUBLE) + (kpss_stat - CAST(0.463 AS DOUBLE))
+          * ((CAST(0.025 AS DOUBLE) - CAST(0.05 AS DOUBLE))
+             / (CAST(0.574 AS DOUBLE) - CAST(0.463 AS DOUBLE)))
+      ELSE
+        CAST(0.025 AS DOUBLE) + (kpss_stat - CAST(0.574 AS DOUBLE))
+          * ((CAST(0.01 AS DOUBLE) - CAST(0.025 AS DOUBLE))
+             / (CAST(0.739 AS DOUBLE) - CAST(0.574 AS DOUBLE)))
+    END AS kpss_p
+  FROM kp
+), dftab AS (
+  SELECT source,
+         round(regr_slope(dy, ylag) / sqrt(
+           ((1 - regr_r2(dy, ylag)) * regr_syy(dy, ylag) / (count(*) - 2))
+           / regr_sxx(dy, ylag)), 4) AS df0_stat
+  FROM (
+    SELECT source, v - lag(v) OVER w AS dy, lag(v) OVER w AS ylag
+    FROM (SELECT event_type AS source, date_trunc('hour', ts) AS b,
+                 round(sum(value), 4) AS v
+          FROM events GROUP BY 1, 2)
+    WINDOW w AS (PARTITION BY source ORDER BY b)
+  ) WHERE dy IS NOT NULL
+  GROUP BY source HAVING count(*) >= 10
+)
+SELECT kpp.source, kpp.n AS n_obs, kpp.kpss_stat, kpp.kpss_p,
+       kpp.kpss_p >= 0.05 AS kpss_level_stationary,
+       dftab.df0_stat, TRUE AS adf_consistent
+FROM kpp JOIN dftab ON dftab.source = kpp.source
+"""
 
 
 def dickey_fuller_by_source(sf_dir: str):
@@ -23046,6 +23391,7 @@ def oracles():
         "rolling_zscore_flags_1h": _ROLLING_ZSCORE_ORACLE,
         "error_rate_hourly": _ERROR_RATE_ORACLE,
         "kpss_level_stat": _KPSS_ORACLE,
+        "stationarity_by_source": _STATIONARITY_ORACLE,
         "ols_trend_by_source": _OLS_TREND_ORACLE,
         "cusum_changepoint": _CUSUM_CHANGEPOINT_ORACLE,
         "pettitt_changepoint": _PETTITT_ORACLE,
@@ -23075,6 +23421,8 @@ def oracles():
         "tfidf_top_terms": _TFIDF_ORACLE,
         "quality_filter": _QUALITY_FILTER_ORACLE,
         "text_quality": _text_quality_oracle(),
+        "minhash_clusters": _MINHASH_CLUSTERS_ORACLE,
+        "simhash_near_pairs": _SIMHASH_PAIRS_ORACLE,
         "lang_id_pred": _lang_id_oracle(),
         "doc_fingerprints": _DOC_FINGERPRINTS_ORACLE,
         "dedup_exact": _DEDUP_ORACLE,
@@ -23082,6 +23430,8 @@ def oracles():
         "token_length_histogram": _TOKEN_HIST_ORACLE,
         "context_packing": _PACKING_ORACLE,
         "ann_topk": _ANN_ORACLE,
+        "ann_topk_ivf": _ANN_IVF_ORACLE,
+        "embedding_neardup_lsh": _EMB_NEARDUP_LSH_ORACLE,
         "lineitem_pricing_summary": _LINEITEM_ORACLE,
         "tpch_q6_revenue": _Q6_ORACLE,
         "promo_revenue_share": _Q14_ORACLE,
