@@ -1313,15 +1313,18 @@ def token_entropy_by_lang(sf_dir: str):
         columns=["lang", "text"])
 
     def word_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        langs, words = [], []
-        for lang, text in zip(batch["lang"], batch["text"]):
-            ws = [w for w in (text or "").lower().split(" ") if w]
-            langs.append(np.repeat(lang, len(ws)))
-            words.append(np.asarray(ws, dtype=object))
-        if not langs:
+        # bulk Arrow tokenize — same kernel as tfidf_top_terms
+        # (verdict r4 item 4); flatten() is offset-safe on slices
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(batch["text"].fillna(""),
+                                   type=pa.string())), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        if not lens.sum():
             return pd.DataFrame({"lang": [], "word": [], "c": []})
-        df = pd.DataFrame({"lang": np.concatenate(langs),
-                           "word": np.concatenate(words)})
+        df = pd.DataFrame({
+            "lang": np.repeat(batch["lang"].to_numpy(), lens),
+            "word": pc.list_flatten(toks).to_numpy(zero_copy_only=False)})
+        df = df[df["word"] != ""]
         return df.groupby(["lang", "word"], as_index=False).size().rename(
             columns={"size": "c"})
 
@@ -4214,15 +4217,20 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
     n_docs = ds.count()
 
     def term_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, terms = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            ws = [w for w in (text or "").lower().split(" ") if w]
-            ids.append(np.repeat(doc_id, len(ws)))
-            terms.append(np.asarray(ws, dtype=object))
-        if not ids:
+        # bulk Arrow tokenize (verdict r4 item 4): utf8_lower +
+        # split_pattern + list_flatten over the whole batch — no
+        # per-doc Python loop in the corpus-wide hot path.  flatten()
+        # is offset-safe on sliced batches (session-6 lesson).
+        toks = pc.split_pattern(
+            pc.utf8_lower(pa.array(batch["text"].fillna(""),
+                                   type=pa.string())), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        if not lens.sum():
             return pd.DataFrame({"doc_id": [], "term": [], "tf": []})
-        df = pd.DataFrame({"doc_id": np.concatenate(ids),
-                           "term": np.concatenate(terms)})
+        df = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens),
+            "term": pc.list_flatten(toks).to_numpy(zero_copy_only=False)})
+        df = df[df["term"] != ""]
         # each doc lives wholly in one batch -> per-batch tf is final
         return df.groupby(["doc_id", "term"], as_index=False).size().rename(
             columns={"size": "tf"})
