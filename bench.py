@@ -392,7 +392,11 @@ def main():
         # host throughput saturates above ~16 workers in this sandbox VM
         # (memory bandwidth / host oversubscription), which would cap ANY
         # pipeline's measurable 8->32 efficiency near 0.5 — see BASELINE.md.
-        lo, hi = 4, 16
+        # overridable for the BASELINE.json-literal 8->32 evidence pair
+        # (GRAFT_SCALING_LO/HI); default stays 4->16 per the rationale
+        # above — both are the same 4x ratio the north rule compares
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
         # The scaling criterion measures THROUGHPUT scaling on a job big
         # enough to keep both cluster sizes busy.  The round-3/4 engine
         # speedups cut the 12M-row job to ~110 cpu-s of compute, so the

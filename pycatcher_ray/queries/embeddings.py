@@ -1,0 +1,1625 @@
+"""Embedding-table (ANN / clustering) queries."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import TIERS, EngineConfig
+from ..stages.detect import detect
+from ..stages.gapfill import gapfill
+from ..stages.rollup import cascade, rollup
+
+from ._core import (
+    _rd,
+    _round_cols,
+    _splitmix64,
+    _sql_mulmod64,
+)
+
+
+
+def embedding_label_stats(sf_dir: str):
+    """Per-label embedding-space profile: vector count, centroid L2 norm
+    (‖Σv‖/n) and mean squared vector norm — the class-separation /
+    collapse diagnostic run before training on labeled embeddings.
+    Per-batch numpy partials (Σ over vectors per dim, Σ‖v‖², count) fold
+    in one label-keyed exchange; the oracle unnests the list column WITH
+    ORDINALITY.  float32 lifts to float64 exactly; the final norms are
+    written in identical op order and rounded at 6 (partial-sum order
+    drift ≪)."""
+    from ..stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        lab = batch["label"].to_numpy()
+        rows = []
+        for lb in np.unique(lab):
+            m = mat[lab == lb]
+            rows.append({
+                "label": int(lb), "n": m.shape[0],
+                "ssq": float((m * m).sum()),
+                "sv": m.sum(axis=0).tolist(),
+            })
+        return pd.DataFrame(rows, columns=["label", "n", "ssq", "sv"])
+
+    parts = ds.map_batches(partials, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lb, g in shard.groupby("label", sort=False):
+            n = int(g["n"].sum())
+            ssq = float(g["ssq"].sum())
+            sv = np.sum(np.stack(g["sv"].to_numpy()), axis=0)
+            rows.append({
+                "label": int(lb), "n_vecs": n,
+                "centroid_norm": round(
+                    math.sqrt(float((sv * sv).sum())) / n, 6),
+                "mean_sq_norm": round(ssq / n, 6),
+            })
+        return pd.DataFrame(rows, columns=[
+            "label", "n_vecs", "centroid_norm", "mean_sq_norm"])
+
+    return sharded_map_groups(parts, "label", fold)
+
+
+# ---------------------------------------------------- embeddings queries
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k against the vec_id=0 embedding: broadcast
+    the query vector once, numpy matmul per Arrow batch, then PER-BATCH
+    top-k partials so the final sort+limit sees at most
+    k × num_batches rows — a global sort of the scored corpus for k=10
+    would be an all-to-all exchange of every score.  The per-batch
+    selection uses the same total order (cos desc, vec_id asc) as the
+    final merge, so the global top-k is always contained in the
+    partials.  The IVF/LSH-bucketed scale path partitions by coarse
+    cluster id instead of scanning (see stages docs)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(batch), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(cos) > k:
+            # top-k under (cos desc, vec_id asc): lexsort keys are
+            # (-cos primary, id secondary), take the first k
+            order = np.lexsort((ids, -cos))[:k]
+        else:
+            order = np.arange(len(cos))
+        return pa.table(
+            {"vec_id": pa.array(ids[order]), "cos_sim": pa.array(cos[order])}
+        )
+
+    partials = ds.map_batches(score_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    top = partials.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return _round_cols(top, ("cos_sim",))
+
+
+def embedding_neardup_exact(sf_dir: str, threshold: float = 0.3):
+    """Exact cosine>=threshold similar pairs over embeddings (broadcast
+    normalized matrix + per-batch matmul).  The threshold is parametric;
+    the driver query uses 0.3 so the check exercises non-empty output on
+    random embeddings (an all-empty Ray dataset has no schema to
+    compare).  The corpus-scale LSH variant is embedding_neardup_lsh."""
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    emb = tbl["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    # broadcast ONCE via the object store; closure-capturing the matrix
+    # would re-serialize it into every task
+    broadcast_ref = ray.put((ids, mat / norms[:, None]))
+
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, unit = ray.get(broadcast_ref)
+        bemb = batch["embedding"]
+        if isinstance(bemb, pa.ChunkedArray):
+            bemb = bemb.combine_chunks()
+        bm = bemb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(batch), -1)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0] = 1.0
+        cos = (bm / bn[:, None]) @ unit.T
+        bids = batch["vec_id"].to_numpy()
+        ii, jj = np.nonzero(cos >= threshold)
+        keep = bids[ii] < ids[jj]
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[ii][keep], type=pa.int64()),
+                "vec_b": pa.array(ids[jj][keep], type=pa.int64()),
+                "cos_sim": pa.array(np.round(cos[ii, jj][keep], 4)),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """Scale-path embedding near-dup (hyperplane LSH buckets +
+    in-bucket exact cosine verify) — EXACT-ORACLED via PLANTED
+    duplicates (verdict r4 item 1: the rows-only form returned 0 rows
+    at sf0.001, a zero-strength signal).  The query deterministically
+    augments the corpus with copies of the vec_id < 8 vectors at
+    vec_id + 10⁹; identical vectors land in identical LSH buckets BY
+    CONSTRUCTION (every hyperplane dot product is bit-identical), so
+    the 8 planted cos=1.0 pairs MUST appear — a broken bucket hash,
+    verify threshold, or dropped shard loses them and fails the
+    driver row.  The sf corpora contain no organic ≥ 0.95 pair (max
+    off-diagonal cosine 0.60 at sf0.1), so the oracle — ALL exact
+    ≥ 0.95 pairs over the augmented set, O(n²) in SQL — equals the
+    planted set and the engine's LSH subset property cannot cause a
+    false FAIL."""
+    from ..stages.dedup import embedding_neardup
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["vec_id"], 8)
+        dup = b.filter(keep)
+        return pa.table({
+            "vec_id": pc.add(dup["vec_id"], 1000000000),
+            "embedding": dup["embedding"]})
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    pairs = embedding_neardup(aug, threshold=0.95)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_a": b["vec_a"].astype(np.int64),
+            "vec_b": b["vec_b"].astype(np.int64),
+            "cos_sim": b["cos_sim"].astype(np.float64)})
+
+    return pairs.map_batches(fin, batch_format="pandas")
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path) with the recall GUARANTEE asserted
+    in-band (verdict r4 item 1 — was rows-only): coarse k-means
+    clusters become the parquet PARTITION key (write_ivf), the search
+    reads only the probed cluster directories (ivf_search_disk), and
+    in the SAME query the exact brute top-10 (the ``ann_topk`` ★ path)
+    is computed; the emitted rows are the exact top-10 (rank, vec_id,
+    cos_sim — value-pinned by the SQL oracle) plus
+    ``ivf_recall_ok`` = |IVF∩exact| ≥ 4, pinned TRUE.  The floor is
+    0.4 because these are RANDOM embeddings — no cluster structure, so
+    n_probe=4 of 16 recalls 0.5-0.7 deterministically (fixed kmeans
+    seed; measured 5/7 hits at sf0.01/0.001) — a broken probe order,
+    wrong assignment, or lost partition drops below it and FAILS the
+    driver row."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import build_ivf, ivf_search_disk, load_ivf, write_ivf
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+
+    # cache key = content fingerprint of the SOURCE file (full path +
+    # size + mtime), not just the directory basename: a regenerated
+    # embeddings.parquet or two datasets sharing a basename must rebuild,
+    # never silently reuse a stale/colliding index (ADVICE r2)
+    import hashlib
+
+    st = os.stat(path)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    idx_dir = os.path.join("/tmp", "pycatcher_ray_ivf", f"{fp}-v2")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+        disk = write_ivf(build_ivf(ds, n_clusters=16), idx_dir)
+    else:
+        disk = load_ivf(idx_dir)
+    ivf = ivf_search_disk(disk, q, k=10, n_probe=4)
+    if hasattr(ivf, "to_pandas"):
+        ivf = ivf.to_pandas()
+    ivf_ids = set(int(v) for v in ivf["vec_id"])
+
+    brute = ann_topk(sf_dir)
+    if hasattr(brute, "to_pandas"):
+        brute = brute.to_pandas()
+    hits = len(ivf_ids & set(int(v) for v in brute["vec_id"]))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(brute) + 1, dtype=np.int64),
+        "vec_id": brute["vec_id"].to_numpy(np.int64),
+        "cos_sim": brute["cos_sim"].to_numpy(np.float64),
+        "ivf_recall_ok": np.full(len(brute), hits >= 4, dtype=bool),
+    })
+
+
+def embedding_quantization_stats(sf_dir: str):
+    """Per-dimension int8-quantization calibration over the embedding
+    column: min, max and the symmetric-range scale (max−min)/255 — the
+    stats an ANN index computes before quantizing vectors for the
+    memory-bound scale path (IVF-PQ-style indexes at 100 TB).  Per-batch
+    numpy per-dim min/max partials (dims are bounded, the driver folds
+    a dims-sized frame); min/max involve NO accumulation, so float32 →
+    float64 lifts are exact and parity is bit-for-bit."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        dims = np.arange(1, mat.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "dim": dims,
+            "mn": mat.min(axis=0),
+            "mx": mat.max(axis=0)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "min_v": pd.Series([], dtype=np.float64),
+            "max_v": pd.Series([], dtype=np.float64),
+            "scale": pd.Series([], dtype=np.float64)})
+    fin = parts.groupby("dim", as_index=False).agg(
+        min_v=("mn", "min"), max_v=("mx", "max"))
+    fin["scale"] = (fin["max_v"] - fin["min_v"]) / 255.0
+    return fin.sort_values("dim").reset_index(drop=True)
+
+
+def kmeans_assign_step(sf_dir: str, k: int = 8):
+    """One exact k-means ASSIGNMENT step over the embedding table — the
+    clustering primitive of training-data curation (diversity sampling,
+    topic balance, IVF coarse quantizer training) with the seeding rule
+    pinned: centroids are the ``k`` lowest-vec_id vectors.  The whole
+    step is INTEGER-exact end to end: coordinates quantize as
+    floor(float64(e)·10⁶) int64 on BOTH engines (floor has no rounding
+    half-tie; float32→float64 is exact widening), squared distances are
+    pure int64 sums (|q|≤2·10⁶, 64 dims ⇒ ≪2⁶³), so the argmin — ties
+    → lowest centroid id — is bit-deterministic.  Distributed plan:
+    pass 1 folds per-batch k-smallest-vec_id partials into the ≤ k×64
+    int64 centroid matrix (broadcast via closure, ~4 KB); pass 2 is a
+    map-only assignment with per-batch (centroid, n, Σdist) integer
+    partials and one tiny centroid-keyed exchange.  The ONE double
+    divide (mean distance) happens at emit."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (k, dims)
+    cids = cand["vec_id"].to_numpy(np.int64)           # ascending
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (sliced batches carry a
+        # nonzero list offset that .values would ignore)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        # (n, k) exact integer squared distances
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)  # first min = lowest cid
+        best = d[np.arange(len(q)), choice]
+        g = pd.DataFrame({"centroid_id": cids[choice], "n_vecs": 1,
+                          "dist_i": best}).groupby(
+            "centroid_id", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        g["dist_i"] = g["dist_i"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "centroid_id",
+                            {"n_vecs": "sum", "dist_i": "sum"},
+                            num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "mean_sq_dist": agg["dist_i"].astype(np.float64)
+                        / agg["n_vecs"].to_numpy(np.int64)})
+
+
+def centroid_margin_census(sf_dir: str, k: int = 8):
+    """Assignment-confidence census on top of kmeans_assign_step's
+    integer-exact contract: per centroid, how many assigned vectors are
+    AMBIGUOUS — their second-nearest centroid sits within 1.25× of the
+    nearest squared distance, the Lowe-ratio-style margin that flags
+    cluster boundaries an IVF probe count must cover.  The margin test
+    is the PURE-INTEGER compare 4·d₂ < 5·d₁ (no ratio is ever
+    computed), distances and the argmin share kmeans_assign_step's
+    floor(·10⁶) int64 quantization, so the census is bit-deterministic.
+    Map-only per-batch (centroid, n, n_ambig) partials + one tiny
+    centroid-keyed fold."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)          # first min = lowest cid
+        rows = np.arange(len(q))
+        d1 = d[rows, choice]
+        d[rows, choice] = np.iinfo(np.int64).max
+        d2 = d.min(axis=1)                      # min over OTHER centroids
+        ambig = 4 * d2 < 5 * d1
+        g = pd.DataFrame({"centroid_id": cids[choice],
+                          "n_vecs": 1,
+                          "n_ambiguous": ambig.astype(np.int64)}).groupby(
+            "centroid_id", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        g["n_ambiguous"] = g["n_ambiguous"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, "centroid_id",
+                            {"n_vecs": "sum", "n_ambiguous": "sum"},
+                            num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "n_ambiguous": agg["n_ambiguous"].astype(np.int64)})
+
+
+def cosine_pair_histogram(sf_dir: str):
+    """Background cosine-similarity histogram over DETERMINISTIC vector
+    pairs — the calibration curve an ANN / near-dup threshold is read
+    against (what does 'unrelated' score in this embedding space?).
+    The pairing rule is local by construction: vec_id 2m pairs with
+    2m+1, so ONE (vec_id//2)-keyed exchange co-locates every pair and
+    nothing global is needed.  Coordinates quantize floor(·10⁶) int64
+    (kmeans_assign_step contract) making dot and the two squared norms
+    exact integers; cosine is the ONE shared IEEE expression
+    dot/(√na·√nb) over correctly-rounded casts (VARCHAR-bridged in
+    SQL), and the bucket floor(20·cos) of identically-computed doubles
+    is identical on both engines.  Zero-norm vectors drop (both
+    sides)."""
+    from ..stages.shard import sharded_aggregate, sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def with_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["vec_id", "embedding"]].copy()
+        b["pk"] = b["vec_id"].to_numpy(np.int64) // 2
+        return b
+
+    keyed = ds.map_batches(with_pk, batch_format="pandas")
+
+    def fold(shard: pd.DataFrame) -> pd.DataFrame:
+        shard = shard.sort_values("vec_id", kind="stable")
+        ids = shard["vec_id"].to_numpy(np.int64)
+        if ids.size < 2:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        emb = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in shard["embedding"]])
+        q = np.floor(emb * 1e6).astype(np.int64)
+        m = (ids[:-1] % 2 == 0) & (ids[1:] == ids[:-1] + 1)
+        a, b = q[:-1][m], q[1:][m]
+        dot = (a * b).sum(axis=1)          # exact int64 (|q| ≤ ~10⁷)
+        na = (a * a).sum(axis=1)
+        nb = (b * b).sum(axis=1)
+        keep = (na > 0) & (nb > 0)
+        c = (dot[keep].astype(np.float64)
+             / (np.sqrt(na[keep].astype(np.float64))
+                * np.sqrt(nb[keep].astype(np.float64))))
+        out = pd.DataFrame({
+            "bucket": np.floor(20.0 * c).astype(np.int64)})
+        return out.groupby("bucket", as_index=False).size().rename(
+            columns={"size": "n_pairs"})
+
+    parts = sharded_map_groups(keyed, "pk", fold)
+    return sharded_aggregate(parts, "bucket", {"n_pairs": "sum"},
+                             num_shards=2)
+
+
+def pq_assign_step(sf_dir: str, k: int = 4, n_sub: int = 4):
+    """One exact Product-Quantization ASSIGNMENT step: the embedding
+    splits into ``n_sub`` contiguous subspaces, each with its own
+    ``k``-entry codebook (seeded, like kmeans_assign_step, from the k
+    lowest-vec_id vectors' subvectors), and every vector takes the
+    integer-exact argmin code per subspace — the compression primitive
+    behind IVF-PQ ANN indexes.  Same floor(·10⁶) int64 quantization
+    contract; ties → lowest codebook id; output is the bounded
+    (subspace, code) census with the EXACT integer distance sum (no
+    divide at all).  Map-only + one tiny (subspace, code) fold."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (k, dims)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    dims = C.shape[1]
+    ss = dims // n_sub
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        outs = []
+        for s in range(n_sub):
+            qs = q[:, s * ss:(s + 1) * ss]
+            Cs = C[:, s * ss:(s + 1) * ss]
+            d = qs @ (-2 * Cs.T)
+            d += (qs * qs).sum(axis=1, keepdims=True)
+            d += (Cs * Cs).sum(axis=1)
+            choice = np.argmin(d, axis=1)      # first min = lowest cid
+            best = d[np.arange(len(q)), choice]
+            g = pd.DataFrame({"subspace": np.int64(s),
+                              "code": cids[choice],
+                              "n_vecs": 1, "dist_i": best}).groupby(
+                ["subspace", "code"], as_index=False).sum()
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_vecs"] = out["n_vecs"].astype(np.int64)
+        out["dist_i"] = out["dist_i"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["subspace", "code"],
+                            {"n_vecs": "sum", "dist_i": "sum"},
+                            num_shards=2).to_pandas()
+    agg = agg.sort_values(["subspace", "code"], kind="stable")
+    return pd.DataFrame({
+        "subspace": agg["subspace"].astype(np.int64),
+        "code": agg["code"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "sum_sq_dist": agg["dist_i"].astype(np.int64)})
+
+
+def label_centroid_separation(sf_dir: str):
+    """Embedding-space class separation: squared distance between the
+    CENTROIDS of every label pair — the diagnostic that flags collapsed
+    or mislabeled classes before a model trains on them.  Exact by the
+    cross-multiplied-rational trick: with per-label quantized integer
+    coordinate sums S and counts n (floor(float64(e)·10⁶) int64, same
+    contract as kmeans_assign_step), ‖S_a/n_a − S_b/n_b‖² =
+    Σ_d (S_a·n_b − S_b·n_a)² / (n_a·n_b)² — numerator in Python bigint
+    (HUGEINT in the oracle, ~10³⁰), ONE double cast each of the exact
+    numerator and exact denominator, one divide.  Distributed plan:
+    map-only per-batch (label, dim) integer sum partials (bounded by
+    labels × dims, never the row count) folded on the driver; the
+    O(labels²) pair table is a bounded panel by construction."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (sliced batches carry a
+        # nonzero list offset that .values would ignore in the reshape)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        lab = tb["label"].to_numpy().astype(np.int64)
+        dims = len(vals) // max(len(tb), 1)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        labs, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(labs), dims), dtype=np.int64)
+        np.add.at(S, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.concatenate([np.repeat(labs, dims), labs]),
+            "dim": np.concatenate([np.tile(
+                np.arange(dims, dtype=np.int64), len(labs)),
+                np.full(len(labs), -1, dtype=np.int64)]),
+            "s": np.concatenate([S.ravel(), cnt])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], as_index=False)["s"].sum()
+    counts = dict(zip(g.loc[g["dim"] < 0, "label"],
+                      g.loc[g["dim"] < 0, "s"]))
+    wide = g[g["dim"] >= 0].pivot(index="label", columns="dim",
+                                  values="s").sort_index()
+    labs = wide.index.to_numpy(np.int64)
+    S = wide.to_numpy(np.int64)
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            na, nb = int(counts[labs[i]]), int(counts[labs[j]])
+            num = sum((int(sa) * nb - int(sb) * na) ** 2
+                      for sa, sb in zip(S[i], S[j]))  # exact bigint
+            den = (na * nb) * (na * nb)
+            rows.append({
+                "label_a": int(labs[i]), "label_b": int(labs[j]),
+                "n_a": na, "n_b": nb,
+                "centroid_sq_dist": float(num) / float(den)})
+    return pd.DataFrame(rows, columns=[
+        "label_a", "label_b", "n_a", "n_b", "centroid_sq_dist"])
+
+
+def embedding_norm_outliers(sf_dir: str):
+    """Embedding-quality screen: vectors whose squared L2 norm exceeds
+    4× their label's median squared norm (norm > 2× median — the
+    exploding / degenerate-embedding signature that poisons cosine
+    near-dup and ANN recall).  INTEGER-exact core: coordinates quantize
+    floor(float64(e)·10⁶) (the ``kmeans_assign_step`` trick), squared
+    norms are exact int64 sums (≪2⁵³ so the DOUBLE casts are correctly
+    rounded on both engines); the per-label median rides the bit-pinned
+    ``quantile_cont`` lerp and the flag compare float(sq) > 4·med is
+    the identical IEEE expression on both sides.  Plan: ONE pass over
+    embeddings emits the tiny (vec_id, label, sq_norm) table; medians
+    come from a label-keyed exchange over it; the flag pass maps over
+    the NORMS table with the ≤|labels| median dict in the closure —
+    embeddings are read once and never re-shuffled."""
+    from ..stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    def norms(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() (NOT .values) trims to the logical slice — a batch
+        # that arrives as a zero-copy slice of a larger block has a
+        # nonzero list offset and .values would misalign the reshape
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), -1)
+        return pd.DataFrame({
+            "vec_id": tb["vec_id"].to_numpy(),
+            "label": tb["label"].to_pandas().to_numpy(),
+            "sq_norm": (q * q).sum(axis=1),
+        })
+
+    nt = ds.map_batches(norms, batch_format="pyarrow").materialize()
+
+    from ..functions.stats import quantile_cont
+
+    def med(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in shard.groupby("label", sort=False):
+            v = np.sort(g["sq_norm"].to_numpy(np.float64))
+            rows.append({"label": lab,
+                         "med": float(quantile_cont(v, 0.5))})
+        return pd.DataFrame(rows, columns=["label", "med"])
+
+    meds = sharded_map_groups(nt, "label", med,
+                              num_shards=2).to_pandas()
+    med_by_label = dict(zip(meds["label"], meds["med"]))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["label"].map(med_by_label).to_numpy(np.float64)
+        sq = b["sq_norm"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "label": b["label"],
+            "sq_norm": sq,
+            "label_median_sq": m,
+            "is_outlier": sq.astype(np.float64) > 4.0 * m,
+        })
+
+    return nt.map_batches(flag, batch_format="pandas")
+
+
+def embedding_dim_variance(sf_dir: str):
+    """Per-dimension mean/variance calibration over the embedding
+    corpus — the whitening / dead-dimension screen (a collapsed dim has
+    ~zero variance; a scale-skewed dim dominates L2 distances).  Same
+    floor(float64·10⁶) int64 quantization as ``kmeans_assign_step`` ⇒
+    per-batch Σq / Σq² partials are exact integers, map-only and
+    bounded by dims; the driver folds dims rows in Python bigints.
+    mean = S1/(n·10⁶) and var = (n·S2 − S1²)/(n²·10¹²) are each ONE
+    IEEE divide of two correctly-rounded int→double casts (oracle
+    HUGEINTs route through the VARCHAR bridge)."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        dims = len(vals) // max(len(tb), 1)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        return pd.DataFrame({
+            "dim": np.arange(dims, dtype=np.int64),
+            "n": np.full(dims, len(tb), dtype=np.int64),
+            "s1": q.sum(axis=0, dtype=np.int64),
+            "s2": (q * q).sum(axis=0, dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for dim, g in parts.groupby("dim", sort=True):
+        n = int(g["n"].sum())
+        s1 = sum(int(x) for x in g["s1"])  # exact bigints
+        s2 = sum(int(x) for x in g["s2"])
+        rows.append({
+            "dim": int(dim), "n": n,
+            "mean": float(s1) / float(n * 10**6),
+            "variance": float(n * s2 - s1 * s1) / float(n * n * 10**12)})
+    return pd.DataFrame(rows, columns=["dim", "n", "mean", "variance"])
+
+
+def centroid_confusion(sf_dir: str, k: int = 8):
+    """Label × nearest-centroid CONFUSION census over the embedding
+    table — does the label structure survive a k-means-style coarse
+    quantizer? (the eval behind IVF cluster balance and topic-label
+    agreement).  Reuses ``kmeans_assign_step``'s integer-exact
+    assignment contract verbatim: floor(float64(e)·10⁶) quantization,
+    pure-int64 squared distances, argmin ties → lowest centroid id,
+    centroids = the k lowest-vec_id vectors (broadcast as a ~4 KB
+    closure).  Map-only assignment with per-batch (label, centroid)
+    integer count partials and one tiny exchange."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (see kmeans_assign_step)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)  # first min = lowest cid
+        g = pd.DataFrame({
+            "label": tb["label"].to_numpy(),
+            "centroid_id": cids[choice],
+            "n_vecs": 1,
+        }).groupby(["label", "centroid_id"], as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["label", "centroid_id"],
+                            {"n_vecs": "sum"}, num_shards=2).to_pandas()
+    return pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64)})
+
+
+def embedding_dim_covariance(sf_dir: str, top: int = 20):
+    """Top-|covariance| embedding dimension PAIRS — the redundancy
+    screen behind dimensionality reduction and whitening (two highly
+    covarying dims carry one dim of information).  Exact by the
+    integer-moment trick: with q = floor(float64(e)·10⁶) int64
+    (the kmeans/dim-variance contract), the covariance numerator
+    n·Σq_iq_j − Σq_i·Σq_j is an exact integer; pairs RANK by |num|
+    (an exact total order — ties → (dim_a, dim_b) ASC) and the single
+    emitted divide bridges both engines' correctly-rounded
+    int→double casts.  Scale shape: map-only per-batch moment partials
+    (Σq per dim + the 64×64 q^Tq matmul — bounded by dims², never
+    rows); the driver folds them in arbitrary-precision Python ints."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() trims to the logical slice (see kmeans_assign_step)
+        vals = e.flatten().to_numpy().astype(np.float64)
+        d = vals.size // len(tb) if len(tb) else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), d)
+        sqq = q.T @ q                      # (d, d) exact int64
+        sq = q.sum(axis=0)                 # (d,)
+        iu, ju = np.triu_indices(d, k=1)
+        rows = {
+            "i": np.concatenate([iu, np.arange(d), [-1]]),
+            "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+            "v": np.concatenate([sqq[iu, ju], sq, [len(tb)]]),
+        }
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["dim_a", "dim_b", "cov"]
+    if parts.empty:
+        return pd.DataFrame({
+            "dim_a": pd.Series([], dtype=np.int64),
+            "dim_b": pd.Series([], dtype=np.int64),
+            "cov": pd.Series([], dtype=np.float64)})
+    # fold in Python ints: exact at any corpus scale
+    parts["v"] = parts["v"].map(int)
+    fold = parts.groupby(["i", "j"], as_index=False)["v"].sum()
+    n = int(fold.loc[(fold["i"] == -1) & (fold["j"] == -1), "v"].iloc[0])
+    sq = {int(r.i): int(r.v)
+          for r in fold[(fold["j"] == -1) & (fold["i"] >= 0)].itertuples()}
+    den = float(n * n * 10**12)
+    pairs = []
+    for r in fold[(fold["i"] >= 0) & (fold["j"] >= 0)].itertuples():
+        num = n * int(r.v) - sq[int(r.i)] * sq[int(r.j)]
+        pairs.append((abs(num), int(r.i) + 1, int(r.j) + 1, num))
+    pairs.sort(key=lambda t: (-t[0], t[1], t[2]))
+    pairs = pairs[:top]
+    return pd.DataFrame({
+        "dim_a": np.array([p[1] for p in pairs], dtype=np.int64),
+        "dim_b": np.array([p[2] for p in pairs], dtype=np.int64),
+        "cov": np.array([float(p[3]) / den for p in pairs],
+                        dtype=np.float64)}, columns=cols)
+
+
+def triplet_margin_census(sf_dir: str, k: int = 8):
+    """Per-anchor TRIPLET MARGIN over the embedding table: for each of
+    the k lowest-vec_id anchor vectors, the gap between its nearest
+    DIFFERENT-label neighbor and its nearest SAME-label neighbor
+    (margin > 0 ⇔ the anchor's label is locally separable) — the
+    metric-learning / label-noise eval that decides whether embeddings
+    support label-balanced curation.  Reuses ``kmeans_assign_step``'s
+    integer-exact contract verbatim: floor(float64(e)·10⁶) int64
+    quantization, pure-int64 squared distances, so every min and the
+    margin are bit-deterministic; anchors with no same-label peer emit
+    NULL (exact emptiness, not a sentinel).  Scale shape: the anchor
+    matrix broadcasts via closure (~4 KB); per-batch partial mins per
+    (anchor, side) bound every batch's contribution at 2k rows; the
+    driver folds only that table."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    A = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)                     # (k, dims)
+    aids = cand["vec_id"].to_numpy(np.int64)
+    alabels = cand["label"].to_numpy(np.int64)
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        # flatten() (NOT .values): sliced batches carry a list offset
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), A.shape[1])
+        vids = tb["vec_id"].to_numpy().astype(np.int64)
+        labs = tb["label"].to_numpy().astype(np.int64)
+        d = q @ (-2 * A.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (A * A).sum(axis=1)                        # (n, k) exact
+        rows = {"anchor_id": [], "side": [], "d2": []}
+        for j in range(len(aids)):
+            same = (labs == alabels[j]) & (vids != aids[j])
+            diff = labs != alabels[j]
+            if same.any():
+                rows["anchor_id"].append(aids[j])
+                rows["side"].append(0)
+                rows["d2"].append(int(d[same, j].min()))
+            if diff.any():
+                rows["anchor_id"].append(aids[j])
+                rows["side"].append(1)
+                rows["d2"].append(int(d[diff, j].min()))
+        return pd.DataFrame({
+            "anchor_id": pd.Series(rows["anchor_id"], dtype=np.int64),
+            "side": pd.Series(rows["side"], dtype=np.int64),
+            "d2": pd.Series(rows["d2"], dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = (parts.groupby(["anchor_id", "side"], as_index=False)
+              ["d2"].min()) if not parts.empty else parts
+    rows = []
+    for j in range(len(aids)):
+        same = folded[(folded["anchor_id"] == aids[j])
+                      & (folded["side"] == 0)]["d2"] \
+            if len(folded) else pd.Series([], dtype=np.int64)
+        diff = folded[(folded["anchor_id"] == aids[j])
+                      & (folded["side"] == 1)]["d2"] \
+            if len(folded) else pd.Series([], dtype=np.int64)
+        ds_ = int(same.iloc[0]) if len(same) else None
+        dd = int(diff.iloc[0]) if len(diff) else None
+        rows.append({
+            "anchor_id": int(aids[j]), "label": int(alabels[j]),
+            "d2_same": ds_, "d2_diff": dd,
+            "margin": (dd - ds_) if ds_ is not None and dd is not None
+            else None})
+    out = pd.DataFrame(rows, columns=[
+        "anchor_id", "label", "d2_same", "d2_diff", "margin"])
+    return out
+
+
+def ivf_recall_census(sf_dir: str, k: int = 8, topk: int = 10):
+    """EXACT-ORACLED recall@10 curve of an IVF probe sweep — the
+    measurement that upgrades the approximate-ANN story beyond
+    rows-only checks: for each of the 4 lowest-vec_id query vectors
+    and n_probe ∈ {1, 2, 4}, the candidates are the vectors assigned
+    to the n_probe centroids nearest the query, and recall is
+    |IVF top-10 ∩ exact top-10| / 10.  Everything rides
+    ``kmeans_assign_step``'s INTEGER-exact quantizer contract
+    (floor(float64(e)·10⁶) int64 coords, pure-int squared distances,
+    ties → lowest centroid id / vec_id), so assignment, probe order,
+    both top-10 sets and every recall value are bit-deterministic and
+    fully SQL-expressible.  (The production IVF path — ``ann_topk_ivf``
+    — keeps its float k-means quantizer and pruned-directory reads;
+    THIS census is its measurement twin on the deterministic
+    quantizer.)  Scale shape: centroids + queries broadcast via
+    closure; per-batch partial top-10 per (query, probe-level) bounds
+    every batch at (1+3)×4×10 rows + 12 count partials; the driver
+    folds only that table — the corpus never moves."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    nq = 4
+    probes = (1, 2, 4)
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    C = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    Q = C[:nq]                       # queries = 4 lowest vec_ids
+    qids = cids[:nq]
+
+    # probe order per query: centroids by (int distance, cid) asc
+    qc = Q @ (-2 * C.T)
+    qc += (Q * Q).sum(axis=1, keepdims=True)
+    qc += (C * C).sum(axis=1)
+    # stable sort ties → lowest index = lowest cid (C rows cid-ascending)
+    probe_rank = np.argsort(qc, axis=1, kind="stable")
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        m = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        vids = tb["vec_id"].to_numpy().astype(np.int64)
+        dcent = m @ (-2 * C.T)
+        dcent += (m * m).sum(axis=1, keepdims=True)
+        dcent += (C * C).sum(axis=1)
+        assign = np.argmin(dcent, axis=1)        # ties → lowest cid
+        dq = m @ (-2 * Q.T)
+        dq += (m * m).sum(axis=1, keepdims=True)
+        dq += (Q * Q).sum(axis=1)                # (n, nq)
+        rows = {"qid": [], "p": [], "vec_id": [], "d2": [], "cnt": []}
+        for qi in range(nq):
+            dqi = dq[:, qi]
+            top = np.lexsort((vids, dqi))[:topk]  # exact partial
+            for t in top:
+                rows["qid"].append(qids[qi]); rows["p"].append(0)
+                rows["vec_id"].append(vids[t])
+                rows["d2"].append(int(dqi[t])); rows["cnt"].append(0)
+            for p in probes:
+                pset = probe_rank[qi, :p]
+                mask = np.isin(assign, pset)
+                rows["qid"].append(qids[qi]); rows["p"].append(p)
+                rows["vec_id"].append(-1); rows["d2"].append(0)
+                rows["cnt"].append(int(mask.sum()))
+                idx = np.flatnonzero(mask)
+                top = idx[np.lexsort((vids[idx], dqi[idx]))[:topk]]
+                for t in top:
+                    rows["qid"].append(qids[qi]); rows["p"].append(p)
+                    rows["vec_id"].append(vids[t])
+                    rows["d2"].append(int(dqi[t])); rows["cnt"].append(0)
+        return pd.DataFrame({
+            "qid": pd.Series(rows["qid"], dtype=np.int64),
+            "p": pd.Series(rows["p"], dtype=np.int64),
+            "vec_id": pd.Series(rows["vec_id"], dtype=np.int64),
+            "d2": pd.Series(rows["d2"], dtype=np.int64),
+            "cnt": pd.Series(rows["cnt"], dtype=np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qi in range(nq):
+        qid = int(qids[qi])
+        pe = parts[(parts["qid"] == qid) & (parts["p"] == 0)
+                   & (parts["vec_id"] >= 0)]
+        pe = pe.sort_values(["d2", "vec_id"], kind="stable").head(topk)
+        exact = set(pe["vec_id"].tolist())
+        for p in probes:
+            pp = parts[(parts["qid"] == qid) & (parts["p"] == p)]
+            ncand = int(pp["cnt"].sum())
+            ap = pp[pp["vec_id"] >= 0].sort_values(
+                ["d2", "vec_id"], kind="stable").head(topk)
+            hits = len(exact & set(ap["vec_id"].tolist()))
+            out_rows.append({
+                "query_id": qid, "n_probe": p,
+                "n_candidates": ncand, "hits": hits,
+                # denominator follows topk (the oracle SQL is pinned
+                # to the default topk=10 — non-default calls are
+                # engine-only but still self-consistent)
+                "recall": hits / float(topk)})
+    return pd.DataFrame(out_rows, columns=[
+        "query_id", "n_probe", "n_candidates", "hits", "recall"])
+
+
+def residual_quantization_census(sf_dir: str, k: int = 8):
+    """TWO-LEVEL residual quantization (RQ) census over the embedding
+    table — the modern ANN/compression primitive one step past
+    ``pq_assign_step``: level 1 assigns each vector to a coarse
+    centroid, level 2 quantizes the RESIDUAL against a residual
+    codebook, and the census reports per (centroid, code) cell counts
+    plus mean final distortion (how much of the coarse error the
+    residual codebook recovers).  Determinism is
+    ``kmeans_assign_step``'s integer contract throughout: coarse
+    centroids = the k lowest-vec_id vectors; the residual codebook =
+    the residuals of vec_ids ranked k..2k−1 against THEIR coarse
+    assignment (the k lowest would be their own centroids — residual
+    zero); residuals, both argmins (ties → lowest id) and the
+    distortion sums are pure int64.  Map-only assignment; per-batch
+    (centroid, code, n, Σd²) partials bound every batch at k² rows."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    k2 = 2 * k
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k2]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k2)
+    M = np.floor(np.stack([np.asarray(e, dtype=np.float64)
+                           for e in cand["embedding"]]) * 1e6
+                 ).astype(np.int64)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    C, cids = M[:k], ids[:k]
+    S = M[k:k2]                      # residual-codebook seed vectors
+
+    def _assign(mat: np.ndarray) -> np.ndarray:
+        d = mat @ (-2 * C.T)
+        d += (mat * mat).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        return np.argmin(d, axis=1)  # ties → lowest cid (row order)
+
+    R = S - C[_assign(S)]            # residual codebook (k × dims)
+    rids = ids[k:k2]
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        m = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        a = _assign(m)
+        r = m - C[a]
+        d2 = r @ (-2 * R.T)
+        d2 += (r * r).sum(axis=1, keepdims=True)
+        d2 += (R * R).sum(axis=1)
+        b = np.argmin(d2, axis=1)    # ties → lowest code id (row order)
+        best = d2[np.arange(len(m)), b]
+        g = pd.DataFrame({"centroid_id": cids[a], "code_id": rids[b],
+                          "n_vecs": 1, "sum_d2": best}).groupby(
+            ["centroid_id", "code_id"], as_index=False).sum()
+        return g.astype({"n_vecs": np.int64, "sum_d2": np.int64})
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["centroid_id", "code_id"],
+        {"n_vecs": "sum", "sum_d2": "sum"}, num_shards=2).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "centroid_id": pd.Series([], dtype=np.int64),
+            "code_id": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "mean_residual_d2": pd.Series([], dtype=np.float64)})
+    agg = agg.groupby(["centroid_id", "code_id"], as_index=False).sum()
+    return pd.DataFrame({
+        "centroid_id": agg["centroid_id"].astype(np.int64),
+        "code_id": agg["code_id"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "mean_residual_d2": (agg["sum_d2"].astype(np.float64)
+                             / agg["n_vecs"].to_numpy(np.int64))})
+
+
+def embedding_dim_drift(sf_dir: str):
+    """Per-dimension mean shift between the FIRST and SECOND half of
+    the embedding table (split at the median vec_id — ingestion order)
+    — the embedding-drift check run before mixing two export batches
+    (a systematic per-dim shift means the encoder or its input
+    distribution moved).  Exactness: halves are an integer vec_id
+    threshold; per-half per-dim sums of the floor(·10⁶) int64 coords
+    are exact, the shift n₁·S₂ᵈ − n₂·S₁ᵈ is an exact cross-multiplied
+    integer (sign = exact drift direction), and the emitted value is
+    ONE VARCHAR-bridged divide by n₁·n₂.  Map-only (dim, half)
+    partials bounded by 2×dims per batch; tiny driver fold."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    # integer split point: median vec_id = the pinned quantile over
+    # ids — computed with one tiny aggregate pass (ids are driver-safe
+    # as a COUNT, not a collect: use the halfway rank via sort-free
+    # min/max? ids are dense 0..n-1 in the fixtures, but don't assume:
+    # collect per-batch (min, max, count) partials and split at
+    # floor((min+max)/2) — a deterministic integer rule on both sides.
+    def minmax(tb: pa.Table) -> pd.DataFrame:
+        ids = tb["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "lo": [int(ids.min())], "hi": [int(ids.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    split = (lo + hi) // 2  # first half: vec_id <= split
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        dims = vals.size // max(n, 1) if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, dims)
+        first = tb["vec_id"].to_numpy().astype(np.int64) <= split
+        out = []
+        for half, mask in ((0, first), (1, ~first)):
+            if mask.any():
+                out.append(pd.DataFrame({
+                    "dim": np.arange(1, dims + 1, dtype=np.int64),
+                    "half": np.int64(half),
+                    "n": np.int64(int(mask.sum())),
+                    "s": q[mask].sum(axis=0)}))
+        if not out:
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype=np.int64),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    agg = sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim", "half"], {"n": "sum", "s": "sum"},
+        num_shards=2).to_pandas()
+    cols = ["dim", "n_first", "n_second", "drift"]
+    if agg.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "n_first": pd.Series([], dtype=np.int64),
+            "n_second": pd.Series([], dtype=np.int64),
+            "drift": pd.Series([], dtype=np.float64)})
+    agg = agg.groupby(["dim", "half"], as_index=False).sum()
+    # per-batch `n` repeats per dim — normalize to per-half totals
+    rows = []
+    for dim, g in agg.groupby("dim"):
+        h0 = g[g["half"] == 0]
+        h1 = g[g["half"] == 1]
+        n1 = int(h0["n"].iloc[0]) if len(h0) else 0
+        n2 = int(h1["n"].iloc[0]) if len(h1) else 0
+        s1 = int(h0["s"].iloc[0]) if len(h0) else 0
+        s2 = int(h1["s"].iloc[0]) if len(h1) else 0
+        num = n1 * s2 - n2 * s1
+        den = n1 * n2
+        rows.append({
+            "dim": int(dim), "n_first": n1, "n_second": n2,
+            "drift": (float(num) / float(den) / 1e6) if den else
+            np.nan})
+    return pd.DataFrame(rows, columns=cols)
+
+
+def centroid_purity(sf_dir: str):
+    """Cluster-purity census per label: how many of a label's vectors
+    sit strictly CLOSER to some rival label's centroid than to their
+    own — the mislabel/collapse screen one step past
+    ``label_centroid_separation``.  EXACT by cross-multiplied integers:
+    with per-label quantized sums S and counts n (floor(float64·10⁶)
+    int64), dist²-to-centroid comparisons reduce to
+    D_a·n_b² vs D_b·n_a² where D_x = Σ_d (q_d·n_x − S_{x,d})² is a
+    pure bigint — no division, no float, ties are NOT violations on
+    both sides.  Scale shape: per-batch (label, dim) sum partials fold
+    to the labels×dims moment table (bounded, broadcast back via
+    closure); the violation pass is MAP-ONLY with per-batch
+    (label, n, viol) integer partials."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+
+    def moment_partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        lab = tb["label"].to_numpy()
+        df = pd.DataFrame({"label": np.repeat(lab, d),
+                           "dim": np.tile(np.arange(d), n),
+                           "s": q.ravel(), "cnt": 0})
+        g = df.groupby(["label", "dim"], as_index=False)["s"].sum()
+        cnt = pd.DataFrame({"label": lab}).groupby(
+            "label", as_index=False).size().rename(
+            columns={"size": "s"})
+        cnt["dim"] = -1
+        return pd.concat([g, cnt[["label", "dim", "s"]]],
+                         ignore_index=True)
+
+    mom = ds.map_batches(moment_partial,
+                         batch_format="pyarrow").to_pandas()
+    if mom.empty:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "n_violations": pd.Series([], dtype=np.int64)})
+    mom = mom.groupby(["label", "dim"], as_index=False)["s"].sum()
+    counts = {int(r.label): int(r.s)
+              for r in mom[mom["dim"] == -1].itertuples()}
+    labels = sorted(counts)
+    dims = int(mom["dim"].max()) + 1
+    S = {lb: np.zeros(dims, dtype=np.int64) for lb in labels}
+    for r in mom[mom["dim"] >= 0].itertuples():
+        S[int(r.label)][int(r.dim)] = int(r.s)
+
+    def violations(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        lab = tb["label"].to_numpy()
+        rows = []
+        for i in range(n):
+            a = int(lab[i])
+            qa = [int(v) for v in q[i]]
+            def dist_num(lb):
+                nb, sb = counts[lb], S[lb]
+                return sum((qv * nb - int(sv)) ** 2
+                           for qv, sv in zip(qa, sb))
+            da = dist_num(a)
+            na2 = counts[a] * counts[a]
+            viol = any(
+                dist_num(b) * na2 < da * counts[b] * counts[b]
+                for b in labels if b != a)
+            rows.append((a, 1, 1 if viol else 0))
+        out = pd.DataFrame(rows, columns=["label", "n_vecs",
+                                          "n_violations"])
+        return out.groupby("label", as_index=False).sum()
+
+    parts = ds.map_batches(violations, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label", as_index=False).sum()
+    return pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "n_vecs": agg["n_vecs"].astype(np.int64),
+        "n_violations": agg["n_violations"].astype(np.int64)})
+
+
+def embedding_dup_vectors(sf_dir: str):
+    """Exact duplicate-VECTOR census over the embedding table (group by
+    the raw float32 payload, bit-equality): repeated vectors are the
+    classic symptom of an upstream encoder cache bug or collapsed
+    inputs, and they silently distort ANN recall evals.  Per batch each
+    row's raw little-endian float32 bytes hash to a 128-bit md5 key —
+    DuckDB cannot reproduce THAT hash, so the oracle groups by the
+    list VALUE itself (true bit-equality), which checks the engine's
+    digest contract.  Only (keep_id, count) digest partials leave the
+    map; one digest-keyed exchange finishes groups."""
+    import hashlib
+
+    from ..stages.shard import sharded_map_groups
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float32)
+        n = len(tb)
+        d = vals.size // n if n else 0
+        mat = vals.reshape(n, d)
+        ids = tb["vec_id"].to_numpy()
+        h1 = np.empty(n, dtype=np.int64)
+        h2 = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            dig = hashlib.md5(mat[i].tobytes()).digest()
+            h1[i] = int.from_bytes(dig[:8], "big", signed=True)
+            h2[i] = int.from_bytes(dig[8:], "big", signed=True)
+        g = pd.DataFrame({"h1": h1, "h2": h2, "vec_id": ids,
+                          "cnt": 1}).groupby(["h1", "h2"],
+                                             as_index=False).agg(
+            keep_id=("vec_id", "min"), cnt=("cnt", "sum"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        g = shard.groupby(["h1", "h2"], as_index=False).agg(
+            keep_id=("keep_id", "min"), n_dups=("cnt", "sum"))
+        g = g[g["n_dups"] >= 2]
+        return pd.DataFrame({
+            "keep_id": g["keep_id"].astype(np.int64),
+            "n_dups": g["n_dups"].astype(np.int64)})
+
+    return sharded_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h1", "h2"], combine)
+
+
+def knn_indegree_census(sf_dir: str):
+    """Exact 1-NN in-degree (hubness) census over the embedding table:
+    for every vector, find its nearest OTHER vector under the integer-
+    quantized squared distance (the kmeans_assign_step contract:
+    floor(float64(e)·10⁶) int64 coordinates ⇒ exact distances and a
+    bit-deterministic argmin, ties → lowest vec_id), then histogram
+    how often each vector is chosen — hubs (high in-degree) and
+    orphans (in-degree 0) are the classic curse-of-dimensionality
+    diagnostics run before trusting an ANN index.  All-pairs exact is
+    the BOUNDED-PANEL baseline (O(n²) by definition, like ann_topk's
+    brute path — the labeled ground truth); at corpus scale the same
+    census runs over ann_topk_ivf's probed candidates instead.  Plan:
+    one bounded collect builds the (n, d) int64 reference matrix
+    (ray.put-style broadcast via closure), assignment is a map-only
+    integer matmul per batch, in-degrees fold in ONE nbr-keyed
+    exchange and the tiny histogram in a second; the in-degree-0 bin
+    is n − |chosen| (never materializes per-vector rows on the
+    driver)."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    ref = ds.to_pandas().sort_values("vec_id", kind="stable")
+    ids = ref["vec_id"].to_numpy(np.int64)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in ref["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)          # (n, d)
+    c_sq = (C * C).sum(axis=1)
+    n_total = int(ids.size)
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(
+            len(tb), C.shape[1])
+        own = tb["vec_id"].to_numpy().astype(np.int64)
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += c_sq
+        d[own[:, None] == ids[None, :]] = np.iinfo(np.int64).max
+        choice = np.argmin(d, axis=1)  # first min = lowest vec_id
+        g = pd.DataFrame({"nbr": ids[choice], "cnt": 1}).groupby(
+            "nbr", as_index=False).sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    deg = sharded_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        "nbr", {"cnt": "sum"})
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"in_degree": b["cnt"].to_numpy(np.int64),
+                          "n_vecs": 1}).groupby(
+            "in_degree", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    hist = sharded_aggregate(
+        deg.map_batches(census, batch_format="pandas"),
+        "in_degree", {"n_vecs": "sum"}, num_shards=2).to_pandas()
+    n_chosen = int(hist["n_vecs"].sum()) if len(hist) else 0
+    zero = pd.DataFrame({"in_degree": [np.int64(0)],
+                         "n_vecs": [np.int64(n_total - n_chosen)]})
+    out = pd.concat([zero, hist], ignore_index=True)
+    out = out[out["n_vecs"] > 0]
+    return pd.DataFrame({
+        "in_degree": out["in_degree"].to_numpy(np.int64),
+        "n_vecs": out["n_vecs"].to_numpy(np.int64)})
+
+
+def kmeans_update_step(sf_dir: str, k: int = 8):
+    """The UPDATE half of one k-means iteration over the embedding
+    table (kmeans_assign_step is the assignment half): new centroid
+    coordinates as the mean of the integer-quantized coordinates of
+    the vectors assigned to each centroid.  The assignment inherits
+    kmeans_assign_step's bit-deterministic integer-argmin contract;
+    per-(centroid, dim) coordinate sums are exact int64 partials
+    (|q|≤2·10⁶ × corpus ≪ 2⁶³ per batch; bigint-safe in the fold), so
+    the ONE divide per coordinate is identical on both engines.
+    Map-only assignment + one tiny (centroid, dim)-keyed exchange
+    bounded by k×dims rows per batch — the token stream of embeddings
+    never shuffles."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+
+    def low_k(tb: pa.Table) -> pa.Table:
+        ids = tb["vec_id"].to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tb.take(pa.array(take))
+
+    cand = ds.map_batches(low_k, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in cand["embedding"]])
+    C = np.floor(emb * 1e6).astype(np.int64)
+    cids = cand["vec_id"].to_numpy(np.int64)
+    dims = C.shape[1]
+
+    def assign(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        d = q @ (-2 * C.T)
+        d += (q * q).sum(axis=1, keepdims=True)
+        d += (C * C).sum(axis=1)
+        choice = np.argmin(d, axis=1)
+        sums = np.zeros((k, dims), dtype=np.int64)
+        np.add.at(sums, choice, q)
+        cnt = np.bincount(choice, minlength=k).astype(np.int64)
+        used = cnt > 0
+        kk = int(used.sum())
+        return pd.DataFrame({
+            "centroid_id": np.repeat(cids[used], dims),
+            "dim": np.tile(np.arange(1, dims + 1, dtype=np.int64), kk),
+            "coord_sum": sums[used].ravel(),
+            "n_vecs": np.repeat(cnt[used], dims)})
+
+    parts = ds.map_batches(assign, batch_format="pyarrow")
+    agg = sharded_aggregate(parts, ["centroid_id", "dim"],
+                            {"coord_sum": "sum", "n_vecs": "sum"},
+                            num_shards=2)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "centroid_id": b["centroid_id"].to_numpy(np.int64),
+            "dim": b["dim"].to_numpy(np.int64),
+            "n_vecs": b["n_vecs"].to_numpy(np.int64),
+            "new_coord": b["coord_sum"].to_numpy(np.int64)
+                         / b["n_vecs"].to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def simhash_embedding_census(sf_dir: str, bits: int = 16):
+    """Random-hyperplane (sign-random-projection) SimHash over the
+    embedding table with an EXACT oracle — the hard-oracle anchor for
+    the rows-only embedding_neardup_lsh path (same family as
+    minhash_signatures_md5 anchoring MinHash): each vector's 16-bit
+    code comes from the SIGNS of its dot products with ±1 hyperplanes
+    derived bit-by-bit from splitmix64(dim), which the SQL side
+    reproduces in HUGEINT mod-2⁶⁴ arithmetic.  Dot products are exact
+    int64 (quantized coords × ±1), so every sign — and therefore every
+    bucket id — is bit-deterministic.  Map-only, no shuffle; emits the
+    full (vec_id, label, bucket) assignment for value-checking."""
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+
+    state = {}
+
+    def planes(dims: int) -> np.ndarray:
+        P = state.get(dims)
+        if P is None:
+            h = _splitmix64(np.arange(1, dims + 1, dtype=np.int64))
+            j = np.arange(bits, dtype=np.uint64)
+            P = (((h[:, None] >> j[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)          # (dims, bits) ±1
+            state[dims] = P
+        return P
+
+    def code(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        dims = vals.size // len(tb) if len(tb) else 0
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(len(tb), dims)
+        dot = q @ planes(dims)                        # (n, bits) exact
+        w = np.int64(1) << np.arange(bits, dtype=np.int64)
+        bucket = ((dot >= 0).astype(np.int64) * w).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": tb["vec_id"].to_numpy().astype(np.int64),
+            "label": tb["label"].to_numpy().astype(np.int64),
+            "bucket": bucket})
+
+    return ds.map_batches(code, batch_format="pyarrow")
+
+
+def _simhash_embedding_oracle(bits: int = 16) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings
+), dims AS (
+  SELECT DISTINCT dim FROM q
+), s1 AS (
+  SELECT dim, (CAST(dim AS HUGEINT) + 11400714819323198485)
+                % 18446744073709551616 AS z
+  FROM dims
+), s2 AS (
+  SELECT dim,
+         {_sql_mulmod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9)} AS z
+  FROM s1
+), s3 AS (
+  SELECT dim,
+         {_sql_mulmod64("xor(z, z // 134217728)", 0x94D049BB133111EB)} AS z
+  FROM s2
+), h AS (
+  SELECT dim, xor(z, z // 2147483648) AS h FROM s3
+), p AS (
+  SELECT dim, j.j,
+         (CAST((h // CAST(round(pow(2, j.j)) AS HUGEINT)) % 2 AS BIGINT)
+          * 2 - 1) AS sign
+  FROM h CROSS JOIN (
+    SELECT unnest(generate_series(0, {bits - 1})) AS j) j
+), dot AS (
+  SELECT q.vec_id, p.j, sum(q.qv * p.sign) AS dj
+  FROM q JOIN p USING (dim) GROUP BY 1, 2
+), b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dj >= 0
+                       THEN CAST(round(pow(2, j)) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dot GROUP BY vec_id
+)
+SELECT b.vec_id, CAST(e.label AS BIGINT) AS label, b.bucket
+FROM b JOIN embeddings e USING (vec_id)
+"""
+
+
+def pca_power_iteration_step(sf_dir: str):
+    """ONE power-iteration step toward the top principal direction of
+    the embedding table: w = Xᵀ(X·q₀) over quantized vectors — the
+    iterative-linear-algebra primitive (PCA/spectral init) expressed
+    as a Ray Data pass, sibling to kmeans_assign/update_step.  EXACT:
+    with q = floor(e·10⁶) int64 (the kmeans/dim-variance contract) and
+    the pinned ±1 Rademacher seed, each batch computes its (d,)-vector
+    partial w_b = qᵀ(q·s) as one int64 matmul pair (≤ ~10¹⁷ per batch)
+    and ships it hi/lo-SPLIT (w passes 2⁶³ near 10⁶ vectors; the
+    32-bit split keeps partials in BIGINT at any corpus size); the
+    driver folds ≤ dims × batches rows in Python bigints.  Emitted
+    per dim: the exact raw component (as its correctly-rounded double)
+    and the unit-norm loading — ONE divide by the √ of the exact
+    bigint Σw² on both engines.  Map-only: NO shuffle at all — the
+    all-to-all a naive per-dim groupby would pay collapses into a
+    dims-sized driver fold."""
+    import math
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        if n == 0:
+            return pd.DataFrame({
+                "dim": pd.Series([], dtype=np.int64),
+                "w_hi": pd.Series([], dtype=np.int64),
+                "w_lo": pd.Series([], dtype=np.int64)})
+        d = vals.size // n
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        sgn = np.where(np.arange(d) % 2 == 0, 1, -1).astype(np.int64)
+        w = q.T @ (q @ sgn)
+        return pd.DataFrame({
+            "dim": np.arange(1, d + 1, dtype=np.int64),
+            "w_hi": w >> 32, "w_lo": w & 0xFFFFFFFF})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.float64),
+            "loading": pd.Series([], dtype=np.float64)})
+    w = {}
+    for r in parts.itertuples():
+        w[int(r.dim)] = w.get(int(r.dim), 0) + (int(r.w_hi) << 32) \
+            + int(r.w_lo)
+    ss = sum(v * v for v in w.values())
+    nrm = math.sqrt(float(ss))
+    return pd.DataFrame(
+        [{"dim": np.int64(d), "w": float(v), "loading": float(v) / nrm}
+         for d, v in sorted(w.items())],
+        columns=["dim", "w", "loading"])
+
+
+def embedding_projection_histogram(sf_dir: str, bucket_width: int = 2_000_000):
+    """Distribution of the corpus along the pinned Rademacher seed
+    direction: an integer-bucketed histogram of the projections
+    dot_i = q_i·s — the 1-D shadow that screens for multi-modality
+    (two humps = two clusters along this axis) before anyone pays for
+    a full clustering.  Shares pca_power_iteration_step's exact
+    quantized matvec; buckets are floor-division ints (width 2·10⁶ in
+    q-units = 2.0 in embedding units), census counts exact.  Map-only
+    partials + one tiny bucket-keyed exchange."""
+    from ..stages.shard import sharded_aggregate
+
+    ds = _rd().read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(tb: pa.Table) -> pd.DataFrame:
+        e = tb["embedding"].combine_chunks()
+        vals = e.flatten().to_numpy().astype(np.float64)
+        n = len(tb)
+        if n == 0:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_vecs": pd.Series([], dtype=np.int64)})
+        d = vals.size // n
+        q = np.floor(vals * 1e6).astype(np.int64).reshape(n, d)
+        sgn = np.where(np.arange(d) % 2 == 0, 1, -1).astype(np.int64)
+        b = (q @ sgn) // bucket_width
+        g = pd.DataFrame({"bucket": b, "n_vecs": 1}).groupby(
+            "bucket", as_index=False).sum()
+        g["n_vecs"] = g["n_vecs"].astype(np.int64)
+        return g
+
+    return sharded_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", {"n_vecs": "sum"}, num_shards=2)

@@ -12,6 +12,16 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 SUBSET = [
+    "minhash_clusters",
+    "simhash_near_pairs",
+    "text_quality",
+    "lang_id_pred",
+    "doc_fingerprints",
+    "stationarity_by_source",
+    "tokens_chunks_1m",
+    "approx_top_users_by_type",
+    "ann_topk_ivf",
+    "embedding_neardup_lsh",
     "rollup_1m",
     "mstl_recon_1h",
     "rollup_1h",

@@ -585,7 +585,7 @@ class TestTokensNativeDuckDBOracles:
         import pycatcher_ray.queries as q
 
         monkeypatch.setattr(
-            q, "_tokens_paths", lambda sf_dir: tokens_paths
+            q.tokens, "_tokens_paths", lambda sf_dir: tokens_paths
         )
         got = (
             q.tokens_audit("ignored").to_pandas()
@@ -605,7 +605,7 @@ class TestTokensNativeDuckDBOracles:
         import pycatcher_ray.queries as q
 
         monkeypatch.setattr(
-            q, "_tokens_paths", lambda sf_dir: tokens_paths
+            q.tokens, "_tokens_paths", lambda sf_dir: tokens_paths
         )
         got = (
             q.tokens_length_stats("ignored").to_pandas()

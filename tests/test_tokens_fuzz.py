@@ -112,7 +112,7 @@ class TestTokensFuzz:
                                             tokens_fuzz_dir, monkeypatch):
         import pycatcher_ray.queries as q
 
-        monkeypatch.setattr(q, "tokens_input_dir",
+        monkeypatch.setattr(q.tokens, "tokens_input_dir",
                             lambda sf: tokens_fuzz_dir)
         # the rollup memo keys on sf_dir — make it unique per fuzz dir
         sf_token = tokens_fuzz_dir

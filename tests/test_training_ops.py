@@ -537,7 +537,7 @@ class TestTokenPrefixNovelty:
 
         import pycatcher_ray.queries as q
 
-        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        monkeypatch.setattr(q.tokens, "tokens_input_dir", lambda sf: str(d))
         got = q.token_prefix_novelty("ignored").to_pandas()
         got = got.sort_values(["source", "day"]).reset_index(drop=True)
         want = duckdb.connect().execute(
@@ -679,7 +679,7 @@ class TestTokenBigramTTRPlanted:
         d = tmp_path / "toks"
         d.mkdir()
         pq.write_table(tbl, str(d / "part-0.parquet"))
-        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        monkeypatch.setattr(q.tokens, "tokens_input_dir", lambda sf: str(d))
 
         got = q.token_bigram_ttr("ignored").to_pandas()
         got = got.sort_values("source").reset_index(drop=True)
@@ -737,7 +737,7 @@ class TestTokenLoopScorePlanted:
         d = tmp_path / "toks"
         d.mkdir()
         pq.write_table(tbl, str(d / "part-0.parquet"))
-        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        monkeypatch.setattr(q.tokens, "tokens_input_dir", lambda sf: str(d))
 
         got = q.token_loop_score("ignored").to_pandas()
         got = got.sort_values("source").reset_index(drop=True)
@@ -827,7 +827,7 @@ class TestTokenVocabTurnoverPlanted:
 
         import pycatcher_ray.queries as q
 
-        monkeypatch.setattr(q, "tokens_input_dir", lambda sf: str(d))
+        monkeypatch.setattr(q.tokens, "tokens_input_dir", lambda sf: str(d))
         got = q.token_vocab_turnover("ignored")
         got = got.sort_values(["source", "day"]).reset_index(drop=True)
         want = duckdb.connect().execute(
