@@ -347,7 +347,8 @@ FROM ranked WHERE rn <= 3
 """
 
 
-def approx_top_users_by_type(sf_dir: str, k: int = 3):
+def approx_top_users_by_type(sf_dir: str, k: int = 3,
+                             cap: int = 256):
     """Heavy-hitter sketch top-k with the sketch GUARANTEE asserted
     in-band (the ``approx_users_by_type`` pattern, verdict r4 item 1):
     ONE query runs BOTH the Space-Saving sketch path (per-batch
@@ -371,7 +372,6 @@ def approx_top_users_by_type(sf_dir: str, k: int = 3):
     from ..functions.heavyhitters import SpaceSaving
     from ..stages.shard import sharded_map_groups
 
-    cap = 256
 
     ds = _rd().read_parquet(
         os.path.join(sf_dir, "events.parquet"),
