@@ -2,7 +2,7 @@
 
 ``entry()`` runs the flagship events pipeline on sf0.001;
 ``queries()``/``oracle_sql()`` pair each implemented operator with a
-DuckDB oracle (see pycatcher_ray/queries.py).  Ray is initialised by the
+DuckDB oracle (see the pycatcher_ray/queries/ package).  Ray is initialised by the
 driver before this module is imported — nothing here calls ray.init().
 """
 
