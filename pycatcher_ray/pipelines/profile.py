@@ -52,7 +52,7 @@ def _tag(batch: pd.DataFrame) -> pd.DataFrame:
     """Tagged union of every metric's partial rows for one batch."""
     import polars as pl
 
-    from ..stages.dedup import _WORD_RE
+    from ..stages.dedup import batch_words
 
     # fillna BEFORE astype: astype(str) would stringify nulls to the
     # literal 'None'/'nan', diverging from the (t or '') convention the
@@ -81,15 +81,13 @@ def _tag(batch: pd.DataFrame) -> pd.DataFrame:
         "p_qpass": c["p_qpass"].astype(np.int64),
         "p_min": np.int64(0), "p_n": np.int64(0)}))
 
-    # kind 1: batch-local distinct (source, word)
-    srcs, words = [], []
-    for s, t in zip(src, text):
-        ws = set(_WORD_RE.findall(t.lower()))
-        srcs.extend([s] * len(ws))
-        words.extend(ws)
-    if words:
-        w = pd.DataFrame({"key": words, "source": srcs}
-                         ).drop_duplicates()
+    # kind 1: batch-local distinct (source, word) — bulk tokenize,
+    # one vectorized dedup (per-doc distinct ∘ cross-doc dedup ≡ one
+    # batch-level (word, source) dedup)
+    wflat, widx = batch_words(text)
+    if wflat.size:
+        w = pd.DataFrame({"key": wflat,
+                          "source": src[widx]}).drop_duplicates()
         frames.append(pd.DataFrame({
             "kind": np.int64(1), "key": w["key"], "source": w["source"],
             "p_docs": np.int64(0), "p_chars": np.int64(0),

@@ -28,6 +28,10 @@ from ._core import (
 )
 
 
+from ..stages.dedup import batch_split_ws as _batch_split_ws
+from ..stages.dedup import batch_words as _batch_words
+
+
 
 def doc_repetition(sf_dir: str, n: int = 3):
     """C4-style WITHIN-document repetition screen: per document, the
@@ -46,16 +50,9 @@ def doc_repetition(sf_dir: str, n: int = 3):
     ds = _documents(sf_dir)
 
     def per_doc(batch: pd.DataFrame) -> pd.DataFrame:
-        words, docs = [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            ws = [w for w in (text or "").split(" ") if w]
-            words.append(np.asarray(ws, dtype=object))
-            docs.append(np.full(len(ws), did, dtype=np.int64))
+        w, idx = _batch_split_ws(batch["text"])
+        d = batch["doc_id"].to_numpy(dtype=np.int64)[idx]
         cols = ["doc_id", "n_grams", "n_distinct", "rep_ratio"]
-        if not words:
-            return pd.DataFrame(columns=cols)
-        w = np.concatenate(words)
-        d = np.concatenate(docs)
         if w.size < n:
             return pd.DataFrame(columns=cols)
         ok = d[: w.size - n + 1] == d[n - 1:]
@@ -99,15 +96,8 @@ def boilerplate_phrases(sf_dir: str, n: int = 5, min_docs: int = 2):
         columns=["doc_id", "text"])
 
     def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        words, docs = [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            ws = [w for w in (text or "").split(" ") if w]
-            words.append(np.asarray(ws, dtype=object))
-            docs.append(np.full(len(ws), did, dtype=np.int64))
-        if not words:
-            return pd.DataFrame({"gram": [], "doc_id": [], "c": []})
-        w = np.concatenate(words)
-        d = np.concatenate(docs)
+        w, idx = _batch_split_ws(batch["text"])
+        d = batch["doc_id"].to_numpy(dtype=np.int64)[idx]
         if w.size < n:
             return pd.DataFrame({"gram": [], "doc_id": [], "c": []})
         ok = d[: w.size - n + 1] == d[n - 1:]
@@ -563,36 +553,27 @@ def vocab_stats_by_source(sf_dir: str):
     integer partials.  Words cross the exchange as strings here (exact
     = the oracle's contract); the 100-TB path swaps in the 128-bit
     content digest of dedup_exact with the same shape."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        srcs, words = [], []
-        tok: dict = {}
-        n_docs: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            tok[s] = tok.get(s, 0) + len(ws)
-            n_docs[s] = n_docs.get(s, 0) + 1
-            srcs.append(s)
-            words.append(ws)
-        flat = pd.DataFrame({
-            "source": np.repeat(np.asarray(srcs, dtype=object),
-                                [len(w) for w in words]),
-            "w": np.concatenate([np.asarray(w, dtype=object)
-                                 for w in words]) if words else
-                 np.array([], dtype=object),
-        }).drop_duplicates()
+        w, idx = _batch_words(batch["text"])
+        src = batch["source"].to_numpy(dtype=object)
+        flat = pd.DataFrame({"source": src[idx],
+                             "w": w}).drop_duplicates()
         flat["p_tok"] = 0
         flat["p_docs"] = 0
-        counters = pd.DataFrame({
-            "source": list(tok),
-            "w": "",  # the word regex never matches empty — no collision
-            "p_tok": [tok[s] for s in tok],
-            "p_docs": [n_docs[s] for s in tok],
-        })
+        docc = pd.DataFrame({"source": src}).groupby(
+            "source", as_index=False).size().rename(
+            columns={"size": "p_docs"})
+        tokc = pd.DataFrame({"source": src[idx]}).groupby(
+            "source", as_index=False).size().rename(
+            columns={"size": "p_tok"})
+        counters = docc.merge(tokc, on="source", how="left")
+        counters["p_tok"] = counters["p_tok"].fillna(0).astype(np.int64)
+        counters["p_docs"] = counters["p_docs"].astype(np.int64)
+        counters["w"] = ""  # word regex never matches empty — no collision
         return pd.concat([flat, counters], ignore_index=True)
 
     tagged = ds.map_batches(tag, batch_format="pandas")
@@ -642,22 +623,15 @@ def vocab_jaccard_sources(sf_dir: str):
     pair/count table.  Jaccard = inter / (|A| + |B| − inter) as ONE
     int/int divide — bit-deterministic; pairs with zero shared words
     are omitted on both sides."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        srcs, words = [], []
-        for s, t in zip(batch["source"], batch["text"]):
-            srcs.append(s)
-            words.append(_WORD_RE.findall((t or "").lower()))
+        w, idx = _batch_words(batch["text"])
         return pd.DataFrame({
-            "source": np.repeat(np.asarray(srcs, dtype=object),
-                                [len(w) for w in words]),
-            "w": (np.concatenate([np.asarray(w, dtype=object)
-                                  for w in words])
-                  if words else np.array([], dtype=object)),
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w,
         }).drop_duplicates()
 
     tagged = ds.map_batches(tag, batch_format="pandas")
@@ -752,32 +726,24 @@ def bigram_pmi(sf_dir: str, min_count: int = 5):
     bit-deterministic in both engines (int64 products stay < 2^63 at
     bench scale; the 100-TB path promotes to float products, losing
     only last-ulp)."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("text",))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        w1s, w2s, unis = [], [], []
-        for t in batch["text"]:
-            ws = _WORD_RE.findall((t or "").lower())
-            if ws:
-                unis.append(np.asarray(ws, dtype=object))
-            if len(ws) >= 2:
-                a = np.asarray(ws, dtype=object)
-                w1s.append(a[:-1])
-                w2s.append(a[1:])
-        uni = (pd.Series(np.concatenate(unis)) if unis
-               else pd.Series([], dtype=object))
-        ucnt = uni.value_counts()
+        w, idx = _batch_words(batch["text"])
+        ucnt = pd.Series(w, dtype=object).value_counts()
         out_u = pd.DataFrame({
             "w1": ucnt.index.to_numpy(dtype=object), "w2": "",
             "p_n": ucnt.to_numpy(dtype=np.int64)})
-        if w1s:
-            bi = pd.DataFrame({"w1": np.concatenate(w1s),
-                               "w2": np.concatenate(w2s)})
+        # within-doc adjacency only: mask out pairs crossing doc rows
+        ok = (idx[:-1] == idx[1:]) if w.size >= 2 else np.array([],
+                                                               dtype=bool)
+        if ok.any():
+            bi = pd.DataFrame({"w1": w[:-1][ok], "w2": w[1:][ok]})
             out_b = bi.groupby(["w1", "w2"], as_index=False).size().rename(
                 columns={"size": "p_n"})
+            out_b["p_n"] = out_b["p_n"].astype(np.int64)
         else:
             out_b = pd.DataFrame({"w1": pd.Series([], dtype=object),
                                   "w2": pd.Series([], dtype=object),
@@ -866,23 +832,15 @@ def vocab_gini_by_source(sf_dir: str):
     their word strings and ride a source-keyed exchange into the
     per-source fold.  Word rule = the shared ``_WORD_RE`` + lower()
     convention (vocab_stats_by_source contract)."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        srcs, words = [], []
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            srcs.append(s)
-            words.append(ws)
+        w, idx = _batch_words(batch["text"])
         flat = pd.DataFrame({
-            "source": np.repeat(np.asarray(srcs, dtype=object),
-                                [len(w) for w in words]),
-            "w": np.concatenate([np.asarray(w, dtype=object)
-                                 for w in words]) if words else
-                 np.array([], dtype=object)})
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w})
         g = flat.groupby(["source", "w"], as_index=False).size()
         g["size"] = g["size"].astype(np.int64)
         return g.rename(columns={"size": "c"})
@@ -924,21 +882,20 @@ def word_length_by_lang(sf_dir: str):
     shuffles.  The mean is ONE int/int double divide (rational-rate
     rule); the word regex is the shared ``_WORD_RE`` convention of
     vocab_stats_by_source / dedup (dedup.py:52)."""
-    from ..stages.dedup import _WORD_RE
 
     ds = _documents(sf_dir, ("lang", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words: dict = {}
-        chars: dict = {}
-        for lang, t in zip(batch["lang"], batch["text"]):
-            ws = _WORD_RE.findall(t or "")
-            words[lang] = words.get(lang, 0) + len(ws)
-            chars[lang] = chars.get(lang, 0) + sum(len(w) for w in ws)
-        return pd.DataFrame({
-            "lang": list(words),
-            "p_words": [words[k] for k in words],
-            "p_chars": [chars[k] for k in words]})
+        w, idx = _batch_words(batch["text"], lower=False)
+        g = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(dtype=object)[idx],
+            "wl": pd.Series(w, dtype=object).str.len()
+                    .to_numpy(dtype=np.int64),
+        }).groupby("lang", as_index=False).agg(
+            p_words=("wl", "size"), p_chars=("wl", "sum"))
+        g["p_words"] = g["p_words"].astype(np.int64)
+        g["p_chars"] = g["p_chars"].astype(np.int64)
+        return g
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     if parts.empty:
@@ -1094,28 +1051,27 @@ def zipf_head_coverage(sf_dir: str, k: int = 10):
     k break (count DESC, word ASC) on both engines; coverage is ONE
     int/int divide.
     NOTE: the paired oracle hardcodes k=10."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        cnt: dict = {}
-        tok: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            tok[s] = tok.get(s, 0) + len(ws)
-            for w in ws:
-                key = (s, w)
-                cnt[key] = cnt.get(key, 0) + 1
-        rows = pd.DataFrame({
-            "source": [s for s, _ in cnt],
-            "w": [w for _, w in cnt],
-            "c": list(cnt.values())})
-        counters = pd.DataFrame({
-            "source": list(tok),
-            "w": "",  # word regex never matches empty — no collision
-            "c": [tok[s] for s in tok]})
+        w, idx = _batch_words(batch["text"])
+        if not w.size:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        flat = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w})
+        rows = flat.groupby(["source", "w"], as_index=False).size(
+            ).rename(columns={"size": "c"})
+        counters = flat.groupby("source", as_index=False).size(
+            ).rename(columns={"size": "c"})
+        counters["w"] = ""  # word regex never matches empty — no collision
+        rows["c"] = rows["c"].astype(np.int64)
+        counters["c"] = counters["c"].astype(np.int64)
         return pd.concat([rows, counters], ignore_index=True)
 
     tagged = ds.map_batches(tag, batch_format="pandas")
@@ -1167,22 +1123,21 @@ def stopword_density(sf_dir: str):
     (token, stopword) integer partials; sources are bounded so the
     driver folds a handful of rows; NO shuffle.  The share is ONE
     int/int divide."""
-    from ..stages.dedup import _WORD_RE
 
     stop = frozenset(_STOPWORDS)
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tok: dict = {}
-        ns: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            tok[s] = tok.get(s, 0) + len(ws)
-            ns[s] = ns.get(s, 0) + sum(1 for w in ws if w in stop)
-        return pd.DataFrame({
-            "source": list(tok),
-            "p_tok": [tok[s] for s in tok],
-            "p_stop": [ns[s] for s in tok]})
+        w, idx = _batch_words(batch["text"])
+        g = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "is_stop": pd.Series(w, dtype=object).isin(stop)
+                         .to_numpy(dtype=np.int64),
+        }).groupby("source", as_index=False).agg(
+            p_tok=("is_stop", "size"), p_stop=("is_stop", "sum"))
+        g["p_tok"] = g["p_tok"].astype(np.int64)
+        g["p_stop"] = g["p_stop"].astype(np.int64)
+        return g
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     if parts.empty:
@@ -1232,21 +1187,9 @@ def cross_source_contamination(sf_dir: str, n: int = 5):
     bench_src = mins["ms"].min()
 
     def gram_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        words, docs, srcs = [], [], []
-        for did, src, text in zip(batch["doc_id"], batch["source"],
-                                  batch["text"]):
-            ws = [w for w in (text or "").split(" ") if w]
-            words.append(np.asarray(ws, dtype=object))
-            docs.append(np.full(len(ws), did, dtype=np.int64))
-            srcs.append(np.full(len(ws), src, dtype=object))
-        if not words:
-            return pd.DataFrame({
-                "gram": pd.Series([], dtype=object),
-                "doc_id": pd.Series([], dtype=np.int64),
-                "source": pd.Series([], dtype=object)})
-        w = np.concatenate(words)
-        d = np.concatenate(docs)
-        s = np.concatenate(srcs)
+        w, idx = _batch_split_ws(batch["text"])
+        d = batch["doc_id"].to_numpy(dtype=np.int64)[idx]
+        s = batch["source"].to_numpy(dtype=object)[idx]
         if w.size < n:
             return pd.DataFrame({
                 "gram": pd.Series([], dtype=object),
@@ -1452,21 +1395,23 @@ def bottomk_jaccard_sources(sf_dir: str, k: int = 256):
     operator's posting-list join)."""
     import hashlib
 
-    from ..stages.dedup import _WORD_RE
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        seen: dict[str, set] = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            seen.setdefault(s, set()).update(
-                _WORD_RE.findall((t or "").lower()))
+        w, idx = _batch_words(batch["text"])
+        dd = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w}).drop_duplicates()
         srcs, hvs = [], []
-        for s, words in seen.items():
+        for s, g in dd.groupby("source", sort=False):
+            words = g["w"].to_numpy(dtype=object)
+            # md5 per distinct (source, word) — the oracle's hash
+            # convention; everything around it is bulk
             hv = np.fromiter(
-                (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                 for w in words),
-                dtype=np.uint64, count=len(words))
+                (int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "big")
+                 for x in words),
+                dtype=np.uint64, count=words.size)
             hv = np.unique(hv)[:k]  # sorted distinct → k smallest
             srcs.append(np.full(hv.size, s, dtype=object))
             hvs.append(hv)
@@ -1671,25 +1616,20 @@ def good_turing_unseen(sf_dir: str):
     exchange that finishes the global counts; each shard emits only
     (source, n_hapax, n_tokens) integer partials.  One int/int
     divide."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        srcs, words = [], []
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            srcs.append(np.full(len(ws), s, dtype=object))
-            words.append(np.asarray(ws, dtype=object))
-        if not srcs:
+        w, idx = _batch_words(batch["text"])
+        if not w.size:
             return pd.DataFrame({
                 "source": pd.Series([], dtype=object),
                 "w": pd.Series([], dtype=object),
                 "c": pd.Series([], dtype=np.int64)})
         g = pd.DataFrame({
-            "source": np.concatenate(srcs),
-            "w": np.concatenate(words),
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w,
             "c": 1}).groupby(["source", "w"], as_index=False).sum()
         g["c"] = g["c"].astype(np.int64)
         return g
@@ -1853,21 +1793,23 @@ def word_rank_stats(sf_dir: str):
     (source, word)-keyed exchange → the driver folds only the bounded
     vocab×sources table, computes the global rank total order once and
     emits O(sources) rows."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cnt: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            for w in _WORD_RE.findall((t or "").lower()):
-                key = (s, w)
-                cnt[key] = cnt.get(key, 0) + 1
-        return pd.DataFrame({
-            "source": pd.Series([k[0] for k in cnt], dtype=object),
-            "w": pd.Series([k[1] for k in cnt], dtype=object),
-            "cnt": pd.Series(list(cnt.values()), dtype=np.int64)})
+        w, idx = _batch_words(batch["text"])
+        if not w.size:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w}).groupby(["source", "w"], as_index=False).size(
+            ).rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
 
     parts = ds.map_batches(partial, batch_format="pandas")
     folded = sharded_aggregate(parts, ["source", "w"], {"cnt": "sum"},
@@ -2047,22 +1989,24 @@ def ams_f2_words(sf_dir: str, k: int = 8):
     contract)."""
     import hashlib
 
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate
 
     ds = _documents(sf_dir, ("source", "text"))
     kk = int(k)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cnt: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            for w in _WORD_RE.findall((t or "").lower()):
-                key = (s, w)
-                cnt[key] = cnt.get(key, 0) + 1
-        return pd.DataFrame({
-            "source": pd.Series([kx[0] for kx in cnt], dtype=object),
-            "w": pd.Series([kx[1] for kx in cnt], dtype=object),
-            "cnt": pd.Series(list(cnt.values()), dtype=np.int64)})
+        w, idx = _batch_words(batch["text"])
+        if not w.size:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w}).groupby(["source", "w"], as_index=False).size(
+            ).rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
 
     folded = sharded_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
@@ -2180,33 +2124,39 @@ def top_bigram_fraction(sf_dir: str):
     divide.  Per-doc counting is batch-local (the textops per-doc
     contract); only (source, docs, flagged) integer partials ride a
     tiny source-keyed exchange."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        docs: dict = {}
-        flg: dict = {}
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            if len(ws) < 2:
-                continue
-            cnt: dict = {}
-            for a, b in zip(ws[:-1], ws[1:]):
-                k = (a, b)
-                cnt[k] = cnt.get(k, 0) + 1
-            n = len(ws) - 1
-            cmax = max(cnt.values())
-            docs[s] = docs.get(s, 0) + 1
-            if 25 * cmax > 2 * n:
-                flg[s] = flg.get(s, 0) + 1
-        return pd.DataFrame({
-            "source": pd.Series(list(docs), dtype=object),
-            "n_docs": pd.Series([docs[s] for s in docs],
-                                dtype=np.int64),
-            "n_flagged": pd.Series([flg.get(s, 0) for s in docs],
-                                   dtype=np.int64)})
+        # shifted-array bigram build over the whole batch (the
+        # boilerplate_phrases gram idiom) + two groupbys — no per-doc
+        # or per-bigram Python
+        w, idx = _batch_words(batch["text"])
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "n_flagged": pd.Series([], dtype=np.int64)})
+        if w.size < 2:
+            return empty
+        ok = idx[:-1] == idx[1:]  # no bigram crosses a doc boundary
+        if not ok.any():
+            return empty
+        per = pd.DataFrame({
+            "row": idx[:-1][ok], "a": w[:-1][ok], "b": w[1:][ok],
+        }).groupby(["row", "a", "b"], as_index=False).size().groupby(
+            "row").agg(cmax=("size", "max"), n=("size", "sum"))
+        flagged = (25 * per["cmax"].to_numpy(dtype=np.int64)
+                   > 2 * per["n"].to_numpy(dtype=np.int64))
+        g = pd.DataFrame({
+            "source": batch["source"].to_numpy(dtype=object)[
+                per.index.to_numpy()],
+            "n_docs": np.int64(1),
+            "n_flagged": flagged.astype(np.int64),
+        }).groupby("source", as_index=False).sum()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_flagged"] = g["n_flagged"].astype(np.int64)
+        return g
 
     agg = sharded_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
@@ -2337,27 +2287,20 @@ def fleet_vocab_coverage(sf_dir: str, top_k: int = 100):
     splits covered/total integer mass per source.  Ties at the k
     boundary pinned (count DESC, word ASC) on both engines.  Word rule
     = the shared ``_WORD_RE`` + lower() convention."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate
 
     ds = _documents(sf_dir, ("source", "text"))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        srcs, words = [], []
-        for s, t in zip(batch["source"], batch["text"]):
-            ws = _WORD_RE.findall((t or "").lower())
-            srcs.append(s)
-            words.append(ws)
-        if not words:
+        w, idx = _batch_words(batch["text"])
+        if not w.size:
             return pd.DataFrame({
                 "source": pd.Series([], dtype=object),
                 "w": pd.Series([], dtype=object),
                 "c": pd.Series([], dtype=np.int64)})
         flat = pd.DataFrame({
-            "source": np.repeat(np.asarray(srcs, dtype=object),
-                                [len(w) for w in words]),
-            "w": np.concatenate([np.asarray(w, dtype=object)
-                                 for w in words])})
+            "source": batch["source"].to_numpy(dtype=object)[idx],
+            "w": w})
         g = flat.groupby(["source", "w"], as_index=False).size()
         g["size"] = g["size"].astype(np.int64)
         return g.rename(columns={"size": "c"})
@@ -2507,7 +2450,6 @@ def bloom_vocab_probe(sf_dir: str):
 
     import ray
 
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("source", "text"))
@@ -2519,13 +2461,11 @@ def bloom_vocab_probe(sf_dir: str):
             for r in range(_BLOOM_ROWS))
 
     def ref_bits(b: pd.DataFrame) -> pd.DataFrame:
-        idx = set()
-        for s, t in zip(b["source"], b["text"]):
-            if s != _BLOOM_REF:
-                continue
-            for w in set(_WORD_RE.findall((t or "").lower())):
-                idx.update(_bits_of(w))
-        return pd.DataFrame({"bit": pd.Series(sorted(idx),
+        w, _ = _batch_words(b.loc[b["source"] == _BLOOM_REF, "text"])
+        bits = set()
+        for word in pd.unique(w):  # md5 per DISTINCT word — the
+            bits.update(_bits_of(word))  # oracle's hash convention
+        return pd.DataFrame({"bit": pd.Series(sorted(bits),
                                               dtype=np.int64)})
 
     bits = ds.map_batches(ref_bits, batch_format="pandas").to_pandas()
@@ -2533,18 +2473,17 @@ def bloom_vocab_probe(sf_dir: str):
     bits_ref = ray.put(bitset)
 
     def tagged_words(b: pd.DataFrame) -> pd.DataFrame:
-        src_l, w_l, kind_l = [], [], []
-        for s, t in zip(b["source"], b["text"]):
-            ws = set(_WORD_RE.findall((t or "").lower()))
-            for w in ws:
-                src_l.append(s)
-                w_l.append(w)
-                kind_l.append(1 if s == _BLOOM_REF else 0)
-        return pd.DataFrame({
-            "source": pd.Series(src_l, dtype=object),
-            "w": pd.Series(w_l, dtype=object),
-            "kind": pd.Series(kind_l, dtype=np.int64),
+        w, idx = _batch_words(b["text"])
+        out = pd.DataFrame({
+            "source": pd.Series(
+                b["source"].to_numpy(dtype=object)[idx], dtype=object),
+            "w": pd.Series(w, dtype=object),
         }).drop_duplicates()
+        # kind is a function of source, so (source, w) dedup ≡ the old
+        # (source, w, kind) dedup
+        out["kind"] = (out["source"] == _BLOOM_REF).to_numpy(
+        ).astype(np.int64)
+        return out
 
     def probe(shard: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
@@ -2553,15 +2492,20 @@ def bloom_vocab_probe(sf_dir: str):
         shard = shard.drop_duplicates()
         ref = set(shard.loc[shard["kind"] == 1, "w"])
         pr = shard[shard["kind"] == 0].drop_duplicates(["source", "w"])
-        rows = []
-        for src, w in zip(pr["source"], pr["w"]):
-            hit = all(x in bs for x in _bits_of(w))
-            true = w in ref
-            rows.append((src, 1, int(hit), int(true),
-                         int(hit and true)))
-        out = pd.DataFrame(rows, columns=[
-            "source", "n_probed", "n_positive", "n_true",
-            "n_true_hits"])
+        # md5 probe once per DISTINCT word (the hash convention is
+        # per-word, so the verdict is too); membership bulk via isin
+        hit_by_w = {word: all(x in bs for x in _bits_of(word))
+                    for word in pd.unique(pr["w"].to_numpy(dtype=object))}
+        hit = pr["w"].map(hit_by_w).to_numpy(dtype=np.int64) \
+            if len(pr) else np.array([], dtype=np.int64)
+        true = pr["w"].isin(ref).to_numpy(dtype=np.int64) \
+            if len(pr) else np.array([], dtype=np.int64)
+        out = pd.DataFrame({
+            "source": pr["source"].to_numpy(dtype=object),
+            "n_probed": np.ones(len(pr), dtype=np.int64),
+            "n_positive": hit,
+            "n_true": true,
+            "n_true_hits": hit & true})
         if out.empty:
             return pd.DataFrame({
                 "source": pd.Series([], dtype=object),
@@ -2615,26 +2559,27 @@ def trending_words(sf_dir: str, top_k: int = 5):
     shard ranks its sources' bounded vocab vectors and emits ≤ top_k
     rows each; the corpus text never enters the second exchange.
     NOTE: the paired oracle SQL hardcodes top_k=5."""
-    from ..stages.dedup import _WORD_RE
     from ..stages.shard import sharded_aggregate, sharded_map_groups
 
     ds = _documents(sf_dir, ("doc_id", "source", "text"))
     mx = int(ds.max("doc_id"))
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
-        src_l, w_l, e_l, l_l = [], [], [], []
-        for did, s, t in zip(b["doc_id"], b["source"], b["text"]):
-            early = 2 * int(did) < mx
-            for w in set(_WORD_RE.findall((t or "").lower())):
-                src_l.append(s)
-                w_l.append(w)
-                e_l.append(1 if early else 0)
-                l_l.append(0 if early else 1)
+        w, idx = _batch_words(b["text"])
+        if not w.size:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "e": pd.Series([], dtype=np.int64),
+                "l": pd.Series([], dtype=np.int64)})
+        dd = pd.DataFrame({"row": idx, "word": w}).drop_duplicates()
+        rows = dd["row"].to_numpy()
+        early = 2 * b["doc_id"].to_numpy(dtype=np.int64)[rows] < mx
         out = pd.DataFrame({
-            "source": pd.Series(src_l, dtype=object),
-            "word": pd.Series(w_l, dtype=object),
-            "e": pd.Series(e_l, dtype=np.int64),
-            "l": pd.Series(l_l, dtype=np.int64)})
+            "source": b["source"].to_numpy(dtype=object)[rows],
+            "word": dd["word"].to_numpy(),
+            "e": early.astype(np.int64),
+            "l": (~early).astype(np.int64)})
         return out.groupby(["source", "word"], as_index=False).sum()
 
     counts = sharded_aggregate(

@@ -33,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "batch_words",
+    "batch_split_ws",
     "word_hashes",
     "shingle_set",
     "shingle_sets_batch",
@@ -80,6 +82,45 @@ def word_hashes(words: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(arr.dictionary),
     )
     return dict_hashes[arr.indices.to_numpy(zero_copy_only=False)]
+
+
+def batch_words(texts, lower: bool = True):
+    """Tokenize a whole batch with the shared ``_WORD_RE`` convention —
+    ONE compiled-regex findall per doc (the scan itself is C) and NO
+    per-word Python downstream.  Returns ``(flat_words, row_idx)``:
+    ``flat_words`` is an object ndarray of every token in batch order
+    and ``row_idx[i]`` is the batch row that produced
+    ``flat_words[i]`` — callers attribute tokens to their keys with
+    ``keys[row_idx]`` and count with vectorized groupby/isin kernels
+    instead of per-word dicts."""
+    from itertools import chain
+
+    if lower:
+        wlists = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    else:
+        wlists = [_WORD_RE.findall(t or "") for t in texts]
+    lens = np.fromiter(map(len, wlists), dtype=np.int64,
+                       count=len(wlists))
+    flat = np.array(list(chain.from_iterable(wlists)), dtype=object)
+    return flat, np.repeat(np.arange(lens.size), lens)
+
+
+def batch_split_ws(texts):
+    """Space-split a whole batch with Arrow kernels — exactly
+    ``[w for w in (t or '').split(' ') if w]`` per row with no per-doc
+    Python at all (split_pattern / list_flatten are offset-safe C
+    kernels).  Empty tokens (consecutive spaces, empty text) are
+    dropped AFTER row attribution so the (word, row) pairing stays
+    aligned.  Returns ``(flat_words, row_idx)`` like
+    ``batch_words``."""
+    t = pa.array(pd.Series(texts).fillna(""), type=pa.string())
+    toks = pc.split_pattern(t, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    idx = np.repeat(np.arange(lens.size), lens)[keep]
+    return words, idx
 
 
 def _gram_powers(k: int) -> np.ndarray:
