@@ -2520,3 +2520,33 @@ SELECT v.source, to_timestamp(v.d * 86400)::TIMESTAMP AS day,
 FROM v JOIN v vp ON vp.source = v.source AND vp.d = v.d - 1
 LEFT JOIN i ON i.source = v.source AND i.d = v.d
 """
+
+
+def tokens_flag_rule_1h(sf_dir: str, expected_cfg=None):
+    """In-band guard for the LOESS/MC-gated half of ``tokens_flags_1h``
+    (the iqr/zscore/mad members are already exact-oracled row streams):
+    the distributed STL + ESD flag streams over the native hourly
+    tokens tier vs a direct per-series application of the documented
+    rules (see detectors._flag_rule_guard).  One row per
+    (source, method in {stl, esd}): n_rows ★ from the synth parquet,
+    booleans pinned TRUE."""
+    from .detectors import _flag_rule_guard
+
+    return _flag_rule_guard(_tokens_rollup_1h(sf_dir), "source",
+                            (("stl", 48), ("esd", 20)),
+                            expected_cfg=expected_cfg)
+
+
+def _tokens_flag_rule_oracle() -> str:
+    return _tokens_oracle_cte() + """
+, r AS (
+  SELECT source, epoch_s - (epoch_s % 3600) AS b
+  FROM t GROUP BY 1, 2
+), g AS (
+  SELECT source, count(*) AS n_rows FROM r GROUP BY source
+)
+SELECT source, m.method, CAST(n_rows AS BIGINT) AS n_rows,
+       TRUE AS flags_match_rule, TRUE AS values_match_rule
+FROM g, (VALUES ('stl', 48), ('esd', 20)) AS m(method, min_n)
+WHERE n_rows >= m.min_n
+"""

@@ -1,0 +1,71 @@
+"""Flag-rule carrier guards (round-5 session 2): the LOESS/MC-gated
+flag queries get in-band driver signals via detectors._flag_rule_guard
+— the distributed detect stage's flag stream compared per (source,
+method) against a direct single-process application of the documented
+rule over an independently assembled series.  These tests hold the
+positive pins AND the negative knob: perturbing the EXPECTED side's
+thresholds (``expected_cfg``) must flip the booleans, proving they
+measure the comparison rather than decorate it."""
+
+import pandas as pd
+
+from pycatcher_ray.config import EngineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(ds) -> pd.DataFrame:
+    return ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+
+
+class TestFlagRuleGuards:
+    def test_stl_guard_true_on_clean_run(self, ray_session):
+        from pycatcher_ray.queries import stl_flag_rule_1h
+
+        out = _df(stl_flag_rule_1h(SF))
+        assert len(out) > 0
+        assert (out["method"] == "stl").all()
+        assert bool(out["flags_match_rule"].all())
+        assert bool(out["values_match_rule"].all())
+        assert (out["n_rows"] >= 48).all()
+
+    def test_mstl_and_esd_guards_true(self, ray_session):
+        from pycatcher_ray.queries import (esd_flag_rule_1h,
+                                           mstl_flag_rule_1h)
+
+        for fn in (mstl_flag_rule_1h, esd_flag_rule_1h):
+            out = _df(fn(SF))
+            assert len(out) > 0
+            assert bool(out["flags_match_rule"].all())
+            assert bool(out["values_match_rule"].all())
+
+    def test_tokens_guard_covers_both_methods(self, ray_session):
+        from pycatcher_ray.queries import tokens_flag_rule_1h
+
+        out = _df(tokens_flag_rule_1h(SF))
+        assert set(out["method"]) == {"stl", "esd"}
+        assert bool(out["flags_match_rule"].all())
+        assert bool(out["values_match_rule"].all())
+
+    def test_stl_guard_flips_with_crippled_expected_threshold(
+            self, ray_session):
+        """z/MAD thresholds near zero on the EXPECTED side flag almost
+        every bucket, so the stage (real thresholds) can no longer
+        match — flags_match_rule must go False somewhere."""
+        from pycatcher_ray.queries import stl_flag_rule_1h
+
+        crippled = EngineConfig(z_threshold=0.05, mad_threshold=0.05)
+        out = _df(stl_flag_rule_1h(SF, expected_cfg=crippled))
+        assert len(out) > 0
+        assert not bool(out["flags_match_rule"].all())
+
+    def test_esd_guard_flips_with_crippled_expected_alpha(
+            self, ray_session):
+        """alpha near 0 makes the expected ESD pass admit far fewer
+        deviates than the stage's 0.05 run — the guard must notice."""
+        from pycatcher_ray.queries import esd_flag_rule_1h
+
+        crippled = EngineConfig(esd_alpha=0.0001)
+        out = _df(esd_flag_rule_1h(SF, expected_cfg=crippled))
+        assert len(out) > 0
+        assert not bool(out["flags_match_rule"].all())
