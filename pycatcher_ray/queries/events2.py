@@ -3904,3 +3904,98 @@ SELECT c.source, c.how, CAST(c.n_events AS BIGINT) AS n_events,
        CAST(c.n_events AS DOUBLE) / t.tot AS share
 FROM c JOIN t USING (source)
 """
+
+
+def media_input_path(n: int = 512, seed: int = 42) -> str:
+    """Deterministic synthesized media parquet (cached, atomic rename):
+    the multimodal family's SQL-visible input.  The driver tables carry
+    no binary media (TESTDATA.md), so the documented input for the
+    multimodal stages is this synthesized table of REAL PNG/WAV
+    payloads — persisting it lets DuckDB re-parse the same bytes."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.multimodal import synth_media_table
+
+    gen_version = "v1"  # bump when synth_media_table's recipe changes
+    out = os.path.join("/tmp", "pycatcher_ray_media",
+                       f"{gen_version}-{n}-{seed}")
+    path = os.path.join(out, "media.parquet")
+    if not os.path.exists(path):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        _pq.write_table(synth_media_table(n, seed=seed),
+                        os.path.join(tmp, "media.parquet"))
+        try:
+            os.rename(tmp, out)
+        except OSError:  # another process won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def media_header_census(sf_dir: str):
+    """EXACT-ORACLED multimodal decode: the actor-pool stdlib decoder
+    (stages/multimodal.MediaDecoder — the real PNG/WAV parse, state in
+    ``__init__``) runs over the persisted binary media table, and the
+    container-format HEADER fields it extracts are value-pinned by a
+    DuckDB oracle that re-parses the same BLOB bytes with hex folds:
+    PNG IHDR width/height (big-endian u32 at offsets 17/21) and WAV
+    fmt/data fields (little-endian sample rate at 25, frame count =
+    data size at 41 over 2 bytes/frame).  The pixel/PCM SIGNAL stats
+    stay pytest-golden territory (zlib inflate is not SQL); this row
+    pins the decode path's framing, byte order, and the binary
+    column's zero-copy round trip through the Arrow batches.
+
+    Scale shape: MAP-ONLY — payload bytes never enter an exchange;
+    small batches bound payload × concurrency in the worker heap."""
+    from ..stages.multimodal import decode_features
+
+    path = media_input_path()
+    media = _rd().read_parquet(path)
+    feats = decode_features(media)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        f = np.stack(b["features"].to_numpy())
+        return pd.DataFrame({
+            "media_id": b["media_id"].to_numpy(np.int64),
+            "mime": b["mime"].astype(object),
+            "n_bytes": b["n_bytes"].to_numpy(np.int64),
+            # PNG: f[1]=width f[2]=height; WAV: f[1]=rate f[2]=frames
+            "hdr_a": f[:, 1].astype(np.int64),
+            "hdr_b": f[:, 2].astype(np.int64)})
+
+    return feats.map_batches(extract, batch_format="pandas")
+
+
+def _media_byte(i: int) -> str:
+    """SQL: value of 1-indexed payload byte i (via the hex string)."""
+    h = f"substring(hx, {2 * i - 1}, 2)"
+    return (f"((strpos('0123456789ABCDEF', substring({h},1,1))-1)*16"
+            f" + strpos('0123456789ABCDEF', substring({h},2,1))-1)")
+
+
+def _media_be32(off: int) -> str:
+    return " + ".join(f"{_media_byte(off + k)}*{256 ** (3 - k)}"
+                      for k in range(4))
+
+
+def _media_le32(off: int) -> str:
+    return " + ".join(f"{_media_byte(off + k)}*{256 ** k}"
+                      for k in range(4))
+
+
+def _media_header_oracle() -> str:
+    path = media_input_path()
+    return f"""
+WITH m AS (
+  SELECT media_id, mime, payload, hex(payload) AS hx
+  FROM read_parquet('{path}')
+)
+SELECT media_id, mime, octet_length(payload) AS n_bytes,
+  CAST(CASE WHEN mime = 'image/png' THEN {_media_be32(17)}
+            ELSE {_media_le32(25)} END AS BIGINT) AS hdr_a,
+  CAST(CASE WHEN mime = 'image/png' THEN {_media_be32(21)}
+            ELSE ({_media_le32(41)}) // 2 END AS BIGINT) AS hdr_b
+FROM m
+"""

@@ -69,3 +69,30 @@ class TestFlagRuleGuards:
         out = _df(esd_flag_rule_1h(SF, expected_cfg=crippled))
         assert len(out) > 0
         assert not bool(out["flags_match_rule"].all())
+
+
+class TestMediaHeaderCensus:
+    def test_header_fields_match_direct_parse(self, ray_session):
+        """The actor-pool decode's header fields must equal a direct
+        stdlib parse of the same payloads (the oracle sweep pins the
+        SQL side; this pins the engine side without DuckDB)."""
+        import pyarrow.parquet as pq
+
+        from pycatcher_ray.queries import media_header_census
+        from pycatcher_ray.queries.events2 import media_input_path
+        from pycatcher_ray.stages.multimodal import parse_png, parse_wav
+
+        out = media_header_census(SF).to_pandas().set_index("media_id")
+        t = pq.read_table(media_input_path())
+        assert len(out) == t.num_rows
+        for i in (0, 1, 2, 3):
+            mime = t["mime"][i].as_py()
+            p = t["payload"][i].as_py()
+            row = out.loc[i]
+            assert row["n_bytes"] == len(p)
+            if mime == "image/png":
+                w, h, _ = parse_png(p)
+                assert (row["hdr_a"], row["hdr_b"]) == (w, h)
+            else:
+                rate, n_frames, _ = parse_wav(p)
+                assert (row["hdr_a"], row["hdr_b"]) == (rate, n_frames)
