@@ -4,7 +4,10 @@ Packs each series tier into fixed-width chunk windows (config
 ``TierSpec.chunk_buckets``) and encodes each window with the Gorilla
 XOR / delta-of-delta codec (functions/gorilla.py) into one binary blob
 with (n_points, t0, t1) metadata — the chunk-block layout the north rule
-requires, stored as Parquet binary columns.
+requires.  Two column layouts: variable ``binary`` (the default — no
+padding, the compression-ratio-faithful form) and Arrow
+``FixedSizeBinary`` via ``to_fixed_layout`` (fixed stride, row-index
+addressable, zero-padded to the codec's worst case).
 
 Chunking is a ``groupby(key, chunk_id).map_groups`` — the same
 partitioning key as the rollup, so no extra shuffle beyond the group
@@ -20,7 +23,8 @@ import pyarrow.compute as pc
 
 from ..functions.gorilla import decode_chunk, encode_chunk_batched
 
-__all__ = ["compress", "decompress_table", "add_chunk_id"]
+__all__ = ["compress", "decompress_table", "add_chunk_id",
+           "fixed_chunk_width", "to_fixed_layout", "from_fixed_layout"]
 
 
 def add_chunk_id(ds, bucket_seconds: int, chunk_buckets: int):
@@ -108,3 +112,56 @@ def decompress_table(chunks: pd.DataFrame) -> pd.DataFrame:
             "value": np.concatenate(vals_all) if vals_all else [],
         }
     )
+
+
+# ----------------------------------------------- FixedSizeBinary layout
+
+
+def fixed_chunk_width(chunk_buckets: int) -> int:
+    """Worst-case Gorilla bytes for a chunk of ``chunk_buckets`` points.
+
+    Per point the codec writes at most ~68 bits of timestamp (4-bit
+    tag + raw 64) and ~78 bits of value (2-bit tag + 12 control + 64
+    mantissa) ≈ 18.25 B; header + first point add < 64 B.  20 B/point
+    + 64 rounds up to a safe fixed stride."""
+    return 20 * int(chunk_buckets) + 64
+
+
+def to_fixed_layout(chunks_ds, chunk_buckets: int):
+    """Re-emit the ``chunk`` column as Arrow FixedSizeBinary(W) — the
+    north-star chunk-block layout (fixed stride: a chunk's bytes are
+    addressable by row index alone, the mmap-friendly layout
+    fixed-size TSDB blocks use; trade-off is zero-padding up to the
+    codec's worst case).  The Gorilla header carries n_points, so the
+    decoder reads exactly the encoded bits and trailing pad bytes are
+    inert — no length prefix needed (pinned by the padded-decode
+    test).  Raises if any blob exceeds the worst-case width (that
+    would mean the codec wrote more than its documented bound)."""
+    width = fixed_chunk_width(chunk_buckets)
+
+    def fn(b: pa.Table) -> pa.Table:
+        blobs = b["chunk"].to_pylist()
+        too_big = [len(x) for x in blobs if len(x) > width]
+        if too_big:
+            raise ValueError(
+                f"chunk of {max(too_big)} B exceeds fixed width {width}")
+        fixed = pa.array([x.ljust(width, b"\x00") for x in blobs],
+                         type=pa.binary(width))
+        i = b.column_names.index("chunk")
+        return b.set_column(i, "chunk", fixed)
+
+    return chunks_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def from_fixed_layout(chunks_ds):
+    """Inverse cast back to variable binary.  The pad bytes could stay
+    (the decoder ignores them); stripping to the recorded
+    ``chunk_bytes`` restores the exact variable-layout bytes."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        nb = b["chunk_bytes"].to_numpy(zero_copy_only=False)
+        blobs = [x[: int(n)] for x, n in zip(b["chunk"].to_pylist(), nb)]
+        i = b.column_names.index("chunk")
+        return b.set_column(i, "chunk", pa.array(blobs, type=pa.binary()))
+
+    return chunks_ds.map_batches(fn, batch_format="pyarrow")
