@@ -2550,3 +2550,62 @@ SELECT source, m.method, CAST(n_rows AS BIGINT) AS n_rows,
 FROM g, (VALUES ('stl', 48), ('esd', 20)) AS m(method, min_n)
 WHERE n_rows >= m.min_n
 """
+
+
+def tokens_chunks_fixed_1m(sf_dir: str):
+    """``tokens_chunks_1m`` THROUGH the FixedSizeBinary layout (the
+    north-star chunk-block column type, stages/compress.to_fixed_layout):
+    chunks are padded to the codec's worst-case stride, written as
+    Arrow FixedSizeBinary, decoded FROM the padded blobs, and every
+    statistic is pinned by the same raw-table + chunk-rule oracle —
+    plus two in-band booleans pinned TRUE: ``is_fixed_width`` (every
+    blob is exactly the stride wide when it reaches the decoder) and
+    ``pad_inert`` (the padded blob decodes to the same points as the
+    stripped variable blob).  A padding bug, a stride regression, or a
+    decoder that reads past the encoded bits all turn this row into a
+    hard FAIL."""
+    from ..functions.gorilla import decode_chunk
+    from ..stages.compress import (compress, fixed_chunk_width,
+                                   to_fixed_layout)
+
+    cb = TIERS["1m"].chunk_buckets
+    chunks = to_fixed_layout(
+        compress(tokens_rollup_1m(sf_dir), "source", 60, cb), cb)
+    width = fixed_chunk_width(cb)
+
+    def decode_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, cid, nb, blob in zip(batch["key"], batch["chunk_id"],
+                                      batch["chunk_bytes"],
+                                      batch["chunk"]):
+            ts, vals = decode_chunk(blob)
+            ts2, vals2 = decode_chunk(blob[: int(nb)])
+            rows.append({
+                "source": key, "chunk_id": int(cid),
+                "t0": int(ts[0]), "t1": int(ts[-1]),
+                "n_points": int(ts.size),
+                "sum_tokens": int(vals.sum()),
+                "is_fixed_width": len(blob) == width,
+                "pad_inert": bool(np.array_equal(ts, ts2)
+                                  and np.array_equal(vals, vals2)),
+            })
+        return pd.DataFrame(rows, columns=[
+            "source", "chunk_id", "t0", "t1", "n_points",
+            "sum_tokens", "is_fixed_width", "pad_inert"])
+
+    return chunks.map_batches(decode_stats, batch_format="pandas")
+
+
+def _tokens_chunks_fixed_oracle() -> str:
+    return _tokens_oracle_cte() + """, r AS (
+  SELECT source, epoch_s - (epoch_s % 60) AS b,
+         CAST(sum(n_tok) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2
+)
+SELECT source, b // 86400 AS chunk_id,
+       min(b) AS t0, max(b) AS t1,
+       CAST(count(*) AS BIGINT) AS n_points,
+       sum(v) AS sum_tokens,
+       TRUE AS is_fixed_width, TRUE AS pad_inert
+FROM r GROUP BY 1, 2
+"""
