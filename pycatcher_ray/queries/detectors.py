@@ -870,20 +870,28 @@ def esd_flag_rule_1h(sf_dir: str, expected_cfg: EngineConfig | None = None):
                             (("esd", 20),), expected_cfg=expected_cfg)
 
 
-def _flag_rule_oracle(methods_min) -> str:
+def _flag_rule_select(methods_min) -> str:
+    """Shared guard-row SELECT over a ``g(source, n_rows)`` CTE — used
+    by the events oracle below AND the tokens-table oracle
+    (queries.tokens._tokens_flag_rule_oracle), so a change to the
+    guard row shape lands in one place."""
     vals = ", ".join(f"('{m}', {n})" for m, n in methods_min)
     return f"""
-WITH r AS (
-  SELECT event_type AS source, date_trunc('hour', ts) AS b
-  FROM events GROUP BY 1, 2
-), g AS (
-  SELECT source, count(*) AS n_rows FROM r GROUP BY source
-)
 SELECT source, m.method, CAST(n_rows AS BIGINT) AS n_rows,
        TRUE AS flags_match_rule, TRUE AS values_match_rule
 FROM g, (VALUES {vals}) AS m(method, min_n)
 WHERE n_rows >= m.min_n
 """
+
+
+def _flag_rule_oracle(methods_min) -> str:
+    return """
+WITH r AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source, count(*) AS n_rows FROM r GROUP BY source
+)""" + _flag_rule_select(methods_min)
 
 
 _STL_FLAG_RULE_ORACLE = _flag_rule_oracle((("stl", 48),))

@@ -3927,10 +3927,15 @@ def media_input_path(n: int = 512, seed: int = 42) -> str:
                         os.path.join(tmp, "media.parquet"))
         try:
             os.rename(tmp, out)
-        except OSError:  # another process won the race
+        except OSError:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+            # only a lost publish race leaves the path present; any
+            # other rename failure must surface, not return a path
+            # that read_parquet will fail on later
+            if not os.path.exists(path):
+                raise
     return path
 
 
@@ -3956,6 +3961,13 @@ def media_header_census(sf_dir: str):
     feats = decode_features(media)
 
     def extract(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "media_id": pd.Series([], dtype=np.int64),
+                "mime": pd.Series([], dtype=object),
+                "n_bytes": pd.Series([], dtype=np.int64),
+                "hdr_a": pd.Series([], dtype=np.int64),
+                "hdr_b": pd.Series([], dtype=np.int64)})
         f = np.stack(b["features"].to_numpy())
         return pd.DataFrame({
             "media_id": b["media_id"].to_numpy(np.int64),

@@ -581,14 +581,7 @@ def tokens_chunks_1m(sf_dir: str):
         for key, cid, blob in zip(batch["key"], batch["chunk_id"],
                                   batch["chunk"]):
             ts, vals = decode_chunk(blob)
-            rows.append({
-                "source": key, "chunk_id": int(cid),
-                "t0": int(ts[0]), "t1": int(ts[-1]),
-                "n_points": int(ts.size),
-                "raw_bytes": int(ts.size) * 16,
-                "sum_tokens": int(vals.sum()),
-                "min_tok": int(vals.min()), "max_tok": int(vals.max()),
-            })
+            rows.append(_decoded_chunk_stats(key, cid, ts, vals))
         return pd.DataFrame(rows, columns=[
             "source", "chunk_id", "t0", "t1", "n_points", "raw_bytes",
             "sum_tokens", "min_tok", "max_tok"])
@@ -596,12 +589,31 @@ def tokens_chunks_1m(sf_dir: str):
     return chunks.map_batches(decode_stats, batch_format="pandas")
 
 
-def _tokens_chunks_oracle() -> str:
-    return _tokens_oracle_cte() + """, r AS (
+# shared 1m-rollup + chunk-rule CTE for the chunk-table oracles (the
+# chunk rule — chunk_id = floor(epoch/86400), stages/compress.py:27 —
+# lives HERE once; tokens_chunks_1m and tokens_chunks_fixed_1m both
+# derive from it)
+_TOKENS_CHUNK_ROLLUP_CTE = """, r AS (
   SELECT source, epoch_s - (epoch_s % 60) AS b,
          CAST(sum(n_tok) AS BIGINT) AS v
   FROM t GROUP BY 1, 2
-)
+)"""
+
+
+def _decoded_chunk_stats(key, cid, ts, vals) -> dict:
+    """Shared per-chunk decoded-blob statistics (both chunk queries)."""
+    return {
+        "source": key, "chunk_id": int(cid),
+        "t0": int(ts[0]), "t1": int(ts[-1]),
+        "n_points": int(ts.size),
+        "raw_bytes": int(ts.size) * 16,
+        "sum_tokens": int(vals.sum()),
+        "min_tok": int(vals.min()), "max_tok": int(vals.max()),
+    }
+
+
+def _tokens_chunks_oracle() -> str:
+    return _tokens_oracle_cte() + _TOKENS_CHUNK_ROLLUP_CTE + """
 SELECT source, b // 86400 AS chunk_id,
        min(b) AS t0, max(b) AS t1,
        CAST(count(*) AS BIGINT) AS n_points,
@@ -2538,18 +2550,15 @@ def tokens_flag_rule_1h(sf_dir: str, expected_cfg=None):
 
 
 def _tokens_flag_rule_oracle() -> str:
+    from .detectors import _flag_rule_select
+
     return _tokens_oracle_cte() + """
 , r AS (
   SELECT source, epoch_s - (epoch_s % 3600) AS b
   FROM t GROUP BY 1, 2
 ), g AS (
   SELECT source, count(*) AS n_rows FROM r GROUP BY source
-)
-SELECT source, m.method, CAST(n_rows AS BIGINT) AS n_rows,
-       TRUE AS flags_match_rule, TRUE AS values_match_rule
-FROM g, (VALUES ('stl', 48), ('esd', 20)) AS m(method, min_n)
-WHERE n_rows >= m.min_n
-"""
+)""" + _flag_rule_select((("stl", 48), ("esd", 20)))
 
 
 def tokens_chunks_fixed_1m(sf_dir: str):
@@ -2580,15 +2589,11 @@ def tokens_chunks_fixed_1m(sf_dir: str):
                                       batch["chunk"]):
             ts, vals = decode_chunk(blob)
             ts2, vals2 = decode_chunk(blob[: int(nb)])
-            rows.append({
-                "source": key, "chunk_id": int(cid),
-                "t0": int(ts[0]), "t1": int(ts[-1]),
-                "n_points": int(ts.size),
-                "sum_tokens": int(vals.sum()),
-                "is_fixed_width": len(blob) == width,
-                "pad_inert": bool(np.array_equal(ts, ts2)
-                                  and np.array_equal(vals, vals2)),
-            })
+            row = _decoded_chunk_stats(key, cid, ts, vals)
+            row["is_fixed_width"] = len(blob) == width
+            row["pad_inert"] = bool(np.array_equal(ts, ts2)
+                                    and np.array_equal(vals, vals2))
+            rows.append(row)
         return pd.DataFrame(rows, columns=[
             "source", "chunk_id", "t0", "t1", "n_points",
             "sum_tokens", "is_fixed_width", "pad_inert"])
@@ -2597,11 +2602,7 @@ def tokens_chunks_fixed_1m(sf_dir: str):
 
 
 def _tokens_chunks_fixed_oracle() -> str:
-    return _tokens_oracle_cte() + """, r AS (
-  SELECT source, epoch_s - (epoch_s % 60) AS b,
-         CAST(sum(n_tok) AS BIGINT) AS v
-  FROM t GROUP BY 1, 2
-)
+    return _tokens_oracle_cte() + _TOKENS_CHUNK_ROLLUP_CTE + """
 SELECT source, b // 86400 AS chunk_id,
        min(b) AS t0, max(b) AS t1,
        CAST(count(*) AS BIGINT) AS n_points,
