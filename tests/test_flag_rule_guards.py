@@ -96,3 +96,18 @@ class TestMediaHeaderCensus:
             else:
                 rate, n_frames, _ = parse_wav(p)
                 assert (row["hdr_a"], row["hdr_b"]) == (rate, n_frames)
+
+
+class TestGuardsNonVacuous:
+    def test_compared_flag_sets_are_non_empty(self, ray_session):
+        """The guards' equality booleans must compare NON-EMPTY sets on
+        this corpus (planted x10 token spikes; organic events
+        anomalies), otherwise pinned-TRUE would be vacuous: every
+        guarded method actually emits flags at sf0.001."""
+        from pycatcher_ray.queries.detectors import _flags
+        from pycatcher_ray.queries.tokens import _tokens_flags
+
+        for m in ("stl", "esd"):
+            assert _tokens_flags(SF, m).count() > 0
+        for m in ("stl", "mstl", "esd"):
+            assert _flags(SF, "1h", m).count() > 0
