@@ -961,3 +961,111 @@ def plot_seasonal(res, axes, title):
         "plot_seasonal renders matplotlib axes; use the build_*_plot "
         "functions' returned DataFrames with your own plotting stack"
     )
+
+
+def _choose_stl_model(values: np.ndarray, detected_period: int):
+    """Reference model selection (diagnostics.py:597-640): Box-Cox
+    multiplicative vs additive STL, HIGHER transformed-scale residual
+    variance selects multiplicative (the catch.py:1084 quirk
+    direction, mirrored from detect_outliers_stl_extended)."""
+    derived_seasonal = detected_period + ((detected_period % 2) == 0)
+    transformed, lmbda = boxcox(values)
+    result_mul = _stl(transformed, period=detected_period,
+                      seasonal=derived_seasonal)
+    result_add = _stl(values, period=detected_period,
+                      seasonal=derived_seasonal)
+    if np.var(result_mul.resid) > np.var(result_add.resid):
+        return "multiplicative", derived_seasonal, result_mul
+    return "additive", derived_seasonal, result_add
+
+
+def generate_outlier_plot_stl(df, detected_period) -> pd.DataFrame:
+    """Data of diagnostics.generate_outlier_plot_stl:597 (explicit
+    period): model-select, flag via the STL rule, return the outlier
+    rows the reference scatters (plot DATA, not a raster)."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    values = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    model_type, derived_seasonal, _res = _choose_stl_model(
+        values, int(detected_period))
+    return generate_outliers_stl(dated, model_type, derived_seasonal,
+                                 int(detected_period))
+
+
+def generate_outlier_plot_mstl(df, derived_period) -> pd.DataFrame:
+    """Data of diagnostics.generate_outlier_plot_mstl:861 (explicit
+    period(s)): MSTL model-select then the MSTL flag rule."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    values = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    transformed, _lmbda = boxcox(values)
+    result_mul = _mstl(transformed, periods=derived_period)
+    result_add = _mstl(values, periods=derived_period)
+    model_type = ("multiplicative"
+                  if np.var(result_mul.resid) > np.var(result_add.resid)
+                  else "additive")
+    return generate_outliers_mstl(dated, model_type, derived_period)
+
+
+def _components_frame(res, index) -> pd.DataFrame:
+    seasonal = res.seasonal
+    if isinstance(seasonal, dict):  # MSTL: sum the per-period components
+        seasonal = res.seasonal_sum
+    return pd.DataFrame(
+        {
+            "seasonal": seasonal,
+            "trend": res.trend,
+            "residuals": res.resid,
+            "actual_values": res.observed,
+        },
+        index=index,
+    )
+
+
+def generate_seasonal_plot_stl(df, detected_period) -> pd.DataFrame:
+    """Data of diagnostics.generate_seasonal_plot_stl:729 (explicit
+    period): the CHOSEN model's decomposition components.  Reference
+    quirk mirrored: when the multiplicative model wins, the reference
+    plots the TRANSFORMED-scale decomposition — so does this table."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    values = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    _model, _seasonal, res = _choose_stl_model(values, int(detected_period))
+    return _components_frame(res, dated.index)
+
+
+def generate_seasonal_plot_mstl(df, derived_period) -> pd.DataFrame:
+    """Data of diagnostics.generate_seasonal_plot_mstl:1001 (explicit
+    period(s)); same transformed-scale quirk as the STL twin."""
+    df_pandas = _validate_frame(df)
+    dated = check_and_convert_date(df_pandas)
+    values = dated.iloc[:, -1].to_numpy(dtype=np.float64)
+    transformed, _lmbda = boxcox(values)
+    result_mul = _mstl(transformed, periods=derived_period)
+    result_add = _mstl(values, periods=derived_period)
+    res = (result_mul
+           if np.var(result_mul.resid) > np.var(result_add.resid)
+           else result_add)
+    return _components_frame(res, dated.index)
+
+
+def setup_logger():
+    """Reference logger config (catch.py:21-46): stream handler with
+    the funcName:lineno format, level from PYCATCHER_LOG_LEVEL
+    (default WARNING), handler suppressed at CRITICAL."""
+    import logging
+    import os
+
+    log = logging.getLogger("pycatcher_ray")
+    if log.handlers:
+        log.handlers.clear()
+    formatter = logging.Formatter(
+        "%(asctime)s - %(name)s - %(levelname)s - "
+        "%(funcName)s:%(lineno)d - %(message)s")
+    handler = logging.StreamHandler()
+    handler.setFormatter(formatter)
+    log_level = os.environ.get("PYCATCHER_LOG_LEVEL", "WARNING").upper()
+    log.setLevel(getattr(logging, log_level, logging.WARNING))
+    if log_level != "CRITICAL":
+        log.addHandler(handler)
+    return log

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 
 __all__ = ["ENDPOINTS", "handle_api_request", "process_upload",
-           "create_app"]
+           "create_app", "generate_plot_response", "register_routes"]
 
 
 def _to_frame(payload: dict) -> pd.DataFrame:
@@ -204,3 +204,36 @@ def create_app():
         return respond(404, {"detail": f"unknown route /{path}"})
 
     return app
+
+
+def generate_plot_response(plot_function, df: pd.DataFrame) -> dict:
+    """Headless twin of api_diagnostics.generate_plot_response:41: the
+    reference renders ``plot_function(df)`` to a base64 PNG
+    (``{"plot_image": ...}``); this engine's plot builders return DATA
+    tables, so the response carries the table itself as
+    ``{"plot_data": {"columns": [...], "data": [[...], ...]}}`` —
+    same request/response shape, raster swapped for the data product
+    (documented divergence: no matplotlib in a headless engine).
+    Errors mirror the reference's HTTP 500 detail contract as
+    ``ValueError`` for the WSGI layer to map."""
+    try:
+        out = plot_function(df)
+    except Exception as exc:  # reference: HTTPException(500, str(e))
+        raise ValueError(str(exc)) from exc
+    table = out.reset_index() if isinstance(out, pd.DataFrame) else \
+        pd.DataFrame({"value": [out]})
+    return {
+        "plot_data": {
+            "columns": [str(c) for c in table.columns],
+            "data": table.astype(object).where(table.notna(), None)
+                    .values.tolist(),
+        }
+    }
+
+
+def register_routes(app=None):
+    """Reference webapp.register_routes:157 name parity: the Flask
+    route table is built inside ``create_app`` here (stdlib WSGI — no
+    Flask app object to mutate), so this returns the fully-routed app
+    (building one if none is passed)."""
+    return app if app is not None else create_app()
