@@ -66,7 +66,10 @@ def _text_digests(batch: pd.DataFrame) -> pd.DataFrame:
     these ~24-byte rows ride the dedup exchange, never the text."""
     import polars as pl
 
-    s = pl.Series("t", batch["text"].astype(str).to_numpy())
+    # fillna BEFORE astype: astype(str) would stringify nulls to the
+    # literal 'None', colliding with real "None" texts and diverging
+    # from the (t or "") convention dedup_exact uses
+    s = pl.Series("t", batch["text"].fillna("").astype(str).to_numpy())
     return pd.DataFrame({
         "doc_id": batch["doc_id"].to_numpy(),
         "h1": s.hash(seed=0x9E3779B9).to_numpy().astype(np.int64),

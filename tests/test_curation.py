@@ -29,6 +29,7 @@ def corpus_dir(tmp_path_factory):
     base = " ".join(rng.choice(vocab, 50))
     texts[5] = base
     texts[6] = base + " extraword"      # near duplicate of 5
+    texts[7] = None                     # junk: NULL text (gate-dropped)
     t = pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "text": pa.array(texts),
@@ -52,9 +53,9 @@ class TestCurationPipeline:
         out = str(tmp_path / "out")
         m = run_curation(os.path.join(corpus_dir, "documents.parquet"), out)
 
-        # junk dropped at the gate (empty, punct-only, too-short)
+        # junk dropped at the gate (empty, punct-only, too-short, NULL)
         assert m["quality_gate"]["n_input"] == 120
-        assert m["quality_gate"]["n_dropped"] >= 3
+        assert m["quality_gate"]["n_dropped"] >= 4
         # two of the three identical texts dropped
         assert m["exact_dedup"]["n_dropped"] == 2
         # the planted near-dup pair collapsed to its min doc_id
@@ -67,6 +68,8 @@ class TestCurationPipeline:
         # canonical doc of the exact-dup group {3, 4, 10} is min id 3
         ids = set(got["doc_id"].to_numpy().tolist())
         assert 3 in ids and 4 not in ids and 10 not in ids
+        # NULL text never reaches the output
+        assert 7 not in ids
         # of the near-dup pair (5, 6), only 5 survives
         assert 5 in ids and 6 not in ids
         # quality score attached and above the gate for every kept row
@@ -75,6 +78,17 @@ class TestCurationPipeline:
         assert (120 - m["quality_gate"]["n_dropped"]
                 - m["exact_dedup"]["n_dropped"]
                 - m["near_dedup"]["n_dropped"]) == len(got)
+
+    def test_text_digests_null_convention(self):
+        # NULL text hashes as "" (the dedup_exact (t or "") convention),
+        # NOT as the stringified literal 'None'
+        from pycatcher_ray.pipelines.curation import _text_digests
+
+        d = _text_digests(pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": pd.Series([None, "", "None"], dtype=object)}))
+        assert d["h1"][0] == d["h1"][1] and d["h2"][0] == d["h2"][1]
+        assert d["h1"][0] != d["h1"][2]
 
     def test_rerun_resumes(self, ray_session, corpus_dir, tmp_path):
         out = str(tmp_path / "out2")
