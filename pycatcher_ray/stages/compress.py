@@ -140,37 +140,50 @@ def to_fixed_layout(chunks_ds, chunk_buckets: int):
     width = fixed_chunk_width(chunk_buckets)
 
     def fn(b: pa.Table) -> pa.Table:
-        # one bulk copy via the Arrow buffers — no per-row Python
-        # bytes objects: scatter each blob's bytes into a preallocated
-        # zero-filled (n, width) buffer with a single fancy-index
-        col = b["chunk"].combine_chunks()
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0)
-        if col.type != pa.binary():  # e.g. large_binary: 64-bit offsets
-            col = col.cast(pa.binary())
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
-                             count=len(col) + 1)
-        data = np.frombuffer(col.buffers()[2], dtype=np.uint8,
-                             count=int(offs[-1])) if offs[-1] else \
-            np.empty(0, dtype=np.uint8)
-        lens = np.diff(offs)
-        if len(lens) and int(lens.max()) > width:
-            raise ValueError(
-                f"chunk of {int(lens.max())} B exceeds fixed width {width}")
-        out = np.zeros((len(col), width), dtype=np.uint8)
-        # destination flat positions: row_base + within-blob offset
-        idx = (np.repeat(np.arange(len(col), dtype=np.int64) * width,
-                         lens)
-               + (np.arange(int(offs[-1]), dtype=np.int64)
-                  - np.repeat(offs[:-1].astype(np.int64), lens)))
-        out.ravel()[idx] = data
-        fixed = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(width), len(col),
-            [None, pa.py_buffer(out.tobytes())])
-        i = b.column_names.index("chunk")
-        return b.set_column(i, "chunk", fixed)
+        return _to_fixed_batch(b, width)
 
     return chunks_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _to_fixed_batch(b: pa.Table, width: int) -> pa.Table:
+    col = b["chunk"].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    if col.type != pa.binary():  # e.g. large_binary: 64-bit offsets
+        col = col.cast(pa.binary())
+    fixed = _scatter_fixed(col, width)
+    i = b.column_names.index("chunk")
+    return b.set_column(i, "chunk", fixed)
+
+
+def _scatter_fixed(col: "pa.Array", width: int):
+    # one bulk copy via the Arrow buffers — no per-row Python
+    # bytes objects: scatter each blob's bytes into a preallocated
+    # zero-filled (n, width) buffer with a single fancy-index.
+    # offset-aware: a sliced array (Ray block split / limit, or a
+    # combine_chunks that shortcuts to a zero-copy view) has
+    # col.offset > 0 and offsets that don't start at byte 0
+    offs = np.frombuffer(
+        col.buffers()[1], dtype=np.int32,
+        count=len(col) + 1, offset=4 * col.offset).astype(np.int64)
+    byte0, byte1 = int(offs[0]), int(offs[-1])
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8,
+                         count=byte1)[byte0:] if byte1 > byte0 else \
+        np.empty(0, dtype=np.uint8)
+    lens = np.diff(offs)
+    if len(lens) and int(lens.max()) > width:
+        raise ValueError(
+            f"chunk of {int(lens.max())} B exceeds fixed width {width}")
+    out = np.zeros((len(col), width), dtype=np.uint8)
+    # destination flat positions: row_base + within-blob offset
+    idx = (np.repeat(np.arange(len(col), dtype=np.int64) * width,
+                     lens)
+           + (np.arange(byte1 - byte0, dtype=np.int64)
+              - np.repeat(offs[:-1] - byte0, lens)))
+    out.ravel()[idx] = data
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(width), len(col),
+        [None, pa.py_buffer(out.tobytes())])
 
 
 def from_fixed_layout(chunks_ds):

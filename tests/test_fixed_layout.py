@@ -90,6 +90,52 @@ class TestFixedLayout:
             np.testing.assert_array_equal(t2, ts)
             np.testing.assert_array_equal(v2, vals)
 
+    def test_sliced_binary_batch(self, ray_session):
+        # a sliced Arrow array (Ray block split / limit) has a nonzero
+        # array offset and offsets that don't start at byte 0 — the
+        # scatter math must honor both
+        from pycatcher_ray.stages.compress import fixed_chunk_width
+
+        rng = np.random.default_rng(11)
+        blobs = [encode_chunk(np.arange(n, dtype=np.int64) * 3600,
+                              rng.normal(size=n))
+                 for n in (5, 24, 1, 17, 24, 3)]
+        full = pa.table({
+            "key": pa.array([f"k{i}" for i in range(len(blobs))]),
+            "chunk_id": pa.array(range(len(blobs)), type=pa.int64()),
+            "chunk": pa.array(blobs, type=pa.binary()),
+            "chunk_bytes": pa.array([len(b) for b in blobs],
+                                    type=pa.int64()),
+        })
+        sliced = full.slice(2, 3)  # nonzero offset into every buffer
+        assert sliced["chunk"].chunk(0).offset == 2
+
+        from pycatcher_ray.stages.compress import (_scatter_fixed,
+                                                   _to_fixed_batch)
+
+        w = fixed_chunk_width(24)
+        out = _to_fixed_batch(sliced, w).to_pandas()
+        for i in range(3):
+            got = out.loc[i, "chunk"]
+            want = blobs[2 + i]
+            assert len(got) == w
+            assert got[: len(want)] == want
+            assert got[len(want):] == b"\x00" * (w - len(want))
+
+        # and the scatter kernel itself on a guaranteed nonzero-offset
+        # VIEW (combine_chunks may compact; from_buffers cannot)
+        base = full["chunk"].chunk(0)
+        view = pa.Array.from_buffers(
+            pa.binary(), 3,
+            [None, base.buffers()[1], base.buffers()[2]], offset=2)
+        assert view.offset == 2 and view.to_pylist() == blobs[2:5]
+        fixed = _scatter_fixed(view, w)
+        for i in range(3):
+            got = fixed[i].as_py()
+            want = blobs[2 + i]
+            assert got[: len(want)] == want
+            assert got[len(want):] == b"\x00" * (w - len(want))
+
     def test_oversize_blob_raises(self, ray_session):
         chunks = compress(_small_rollup_ds(), "key", 3600, 24,
                           num_shards=2)
