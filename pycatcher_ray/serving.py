@@ -19,7 +19,8 @@ from __future__ import annotations
 import pandas as pd
 
 __all__ = ["ENDPOINTS", "handle_api_request", "process_upload",
-           "create_app", "generate_plot_response", "register_routes"]
+           "create_app", "generate_plot_response", "register_routes",
+           "setup_logging"]
 
 
 def _to_frame(payload: dict) -> pd.DataFrame:
@@ -237,3 +238,31 @@ def register_routes(app=None):
     Flask app object to mutate), so this returns the fully-routed app
     (building one if none is passed)."""
     return app if app is not None else create_app()
+
+
+def setup_logging(app=None, *, log_dir: str = "logs",
+                  debug: bool = False):
+    """Reference __init__.setup_logging:133 twin: rotating-file logging
+    for the serving surface (logs/pycatcher.log, 10 MB x 10 backups,
+    DEBUG when debugging else INFO, the reference's record format).
+    The WSGI app here is a plain callable with no ``.logger``, so the
+    handler attaches to the engine's ``pycatcher_ray.serving`` logger
+    and the configured logger is returned."""
+    import logging
+    import os
+    from logging.handlers import RotatingFileHandler
+
+    os.makedirs(log_dir, exist_ok=True)
+    handler = RotatingFileHandler(
+        os.path.join(log_dir, "pycatcher.log"),
+        maxBytes=10485760, backupCount=10)
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+    handler.setLevel(logging.DEBUG if debug else logging.INFO)
+    log = logging.getLogger("pycatcher_ray.serving")
+    # idempotent: a second setup call must not stack duplicate handlers
+    log.handlers = [h for h in log.handlers
+                    if not isinstance(h, RotatingFileHandler)]
+    log.addHandler(handler)
+    log.setLevel(logging.DEBUG if debug else logging.INFO)
+    return log

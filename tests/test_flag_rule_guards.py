@@ -164,6 +164,26 @@ class TestPeriodParameterizedBuilders:
         assert r["plot_data"]["columns"][0] == "index"
         assert callable(register_routes())
 
+    def test_setup_logging_rotating_file(self, tmp_path):
+        import logging
+        from logging.handlers import RotatingFileHandler
+
+        from pycatcher_ray.serving import setup_logging
+
+        d = str(tmp_path / "logs")
+        lg = setup_logging(log_dir=d, debug=True)
+        assert lg.level == logging.DEBUG
+        lg.info("hello from the serving twin")
+        # idempotent: a second call must not stack duplicate handlers
+        lg2 = setup_logging(log_dir=d)
+        rfh = [h for h in lg2.handlers
+               if isinstance(h, RotatingFileHandler)]
+        assert len(rfh) == 1 and lg2.level == logging.INFO
+        for h in rfh:
+            h.flush()
+        text = (tmp_path / "logs" / "pycatcher.log").read_text()
+        assert "hello from the serving twin" in text
+
     def test_setup_logger_level_env(self, monkeypatch):
         import logging
 
