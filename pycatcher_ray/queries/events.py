@@ -1615,16 +1615,29 @@ def winsorized_stats(sf_dir: str):
         for src, g in shard.groupby("event_type", sort=False):
             v = _round_exact(g["sum_value"].to_numpy(dtype=np.float64))
             lo, hi = quantile_cont(v, [0.05, 0.95])
-            wv = np.clip(v, lo, hi)
-            total_raw = _round_exact(np.array([v.sum()]))[0]
-            total_w = _round_exact(np.array([wv.sum()]))[0]
+            # order-independent totals: unclipped values sum as exact
+            # 10^-4-unit integers; the clipped tails contribute
+            # n_lo*lo + n_hi*hi (two products + two adds in the fixed
+            # shape the oracle repeats) — float accumulation order
+            # flipped the 4-dp round on a fuzz corpus
+            v4 = np.rint(v * 10000.0).astype(np.int64)
+            n_lo = int((v < lo).sum())
+            n_hi = int((v > hi).sum())
+            # total_raw: an exact 4-decimal quantity, so the 4-dp round
+            # is tie-free identity; total_w stays UNROUNDED (lo/hi can
+            # be exactly-representable x.03125-type values whose 4-dp
+            # round tie-breaks differently across engines)
+            mid_sum = float(v4[(v >= lo) & (v <= hi)].sum()) / 10000.0
+            total_raw = float(_round_exact(
+                np.array([float(v4.sum()) / 10000.0]), 4)[0])
+            total_w = mid_sum + n_lo * lo + n_hi * hi
             rows.append({
                 "source": src,
                 "n_buckets": int(v.size),
                 "p05": round(float(lo), 6),
                 "p95": round(float(hi), 6),
-                "n_clipped_low": int((v < lo).sum()),
-                "n_clipped_high": int((v > hi).sum()),
+                "n_clipped_low": n_lo,
+                "n_clipped_high": n_hi,
                 "total_raw": total_raw,
                 "total_winsorized": total_w,
                 "mean_raw": total_raw / v.size,
@@ -1649,8 +1662,10 @@ WITH r AS (
   SELECT source, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
   FROM r GROUP BY source
 ), w AS (
-  SELECT r.source, v,
-         CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS wv,
+  -- order-independent totals: unclipped values sum as exact
+  -- 10^-4-unit integers, clipped tails contribute n_lo*lo + n_hi*hi
+  -- (the engine's identical expression shape)
+  SELECT r.source, v, CAST(round(v * 10000) AS BIGINT) AS v4,
          v < lo AS cl, v > hi AS ch, lo, hi
   FROM r JOIN q ON q.source = r.source
 )
@@ -1659,10 +1674,16 @@ SELECT source, count(*) AS n_buckets,
        round(any_value(hi), 6) AS p95,
        count(*) FILTER (cl) AS n_clipped_low,
        count(*) FILTER (ch) AS n_clipped_high,
-       round(sum(v), 4) AS total_raw,
-       round(sum(wv), 4) AS total_winsorized,
-       round(sum(v), 4) / count(*) AS mean_raw,
-       round(sum(wv), 4) / count(*) AS mean_winsorized
+       round(sum(v4) / 10000.0, 4) AS total_raw,
+       COALESCE(sum(v4) FILTER (NOT cl AND NOT ch), 0) / 10000.0
+             + count(*) FILTER (cl) * any_value(lo)
+             + count(*) FILTER (ch) * any_value(hi)
+           AS total_winsorized,
+       round(sum(v4) / 10000.0, 4) / count(*) AS mean_raw,
+       (COALESCE(sum(v4) FILTER (NOT cl AND NOT ch), 0) / 10000.0
+             + count(*) FILTER (cl) * any_value(lo)
+             + count(*) FILTER (ch) * any_value(hi))
+           / count(*) AS mean_winsorized
 FROM w GROUP BY source
 """
 
@@ -2775,18 +2796,27 @@ def sliding_avg_3h(sf_dir: str):
     roll = _events_rollup(sf_dir, "1h")
 
     def slide_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # all sources in the shard at once: one sort + one grouped rolling
+        # all sources in the shard at once: one sort + one grouped
+        # rolling.  Window sums run over exact 10^-4-unit INTEGERS of
+        # the rounded tier (float accumulation order flipped the 4-dp
+        # round on a fuzz corpus), and the mean is emitted UNROUNDED:
+        # the one divide is the identical IEEE op both sides, while a
+        # 4-dp round would tie-break half-even here vs DuckDB's
+        # half-away on exactly-representable quotients like x.03125
+        # (hit by fuzz seed 777).
         g = g.sort_values(["event_type", "bucket_start"], kind="stable")
-        avg = (
-            g.groupby("event_type", sort=False)["sum_value"]
-            .rolling(3, min_periods=1).mean()
-            .reset_index(drop=True)
-        )
+        v4 = np.rint(_round_exact(
+            g["sum_value"].to_numpy(np.float64)) * 10000.0).astype(np.int64)
+        gg = pd.DataFrame({"k": g["event_type"].to_numpy(), "v4": v4})
+        win = gg.groupby("k", sort=False)["v4"].rolling(
+            3, min_periods=1)
+        s = win.sum().reset_index(drop=True).to_numpy(np.float64)
+        n = win.count().reset_index(drop=True).to_numpy(np.float64)
         return pd.DataFrame(
             {
                 "source": g["event_type"].to_numpy(),
                 "bucket_start": g["bucket_start"].to_numpy(),
-                "sliding_avg": avg.round(4).to_numpy(),
+                "sliding_avg": s / (10000.0 * n),
             }
         )
 
@@ -2796,14 +2826,14 @@ def sliding_avg_3h(sf_dir: str):
 _SLIDING_ORACLE = """
 WITH r AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
-         sum(value) AS v
+         CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS v4
   FROM events GROUP BY 1, 2
 )
 SELECT source, bucket_start,
-       round(avg(v) OVER (
-           PARTITION BY source ORDER BY bucket_start
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+       sum(v4) OVER w / (10000.0 * count(*) OVER w) AS sliding_avg
 FROM r
+WINDOW w AS (PARTITION BY source ORDER BY bucket_start
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -215,7 +215,17 @@ def _synth_events(seed: int, n: int = 4000) -> pa.Table:
     )
 
 
-@pytest.fixture(scope="module", params=[101, 202, 303])
+def _fuzz_seeds() -> list[int]:
+    """Default 3 seeds (two realistic-decimal + handled in params);
+    GRAFT_FUZZ_SEEDS="7,42,307" widens a one-off deep-fuzz session
+    (seeds >= 300 select the dyadic bit-exact regime)."""
+    env = os.environ.get("GRAFT_FUZZ_SEEDS")
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    return [101, 202, 303]
+
+
+@pytest.fixture(scope="module", params=_fuzz_seeds())
 def fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"fuzz{request.param}")
     pq.write_table(_synth_events(request.param), str(d / "events.parquet"))
