@@ -60,22 +60,37 @@ class SpaceSaving:
         self.errors[item] = m_count
 
     def merge(self, other: "SpaceSaving") -> "SpaceSaving":
-        for item, c in other.counts.items():
-            if item in self.counts:
-                self.counts[item] += c
-                self.errors[item] += other.errors[item]
-            else:
-                self.counts[item] = c
-                self.errors[item] = other.errors[item]
-        if len(self.counts) > self.k:
-            ranked = sorted(self.counts, key=self.counts.get, reverse=True)
-            evicted_max = max(self.counts[i] for i in ranked[self.k:])
-            keep = ranked[:self.k]
-            self.counts = {i: self.counts[i] for i in keep}
-            # a dropped counter's mass may belong to any survivor-range
-            # item: fold it into the error bound (mergeable-summaries
-            # pruning rule)
-            self.errors = {i: self.errors[i] + evicted_max for i in keep}
+        # mergeable-summaries rule (Agarwal et al.): an item absent
+        # from one side may have been evicted there, so its estimate
+        # AND error inherit that side's eviction floor (the min
+        # tracked count at capacity; 0 below capacity).  Adding 0
+        # instead silently breaks the est >= true upper bound once an
+        # item is pruned in one merge chain and re-enters from another
+        # sketch — found at sf0.1 by the driver-style sweep via the
+        # within_error_bound pin.
+        off_s = (min(self.counts.values())
+                 if len(self.counts) >= self.k else 0.0)
+        off_o = (min(other.counts.values())
+                 if len(other.counts) >= other.k else 0.0)
+        counts, errors = {}, {}
+        for item in set(self.counts) | set(other.counts):
+            cs = self.counts.get(item)
+            co = other.counts.get(item)
+            counts[item] = ((cs if cs is not None else off_s)
+                            + (co if co is not None else off_o))
+            errors[item] = ((self.errors[item] if cs is not None
+                             else off_s)
+                            + (other.errors[item] if co is not None
+                               else off_o))
+        if len(counts) > self.k:
+            # deterministic prune: ties broken by item repr; dropped
+            # items stay bounded by the next merge's eviction floor
+            # (min kept est >= every dropped est)
+            keep = sorted(counts,
+                          key=lambda i: (-counts[i], str(i)))[:self.k]
+            counts = {i: counts[i] for i in keep}
+            errors = {i: errors[i] for i in keep}
+        self.counts, self.errors = counts, errors
         return self
 
     def top(self, n: int) -> list[tuple[object, float, float]]:

@@ -126,6 +126,27 @@ def _events_rollup(sf_dir: str, tier: str):
     raise ValueError(f"unknown tier {tier!r}")
 
 
+def _anchor_schema(ds, schema: "pa.Schema"):
+    """Schema-stable empty results: union a typed 0-row block so a
+    query whose final map stage sees no rows (Ray skips empty blocks,
+    so the stage's output would carry NO schema) still reports its
+    columns.  Zero flags is a legitimate outcome (the reference's
+    'No outliers found.' branch); without the anchor an all-quiet
+    corpus turns rows=0/schema=[] while the SQL oracle keeps its
+    column list — found by the randomized differential fuzz (MAD on a
+    dyadic corpus flags nothing)."""
+    import ray
+
+    return ray.data.from_arrow(schema.empty_table()).union(ds)
+
+
+_FLAG_SCHEMA = pa.schema([
+    ("source", pa.string()),
+    ("bucket_start", pa.timestamp("s")),
+    ("value", pa.float64()),
+])
+
+
 def _flags(sf_dir: str, tier: str, method: str, **cfg_overrides):
     """Run the detector actor-pool stage with one method over the events
     rollup; emit (source, bucket_start, value) flag rows."""
@@ -138,7 +159,7 @@ def _flags(sf_dir: str, tier: str, method: str, **cfg_overrides):
     out = flags.select_columns(["key", "bucket_start", "value"]).rename_columns(
         {"key": "source"}
     )
-    return _round_cols(out, ("value",))
+    return _anchor_schema(_round_cols(out, ("value",)), _FLAG_SCHEMA)
 
 
 def iqr_flags_1h(sf_dir: str):

@@ -461,13 +461,18 @@ def simhash_near_pairs(sf_dir: str):
     (64-bit bit votes over occurrence-weighted md5₆₄(word) — DuckDB
     replays the vote matrix bit-for-bit), and the 4×16-bit pigeonhole
     banding guarantees every Hamming ≤ 3 pair shares a band, so the
-    engine's capped-bucket distributed candidate+verify path must
-    reproduce the oracle's full O(n²) bit_count(xor) ≤ 3 join exactly
-    (organic pairs exist at every sf: 23/12/312).  The production
-    prefilter keeps the fast bulk word hash."""
+    engine's distributed candidate+verify path must reproduce the
+    oracle's full O(n²) bit_count(xor) ≤ 3 join exactly (organic
+    pairs exist at every sf: 23/12/312).  The production prefilter
+    keeps the fast bulk word hash.  Oracle-parity trade: this query
+    raises the band-bucket cap to 4096 (the stage's 256 default
+    sampled a hot band at sf0.1 and dropped 2 of 312 pairs — correct
+    pair-explosion behavior for production, but the full-recall
+    oracle pin needs uncapped buckets at gate scale)."""
     from ..stages.dedup import simhash_pairs
 
-    pairs = simhash_pairs(_documents(sf_dir), hash_fn="md5")
+    pairs = simhash_pairs(_documents(sf_dir), hash_fn="md5",
+                          max_bucket=4096)
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

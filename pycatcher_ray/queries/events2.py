@@ -348,17 +348,21 @@ FROM ranked WHERE rn <= 3
 
 
 def approx_top_users_by_type(sf_dir: str, k: int = 3,
-                             cap: int = 256):
+                             cap: int = 256,
+                             _zero_err_for_test: bool = False):
     """Heavy-hitter sketch top-k with the sketch GUARANTEE asserted
     in-band (the ``approx_users_by_type`` pattern, verdict r4 item 1):
     ONE query runs BOTH the Space-Saving sketch path (per-batch
     partials per event_type, merged per type — the mergeable-sketch
     scale path that avoids the user-keyed exchange) AND the exact
     (source, user) totals, and emits per exact-top-k row two booleans
-    the DuckDB oracle pins TRUE — ``in_sketch_topk`` (the sketch's
-    top-k SET contains this user) and ``within_error_bound``
-    (exact ≤ approx ≤ exact + err, the Metwally et al. Space-Saving
-    guarantee applied to this user's sketch entry).  total_value /
+    the DuckDB oracle pins TRUE — ``sketch_topk_consistent`` (the
+    sketch top-k contains this user WHENEVER the sketch's own
+    Metwally separation condition est−err ≥ est_{k+1} certifies its
+    top-k — the scale-safe implication form; an absolute containment
+    pin fails legitimately once error mass swallows the top-k gap)
+    and ``within_error_bound`` (exact ≤ approx ≤ exact + err for
+    tracked entries, the Space-Saving bound).  total_value /
     rank are value-pinned bit-for-bit by the SQL top-k, so a sketch
     regression (wrong merge, eviction bug, broken bound) turns a
     driver-green row into a hard FAIL instead of a rows-only pass.
@@ -407,6 +411,12 @@ def approx_top_users_by_type(sf_dir: str, k: int = 3,
     # bounded: O(cap × sources) sketch rows
     sk = ds.map_batches(sketch_batch, batch_format="pandas").groupby(
         "source").map_groups(merge_group, batch_format="pandas").to_pandas()
+    if _zero_err_for_test:
+        # negative-test knob (tests/test_inband_guards.py): broken
+        # error accounting makes the separation condition spuriously
+        # certify a small sketch's top-k, so sketch_topk_consistent
+        # must flip False — the bug class the implication pin catches
+        sk = sk.assign(err_bound=0.0)
 
     # exact path — the top_users_by_type partial + (source,user) exchange
     def partial(b: pa.Table) -> pa.Table:
@@ -433,13 +443,35 @@ def approx_top_users_by_type(sf_dir: str, k: int = 3,
         s, uid = row["source"], int(row["user_id"])
         tv = float(row["tv"])
         g = sk_items.get(s)
-        in_topk = False
-        within = False
+        consistent = False
+        within = True  # the error bound is a claim about TRACKED entries
         if g is not None:
             gs = g.sort_values(["approx_total", "user_id"],
                                ascending=[False, True], kind="stable")
+            ests = gs["approx_total"].to_numpy(np.float64)
+            errs = gs["err_bound"].to_numpy(np.float64)
             top_ids = set(gs["user_id"].head(k).astype(np.int64))
             in_topk = uid in top_ids
+            # Metwally separation: the sketch GUARANTEES its top-k is
+            # the true top-k only when every top-k lower bound
+            # (est - err) clears the (k+1)-th estimate.  Containment
+            # is pinned under that condition; an unseparated sketch
+            # (error mass swallowed the gap) may legitimately miss a
+            # borderline member at ANY fixed cap, so the absolute pin
+            # was scale-unsafe (failed at sf0.1).
+            # certification floor: an untracked item's true total is
+            # bounded by the (k+1)-th estimate AND — when the sketch
+            # is at capacity, i.e. items were ever evicted — by the
+            # eviction floor min(est).  A sketch with cap <= k can
+            # never certify (floor = its own min est), which keeps
+            # the implication honestly vacuous for tiny caps.
+            nxt = float(ests[k]) if len(ests) > k else 0.0
+            floor = nxt
+            if len(ests) >= cap:
+                floor = max(floor, float(ests.min()))
+            separated = bool(
+                (ests[:k] - errs[:k] >= floor - 1e-9).all())
+            consistent = in_topk or not separated
             hit = g[g["user_id"] == uid]
             if len(hit):
                 ap = float(hit["approx_total"].iloc[0])
@@ -448,11 +480,12 @@ def approx_top_users_by_type(sf_dir: str, k: int = 3,
                 within = (ap + 1e-9 >= tv) and (ap - eb <= tv + 1e-9)
         out_rows.append({
             "source": s, "user_id": uid, "rank": int(row["rank"]),
-            "total_value": round(tv, 4), "in_sketch_topk": bool(in_topk),
+            "total_value": round(tv, 4),
+            "sketch_topk_consistent": bool(consistent),
             "within_error_bound": bool(within)})
     return pd.DataFrame(out_rows, columns=[
-        "source", "user_id", "rank", "total_value", "in_sketch_topk",
-        "within_error_bound"])
+        "source", "user_id", "rank", "total_value",
+        "sketch_topk_consistent", "within_error_bound"])
 
 
 _APPROX_TOP_USERS_ORACLE = """
@@ -466,7 +499,7 @@ WITH totals AS (
 )
 SELECT source, user_id, CAST(rn AS BIGINT) AS rank,
        round(tv, 4) AS total_value,
-       TRUE AS in_sketch_topk, TRUE AS within_error_bound
+       TRUE AS sketch_topk_consistent, TRUE AS within_error_bound
 FROM ranked WHERE rn <= 3
 """
 

@@ -3363,7 +3363,11 @@ def goertzel_diurnal_power(sf_dir: str):
         g = g.sort_values(["event_type", "bucket_start"], kind="stable")
         rows = []
         for src, sub in g.groupby("event_type", sort=False):
-            v = sub["sum_value"].to_numpy(np.float64)
+            # correctly-rounded tier values: the recursion's inputs
+            # must be the oracle's round(sum,4) DOUBLES bit-for-bit,
+            # or the per-step ulp gap compounds past the 6-dp canon
+            # at 1e8 magnitudes (fuzz seed 173 / sf0.1)
+            v = _round_exact(sub["sum_value"].to_numpy(np.float64))
             s1 = 0.0
             s2 = 0.0
             for x in v:

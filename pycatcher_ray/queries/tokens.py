@@ -214,10 +214,17 @@ def tokens_gapfill_1m(sf_dir: str):
 
 
 def _tokens_flags(sf_dir: str, method: str):
+    from ._core import _anchor_schema
+
     roll = _tokens_rollup_1h(sf_dir)
     flags = detect(roll, "source", tier="1h",
                    cfg=EngineConfig(detect_concurrency=2), methods=(method,))
-    return flags.select_columns(["key", "bucket_start", "value"])
+    out = flags.select_columns(["key", "bucket_start", "value"])
+    return _anchor_schema(out, pa.schema([
+        ("key", pa.string()),
+        ("bucket_start", pa.timestamp("s")),
+        ("value", pa.float64()),
+    ]))
 
 
 def tokens_iqr_flags_1h(sf_dir: str):

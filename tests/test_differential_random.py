@@ -314,7 +314,15 @@ DOC_FUZZ_QUERIES = ["dedup_exact", "doc_text_stats", "lang_distribution",
                     "top_bigram_fraction"]
 
 
-@pytest.fixture(scope="module", params=[7, 8])
+def _env_seeds(var: str, default: list[int]) -> list[int]:
+    env = os.environ.get(var)
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    return default
+
+
+@pytest.fixture(scope="module",
+                params=_env_seeds("GRAFT_DOC_FUZZ_SEEDS", [7, 8]))
 def doc_fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"docfuzz{request.param}")
     pq.write_table(_synth_docs(request.param), str(d / "documents.parquet"))
@@ -368,7 +376,8 @@ def _synth_embeddings(seed: int, n: int = 300, dim: int = 16) -> pa.Table:
     )
 
 
-@pytest.fixture(scope="module", params=[11, 12])
+@pytest.fixture(scope="module",
+                params=_env_seeds("GRAFT_EMB_FUZZ_SEEDS", [11, 12]))
 def emb_fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"embfuzz{request.param}")
     pq.write_table(_synth_embeddings(request.param),

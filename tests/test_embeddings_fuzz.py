@@ -78,7 +78,15 @@ def _synth_embeddings(seed: int) -> pa.Table:
     })
 
 
-@pytest.fixture(scope="module", params=[7, 13])
+def _env_seeds(var: str, default: list[int]) -> list[int]:
+    env = os.environ.get(var)
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    return default
+
+
+@pytest.fixture(scope="module",
+                params=_env_seeds("GRAFT_EMB32_FUZZ_SEEDS", [7, 13]))
 def emb_fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"embfuzz{request.param}")
     pq.write_table(_synth_embeddings(request.param),

@@ -11,24 +11,30 @@ SF = "/root/testdata/sf0.001"
 
 
 class TestInBandGuards:
-    def test_sketch_guarantee_boolean_reacts_to_tiny_cap(self, ray_session):
-        """cap=1 cripples the Space-Saving sketch; the driver query's
-        in_sketch_topk / within_error_bound booleans must go False for
-        at least one exact-top-k row — proving the pinned-TRUE oracle
-        is a real measurement, not a constant."""
+    def test_sketch_guarantee_boolean_reacts_to_broken_errs(
+            self, ray_session):
+        """Corrupted error accounting (err=0) on a crippled cap=1
+        sketch makes the Metwally separation condition spuriously
+        certify its top-k, so the implication boolean
+        sketch_topk_consistent must go False for at least one
+        exact-top-k row — proving the pinned-TRUE oracle is a real
+        measurement, not a constant.  (cap=1 with HONEST errors keeps
+        the boolean True because separation correctly fails — the
+        implication is vacuous for a sketch that knows it's garbage.)"""
         from pycatcher_ray.queries import approx_top_users_by_type
 
-        out = approx_top_users_by_type(SF, cap=1)
+        out = approx_top_users_by_type(SF, cap=1, _zero_err_for_test=True)
         assert len(out)
-        assert not bool(out["in_sketch_topk"].all()) or \
-            not bool(out["within_error_bound"].all())
+        assert not bool(out["sketch_topk_consistent"].all())
+        honest = approx_top_users_by_type(SF, cap=1)
+        assert bool(honest["sketch_topk_consistent"].all())
 
     def test_sketch_guarantee_holds_at_default_cap(self, ray_session):
         from pycatcher_ray.queries import approx_top_users_by_type
 
         out = approx_top_users_by_type(SF)
         assert len(out)
-        assert bool(out["in_sketch_topk"].all())
+        assert bool(out["sketch_topk_consistent"].all())
         assert bool(out["within_error_bound"].all())
 
     def test_embedding_neardup_planted_pairs_exact(self, ray_session):

@@ -100,7 +100,15 @@ def _synth_tokens(seed: int) -> pa.Table:
     })
 
 
-@pytest.fixture(scope="module", params=[11, 22])
+def _env_seeds(var: str, default: list[int]) -> list[int]:
+    env = os.environ.get(var)
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    return default
+
+
+@pytest.fixture(scope="module",
+                params=_env_seeds("GRAFT_TOKENS_FUZZ_SEEDS", [11, 22]))
 def tokens_fuzz_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"tokfuzz{request.param}")
     pq.write_table(_synth_tokens(request.param), str(d / "part-0.parquet"))
