@@ -411,3 +411,181 @@ class TestDifferentialEmbeddings:
             except AssertionError as e:
                 failures.append((name, "values", str(e)[:200]))
         assert not failures, failures
+
+
+# ---------------------------------------------------------- relational
+
+def _synth_tpch(seed: int) -> dict:
+    """TPC-H-subset tables with the edge cases the fixed generators may
+    miss: zero-order customers, single-line orders, same-day reorders,
+    negative/zero balances, an order with exactly one late supplier of
+    several, discount/quantity boundary values, shared parts dense
+    enough for the copurchase graph queries."""
+    rng = np.random.default_rng(seed)
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(regions)})
+    n_nat = 25
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array((np.arange(n_nat) % 5).astype(np.int32))})
+
+    n_cust = 120
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    bal = np.round(rng.normal(3000, 4000, n_cust), 2)
+    bal[0] = 0.0          # zero balance
+    bal[1] = -999.99      # negative balance (Q22 idle-balance path)
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_cust + 1)]),
+        "c_nationkey": pa.array(rng.integers(0, n_nat, n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(bal),
+        "c_mktsegment": pa.array(rng.choice(segs, n_cust).tolist())})
+
+    n_supp = 20
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(1, n_supp + 1, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, n_supp + 1)]),
+        "s_nationkey": pa.array(rng.integers(0, n_nat, n_supp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.normal(4000, 3000, n_supp), 2))})
+
+    n_part = 40
+    types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, n_part + 1, dtype=np.int64)),
+        "p_name": pa.array([f"part {i}" for i in range(1, n_part + 1)]),
+        "p_brand": pa.array([f"Brand#{int(b)}" for b in
+                             rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(rng.choice(types, n_part).tolist()),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, n_part), 2))})
+
+    # orders: customers 1..100 order (so 101..120 have ZERO orders);
+    # customer 5 places two orders on the SAME date (zero reorder gap)
+    n_ord = 400
+    custs = rng.integers(1, 101, n_ord).astype(np.int64)
+    base = np.datetime64("1995-01-01")
+    odate = base + rng.integers(0, 4 * 365, n_ord).astype("timedelta64[D]")
+    custs[0] = custs[1] = 5
+    odate[1] = odate[0]
+    statuses = np.array(["F", "O", "P"])
+    prios = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                      "4-NOT SPECIFIED", "5-LOW"])
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+        "o_custkey": pa.array(custs),
+        "o_orderstatus": pa.array(statuses[rng.integers(0, 3, n_ord)].tolist()),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 300000, n_ord), 2)),
+        "o_orderdate": pa.array(odate).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)].tolist())})
+
+    # lineitems: 1-6 per order; order 1 has a SINGLE line; order 2 has
+    # three suppliers with exactly ONE shipping last (sole-late path)
+    rows = []
+    rf = np.array(["A", "N", "R"])
+    for ok, od in zip(range(1, n_ord + 1), odate):
+        nl = 1 if ok == 1 else int(rng.integers(1, 7))
+        supps = rng.integers(1, n_supp + 1, nl).astype(np.int64)
+        if ok == 2:
+            nl = 3
+            supps = np.array([1, 2, 3], dtype=np.int64)
+        ship = od + rng.integers(1, 121, nl).astype("timedelta64[D]")
+        if ok == 2:
+            ship = od + np.array([5, 5, 90], dtype="timedelta64[D]")
+        for ln in range(nl):
+            qty = float(rng.integers(1, 51))
+            disc = round(float(rng.integers(0, 11)) / 100.0, 2)
+            rows.append((
+                ok, int(rng.integers(1, n_part + 1)), int(supps[ln]),
+                ln + 1, qty,
+                round(qty * float(rng.uniform(900, 2000)), 2),
+                disc, round(float(rng.integers(0, 9)) / 100.0, 2),
+                str(rf[int(rng.integers(0, 3))]),
+                "F" if rng.random() < 0.5 else "O",
+                ship[ln]))
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in rows], type=pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in rows], type=pa.int32()),
+        "l_quantity": pa.array([r[4] for r in rows], type=pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in rows], type=pa.float64()),
+        "l_discount": pa.array([r[6] for r in rows], type=pa.float64()),
+        "l_tax": pa.array([r[7] for r in rows], type=pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in rows]),
+        "l_linestatus": pa.array([r[9] for r in rows]),
+        "l_shipdate": pa.array(
+            np.array([r[10] for r in rows], dtype="datetime64[D]")
+        ).cast(pa.timestamp("us"))})
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem}
+
+
+RELATIONAL_FUZZ_QUERIES = [
+    "top_building_orders", "regional_supplier_revenue",
+    "large_order_customers", "late_shipment_priority",
+    "inactive_customers", "lineitem_pricing_summary", "tpch_q6_revenue",
+    "promo_revenue_share", "mktsegment_revenue",
+    "returned_item_customers", "tpch_q7_volume_shipping",
+    "tpch_q19_disjunctive_revenue", "customer_order_distribution",
+    "supplier_diversity_by_part", "top_supplier_revenue",
+    "small_qty_brand_revenue", "idle_balance_by_nation",
+    "nation_market_share", "sole_late_suppliers",
+    "shipping_mix_by_status", "repeat_order_interval", "brand_pareto",
+    "segment_order_value_cv", "shipping_delay_histogram",
+    "copurchase_part_pairs", "orders_backlog_daily",
+    "type_size_contingency", "discount_band_revenue",
+    "qty_price_correlation", "order_fill_latency",
+    "charge_summary_by_status", "order_lines_audit",
+    "brand_list_price_gap", "supplier_balance_revenue",
+    "custbal_orders_correlation", "order_month_seasonality",
+    "exact_price_quantiles", "supplier_assortment_histogram",
+    "customer_reactivation_census", "copurchase_triangles",
+    "copurchase_components", "identical_basket_orders",
+]
+
+
+@pytest.fixture(scope="module",
+                params=_env_seeds("GRAFT_REL_FUZZ_SEEDS", [5, 6]))
+def rel_fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"relfuzz{request.param}")
+    for name, tbl in _synth_tpch(request.param).items():
+        pq.write_table(tbl, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+class TestDifferentialRelational:
+    def test_oracle_parity_on_random_tpch(self, ray_session,
+                                          rel_fuzz_dir):
+        from pycatcher_ray.queries import oracles, queries
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{rel_fuzz_dir}/{t}.parquet')")
+        qs, os_ = queries(), oracles()
+        failures = []
+        for name in RELATIONAL_FUZZ_QUERIES:
+            try:
+                got = canon(to_pandas(qs[name](rel_fuzz_dir)))
+                want = canon(con.execute(os_[name]).fetchdf())
+            except Exception as e:
+                failures.append((name, "err", str(e)[:160]))
+                continue
+            got = got.sort_values(list(got.columns)).reset_index(drop=True)
+            want = want.sort_values(list(want.columns)).reset_index(drop=True)
+            if len(got) != len(want):
+                failures.append((name, "rows", len(got), len(want)))
+                continue
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              rtol=0, atol=0)
+            except AssertionError as e:
+                failures.append((name, "values", str(e)[:200]))
+        assert not failures, failures
