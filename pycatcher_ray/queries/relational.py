@@ -648,7 +648,10 @@ def tpch_q6_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     n = int(parts["n"].sum())
     rev_i = int(parts["rev_i"].sum())
     return pd.DataFrame({
-        "revenue": [float(rev_i) / 10000.0 if n else None],
+        # NaN (float dtype) over an empty window, matching SQL sum()'s
+        # NULL — Python None makes the column object dtype and fails
+        # the float compare (found by the relational fuzz)
+        "revenue": [float(rev_i) / 10000.0 if n else float("nan")],
         "n_lines": [n]})
 
 
@@ -711,7 +714,8 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
         "promo_revenue": [float(promo_i) / 10000.0],
         "total_revenue": [float(total_i) / 10000.0],
         "promo_share_pct": [
-            float(100 * promo_i) / float(total_i) if total_i else None]})
+            float(100 * promo_i) / float(total_i) if total_i
+            else float("nan")]})
 
 
 def mktsegment_revenue(sf_dir: str, date_lo: str = "1996-01-01",
@@ -1136,7 +1140,10 @@ def tpch_q19_disjunctive_revenue(sf_dir: str):
     n = int(parts["n"].sum())
     rev_i = int(parts["rev_i"].sum())
     return pd.DataFrame({
-        "revenue": [float(rev_i) / 10000.0 if n else None],
+        # NaN (float dtype) over an empty window, matching SQL sum()'s
+        # NULL — Python None makes the column object dtype and fails
+        # the float compare (found by the relational fuzz)
+        "revenue": [float(rev_i) / 10000.0 if n else float("nan")],
         "n_lines": [n]})
 
 
@@ -3558,9 +3565,18 @@ def identical_basket_orders(sf_dir: str):
         return out.astype(np.int64)
 
     parts = groups.map_batches(dup_census, batch_format="pandas")
-    return sharded_aggregate(parts, "basket_size",
-                             {"n_groups": "sum", "n_dup_orders": "sum"},
-                             num_shards=2)
+    out = sharded_aggregate(parts, "basket_size",
+                            {"n_groups": "sum", "n_dup_orders": "sum"},
+                            num_shards=2)
+    # a corpus with NO duplicate baskets is a legitimate result; keep
+    # the schema on the empty path (the _anchor_schema convention)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(out, pa.schema([
+        ("basket_size", pa.int64()),
+        ("n_groups", pa.int64()),
+        ("n_dup_orders", pa.int64()),
+    ]))
 
 
 _IDENTICAL_BASKET_ORACLE = """
