@@ -126,18 +126,25 @@ def _events_rollup(sf_dir: str, tier: str):
     raise ValueError(f"unknown tier {tier!r}")
 
 
-def _anchor_schema(ds, schema: "pa.Schema"):
-    """Schema-stable empty results: union a typed 0-row block so a
-    query whose final map stage sees no rows (Ray skips empty blocks,
-    so the stage's output would carry NO schema) still reports its
-    columns.  Zero flags is a legitimate outcome (the reference's
-    'No outliers found.' branch); without the anchor an all-quiet
-    corpus turns rows=0/schema=[] while the SQL oracle keeps its
-    column list — found by the randomized differential fuzz (MAD on a
-    dyadic corpus flags nothing)."""
-    import ray
+def _ds_to_pandas(ds) -> pd.DataFrame:
+    """``Dataset.to_pandas`` that KEEPS the column list on 0-row
+    datasets (Ray's own returns a colless frame even when the schema
+    is intact — found by the minimal-corpus sweep); required wherever
+    a driver-side fold indexes columns of a possibly-empty result."""
+    df = ds.to_pandas()
+    if len(df.columns):
+        return df
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None or not getattr(sch, "names", None):
+        return df
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+    return pd.DataFrame({n: pd.Series([], dtype=object)
+                         for n in sch.names})
 
-    return ray.data.from_arrow(schema.empty_table()).union(ds)
+
+from ..stages.shard import anchor_schema as _anchor_schema  # noqa: E402,F401
 
 
 _FLAG_SCHEMA = pa.schema([

@@ -84,7 +84,14 @@ def iqr_flags_enriched_1h(sf_dir: str):
         out["src_std"] = out["source"].map(s["src_std"]).round(4)
         return out
 
-    return flags.map_batches(enrich, batch_format="pandas")
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        flags.map_batches(enrich, batch_format="pandas"),
+        pa.schema([
+            ("source", pa.string()), ("bucket_start", pa.timestamp("s")),
+            ("value", pa.float64()), ("src_mean", pa.float64()),
+            ("src_std", pa.float64())]))
 
 
 def range_join_recent_flags(sf_dir: str, window_hours: int = 2):
@@ -431,7 +438,14 @@ def ensemble_flags_1h(sf_dir: str):
             "n_methods": out["n_methods"].astype(np.int64),
             "methods": out["methods"].astype(object)})
 
-    return sharded_map_groups(flags, "source", fold)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_map_groups(flags, "source", fold),
+        pa.schema([
+            ("source", pa.string()), ("bucket_start", pa.timestamp("s")),
+            ("value", pa.float64()), ("n_methods", pa.int64()),
+            ("methods", pa.string())]))
 
 
 def detector_kappa(sf_dir: str):
@@ -550,7 +564,14 @@ def flag_tier_consistency(sf_dir: str):
             "source", "n_hour_flags", "n_corroborated",
             "corroborated_share"])
 
-    return sharded_map_groups(both, "source", fold)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_map_groups(both, "source", fold),
+        pa.schema([
+            ("source", pa.string()), ("n_hour_flags", pa.int64()),
+            ("n_corroborated", pa.int64()),
+            ("corroborated_share", pa.float64())]))
 
 
 def daily_anomaly_burden(sf_dir: str):
@@ -628,9 +649,16 @@ def interflag_gap_stats(sf_dir: str):
         return pd.DataFrame(rows, columns=[
             "source", "n_flags", "mean_gap_hours", "max_gap_hours"])
 
-    return sharded_map_groups(
-        flags.select_columns(["source", "bucket_start"]),
-        "source", per_source, num_shards=4)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_map_groups(
+            flags.select_columns(["source", "bucket_start"]),
+            "source", per_source, num_shards=4),
+        pa.schema([
+            ("source", pa.string()), ("n_flags", pa.int64()),
+            ("mean_gap_hours", pa.float64()),
+            ("max_gap_hours", pa.int64())]))
 
 
 def flag_hour_profile(sf_dir: str):
@@ -728,7 +756,15 @@ def detection_lead_time(sf_dir: str):
             "first_flag_moh": first,
             "lead_minutes": 60.0 - first})
 
-    return sharded_map_groups(both, "source", fold, num_shards=4)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_map_groups(both, "source", fold, num_shards=4),
+        pa.schema([
+            ("source", pa.string()), ("hour", pa.timestamp("s")),
+            ("n_minute_flags", pa.int64()),
+            ("first_flag_moh", pa.float64()),
+            ("lead_minutes", pa.float64())]))
 
 
 # ------------------------------------------------------------------

@@ -480,7 +480,12 @@ def simhash_near_pairs(sf_dir: str):
             "doc_b": b["doc_b"].astype(np.int64),
             "hamming": b["hamming"].astype(np.int64)})
 
-    return pairs.map_batches(fin, batch_format="pandas")
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        pairs.map_batches(fin, batch_format="pandas"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int64())]))
 
 
 def ngram_jaccard(sf_dir: str, threshold: float = 0.8):
@@ -1240,7 +1245,12 @@ def cross_source_contamination(sf_dir: str, n: int = 5):
             "source": g["source"],
             "n_shared_grams": g["one"].astype(np.int64)})
 
-    return sharded_map_groups(hits, "doc_id", doc_fold, num_shards=4)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_map_groups(hits, "doc_id", doc_fold, num_shards=4),
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                   ("n_shared_grams", pa.int64())]))
 
 
 def word_repetition_ratio(sf_dir: str):
@@ -2473,7 +2483,9 @@ def bloom_vocab_probe(sf_dir: str):
         return pd.DataFrame({"bit": pd.Series(sorted(bits),
                                               dtype=np.int64)})
 
-    bits = ds.map_batches(ref_bits, batch_format="pandas").to_pandas()
+    from ._core import _ds_to_pandas
+
+    bits = _ds_to_pandas(ds.map_batches(ref_bits, batch_format="pandas"))
     bitset = frozenset(int(x) for x in bits["bit"])
     bits_ref = ray.put(bitset)
 

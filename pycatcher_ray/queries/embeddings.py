@@ -262,7 +262,10 @@ def ann_topk_ivf(sf_dir: str):
         "rank": np.arange(1, len(brute) + 1, dtype=np.int64),
         "vec_id": brute["vec_id"].to_numpy(np.int64),
         "cos_sim": brute["cos_sim"].to_numpy(np.float64),
-        "ivf_recall_ok": np.full(len(brute), hits >= 4, dtype=bool),
+        # floor scales down on degenerate corpora (fewer than 4
+        # exact results cannot produce 4 hits)
+        "ivf_recall_ok": np.full(len(brute), hits >= min(4, len(brute)),
+                                 dtype=bool),
     })
 
 
@@ -885,13 +888,17 @@ def triplet_margin_census(sf_dir: str, k: int = 8):
         diff = folded[(folded["anchor_id"] == aids[j])
                       & (folded["side"] == 1)]["d2"] \
             if len(folded) else pd.Series([], dtype=np.int64)
+        # NaN (float dtype) for a missing side, matching the SQL
+        # NULL — Python None makes the column object dtype and fails
+        # the float compare (minimal-corpus sweep)
         ds_ = int(same.iloc[0]) if len(same) else None
         dd = int(diff.iloc[0]) if len(diff) else None
         rows.append({
             "anchor_id": int(aids[j]), "label": int(alabels[j]),
-            "d2_same": ds_, "d2_diff": dd,
+            "d2_same": ds_ if ds_ is not None else float("nan"),
+            "d2_diff": dd if dd is not None else float("nan"),
             "margin": (dd - ds_) if ds_ is not None and dd is not None
-            else None})
+            else float("nan")})
     out = pd.DataFrame(rows, columns=[
         "anchor_id", "label", "d2_same", "d2_diff", "margin"])
     return out
@@ -932,7 +939,11 @@ def ivf_recall_census(sf_dir: str, k: int = 8, topk: int = 10):
                            for e in cand["embedding"]]) * 1e6
                  ).astype(np.int64)
     cids = cand["vec_id"].to_numpy(np.int64)
-    Q = C[:nq]                       # queries = 4 lowest vec_ids
+    # a degenerate corpus can hold fewer than 4 vectors — the loop's
+    # query count must track Q's actual rows (the oracle's LIMIT 4
+    # shrinks the same way)
+    nq = min(nq, C.shape[0])
+    Q = C[:nq]                       # queries = nq lowest vec_ids
     qids = cids[:nq]
 
     # probe order per query: centroids by (int distance, cid) asc
@@ -1042,6 +1053,15 @@ def residual_quantization_census(sf_dir: str, k: int = 8):
     ids = cand["vec_id"].to_numpy(np.int64)
     C, cids = M[:k], ids[:k]
     S = M[k:k2]                      # residual-codebook seed vectors
+    if not len(S):
+        # fewer than k+1 vectors: no seed pool exists — the oracle's
+        # LIMIT k OFFSET k seed select is empty too, so the census is
+        # an empty table, not a crash (minimal-corpus sweep)
+        return pd.DataFrame({
+            "centroid_id": pd.Series([], dtype=np.int64),
+            "code_id": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "mean_residual_d2": pd.Series([], dtype=np.float64)})
 
     def _assign(mat: np.ndarray) -> np.ndarray:
         d = mat @ (-2 * C.T)
@@ -1419,9 +1439,12 @@ def kmeans_update_step(sf_dir: str, k: int = 8):
         d += (q * q).sum(axis=1, keepdims=True)
         d += (C * C).sum(axis=1)
         choice = np.argmin(d, axis=1)
-        sums = np.zeros((k, dims), dtype=np.int64)
+        # effective centroid count: a degenerate corpus can hold fewer
+        # than k vectors, so masks index cids by C's actual rows
+        k_eff = C.shape[0]
+        sums = np.zeros((k_eff, dims), dtype=np.int64)
         np.add.at(sums, choice, q)
-        cnt = np.bincount(choice, minlength=k).astype(np.int64)
+        cnt = np.bincount(choice, minlength=k_eff).astype(np.int64)
         used = cnt > 0
         kk = int(used.sum())
         return pd.DataFrame({

@@ -589,6 +589,10 @@ def theil_sen_trend(sf_dir: str):
             di = idx[None, :] - idx[:, None]   # j - i
             iu = np.triu_indices(n, k=1)
             slopes = dv[iu] / di[iu]
+            if not slopes.size:
+                # single-bucket source: no pair, no slope — the
+                # oracle's pair join emits no row either
+                continue
             rows.append({
                 "source": src,
                 "slope": round(float(quantile_cont(slopes, 0.5)), 6),
@@ -1381,9 +1385,12 @@ def source_correlation(sf_dir: str):
         j = shard.merge(shard, on="bucket_start", suffixes=("_a", "_b"))
         j = j[j["event_type_a"] < j["event_type_b"]]
         if not len(j):
+            # full column list incl. the min/max constancy guards —
+            # a stale shorter list broke the downstream fold's named
+            # aggs on the all-empty path (minimal-corpus sweep)
             return pd.DataFrame(columns=[
                 "source_a", "source_b", "n", "sx", "sy", "sxy", "sxx",
-                "syy"])
+                "syy", "mnx", "mxx", "mny", "mxy"])
         x = j["v_a"].to_numpy(dtype=np.float64)
         y = j["v_b"].to_numpy(dtype=np.float64)
         out = pd.DataFrame({
@@ -3889,7 +3896,13 @@ def dickey_fuller_by_source(sf_dir: str):
     out = sharded_map_groups(
         roll.select_columns(["event_type", "bucket_start", "sum_value"]),
         "event_type", df_shard)
-    return _round_cols(out, ("beta", "df_stat"))
+    from ._core import _anchor_schema
+
+    # every series can be shorter than the min-obs gate (degenerate
+    # corpus): keep the schema on the empty path
+    return _anchor_schema(_round_cols(out, ("beta", "df_stat")), pa.schema([
+        ("source", pa.string()), ("n_obs", pa.int64()),
+        ("beta", pa.float64()), ("df_stat", pa.float64())]))
 
 
 _DICKEY_FULLER_ORACLE = """

@@ -249,10 +249,19 @@ def _tdigest_quantiles_full(sf_dir: str, eps: float = 0.02):
                 td.merge(TDigest.from_bytes(blob))
             v = np.concatenate([np.asarray(u) for u in grp["values"]])
             row = {"source": src}
+            vs = np.sort(v)
+            n1 = vs.size - 1
             for q, name in ((0.5, "p50"), (0.95, "p95")):
                 approx = td.quantile(q)
-                lo = quantile_cont(v, max(0.0, q - eps))
-                hi = quantile_cont(v, min(1.0, q + eps))
+                # rank band widened to the ENCLOSING order statistics:
+                # at tiny n the pure +/-eps rank window is narrower
+                # than one inter-point gap, failing even a perfect
+                # sketch (t-digest's interpolation differs from
+                # quantile_cont's) — found by the minimal-corpus
+                # sweep; at scale the widening is < 1 rank, far
+                # inside the sketch's error budget
+                lo = vs[max(0, int(np.floor((q - eps) * n1)))]
+                hi = vs[min(n1, int(np.ceil((q + eps) * n1)))]
                 row[f"approx_{name}"] = approx
                 row[f"exact_{name}"] = quantile_cont(v, q)
                 row[f"{name}_in_rank_band"] = bool(

@@ -1427,8 +1427,10 @@ def small_qty_brand_revenue(sf_dir: str):
         return out.groupby("bid", as_index=False).sum()
 
     per_brand = sharded_map_groups(parts, "pkey", fold)
-    agg = sharded_aggregate(per_brand, "bid", {"price_i": "sum"},
-                            num_shards=2).to_pandas()
+    from ._core import _ds_to_pandas
+
+    agg = _ds_to_pandas(sharded_aggregate(
+        per_brand, "bid", {"price_i": "sum"}, num_shards=2))
     return pd.DataFrame({
         "p_brand": brands[agg["bid"].to_numpy(np.int64)],
         "avg_yearly": agg["price_i"].astype(np.float64) / 700.0})
@@ -1777,9 +1779,11 @@ def sole_late_suppliers(sf_dir: str, days: int = 90):
         return pd.DataFrame({"skey": win["skey"].to_numpy(np.int64),
                              "numwait": np.ones(len(win), dtype=np.int64)})
 
+    from ._core import _ds_to_pandas
+
     partials = sharded_map_groups(both, "okey", sole_late)
-    counts = sharded_aggregate(partials, "skey", {"numwait": "sum"},
-                               num_shards=2).to_pandas()
+    counts = _ds_to_pandas(sharded_aggregate(
+        partials, "skey", {"numwait": "sum"}, num_shards=2))
     sup = _rd().read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name"]).to_pandas()
@@ -2266,9 +2270,11 @@ def copurchase_part_pairs(sf_dir: str, min_support: int = 2):
         out.columns = ["part_a", "part_b", "n_orders"]
         return out.astype(np.int64)
 
+    from ._core import _ds_to_pandas
+
     parts = sharded_map_groups(line, "l_orderkey", pairs)
-    agg = sharded_aggregate(parts, ["part_a", "part_b"],
-                            {"n_orders": "sum"}).to_pandas()
+    agg = _ds_to_pandas(sharded_aggregate(
+        parts, ["part_a", "part_b"], {"n_orders": "sum"}))
     agg = agg[agg["n_orders"] >= min_support]
     return agg.sort_values(["part_a", "part_b"],
                            kind="stable").reset_index(drop=True)
@@ -3278,7 +3284,15 @@ def customer_reactivation_census(sf_dir: str, gap_days: int = 180):
             "c_mktsegment": b["segment"], "n_multi_order_customers": m,
             "n_reactivated": r, "reactivation_rate": r / m})
 
-    return agg.map_batches(fin, batch_format="pandas")
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        agg.map_batches(fin, batch_format="pandas"),
+        pa.schema([
+            ("c_mktsegment", pa.string()),
+            ("n_multi_order_customers", pa.int64()),
+            ("n_reactivated", pa.int64()),
+            ("reactivation_rate", pa.float64())]))
 
 
 _REACTIVATION_ORACLE = """
@@ -3411,8 +3425,12 @@ def copurchase_triangles(sf_dir: str):
                              "n_triangles": cnts.astype(np.int64)})
 
     partials = sharded_map_groups(both, ["a", "b"], close_triangles)
-    return sharded_aggregate(partials, "part", {"n_triangles": "sum"},
-                             num_shards=8)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_aggregate(partials, "part", {"n_triangles": "sum"},
+                          num_shards=8),
+        pa.schema([("part", pa.int64()), ("n_triangles", pa.int64())]))
 
 
 _TRIANGLES_ORACLE = """
@@ -3482,9 +3500,13 @@ def copurchase_components(sf_dir: str, min_support: int = 2):
             "cluster_id": b["cluster_id"].to_numpy(np.int64),
             "n_parts": np.ones(len(b), dtype=np.int64)})
 
-    return sharded_aggregate(cc.map_batches(one, batch_format="pandas"),
-                             "cluster_id", {"n_parts": "sum"},
-                             num_shards=4)
+    from ._core import _anchor_schema
+
+    return _anchor_schema(
+        sharded_aggregate(cc.map_batches(one, batch_format="pandas"),
+                          "cluster_id", {"n_parts": "sum"},
+                          num_shards=4),
+        pa.schema([("cluster_id", pa.int64()), ("n_parts", pa.int64())]))
 
 
 _COPURCHASE_CC_ORACLE = """

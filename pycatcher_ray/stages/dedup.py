@@ -819,7 +819,13 @@ def ngram_jaccard_pairs(docs_ds, k: int = 3, threshold: float = 0.8,
             out["jaccard"] = np.round(score, 4)
         return out[score >= threshold]
 
-    return co.map_batches(finish, batch_format="pandas")
+    from .shard import anchor_schema as _anchor_schema
+
+    score_col = "containment" if metric == "containment" else "jaccard"
+    return _anchor_schema(
+        co.map_batches(finish, batch_format="pandas"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   (score_col, pa.float64())]))
 
 
 class SimHasher:
@@ -1121,4 +1127,9 @@ def winnow_candidate_pairs_ds(docs_ds, k: int = 5, window: int = 4,
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["n_shared"].to_numpy() >= min_shared]
 
-    return co.map_batches(finish, batch_format="pandas")
+    from .shard import anchor_schema as _anchor_schema
+
+    return _anchor_schema(
+        co.map_batches(finish, batch_format="pandas"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("n_shared", pa.int64())]))

@@ -302,6 +302,19 @@ def _reduce_shard(shard_fn, batch_format: str, *parts):
     return shard_fn(tbl)
 
 
+def anchor_schema(ds, schema: "pa.Schema"):
+    """Schema-stable empty results: union a typed 0-row block so a
+    query whose final map stage sees no rows (Ray skips empty blocks,
+    so the stage's output would carry NO schema) still reports its
+    columns.  Zero flags / zero pairs is a legitimate outcome; without
+    the anchor an all-quiet corpus reports rows=0 with NO columns
+    while the SQL oracle keeps its column list (found by the
+    randomized differential fuzz and the minimal-corpus sweep)."""
+    import ray
+
+    return ray.data.from_arrow(schema.empty_table()).union(ds)
+
+
 def sharded_map_groups(ds, key_cols, shard_fn, num_shards: int | None = 64,
                        batch_format: str = "pandas"):
     """Hash-sharded grouped execution: every row of a key lands in shard
@@ -376,7 +389,9 @@ def _run_exchange(ds, key_spec, shard_fn, num_shards: int,
     ds = _materialized(ds)
     refs = ds.to_arrow_refs()
     if not refs:
-        return ds  # blockless empty input -> empty output
+        # blockless empty input (e.g. an upstream map_batches saw only
+        # 0-row blocks): still derive the OUTPUT schema via the fold
+        return _typed_empty_result(ds, key_spec, shard_fn, batch_format)
 
     reduce = ray.remote(_reduce_shard).options(num_cpus=1)
 
@@ -427,8 +442,51 @@ def _run_exchange(ds, key_spec, shard_fn, num_shards: int,
         "rows": int(counts.sum()),
     })
     if not out_refs:
-        return rd.from_items([])  # no rows anywhere -> empty dataset
+        return _typed_empty_result(ds, key_spec, shard_fn, batch_format)
     return rd.from_arrow_refs(out_refs)
+
+
+def _typed_empty_result(ds, key_spec, shard_fn, batch_format: str):
+    """All-empty exchange: derive the OUTPUT schema by running the fold
+    on a 0-row input of the exchange's input schema, so an empty result
+    keeps its columns (a schemaless `from_items([])` made every
+    downstream to_pandas drop the column list — found by the
+    minimal-corpus sweep).  Falls back to the schemaless empty when the
+    fold cannot run on a 0-row frame."""
+    import ray.data as rd
+
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        arrow_sch = getattr(sch, "base_schema", None)
+        if not isinstance(arrow_sch, pa.Schema):
+            names = list(getattr(sch, "names", []) or [])
+            if not names:
+                return rd.from_items([])
+            arrow_sch = pa.schema(
+                [(n, pa.from_numpy_dtype(t) if not isinstance(t, pa.DataType)
+                  else t)
+                 for n, t in zip(names, sch.types)])
+        empty_in = arrow_sch.empty_table()
+        if isinstance(key_spec, dict):  # part_key variant adds the column
+            empty_in = empty_in.append_column(
+                "part", pa.array([], type=pa.int64()))
+        # call the fold directly (_reduce_shard drops 0-row pieces
+        # before concat, so it cannot carry the empty probe)
+        if batch_format == "pandas":
+            import pandas as _pd
+
+            out = shard_fn(
+                empty_in.replace_schema_metadata(None).to_pandas())
+            if not isinstance(out, _pd.DataFrame):
+                out = _pd.DataFrame(out)
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        else:
+            out = shard_fn(empty_in)
+        if isinstance(out, pa.Table):
+            return rd.from_arrow(out.slice(0, 0))
+    except Exception:
+        pass
+    return rd.from_items([])
 
 
 def sharded_aggregate(ds, key_cols, agg_map: dict,
