@@ -394,6 +394,13 @@ def centroid_margin_census(sf_dir: str, k: int = 8):
                     for e in cand["embedding"]])
     C = np.floor(emb * 1e6).astype(np.int64)
     cids = cand["vec_id"].to_numpy(np.int64)
+    if C.shape[0] < 2:
+        # margin needs a SECOND-nearest centroid; with one, the
+        # oracle's rn=2 join emits no rows (single-vector corpus)
+        return pd.DataFrame({
+            "centroid_id": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "n_ambiguous": pd.Series([], dtype=np.int64)})
 
     def assign(tb: pa.Table) -> pd.DataFrame:
         e = tb["embedding"].combine_chunks()
@@ -1239,6 +1246,13 @@ def centroid_purity(sf_dir: str):
     counts = {int(r.label): int(r.s)
               for r in mom[mom["dim"] == -1].itertuples()}
     labels = sorted(counts)
+    if len(labels) < 2:
+        # purity needs a RIVAL centroid; with one label the oracle's
+        # rival join emits no rows (single-vector corpus)
+        return pd.DataFrame({
+            "label": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "n_violations": pd.Series([], dtype=np.int64)})
     dims = int(mom["dim"].max()) + 1
     S = {lb: np.zeros(dims, dtype=np.int64) for lb in labels}
     for r in mom[mom["dim"] >= 0].itertuples():
@@ -1359,6 +1373,15 @@ def knn_indegree_census(sf_dir: str):
     C = np.floor(emb * 1e6).astype(np.int64)          # (n, d)
     c_sq = (C * C).sum(axis=1)
     n_total = int(ids.size)
+    if n_total < 2:
+        # no OTHER vector exists: the self-mask would leave the argmin
+        # choosing the vector itself (single-vector corpus); every
+        # vector is an orphan, matching the oracle's empty 1-NN join
+        return pd.DataFrame({
+            "in_degree": pd.Series([0] * min(n_total, 1),
+                                   dtype=np.int64),
+            "n_vecs": pd.Series([n_total] * min(n_total, 1),
+                                dtype=np.int64)})
 
     def assign(tb: pa.Table) -> pd.DataFrame:
         e = tb["embedding"].combine_chunks()

@@ -21,7 +21,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def write_minimal_corpus(d: str, embeddings_source: str | None = None):
+def write_minimal_corpus(d: str, embeddings_source: str | None = None,
+                         variant: int = 1):
+    """variant=1: 1-4 rows per table.  variant=2: the harsher shape —
+    ONE event, ONE document, ONE embedding vector (no rival centroid,
+    no 1-NN neighbor, no pair anywhere)."""
     os.makedirs(d, exist_ok=True)
     pq.write_table(pa.table({
         "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
@@ -45,7 +49,25 @@ def write_minimal_corpus(d: str, embeddings_source: str | None = None):
     if embeddings_source is None:
         embeddings_source = "/root/testdata/sf0.001/embeddings.parquet"
     emb = pq.read_table(embeddings_source)
-    pq.write_table(emb.slice(0, 2), f"{d}/embeddings.parquet")
+    pq.write_table(emb.slice(0, 2 if variant == 1 else 1),
+                   f"{d}/embeddings.parquet")
+    if variant == 2:  # overwrite with the single-row shapes
+        pq.write_table(pa.table({
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array(np.array(["2024-03-01T00:10:00"],
+                                    dtype="datetime64[us]")),
+            "user_id": pa.array([7], type=pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([0.0]),
+            "props": pa.array(['{"k": 1}']),
+        }), f"{d}/events.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["aaa aaa aaa"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["web"]),
+            "n_chars": pa.array([11], type=pa.int32()),
+        }), f"{d}/documents.parquet")
     pq.write_table(pa.table({
         "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
         "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
@@ -104,5 +126,6 @@ def write_minimal_corpus(d: str, embeddings_source: str | None = None):
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/minimal_corpus"
-    write_minimal_corpus(out)
+    variant = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    write_minimal_corpus(out, variant=variant)
     print(out)

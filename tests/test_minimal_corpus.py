@@ -54,7 +54,43 @@ def minimal_dir(tmp_path_factory):
     return write_minimal_corpus(str(tmp_path_factory.mktemp("minimal")))
 
 
+@pytest.fixture(scope="module")
+def minimal2_dir(tmp_path_factory):
+    return write_minimal_corpus(str(tmp_path_factory.mktemp("minimal2")),
+                                variant=2)
+
+
 class TestMinimalCorpus:
+    def test_single_row_variant(self, ray_session, minimal2_dir):
+        """Variant 2: ONE vector / ONE event / ONE doc — no rival
+        centroid, no 1-NN neighbor, no pair anywhere.  The queries the
+        variant-2 sweep caught must match their oracles' empty / zero
+        outputs."""
+        from pycatcher_ray.queries import oracles, queries
+
+        q, o = queries(), oracles()
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{minimal2_dir}/{t}.parquet')")
+        failures = []
+        for name in ("knn_indegree_census", "centroid_purity",
+                     "centroid_margin_census", "theil_sen_trend",
+                     "ann_topk", "embedding_neardup_exact"):
+            try:
+                got = canon(to_pandas(q[name](minimal2_dir)))
+                want = canon(con.execute(o[name]).fetchdf())
+                got = got.sort_values(
+                    list(got.columns)).reset_index(drop=True)
+                want = want.sort_values(
+                    list(want.columns)).reset_index(drop=True)
+                pd.testing.assert_frame_equal(
+                    got, want, check_dtype=False, rtol=0, atol=0)
+            except Exception as e:
+                failures.append((name, str(e)[:160]))
+        assert not failures, failures
+
     def test_formerly_failing_queries_stay_green(self, ray_session,
                                                  minimal_dir):
         from pycatcher_ray.queries import oracles, queries
