@@ -109,3 +109,46 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def _patch_empty_to_pandas():
+    """Engine-level fix for a Ray quirk: ``Dataset.to_pandas()`` on a
+    0-row dataset returns a frame with NO columns even when the schema
+    is intact, so every driver-side fold that indexes columns of a
+    possibly-empty read or exchange result crashes or silently loses
+    the column list (found by the empty-corpus sweep: 52 of the 226
+    failures were exactly this).  The wrapper rebuilds the empty frame
+    from the dataset's schema; non-empty results pass through
+    untouched."""
+    import pandas as _pd
+    import pyarrow as _pa
+    from ray.data import Dataset as _Dataset
+
+    if getattr(_Dataset.to_pandas, "_pycatcher_empty_safe", False):
+        return
+    _orig = _Dataset.to_pandas
+
+    def to_pandas(self, *args, **kwargs):
+        df = _orig(self, *args, **kwargs)
+        if len(df.columns) or len(df):
+            return df
+        try:
+            sch = self.schema(fetch_if_missing=True)
+        except Exception:
+            return df
+        if sch is None or not getattr(sch, "names", None):
+            return df
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, _pa.Schema):
+            return base.empty_table().to_pandas()
+        return _pd.DataFrame({n: _pd.Series([], dtype=object)
+                              for n in sch.names})
+
+    to_pandas._pycatcher_empty_safe = True
+    _Dataset.to_pandas = to_pandas
+
+
+try:
+    _patch_empty_to_pandas()
+except Exception:  # pragma: no cover - ray not importable
+    pass
